@@ -1,13 +1,299 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.MarketEtl
+import graft.tables.Tables
+
+/** Driver contract — one `queries` entry + matching DuckDB `oracleSql` per
+  * implemented operator from SURVEY.md §2. Column names are aliased
+  * identically on both sides (the driver sorts columns by name and
+  * hash-compares values).
+  *
+  * The reference pipeline's bar schema (`ativo`, `date`, `close_price`,
+  * `trade_volume`) is mapped onto the fixture `lineitem` table per
+  * FIXTURES.md §2: asset := l_returnflag, date := l_shipdate,
+  * close := l_extendedprice, volume := l_quantity; (l_orderkey,
+  * l_linenumber) break ties so every window order is total/deterministic.
+  */
 object SparkEntry {
+
+  private def bars(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_returnflag").as("ativo"),
+      col("l_shipdate").as("dt"),
+      col("l_extendedprice").as("close_price"),
+      col("l_quantity").as("trade_volume"),
+      col("l_orderkey"), col("l_linenumber"))
+
+  private val barsSql =
+    "SELECT l_returnflag AS ativo, l_shipdate AS dt, " +
+    "l_extendedprice AS close_price, l_quantity AS trade_volume, " +
+    "l_orderkey, l_linenumber FROM lineitem"
+
+  // (l_orderkey, l_linenumber) is NOT unique in the fixture data, so the
+  // window order includes close_price: any remaining ties are then
+  // value-identical w.r.t. the windowed column, keeping mm_7d deterministic
+  // across engines.
+  private def barOrder =
+    Seq(col("dt"), col("l_orderkey"), col("l_linenumber"), col("close_price"))
+  private val barOrderSql = "dt, l_orderkey, l_linenumber, close_price"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("flagship_etl")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference-parity core (SURVEY §2.2-§2.6) ----
+
+    // Full transform() = A+B+C: W1 rolling mean + A1 aggregate + J1 join.
+    "flagship_etl" -> ((s, d) =>
+      MarketEtl.transform(bars(s, d), "ativo", barOrder, "close_price", "trade_volume")),
+
+    // A1: per-asset hash aggregate.
+    "a1_asset_agg" -> ((s, d) =>
+      MarketEtl.assetAggregate(bars(s, d))),
+
+    // W1: 7-row rolling mean with min_periods=7 NULL semantics.
+    "w1_rolling_mean" -> ((s, d) =>
+      MarketEtl.rollingMean(bars(s, d), Seq("ativo"), barOrder, "close_price", 7, "mm_7d")
+        .select("ativo", "l_orderkey", "l_linenumber", "mm_7d")),
+
+    // J1: left equi-join of the tiny per-asset aggregate onto detail rows (broadcast).
+    "j1_left_join_enrich" -> ((s, d) => {
+      val b = bars(s, d)
+      MarketEtl.enrich(b, MarketEtl.assetAggregate(b))
+        .select("ativo", "l_orderkey", "l_linenumber", "close_price",
+                "avg_close_price", "total_volume")
+    }),
+
+    // P2+P6: rename + timestamp->date cast.
+    "p2_rename_cast" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_extendedprice").as("close_price"),
+        col("l_quantity").as("trade_volume"))),
+
+    // P3: duplicate-column coalesce (first non-null, appearance order).
+    "p3_coalesce_dup" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val dup = li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.05, col("l_extendedprice")).as("v"),
+        col("l_quantity").as("v"))
+      MarketEtl.coalesceDuplicateColumns(dup)
+    }),
+
+    // P8: equality filter on the asset (partition) key — prunes at scale.
+    "p8_partition_filter" -> ((s, d) =>
+      bars(s, d).filter(col("ativo") === "R")
+        .select("ativo", "l_orderkey", "l_linenumber", "close_price")),
+
+    // P9: projection (column pruning reaches the parquet scan).
+    "p9_projection" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")),
+
+    // O2: top-k = sort+limit -> TakeOrderedAndProject (total order for determinism).
+    "o2_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+        .limit(30)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")),
+
+    // A2: union-by-name with missing-column null fill.
+    "a2_union_by_name" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"))
+      o.unionByName(l, allowMissingColumns = true)
+    }),
+
+    // Q1-flavor pricing summary (SQL surface over the fixture star schema).
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // Q3-flavor: 3-way join + grouped revenue.
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+
+    // ---- [EXT] LLM-data-pipeline operators (SURVEY §2.11) ----
+
+    // X1: exact dedup, deterministic keeper = min doc_id per text.
+    "x1_dedup_exact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
+    // X3: exact distinct counting (oracle-checked; HLL variant below).
+    "x3_distinct_exact" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events"))),
+
+    // X3b: approx_count_distinct (HLL++) — algorithm-specific, rows-only check.
+    "x3_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
+
+    // X6: JSON column extraction.
+    "x6_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))),
+
+    // X5: token counting (whitespace tokenizer).
+    "x5_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+        col("n_chars")))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "flagship_etl" ->
+      s"""WITH base AS ($barsSql),
+         |win AS (
+         |  SELECT ativo, dt, close_price, trade_volume, l_orderkey, l_linenumber,
+         |         CASE WHEN COUNT(close_price) OVER w = 7
+         |              THEN AVG(close_price) OVER w END AS mm_7d
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY ativo ORDER BY $barOrderSql
+         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |),
+         |agg AS (
+         |  SELECT ativo, AVG(close_price) AS avg_close_price,
+         |         SUM(trade_volume) AS total_volume
+         |  FROM base GROUP BY ativo
+         |)
+         |SELECT w.ativo, w.dt, w.close_price, w.trade_volume, w.l_orderkey,
+         |       w.l_linenumber, w.mm_7d, a.avg_close_price, a.total_volume
+         |FROM win w LEFT JOIN agg a USING (ativo)""".stripMargin,
+
+    "a1_asset_agg" ->
+      s"""SELECT ativo, AVG(close_price) AS avg_close_price,
+         |       SUM(trade_volume) AS total_volume
+         |FROM ($barsSql) GROUP BY ativo""".stripMargin,
+
+    "w1_rolling_mean" ->
+      s"""SELECT ativo, l_orderkey, l_linenumber,
+         |       CASE WHEN COUNT(close_price) OVER w = 7
+         |            THEN AVG(close_price) OVER w END AS mm_7d
+         |FROM ($barsSql)
+         |WINDOW w AS (PARTITION BY ativo ORDER BY $barOrderSql
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "j1_left_join_enrich" ->
+      s"""WITH base AS ($barsSql),
+         |agg AS (
+         |  SELECT ativo, AVG(close_price) AS avg_close_price,
+         |         SUM(trade_volume) AS total_volume
+         |  FROM base GROUP BY ativo
+         |)
+         |SELECT b.ativo, b.l_orderkey, b.l_linenumber, b.close_price,
+         |       a.avg_close_price, a.total_volume
+         |FROM base b LEFT JOIN agg a USING (ativo)""".stripMargin,
+
+    "p2_rename_cast" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+        |       l_extendedprice AS close_price, l_quantity AS trade_volume
+        |FROM lineitem""".stripMargin,
+
+    "p3_coalesce_dup" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       COALESCE(CASE WHEN l_discount > 0.05 THEN l_extendedprice END,
+        |                l_quantity) AS v
+        |FROM lineitem""".stripMargin,
+
+    "p8_partition_filter" ->
+      """SELECT l_returnflag AS ativo, l_orderkey, l_linenumber,
+        |       l_extendedprice AS close_price
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "p9_projection" ->
+      "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+
+    "o2_topk" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 30""".stripMargin,
+
+    "a2_union_by_name" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price, CAST(NULL AS DOUBLE) AS qty
+        |FROM orders
+        |UNION ALL
+        |SELECT l_orderkey AS k, CAST(NULL AS DOUBLE) AS price, l_quantity AS qty
+        |FROM lineitem""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       SUM(l_extendedprice) AS sum_base_price,
+        |       AVG(l_quantity) AS avg_qty,
+        |       AVG(l_extendedprice) AS avg_price,
+        |       AVG(l_discount) AS avg_disc,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+
+    "x1_dedup_exact" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1""".stripMargin,
+
+    "x3_distinct_exact" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x6_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "x5_token_count" ->
+      """SELECT doc_id,
+        |       CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |       n_chars
+        |FROM documents""".stripMargin
+  )
 }
