@@ -1,6 +1,37 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Json
+
+/** Benchmark main. Prints ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"errors":{...},"sf":...}`.
+  *
+  * Two fixes over round 1 (VERDICT findings 1–2):
+  *   - every query is forced to FULL evaluation — `xxhash64` over a struct of
+  *     every output column, reduced to one `sum` — so Catalyst cannot prune
+  *     the operators under test the way a bare `count()` lets it (windows,
+  *     JSON extraction and projections were dead code under `count`);
+  *   - per-query failures are reported in an `"errors"` object instead of
+  *     being swallowed and emitted as a fast timing.
+  *
+  * A full warm-up pass runs first so the measured pass is not dominated by
+  * JIT/codegen-cache/parquet-footer first-touch costs.
+  */
 object Bench {
+
+  /** Reduce a result to one row while touching every column of every row.
+    * The hash is summed as double: the value is irrelevant (only the forced
+    * evaluation matters) and a long sum of 64-bit hashes overflows under
+    * ANSI mode.
+    */
+  private def force(df: DataFrame): Unit = {
+    val h = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))
+    df.select(sum(h.cast("double"))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,15 +44,37 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up (failures are surfaced by the measured pass below).
+    names.foreach { n =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try force(SparkEntry.queries(n)(spark, sfDir))
+      catch { case _: Throwable => () }
+      System.err.println(f"[bench] warmup $n ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val times = names.flatMap { n =>
+      val t0 = System.nanoTime()
+      try {
+        force(SparkEntry.queries(n)(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $n $dt%.2fs")
+        Some(n -> dt)
+      } catch {
+        case e: Throwable =>
+          errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          System.err.println(s"[bench] $n FAILED: ${errors(n)}")
+          None
+      }
+    }
+
+    val qs = times.map { case (k, v) => s"${Json.str(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }.mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${Json.str(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

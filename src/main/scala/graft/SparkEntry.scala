@@ -44,8 +44,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("flagship_etl")(spark, "/root/testdata/sf0.001")
 
+  private def extQueries = SparkEntryExt.queries
+  private def extOracleSql = SparkEntryExt.oracleSql
+  private def pipelineQueries = SparkEntryPipeline.queries
+  private def pipelineOracleSql = SparkEntryPipeline.oracleSql
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extQueries ++ pipelineQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- reference-parity core (SURVEY §2.2-§2.6) ----
 
@@ -87,6 +95,28 @@ object SparkEntry {
         col("l_quantity").as("v"))
       MarketEtl.coalesceDuplicateColumns(dup)
     }),
+
+    // P1: MultiIndex (field|ticker) column flatten, ticker kept as data.
+    "p1_flatten_multiindex" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("Close|VALE3"),
+        col("l_quantity").as("Volume|VALE3"))
+      MarketEtl.flattenFieldTicker(li, "|", keepTickerAs = Some("ticker"))
+    }),
+
+    // P4: conditional schema default (ativo absent → literal).
+    "p4_default_asset" -> ((s, d) =>
+      MarketEtl.withDefaultAsset(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"), "VALE3")),
+
+    // W1 skew-safe variant: same rolling mean re-partitioned on
+    // (asset, month bucket) — parallelism #assets × #months instead of 3
+    // tasks (VERDICT r1). Shares w1's oracle: results must be identical.
+    "w1b_rolling_skewsafe" -> ((s, d) =>
+      MarketEtl.rollingMeanBucketed(bars(s, d), Seq("ativo"), barOrder,
+          "close_price", 7, "mm_7d", date_trunc("month", col("dt")))
+        .select("ativo", "l_orderkey", "l_linenumber", "mm_7d")),
 
     // P8: equality filter on the asset (partition) key — prunes at scale.
     "p8_partition_filter" -> ((s, d) =>
@@ -139,11 +169,18 @@ object SparkEntry {
 
     // ---- [EXT] LLM-data-pipeline operators (SURVEY §2.11) ----
 
-    // X1: exact dedup, deterministic keeper = min doc_id per text.
+    // X1: exact dedup with PLANTED duplicates (the fixture has none — ADVICE
+    // r1), deterministic keeper = min (doc_id, source, lang) per text.
+    // xxhash64(text) leads the partition spec so bucket routing and most
+    // in-partition comparisons work on an 8-byte key; the raw text stays in
+    // the spec for correctness under hash collision (VERDICT r1 scale note).
     "x1_dedup_exact" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      val planted = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val w = Window.partitionBy(xxhash64(col("text")), col("text"))
+        .orderBy(col("doc_id"), col("source"), col("lang"))
+      docs.unionByName(planted)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -166,11 +203,14 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))),
 
-    // X5: token counting (whitespace tokenizer).
+    // X5: token counting (whitespace tokenizer); empty/whitespace-only text
+    // counts 0 tokens (split of "" yields [""] — ADVICE r1).
     "x5_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+          .as("n_tokens"),
         col("n_chars")))
   )
 
@@ -231,6 +271,22 @@ object SparkEntry {
         |                l_quantity) AS v
         |FROM lineitem""".stripMargin,
 
+    "p1_flatten_multiindex" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS "Close",
+        |       l_quantity AS "Volume", 'VALE3' AS ticker
+        |FROM lineitem""".stripMargin,
+
+    "p4_default_asset" ->
+      "SELECT l_orderkey, l_linenumber, 'VALE3' AS ativo FROM lineitem",
+
+    "w1b_rolling_skewsafe" ->
+      s"""SELECT ativo, l_orderkey, l_linenumber,
+         |       CASE WHEN COUNT(close_price) OVER w = 7
+         |            THEN AVG(close_price) OVER w END AS mm_7d
+         |FROM ($barsSql)
+         |WINDOW w AS (PARTITION BY ativo ORDER BY $barOrderSql
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "p8_partition_filter" ->
       """SELECT l_returnflag AS ativo, l_orderkey, l_linenumber,
         |       l_extendedprice AS close_price
@@ -273,10 +329,16 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
 
     "x1_dedup_exact" ->
-      """SELECT doc_id, text, lang, source, n_chars FROM (
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents
+        |)
+        |SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT doc_id, text, lang, source, n_chars,
-        |         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |  FROM documents
+        |         ROW_NUMBER() OVER (PARTITION BY text
+        |                            ORDER BY doc_id, source, lang) AS rn
+        |  FROM all_docs
         |) WHERE rn = 1""".stripMargin,
 
     "x3_distinct_exact" ->
@@ -292,8 +354,10 @@ object SparkEntry {
 
     "x5_token_count" ->
       """SELECT doc_id,
-        |       CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |       CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |       END AS n_tokens,
         |       n_chars
         |FROM documents""".stripMargin
-  )
+  ) ++ extOracleSql ++ pipelineOracleSql
 }

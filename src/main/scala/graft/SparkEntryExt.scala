@@ -1,0 +1,337 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sim.SimSearch
+import graft.tables.Tables
+import graft.text.TextOps
+
+/** [EXT] query entries (SURVEY §2.11): similarity search over embeddings,
+  * near-dup text dedup, text analysis. Split out of `SparkEntry` to keep
+  * each file readable; merged into `SparkEntry.queries`/`oracleSql`.
+  *
+  * The `documents`/`embeddings` fixtures contain no near-duplicates, so the
+  * dedup queries PLANT them deterministically inside the query (self-union
+  * with shifted ids and a small text/vector perturbation) — both the Spark
+  * side and the DuckDB oracle apply the identical transformation.
+  *
+  * Floating-point parity notes: Jaccard and quality scores are ratios/sums
+  * of integers evaluated by the identical expression on both engines —
+  * bit-exact. Cosine is computed by different summation code in DuckDB, so
+  * those queries compare `round(sim, 6)` and keep thresholds far from any
+  * data (planted pairs ≈0.99, everything else ≤0.53, threshold 0.8).
+  */
+object SparkEntryExt {
+
+  // 200 hyperplanes = 20 bands × 10 bits for the 64-dim fixture embeddings.
+  // At the planted-duplicate angle (cos≈0.987 → θ≈0.16 rad) per-band match
+  // prob is (1-θ/π)^10 ≈ 0.59 → miss-all-bands ≈ 0.41^20 ≈ 2e-8, while a
+  // random pair (θ≈π/2) collides in any band with prob ≈ 20/2^10 ≈ 2% —
+  // candidate volume stays ~1% of all-pairs instead of ~50%.
+  private val Planes = SimSearch.hyperplanes(numPlanes = 200, dim = 64)
+  private val Bands = 20
+  private val RowsPerBand = 10
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
+
+  /** Deterministic near-identical copies: ids +1_000_000, each component
+    * nudged by 0.01*((i mod 7)-3) — cosine vs the original ≈ 0.987.
+    */
+  private def plantedEmb(e: DataFrame): DataFrame =
+    e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("emb"), (x, i) => x + lit(0.01) * (i % 7 - 3)).as("emb"))
+
+  private val plantedEmbSql =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |         list_transform(range(1, len(embedding)+1),
+      |                        i -> embedding[i] + 0.01*(((i-1)%7)-3))
+      |  FROM embeddings""".stripMargin
+
+  private def docsWithPlanted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(col("text"), lit(" qq")).as("text")))
+  }
+
+  private val docsWithPlantedSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' qq' FROM documents""".stripMargin
+
+  // DuckDB mirrors of TextOps.tokens / TextOps.shingles(_, 3)
+  private val toksSql =
+    """CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+  private def shinglesSql(t: String) =
+    s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t)-1), " +
+      s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE [] END"
+
+  private val enStopSql = TextOps.EnStop.map(w => s"'$w'").mkString(", ")
+  private val esStopSql = TextOps.EsStop.map(w => s"'$w'").mkString(", ")
+  private val deStopSql = TextOps.DeStop.map(w => s"'$w'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X4: similarity search over embeddings ----
+
+    // Brute-force cosine top-10 for 10 query vectors: broadcast query set,
+    // one candidate scan, salted two-phase per-query ranking (no single
+    // task sorts a query's full candidate list).
+    "x4_cosine_topk" -> ((s, d) =>
+      SimSearch.bruteForceTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 10)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim6"))),
+
+    // ANN variant: banded sign-LSH bucket join instead of a full scan —
+    // the 100 TB path. Approximate by construction → no SQL oracle (recall
+    // vs brute force is asserted in SimSearchSpec); driver records rows>0.
+    "x4_ann_topk" -> ((s, d) =>
+      SimSearch.annTopK(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 10,
+          Planes, Bands, RowsPerBand)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim6"))),
+
+    // Embedding near-dup pairs: LSH candidates + exact cosine >= 0.8
+    // verification, against planted near-identical copies.
+    "x4_cosine_neardup" -> ((s, d) => {
+      val e = emb(s, d)
+      SimSearch.cosineNearDupPairs(e.unionByName(plantedEmb(e)), 0.8,
+          Planes, Bands, RowsPerBand)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim6"))
+    }),
+
+    // ---- X2: near-duplicate text dedup ----
+
+    // MinHash(16) → 8 bands × 2 rows → bucket join → exact-Jaccard verify
+    // >= 0.8. Planted pairs have J >= ~0.89 (append one token to a >=10
+    // token doc) → per-pair miss prob (1-0.89²)^8 ≈ 4e-6.
+    "x2_neardup_minhash" -> ((s, d) =>
+      TextOps.nearDupPairs(docsWithPlanted(s, d), 0.8)),
+
+    // Exact n-gram-Jaccard all-pairs on a bounded subset (the brute-force
+    // twin the LSH path is verified against).
+    "x2_jaccard_ngram" -> ((s, d) => {
+      val sub = docsWithPlanted(s, d)
+        .filter(pmod(col("doc_id"), lit(1000000L)) < 100)
+      val sh = sub.select(col("doc_id"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), TextOps.jaccard(col("sa"), col("sb")).as("jac"))
+        .filter(col("jac") >= 0.5)
+    }),
+
+    // SimHash document sketches (portable 31-bit rolling hash, so the
+    // oracle reproduces the exact bits).
+    "x2_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__sh", TextOps.shingles(TextOps.tokens(col("text")), 3))
+        .select(col("doc_id"), TextOps.simhash("__sh").as("simhash"))),
+
+    // ---- X5: text analysis ----
+
+    // Document fingerprint: portable rolling hash of the raw text.
+    "x5_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(TextOps.rollingHashExpr("text")).as("fp"))),
+
+    // Language ID: stopword-count argmax heuristic.
+    "x5_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))),
+
+    // Quality score: stopword/alpha/length signals in [0,1].
+    "x5_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.qualityScore(col("text"), TextOps.tokens(col("text"))).as("quality"))),
+
+    // BPE-ish token count: regex pieces, ceil(len/4) units per piece.
+    "x5_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    // ---- X6/events: timestamp handling (nanos → micros) oracle-checked ----
+
+    "x6_event_times" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("min_us"),
+          max(unix_micros(col("ts"))).as("max_us"),
+          count(lit(1)).as("n_events"))),
+
+    // ---- X7: multimodal binary columns (decode kernel stubbed) ----
+
+    // Metadata-level query: binaries stay opaque; scan prunes to
+    // (media_id, meta, octet_length).
+    "x7_multimodal_meta" -> ((s, d) => {
+      val media = graft.media.Multimodal.fakeMediaFromDocuments(
+        Tables.documents(s, d))
+      media.select(col("media_id"),
+        octet_length(col("media")).cast("bigint").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"))
+    }),
+
+    // Stub decode via typed mapPartitions (the mapInPandas batch shape);
+    // the fixture payload is UTF-8 text bytes, so the oracle reproduces
+    // the byte statistics from the text itself (fixture text is ASCII).
+    "x7_media_features" -> ((s, d) =>
+      graft.media.Multimodal.featuresFromDocuments(s,
+        Tables.documents(s, d))
+        .select(col("media_id"), col("n_bytes").cast("bigint").as("n_bytes"),
+          col("mean_byte"), col("head_hash")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "x4_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id,
+        |         list_cosine_similarity(q.emb, e.emb) AS sim
+        |  FROM e q JOIN e ON e.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10
+        |),
+        |r AS (SELECT q_id, vec_id, sim,
+        |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |      FROM p)
+        |SELECT q_id, rank, vec_id, ROUND(sim, 6) AS sim6
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    "x4_cosine_neardup" ->
+      s"""WITH a AS ($plantedEmbSql),
+         |p AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |         list_cosine_similarity(x.emb, y.emb) AS sim
+         |  FROM a x JOIN a y ON x.vec_id < y.vec_id
+         |)
+         |SELECT id_a, id_b, ROUND(sim, 6) AS sim6
+         |FROM p WHERE sim >= 0.8""".stripMargin,
+
+    "x2_neardup_minhash" ->
+      s"""WITH all_docs AS ($docsWithPlantedSql),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM all_docs)
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(a.s || b.s)) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |)
+         |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.8""".stripMargin,
+
+    "x2_jaccard_ngram" ->
+      s"""WITH all_docs AS ($docsWithPlantedSql),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM all_docs
+         |        WHERE doc_id % 1000000 < 100)
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / len(list_distinct(a.s || b.s)) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |)
+         |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5""".stripMargin,
+
+    "x2_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${shinglesSql("tk")} AS sh
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+         |),
+         |h AS (
+         |  SELECT doc_id,
+         |         list_transform(list_distinct(sh), s ->
+         |           list_reduce(list_transform(range(1, length(s)+1),
+         |                                      i -> CAST(ascii(s[i]) AS BIGINT)),
+         |                       (acc, c) -> (acc*31 + c) % 2147483647)) AS hs
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 31), j ->
+         |         CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1)*2 - 1)) > 0
+         |              THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), 0)
+         |       AS BIGINT) AS simhash
+         |FROM h""".stripMargin,
+
+    "x5_fingerprint" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE list_reduce(list_transform(range(1, length(text)+1),
+        |                                            i -> CAST(ascii(text[i]) AS BIGINT)),
+        |                             (acc, c) -> (acc*31 + c) % 2147483647)
+        |       END AS fp
+        |FROM documents""".stripMargin,
+
+    "x5_lang_id" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |         len(list_filter(tk, x -> x IN ($enStopSql))) AS en,
+         |         len(list_filter(tk, x -> x IN ($esStopSql))) AS es,
+         |         len(list_filter(tk, x -> x IN ($deStopSql))) AS de
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+         |            WHEN es >= de AND es > 0 THEN 'es'
+         |            WHEN de > 0 THEN 'de'
+         |            ELSE 'und' END AS lang_pred
+         |FROM c""".stripMargin,
+
+    "x5_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+         |         0.4 * least(CAST(len(list_filter(tk, x -> x IN ($enStopSql))) AS DOUBLE)
+         |                       / CAST(len(tk) AS DOUBLE) * 5.0, 1.0)
+         |         + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |                    / length(text))
+         |         + 0.3 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+         |       END AS quality
+         |FROM t""".stripMargin,
+
+    "x5_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(coalesce(list_sum(list_transform(
+        |         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+        |         m -> CAST(ceil(length(m)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "x6_event_times" ->
+      """SELECT event_type,
+        |       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_us,
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x7_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(n_chars % 64 + 1 AS INT) AS width,
+        |       CAST(n_chars % 48 + 1 AS INT) AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents""".stripMargin,
+
+    "x7_media_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |         CAST(list_sum(list_transform(range(1, length(text)+1),
+        |                                      i -> ascii(text[i]))) AS DOUBLE)
+        |           / length(text) END AS mean_byte,
+        |       CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |         list_reduce(list_transform(range(1, least(length(text), 16)+1),
+        |                                    i -> CAST(ascii(text[i]) AS BIGINT)),
+        |                     (acc, c) -> (acc*31 + c) % 2147483647)
+        |       END AS head_hash
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{BatchPipeline, PipelineConfig}
+import graft.tables.Tables
+
+/** Pipeline round-trip query entries — the I/O halves the in-memory core
+  * can't exercise (VERDICT r1 gap #1): Hive-partitioned raw write (S4),
+  * partition-discovering read (S2), partitioned refined sink (S5), catalog
+  * registration + partition-pruned catalog read (S6/P8).
+  *
+  * Each entry builds daily bars from `lineitem` (one row per (ativo, date)
+  * via an order-independent MAX, so the oracle is drift-free), lands them
+  * in a `raw/ano=/mes=/dia=` tree under java.io.tmpdir, runs the batch
+  * pipeline end-to-end, and returns the refined result read back from
+  * disk. The DuckDB oracle recomputes the same dataflow straight from
+  * `lineitem` — a green row proves the round trip loses nothing.
+  *
+  * Bars are limited to one calendar year to keep the raw tree at ~365
+  * Hive partitions (the partitioned-write cost under bench).
+  */
+object SparkEntryPipeline {
+
+  private val ProcessingDate = "2024-01-15" // F1: pinned, never wall-clock
+
+  private def base(sfDir: String, name: String): String = {
+    val leaf = new java.io.File(sfDir).getName
+    s"${System.getProperty("java.io.tmpdir")}/graft_pipeline/$leaf/$name"
+  }
+
+  /** Daily bars: unique per (ativo, Date); MAX close / SUM volume are
+    * order-independent so Spark and DuckDB agree bit-for-bit.
+    */
+  private def dailyBars(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag").as("ativo"), col("l_shipdate").as("Date"))
+      .agg(max(col("l_extendedprice")).as("Close"),
+        sum(col("l_quantity")).cast("long").as("Volume"))
+
+  private val dailyBarsSql =
+    """SELECT l_returnflag AS ativo, l_shipdate AS date,
+      |       MAX(l_extendedprice) AS close_price,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS trade_volume
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** The refined dataflow on daily bars, as DuckDB SQL (mirrors
+    * `BatchPipeline.refine`: W1 with min_periods guard + A1 + J1).
+    */
+  private val refinedSql =
+    s"""WITH base AS ($dailyBarsSql),
+       |win AS (
+       |  SELECT ativo, date, close_price, trade_volume,
+       |         CASE WHEN COUNT(close_price) OVER w = 7
+       |              THEN AVG(close_price) OVER w END AS mm_7d
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY ativo ORDER BY date, close_price
+       |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |),
+       |agg AS (
+       |  SELECT ativo, ROUND(AVG(close_price), 6) AS avg_close_price,
+       |         CAST(SUM(trade_volume) AS BIGINT) AS total_volume
+       |  FROM base GROUP BY ativo
+       |)
+       |SELECT w.ativo, w.date, w.close_price, w.trade_volume, w.mm_7d,
+       |       a.avg_close_price, a.total_volume
+       |FROM win w LEFT JOIN agg a USING (ativo)""".stripMargin
+
+  private def runPipeline(s: SparkSession, d: String, name: String,
+                          table: Option[String]): DataFrame = {
+    val root = base(d, name)
+    val rawDir = s"$root/raw"
+    val refinedDir = s"$root/refined"
+    BatchPipeline.writeRaw(dailyBars(s, d), rawDir, SaveMode.Overwrite)
+    BatchPipeline.run(s, PipelineConfig(rawDir, refinedDir, ProcessingDate,
+      refinedTable = table))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S4 write → S2 partition-discovering read → refine → S5 partitionBy
+    // write → read back. `data` (the pinned processing-date partition) is
+    // asserted in PipelineSpec; excluded here because partition-type
+    // inference reads it as DATE while the oracle would emit VARCHAR.
+    // avg_close_price is rounded on both sides: a ~365-element double mean
+    // accumulates in different order in Spark's partial aggregation vs
+    // DuckDB (observed |diff| ~1e-11 at sf0.01).
+    "s2_s5_roundtrip" -> ((s, d) =>
+      runPipeline(s, d, "s2s5", table = None)
+        .select(col("ativo"), col("date"), col("close_price"),
+          col("trade_volume"), col("mm_7d"),
+          round(col("avg_close_price"), 6).as("avg_close_price"),
+          col("total_volume"))),
+
+    // S6: same round trip registered in the session catalog; the query
+    // reads THROUGH the catalog table with a partition-pruning filter on
+    // the ativo partition key (README.md:288's Athena query shape).
+    "catalog_roundtrip" -> ((s, d) => {
+      runPipeline(s, d, "catalog", table = Some("graft_refined_rt"))
+      s.sql("""SELECT ativo, date, close_price, mm_7d
+              |FROM graft_refined_rt WHERE ativo = 'R'""".stripMargin)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s2_s5_roundtrip" -> refinedSql,
+    "catalog_roundtrip" ->
+      s"""SELECT ativo, date, close_price, mm_7d FROM ($refinedSql)
+         |WHERE ativo = 'R'""".stripMargin
+  )
+}

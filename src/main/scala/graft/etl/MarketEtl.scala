@@ -51,12 +51,23 @@ object MarketEtl {
     */
   def flattenFieldTicker(df: DataFrame, sep: String = "|",
                          keepTickerAs: Option[String] = None): DataFrame = {
-    val tickers = df.columns.filter(_.contains(sep)).map(_.split(java.util.regex.Pattern.quote(sep))(1)).distinct
+    val q = java.util.regex.Pattern.quote(sep)
+    // split with limit -1 keeps trailing empties ("Close|" → ["Close", ""]),
+    // and lift guards single-part names — no index-out-of-bounds on
+    // malformed headers.
+    val tickers = df.columns.filter(_.contains(sep))
+      .map(_.split(q, -1).lift(1).getOrElse("")).distinct
     val flat = df.toDF(df.columns.map(c =>
-      if (c.contains(sep)) c.split(java.util.regex.Pattern.quote(sep))(0) else c): _*)
+      if (c.contains(sep)) c.split(q, -1)(0) else c): _*)
     val deduped = coalesceDuplicateColumns(flat)
     keepTickerAs match {
-      case Some(name) if tickers.length == 1 => deduped.withColumn(name, lit(tickers.head))
+      case Some(name) if tickers.length == 1 =>
+        deduped.withColumn(name, lit(tickers.head))
+      case Some(name) if tickers.length > 1 =>
+        throw new IllegalArgumentException(
+          s"flattenFieldTicker: keepTickerAs=$name requires single-ticker input, " +
+            s"got ${tickers.mkString(",")} — multi-ticker frames must keep the " +
+            "ticker as a row value upstream (SURVEY §7.4.4)")
       case _ => deduped
     }
   }
@@ -87,6 +98,51 @@ object MarketEtl {
       .orderBy(orderCols: _*).rowsBetween(-(n - 1), 0)
     df.withColumn(out,
       when(count(col(valueCol)).over(w) === n, avg(col(valueCol)).over(w)))
+  }
+
+  /** Skew-safe variant of W1 for low-cardinality partition keys (VERDICT r1:
+    * with 3 assets, `rollingMean` sorts the whole dataset in 3 tasks). The
+    * window is re-partitioned on (asset, time-bucket): each bucket computes
+    * its rolling frame locally after borrowing the previous bucket's last
+    * n-1 rows, so parallelism = #assets × #buckets instead of #assets.
+    * Identical results to `rollingMean` — verified by the shared oracle.
+    *
+    * PRECONDITION (documented, not checked — checking costs a pass): every
+    * non-final (asset, bucket) group must hold ≥ n-1 rows, i.e. pick a
+    * bucket width coarse enough for the data density. Bucket gaps are fine:
+    * buckets are re-indexed densely per asset before borrowing.
+    *
+    * `bucket` must be monotone non-decreasing in the leading order column
+    * (e.g. `date_trunc("month", orderCol)`), so borrowed rows sort before
+    * the destination bucket's own rows.
+    */
+  def rollingMeanBucketed(df: DataFrame, partitionCols: Seq[String],
+                          orderCols: Seq[Column], valueCol: String, n: Int,
+                          out: String, bucket: Column): DataFrame = {
+    val pc = partitionCols.map(col)
+    val withB = df.withColumn("__bucket", bucket)
+    // dense bucket index per asset — tiny frame (|assets| × |buckets| rows),
+    // cheap window, broadcast back.
+    val idx = withB.select(pc :+ col("__bucket"): _*).distinct()
+      .withColumn("__bidx", row_number().over(
+        Window.partitionBy(pc: _*).orderBy(col("__bucket"))))
+    val joined = withB.join(broadcast(idx), partitionCols :+ "__bucket")
+    // last n-1 rows of each bucket, re-tagged into the next bucket
+    val wDesc = Window.partitionBy(pc :+ col("__bidx"): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    val tails = joined
+      .withColumn("__rd", row_number().over(wDesc)).filter(col("__rd") < n)
+      .drop("__rd")
+      .withColumn("__bidx", col("__bidx") + 1)
+      .withColumn("__borrowed", lit(true))
+    val all = joined.withColumn("__borrowed", lit(false)).unionByName(tails)
+    val w = Window.partitionBy(pc :+ col("__bidx"): _*)
+      .orderBy(orderCols: _*).rowsBetween(-(n - 1), 0)
+    all
+      .withColumn(out,
+        when(count(col(valueCol)).over(w) === n, avg(col(valueCol)).over(w)))
+      .filter(!col("__borrowed"))
+      .drop("__bucket", "__bidx", "__borrowed")
   }
 
   /** A1 (`etl/etl_job.py:133-140`): per-asset hash aggregate — mean close,

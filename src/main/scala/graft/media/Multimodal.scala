@@ -1,0 +1,103 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE KERNEL IS A
+  * DETERMINISTIC STUB (`decodeStub` — a byte-statistics "decoder"). The
+  * Spark-side plumbing is real and is what this module demonstrates:
+  *   - schema: (media_id, media BINARY, meta STRUCT<width,height,format>);
+  *   - per-partition batched processing via `mapPartitions` over a typed
+  *     `Dataset` (the Scala analogue of `mapInPandas`: one iterator per
+  *     partition, amortizing any per-batch model/codec setup);
+  *   - byte-level ops (`resizeBytes`, `sampleFrames`) as pure expressions,
+  *     which stay in whole-stage codegen.
+  *
+  * Scale notes (100 TB of media): binaries stay opaque until the last
+  * stage, so scans prune to (media_id, meta) unless bytes are needed;
+  * `mapPartitions` keeps decode state per-task, not per-row; partitioning
+  * on media_id spreads blobs evenly (no skew key).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(media_id: Long, media: Array[Byte],
+                               width: Int, height: Int, format: String)
+
+  /** Extracted features (what a real decoder/encoder would emit). */
+  final case class MediaFeatures(media_id: Long, n_bytes: Int,
+                                 mean_byte: Double, head_hash: Long,
+                                 width: Int, height: Int, format: String)
+
+  /** Build a deterministic fake media table from the `documents` fixture:
+    * payload = UTF-8 bytes of the text, metadata derived from doc fields.
+    * Stands in for a real binary source (S3 blobs, tar shards, …).
+    */
+  def fakeMediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        (pmod(col("n_chars"), lit(64)) + 1).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(48)) + 1).cast("int").as("height"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("jpeg")
+          .as("format")).as("meta"))
+
+  /** STUB decode: a real implementation would decode pixels/samples here
+    * (per-partition, so codec init happens once per task). The stub emits
+    * deterministic byte statistics with the same plumbing and batch shape.
+    */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-task "codec" setup would go here (loaded once per partition)
+      it.map { r =>
+        val bytes = r.media
+        // exact integer sum → division: engine-portable (no float
+        // accumulation-order drift)
+        val mean =
+          if (bytes.isEmpty) 0.0
+          else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+        // portable 31-bit polynomial hash of the first 16 bytes (mirrors
+        // TextOps.rollingHashExpr so SQL oracles can reproduce it)
+        val head = bytes.take(16).foldLeft(0L)((acc, b) =>
+          (acc * 31 + (b & 0xff)) % 2147483647L)
+        MediaFeatures(r.media_id, bytes.length, mean, head,
+          r.width, r.height, r.format)
+      }
+    }
+  }
+
+  /** Typed view of a media frame for the decode stage. */
+  def toRecords(media: DataFrame): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("media"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.format").as("format")).as[MediaRecord]
+  }
+
+  /** "Resize": keep a prefix of the payload (expression-only, codegen'd —
+    * a stand-in for a real thumbnail kernel).
+    */
+  def resizeBytes(media: DataFrame, nBytes: Int): DataFrame =
+    media.withColumn("media", expr(s"substring(media, 1, $nBytes)"))
+
+  /** "Frame-sample": every k-th byte of the payload as one row per sample —
+    * the explode shape of video frame extraction.
+    */
+  def sampleFrames(media: DataFrame, every: Int): DataFrame =
+    media.select(col("media_id"),
+        posexplode(expr(
+          s"transform(sequence(1, octet_length(media), $every), " +
+            "i -> substring(media, i, 1))")).as(Seq("frame_idx", "frame")))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame"))
+
+  /** The full stub pipeline: fake source → typed decode → features frame. */
+  def featuresFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeStub(toRecords(fakeMediaFromDocuments(docs))).toDF()
+}

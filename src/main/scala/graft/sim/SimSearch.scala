@@ -1,0 +1,183 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] X4 — similarity search over an embedding column
+  * (`array<float>` / `array<double>`), SURVEY §2.11.
+  *
+  * All kernels are pure Catalyst expressions (`zip_with` + `aggregate`
+  * sequential folds) — no UDFs, so they stay inside whole-stage codegen and
+  * match engines that evaluate list ops element-by-element.
+  *
+  * Scale design (100 TB):
+  *   - brute-force top-k broadcasts the (small) query set and scans the
+  *     candidate side once; the per-query ranking uses a salted two-phase
+  *     top-k (`topKPerQuery`) so no single task ever sorts all N candidates
+  *     of one query;
+  *   - the ANN path (`lshBuckets` / `annCandidates`) is a bucketed equi-join
+  *     on random-hyperplane signatures — candidates meet only inside a
+  *     bucket, never via an all-pairs cross join;
+  *   - near-dup detection (`cosineNearDupPairs`) = banded LSH candidate
+  *     generation + exact cosine verification inside buckets.
+  */
+object SimSearch {
+
+  /** Cast an `array<float>` column to `array<double>` (all math in double). */
+  def castD(c: Column): Column = c.cast("array<double>")
+
+  /** Dot product — sequential left fold, element order preserved. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity = dot / (|a| * |b|). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Group-wise top-k that survives scale: a per-(query, salt) local top-k
+    * prunes each query's candidate stream down to `numSalts * k` rows before
+    * the final per-query ranking — no task sorts more than ~N/numSalts rows,
+    * and the second window touches only the tiny pruned set. Result is
+    * identical to a plain `row_number` over (q, sim desc, id).
+    *
+    * Input must have columns (qCol, idCol, simCol); output adds `rank`
+    * (BIGINT, 1-based) and keeps rows with rank <= k.
+    */
+  def topKPerQuery(pairs: DataFrame, k: Int, qCol: String = "q_id",
+                   idCol: String = "vec_id", simCol: String = "sim",
+                   numSalts: Int = 32): DataFrame = {
+    val order = Seq(col(simCol).desc, col(idCol).asc)
+    val wLocal = Window
+      .partitionBy(col(qCol), pmod(xxhash64(col(idCol)), lit(numSalts)))
+      .orderBy(order: _*)
+    val wGlobal = Window.partitionBy(col(qCol)).orderBy(order: _*)
+    pairs
+      .withColumn("__lr", row_number().over(wLocal)).filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("bigint"))
+      .filter(col("rank") <= k)
+      .drop("__lr")
+  }
+
+  /** Brute-force cosine top-k: broadcast the query set, scan candidates
+    * once, salted two-phase ranking. The baseline every ANN variant is
+    * measured against.
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", embCol: String = "emb"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    val pairs = vectors
+      .join(broadcast(q), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        cosine(col("__q_emb"), col(embCol)).as("sim"))
+    topKPerQuery(pairs, k, "q_id", idCol, "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `numPlanes`
+    * vectors of `dim` components in [-1, 1), derived from a fixed-seed
+    * splitmix64 — identical across runs and machines.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Double = {
+      // splitmix64 (public domain PRNG), mapped to [-1, 1)
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign bits of the projections onto every hyperplane: one pass over a
+    * literal array-of-planes (a single expression regardless of plane
+    * count — 200 separate dot expressions would explode codegen).
+    */
+  def signBits(emb: Column, planes: Seq[Seq[Double]]): Column =
+    transform(typedLit(planes), p => dot(emb, p) > 0.0)
+
+  /** Banded sign-LSH bucket keys: `bands` (band, key) structs, key = the
+    * packed sign pattern of `rowsPerBand` hyperplane projections. Two
+    * vectors at angle θ share a band key with prob (1 - θ/π)^rowsPerBand;
+    * band-OR over `bands` bands gives ≈1 recall for near-duplicates while
+    * random pairs collide in any band with prob ≈ bands/2^rowsPerBand.
+    * The bit vector is lambda-bound so band packing reuses one evaluation.
+    */
+  def lshBandKeys(emb: Column, planes: Seq[Seq[Double]], bands: Int,
+                  rowsPerBand: Int): Column = {
+    require(planes.size >= bands * rowsPerBand, "not enough planes")
+    graft.util.Expr.bind(signBits(emb, planes), bits =>
+      array((0 until bands).map { b =>
+        val key = aggregate(
+          slice(bits, lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(0L),
+          (acc, bit) => acc * 2 + when(bit, 1L).otherwise(0L))
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*))
+  }
+
+  /** (id, band, key) rows — fixed-width LSH shuffle keys, no payload. */
+  private def bandKeyed(df: DataFrame, planes: Seq[Seq[Double]], bands: Int,
+                        rowsPerBand: Int, idCol: String, embCol: String) =
+    df.select(col(idCol),
+        explode(lshBandKeys(col(embCol), planes, bands, rowsPerBand)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("band"), col("__bk.key").as("key"))
+
+  /** ANN candidate pairs: explode band keys on both sides and equi-join on
+    * (band, key) — a shuffle on a fixed-width key, never a cross join. The
+    * join moves ids only; embeddings are re-attached to the deduped pairs
+    * (broadcast at test scale; a plain equi-join at cluster scale).
+    * Output: (q_id, vec_id, __e_q_id, __e_vec_id).
+    */
+  def annCandidates(vectors: DataFrame, queries: DataFrame,
+                    planes: Seq[Seq[Double]], bands: Int, rowsPerBand: Int,
+                    idCol: String = "vec_id", embCol: String = "emb"): DataFrame = {
+    val q = bandKeyed(queries, planes, bands, rowsPerBand, idCol, embCol)
+      .withColumnRenamed(idCol, "q_id")
+    val v = bandKeyed(vectors, planes, bands, rowsPerBand, idCol, embCol)
+    val cand = q.join(v, Seq("band", "key"))
+      .filter(col("q_id") =!= col(idCol))
+      .select("q_id", idCol)
+      .dropDuplicates("q_id", idCol)
+    cand
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(embCol).as("__e_q_id"))), "q_id")
+      .join(broadcast(vectors.select(col(idCol), col(embCol).as("__e_vec_id"))), idCol)
+  }
+
+  /** Approximate top-k: LSH candidates → exact cosine → salted top-k. */
+  def annTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              planes: Seq[Seq[Double]], bands: Int, rowsPerBand: Int,
+              idCol: String = "vec_id", embCol: String = "emb"): DataFrame =
+    topKPerQuery(
+      annCandidates(vectors, queries, planes, bands, rowsPerBand, idCol, embCol)
+        .select(col("q_id"), col(idCol),
+          cosine(col("__e_q_id"), col("__e_vec_id")).as("sim")),
+      k, "q_id", idCol, "sim")
+
+  /** Embedding near-duplicate pairs: banded LSH candidate generation +
+    * exact cosine >= threshold verification. With `bands`×`rowsPerBand`
+    * tuned to the duplicate-angle regime (defaults in SparkEntryExt:
+    * 20 bands × 10 bits → miss prob ~2e-8 at cos 0.987, random-pair
+    * candidate rate ~2%), recall on true near-dups is ≈1 and everything
+    * surfaced is exactly verified. Join shuffles ids only.
+    * Output: (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         planes: Seq[Seq[Double]], bands: Int, rowsPerBand: Int,
+                         idCol: String = "vec_id", embCol: String = "emb"): DataFrame = {
+    val keyed = bandKeyed(vectors, planes, bands, rowsPerBand, idCol, embCol)
+    val cand = keyed.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(keyed.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(broadcast(vectors.select(col(idCol).as("id_a"), col(embCol).as("__ea"))), "id_a")
+      .join(broadcast(vectors.select(col(idCol).as("id_b"), col(embCol).as("__eb"))), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("__ea"), col("__eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end batch pipeline test (VERDICT r1 task 1): synthetic multi-asset
+  * raw tree → pipeline → refined layout + golden mm_7d + catalog.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** 10 daily bars each for two assets; Close = 1..10 / 101..110. */
+  private def bars = {
+    val rows = for {
+      (asset, base) <- Seq(("VALE3", 0.0), ("PETR4", 100.0))
+      day <- 1 to 10
+    } yield (Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"),
+      base + day, base + day, base + day, base + day, 1000L + day, asset)
+    rows.toDF("Date", "Open", "High", "Low", "Close", "Volume", "ativo")
+  }
+
+  test("raw sink lands a Hive ano=/mes=/dia= tree") {
+    val rawDir = tmp("raw_layout")
+    BatchPipeline.writeRaw(bars, rawDir, SaveMode.Overwrite)
+    val d = new File(s"$rawDir/ano=2024/mes=01/dia=05")
+    assert(d.isDirectory, s"expected Hive partition dir, got ${d.getPath}")
+    // read-back discovers partitions and keeps zero-padded strings
+    val back = BatchPipeline.readRaw(spark, rawDir)
+    assert(back.count() === 20)
+    assert(back.select("mes").distinct().head().getString(0) === "01")
+  }
+
+  test("e2e: refined layout is per-asset (fixes reference defect), mm_7d has 6 warm-up nulls, date pinned") {
+    val rawDir = tmp("e2e_raw")
+    val refinedDir = tmp("e2e_refined")
+    BatchPipeline.writeRaw(bars, rawDir, SaveMode.Overwrite)
+    val out = BatchPipeline.run(spark,
+      PipelineConfig(rawDir, refinedDir, processingDate = "2024-01-15"))
+
+    // S5: true partitionBy — each asset gets its own partition (the
+    // reference would have written everything under the first asset,
+    // ref etl/etl_job.py:147-152)
+    for (a <- Seq("VALE3", "PETR4"))
+      assert(new File(s"$refinedDir/ativo=$a/data=2024-01-15").isDirectory,
+        s"missing refined partition for $a")
+
+    // golden mm_7d: null for first 6 rows per asset, then a 7-row mean;
+    // VALE3 closes are 1..10 → mm_7d(day7) = mean(1..7) = 4.0
+    val vale = out.filter(col("ativo") === "VALE3").orderBy("date")
+      .select("mm_7d").collect().map(r => Option(r.get(0)))
+    assert(vale.take(6).forall(_.isEmpty), "first 6 rows must be null (min_periods)")
+    assert(vale(6) === Some(4.0))
+    assert(vale(9) === Some(7.0))
+
+    // F1: the data partition is the injected processing date everywhere
+    assert(out.select("data").distinct().collect().map(_.get(0).toString).toSeq
+      === Seq("2024-01-15"))
+  }
+
+  test("incremental second run only rewrites touched asset partitions") {
+    val rawDir = tmp("incr_raw")
+    val refinedDir = tmp("incr_refined")
+    BatchPipeline.writeRaw(bars, rawDir, SaveMode.Overwrite)
+    BatchPipeline.run(spark,
+      PipelineConfig(rawDir, refinedDir, processingDate = "2024-01-15"))
+    val before = new File(s"$refinedDir/ativo=PETR4/data=2024-01-15")
+      .listFiles().map(_.getName).toSet
+
+    // new bars for VALE3 only → dynamic overwrite must not touch PETR4
+    val more = Seq((Timestamp.valueOf("2024-01-11 00:00:00"),
+      11.0, 11.0, 11.0, 11.0, 1011L, "VALE3"))
+      .toDF("Date", "Open", "High", "Low", "Close", "Volume", "ativo")
+    BatchPipeline.writeRaw(more, rawDir, SaveMode.Append)
+    val hist = BatchPipeline.readRaw(spark, rawDir)
+      .filter(col("ativo") === "VALE3")
+    BatchPipeline.writeRefined(BatchPipeline.refine(hist), refinedDir,
+      "2024-01-15", SaveMode.Overwrite, dynamicOverwrite = true)
+
+    val after = new File(s"$refinedDir/ativo=PETR4/data=2024-01-15")
+      .listFiles().map(_.getName).toSet
+    assert(after === before, "untouched asset partition must be preserved")
+    val vale = spark.read.parquet(refinedDir).filter(col("ativo") === "VALE3")
+    assert(vale.count() === 11)
+  }
+
+  test("catalog registration: introspection + partition-pruned reads") {
+    val rawDir = tmp("cat_raw")
+    val refinedDir = tmp("cat_refined")
+    BatchPipeline.writeRaw(bars, rawDir, SaveMode.Overwrite)
+    BatchPipeline.run(spark, PipelineConfig(rawDir, refinedDir,
+      processingDate = "2024-01-15", refinedTable = Some("graft_spec_refined")))
+
+    // the three Athena introspection shapes (ref README.md:274-282)
+    assert(spark.sql("SHOW DATABASES").count() >= 1)
+    assert(spark.sql("SHOW TABLES").collect()
+      .exists(_.getAs[String]("tableName") == "graft_spec_refined"))
+    val cols = spark.sql("DESCRIBE TABLE graft_spec_refined")
+      .select("col_name").collect().map(_.getString(0))
+    assert(cols.contains("mm_7d") && cols.contains("ativo"))
+
+    // partition-pruned catalog read: only the VALE3 partition is scanned
+    val q = spark.sql(
+      "SELECT count(*) FROM graft_spec_refined WHERE ativo = 'VALE3'")
+    assert(q.head().getLong(0) === 10)
+    val scan = q.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("ativo"), "filter on ativo must reach partition pruning")
+    spark.sql("DROP TABLE graft_spec_refined")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sim
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tables.Tables
+
+class SimSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
+
+  test("cosine matches a hand computation") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0))).toDF("a", "b")
+    val sim = df.select(SimSearch.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(sim - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("salted two-phase top-k equals the naive single-window ranking") {
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"))
+    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        SimSearch.cosine(col("qe"), col("emb")).as("sim"))
+    val salted = SimSearch.topKPerQuery(pairs, 10)
+      .select("q_id", "rank", "vec_id")
+    val naive = pairs.withColumn("rank",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id"))).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id")
+    assert(salted.exceptAll(naive).isEmpty && naive.exceptAll(salted).isEmpty)
+  }
+
+  test("ANN results are a subset of the brute-force candidate space with correct sims") {
+    val planes = SimSearch.hyperplanes(200, 64)
+    val q = emb.filter(col("vec_id") < 5)
+    val ann = SimSearch.annTopK(emb, q, 10, planes, bands = 20, rowsPerBand = 10)
+      .select("q_id", "vec_id", "sim")
+    val brute = SimSearch.bruteForceTopK(emb, q, Int.MaxValue)
+      .select(col("q_id"), col("vec_id"), col("sim").as("bsim"))
+    val joined = ann.join(brute, Seq("q_id", "vec_id"), "left")
+    assert(joined.filter(col("bsim").isNull).count() === 0,
+      "ANN must never invent a pair")
+    assert(joined.filter(abs(col("sim") - col("bsim")) > 1e-12).count() === 0,
+      "ANN sims must be exact cosines")
+  }
+
+  test("near-dup LSH finds every planted near-identical pair") {
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("emb"), (x, i) => x + lit(0.01) * (i % 7 - 3)).as("emb"))
+    val n = emb.count()
+    val planes = SimSearch.hyperplanes(200, 64)
+    val pairs = SimSearch.cosineNearDupPairs(emb.unionByName(planted), 0.8,
+      planes, bands = 20, rowsPerBand = 10)
+    // every original must pair with exactly its perturbed copy
+    assert(pairs.count() === n)
+    assert(pairs.filter(col("id_b") =!= col("id_a") + 1000000L).count() === 0)
+    assert(pairs.agg(min("sim")).head().getDouble(0) > 0.9)
+  }
+
+  test("hyperplanes are deterministic and well-spread") {
+    val a = SimSearch.hyperplanes(8, 16)
+    val b = SimSearch.hyperplanes(8, 16)
+    assert(a === b)
+    val flat = a.flatten
+    assert(flat.forall(v => v >= -1.0 && v < 1.0))
+    assert(math.abs(flat.sum / flat.size) < 0.1, "components should center near 0")
+  }
+}

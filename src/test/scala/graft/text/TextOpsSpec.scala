@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens: empty and whitespace-only text yield zero tokens") {
+    val df = Seq("", "   ", "a b", " a  b ").toDF("text")
+    val out = df.select(size(TextOps.tokens(col("text")))).collect().map(_.getInt(0))
+    assert(out.toSeq === Seq(0, 0, 2, 2))
+  }
+
+  test("shingles: 3-grams of n tokens = n-2 shingles; short docs empty") {
+    val df = Seq("a b c d e", "a b", "").toDF("text")
+    val out = df.select(TextOps.shingles(TextOps.tokens(col("text")), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b c", "b c d", "c d e"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
+  test("jaccard: exact distinct-set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(TextOps.jaccard(col("x"), col("y"))).head().getDouble(0) === 0.5)
+  }
+
+  test("nearDupPairs finds a planted near-duplicate and nothing else") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (3L, "completely different words about spark catalyst optimizer plans here now")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.nearDupPairs(docs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("nearDupPairs is deterministic across runs") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"token$i shared words across documents number $i with padding tokens here"))
+      .toDF("doc_id", "text")
+    val a = TextOps.nearDupPairs(docs, 0.3).collect().toSet
+    val b = TextOps.nearDupPairs(docs, 0.3).collect().toSet
+    assert(a === b)
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val df = Seq(
+      "the cat is in the hat", // en
+      "el gato es un gato", // es
+      "der hund und die katze", // de
+      "zzz qqq www" // none
+    ).toDF("text")
+    val out = df.select(TextOps.langId(TextOps.tokens(col("text"))))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("en", "es", "de", "und"))
+  }
+
+  test("qualityScore in [0,1], 0 for empty") {
+    val df = Seq("", "the of and to in a good plain sentence here", "!!!! ????")
+      .toDF("text")
+    val out = df.select(TextOps.qualityScore(col("text"), TextOps.tokens(col("text"))))
+      .collect().map(_.getDouble(0))
+    assert(out(0) === 0.0)
+    assert(out.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out(1) > out(2), "stopword-rich prose must outscore punctuation soup")
+  }
+
+  test("bpeTokenCount charges ceil(len/4) per piece") {
+    // "abcdefgh ok!" → pieces: abcdefgh(2) + ok(1) + !(1) = 4
+    val df = Seq("abcdefgh ok!").toDF("text")
+    assert(df.select(TextOps.bpeTokenCount(col("text"))).head().getLong(0) === 4L)
+  }
+
+  test("rollingHash matches hand-computed polynomial value") {
+    // "abc" → ((97*31)+98)*31+99 = 96354
+    val df = Seq("abc").toDF("s")
+    assert(df.select(expr(TextOps.rollingHashExpr("s"))).head().getLong(0) === 96354L)
+  }
+}
