@@ -45,7 +45,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: bench only the named queries (dev A/B timing; the
+    // driver invokes with no args → full suite)
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     // Warm-up (failures are surfaced by the measured pass below).
     names.foreach { n =>
       val t0 = System.nanoTime()

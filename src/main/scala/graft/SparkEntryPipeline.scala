@@ -105,6 +105,20 @@ object SparkEntryPipeline {
       runPipeline(s, d, "catalog", table = Some("graft_refined_rt"))
       s.sql("""SELECT ativo, date, close_price, mm_7d
               |FROM graft_refined_rt WHERE ativo = 'R'""".stripMargin)
+    }),
+
+    // S1+S4+S2: synthetic scraper (the reference's Yahoo-Finance fetcher,
+    // made deterministic and expression-generated) lands two tickers in a
+    // raw/ tree; read back through partition discovery. The oracle
+    // regenerates the identical bars from the same integer arithmetic.
+    "s1_synthetic_source" -> ((s, d) => {
+      val rawDir = s"${base(d, "s1")}/raw"
+      val b1 = graft.sources.SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
+      val b2 = graft.sources.SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120)
+      BatchPipeline.writeRaw(b1.unionByName(b2), rawDir, SaveMode.Overwrite)
+      BatchPipeline.readRaw(s, rawDir)
+        .select(col("ativo"), col("Date").as("date"), col("Close").as("close"),
+          col("Volume").as("volume"))
     })
   )
 
@@ -112,6 +126,19 @@ object SparkEntryPipeline {
     "s2_s5_roundtrip" -> refinedSql,
     "catalog_roundtrip" ->
       s"""SELECT ativo, date, close_price, mm_7d FROM ($refinedSql)
-         |WHERE ativo = 'R'""".stripMargin
+         |WHERE ativo = 'R'""".stripMargin,
+
+    "s1_synthetic_source" -> {
+      def gen(ticker: String): String = {
+        val h = graft.sources.SyntheticBars.tickerHash(ticker)
+        val ativo = ticker.split("\\.", -1)(0)
+        s"""SELECT '$ativo' AS ativo,
+           |       CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS TIMESTAMP) AS date,
+           |       100.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS close,
+           |       CAST(1000 + ((CAST($h AS BIGINT) * (i + 1)) % 9973) AS BIGINT) AS volume
+           |FROM (SELECT unnest(range(120)) AS i)""".stripMargin
+      }
+      s"${gen("VALE3.SA")}\nUNION ALL\n${gen("PETR4.SA")}"
+    }
   )
 }

@@ -90,6 +90,20 @@ object StreamingEtl {
     }
   }
 
+  /** Event-time tumbling-window aggregate with a watermark — the windowed
+    * stateful shape of the SIGMOD'18 Structured Streaming model (SURVEY
+    * §2.9/T5): per-asset weekly mean close + total volume, state finalized
+    * once the watermark passes the window end. Works on static frames too
+    * (watermark is a no-op in batch).
+    */
+  def weeklyAssetAgg(bars: DataFrame): DataFrame =
+    bars.withWatermark("date", "14 days")
+      .groupBy(col("ativo"), window(col("date"), "7 days"))
+      .agg(avg("close_price").as("avg_close"),
+        sum("trade_volume").as("total_volume"))
+      .select(col("ativo"), col("window.start").as("week_start"),
+        col("avg_close"), col("total_volume"))
+
   /** Run one `AvailableNow` cycle to completion (T3). Returns true if the
     * query terminated without exception.
     */

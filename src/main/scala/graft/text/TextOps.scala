@@ -80,9 +80,14 @@ object TextOps {
                    shingleN: Int = 3, numHashes: Int = 16,
                    bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must fit signature")
+    // The shingle table feeds three plan branches (band keying + both sides
+    // of the jaccard re-attachment); persist it so tokenization/shingling
+    // runs once, not three times. Spark evicts LRU under pressure; a
+    // 100 TB pipeline would stage this to a table instead.
     val sh = docs
       .select(col(idCol), array_distinct(shingles(tokens(col(textCol)), shingleN)).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation joins carry ONLY (id, band, key) — the shingle
     // sets are re-attached to the surviving (deduped) pairs afterwards, so
     // the LSH shuffle moves fixed-width rows, never document payloads.
