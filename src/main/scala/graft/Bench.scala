@@ -60,6 +60,12 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times = names.flatMap { n =>
+      // isolation between measurements: drop persisted/broadcast blocks
+      // accumulated by earlier queries and let the ContextCleaner run, so
+      // one query's leftovers can't charge a GC pause to the next one's
+      // timer (observed as a random ~45 s outlier per full-suite run)
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try {
         force(SparkEntry.queries(n)(spark, sfDir))

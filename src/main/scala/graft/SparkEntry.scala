@@ -118,6 +118,40 @@ object SparkEntry {
           "close_price", 7, "mm_7d", date_trunc("month", col("dt")))
         .select("ativo", "l_orderkey", "l_linenumber", "mm_7d")),
 
+    // W2: daily returns via lag — the market query a reference user would
+    // run first against refined/ (close / prev close - 1).
+    "w2_daily_returns" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("ativo")).orderBy(barOrder: _*)
+      bars(s, d).select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
+        (col("close_price") / lag(col("close_price"), 1).over(w) - 1).as("ret"))
+    }),
+
+    // W3: per-asset volume ranking (rank + dense_rank over a total order).
+    "w3_volume_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("ativo"))
+        .orderBy(col("trade_volume").desc, col("l_orderkey"), col("l_linenumber"),
+          col("close_price"))
+      bars(s, d).select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"))
+        .filter(col("rnk") <= 100)
+    }),
+
+    // W4: running (cumulative) volume per asset — unbounded-preceding frame.
+    "w4_running_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // trade_volume joins the order key: rows tied on the bar order can
+      // carry different volumes, and a running sum must not depend on their
+      // relative order
+      val w = Window.partitionBy(col("ativo"))
+        .orderBy(barOrder :+ col("trade_volume"): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bars(s, d).select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("trade_volume")).over(w).as("cum_volume"))
+    }),
+
     // P8: equality filter on the asset (partition) key — prunes at scale.
     "p8_partition_filter" -> ((s, d) =>
       bars(s, d).filter(col("ativo") === "R")
@@ -286,6 +320,29 @@ object SparkEntry {
          |FROM ($barsSql)
          |WINDOW w AS (PARTITION BY ativo ORDER BY $barOrderSql
          |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w2_daily_returns" ->
+      s"""SELECT ativo, l_orderkey, l_linenumber,
+         |       close_price / LAG(close_price, 1) OVER w - 1 AS ret
+         |FROM ($barsSql)
+         |WINDOW w AS (PARTITION BY ativo ORDER BY $barOrderSql)""".stripMargin,
+
+    "w3_volume_rank" ->
+      s"""SELECT * FROM (
+         |  SELECT ativo, l_orderkey, l_linenumber,
+         |         RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+         |  FROM ($barsSql)
+         |  WINDOW w AS (PARTITION BY ativo
+         |               ORDER BY trade_volume DESC, l_orderkey, l_linenumber,
+         |                        close_price)
+         |) WHERE rnk <= 100""".stripMargin,
+
+    "w4_running_total" ->
+      s"""SELECT ativo, l_orderkey, l_linenumber,
+         |       SUM(trade_volume) OVER w AS cum_volume
+         |FROM ($barsSql)
+         |WINDOW w AS (PARTITION BY ativo ORDER BY $barOrderSql, trade_volume
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "p8_partition_filter" ->
       """SELECT l_returnflag AS ativo, l_orderkey, l_linenumber,

@@ -95,6 +95,17 @@ object SparkEntryExt {
         .select(col("q_id"), col("rank"), col("vec_id"),
           round(col("sim"), 6).as("sim6"))),
 
+    // IVF variant: 16 sampled centroids, probe the 4 nearest lists — the
+    // partition-pruned inverted-list shape. Approximate → rows-only check;
+    // recall/structure asserted in SimSearchSpec.
+    "x4_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = SimSearch.sampleCentroids(e, 16)
+      SimSearch.ivfTopK(e, e.filter(col("vec_id") < 10), 10, cents, nProbe = 4)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim6"))
+    }),
+
     // Embedding near-dup pairs: LSH candidates + exact cosine >= 0.8
     // verification, against planted near-identical copies.
     "x4_cosine_neardup" -> ((s, d) => {
@@ -106,9 +117,10 @@ object SparkEntryExt {
 
     // ---- X2: near-duplicate text dedup ----
 
-    // MinHash(16) → 8 bands × 2 rows → bucket join → exact-Jaccard verify
+    // MinHash(24) → 12 bands × 2 rows → bucket join → exact-Jaccard verify
     // >= 0.8. Planted pairs have J >= ~0.89 (append one token to a >=10
-    // token doc) → per-pair miss prob (1-0.89²)^8 ≈ 4e-6.
+    // token doc) → per-pair miss prob (1-0.89²)^12 ≈ 8e-9 — negligible
+    // even against the 5000 planted pairs at bench scale.
     "x2_neardup_minhash" -> ((s, d) =>
       TextOps.nearDupPairs(docsWithPlanted(s, d), 0.8)),
 

@@ -18,7 +18,7 @@ import graft.tables.Tables
   * disk. The DuckDB oracle recomputes the same dataflow straight from
   * `lineitem` — a green row proves the round trip loses nothing.
   *
-  * Bars are limited to one calendar year to keep the raw tree at ~365
+  * Bars are limited to half a calendar year to keep the raw tree at ~180
   * Hive partitions (the partitioned-write cost under bench).
   */
 object SparkEntryPipeline {
@@ -36,7 +36,7 @@ object SparkEntryPipeline {
   private def dailyBars(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
       .groupBy(col("l_returnflag").as("ativo"), col("l_shipdate").as("Date"))
       .agg(max(col("l_extendedprice")).as("Close"),
         sum(col("l_quantity")).cast("long").as("Volume"))
@@ -47,7 +47,7 @@ object SparkEntryPipeline {
       |       CAST(SUM(l_quantity) AS BIGINT) AS trade_volume
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1995-07-01'
       |GROUP BY 1, 2""".stripMargin
 
   /** The refined dataflow on daily bars, as DuckDB SQL (mirrors

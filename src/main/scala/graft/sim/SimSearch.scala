@@ -156,6 +156,52 @@ object SimSearch {
           cosine(col("__e_q_id"), col("__e_vec_id")).as("sim")),
       k, "q_id", idCol, "sim")
 
+  /** Deterministic centroid "training" stand-in for IVF: the first n
+    * vectors by id. A production system would run k-means here; the IVF
+    * *query* machinery below is independent of how centroids were fit.
+    */
+  def sampleCentroids(vectors: DataFrame, n: Int,
+                      idCol: String = "vec_id", embCol: String = "emb"): Seq[Seq[Double]] =
+    vectors.orderBy(col(idCol)).limit(n)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+
+  /** Cosine scores of a vector against every centroid — one pass over a
+    * literal centroid matrix (embeddings here are unit-norm, so dot =
+    * cosine up to the constant centroid norms, which argmax ignores).
+    */
+  private def centroidScores(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    transform(typedLit(centroids), c => dot(emb, c))
+
+  /** IVF-style ANN top-k: vectors are assigned to their nearest centroid's
+    * inverted list; a query scans only the lists of its `nProbe` nearest
+    * centroids. The probe join is an equi-join on the bucket id — candidate
+    * volume ≈ nProbe/nCentroids of the corpus per query, and at cluster
+    * scale each inverted list is a partition-pruned read.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              centroids: Seq[Seq[Double]], nProbe: Int,
+              idCol: String = "vec_id", embCol: String = "emb"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size, "nProbe out of range")
+    val assigned = vectors.select(col(idCol), col(embCol),
+      graft.util.Expr.bind(centroidScores(col(embCol), centroids),
+        s => array_position(s, array_max(s))).as("__bucket"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("__qe"),
+        posexplode(centroidScores(col(embCol), centroids))
+          .as(Seq("__cidx", "__score")))
+      .withColumn("__pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("__score").desc, col("__cidx"))))
+      .filter(col("__pr") <= nProbe)
+      // posexplode is 0-based, array_position 1-based
+      .select(col("q_id"), col("__qe"), (col("__cidx") + 1).as("__bucket"))
+    probes.join(assigned, Seq("__bucket"))
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol), cosine(col("__qe"), col(embCol)).as("sim"))
+      .transform(df => topKPerQuery(df, k, "q_id", idCol, "sim"))
+  }
+
   /** Embedding near-duplicate pairs: banded LSH candidate generation +
     * exact cosine >= threshold verification. With `bands`×`rowsPerBand`
     * tuned to the duplicate-angle regime (defaults in SparkEntryExt:

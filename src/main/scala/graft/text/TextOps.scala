@@ -67,8 +67,8 @@ object TextOps {
   /** Near-duplicate pairs by MinHash-LSH + exact Jaccard verification.
     * Input: (idCol, textCol). Output: (id_a, id_b, jac) with id_a < id_b and
     * jac >= threshold. Pairs whose true Jaccard clears `threshold` are found
-    * with prob 1-(1-J^r)^b — at the defaults (8 bands × 2 rows) a J=0.85
-    * pair is missed with prob (1-0.85²)^8 ≈ 6e-5, while unrelated-corpus
+    * with prob 1-(1-J^r)^b — at the defaults (12 bands × 2 rows) a J=0.85
+    * pair is missed with prob (1-0.85²)^12 ≈ 5e-7, while unrelated-corpus
     * pairs (J≈0) essentially never collide. Everything surfaced is
     * exact-verified, so precision is 1. The shallow 2-row bands trade more
     * candidate collisions in a mid-J (0.3–0.6) corpus for a 4× cheaper
@@ -77,8 +77,8 @@ object TextOps {
     */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   shingleN: Int = 3, numHashes: Int = 16,
-                   bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                   shingleN: Int = 3, numHashes: Int = 24,
+                   bands: Int = 12, rowsPerBand: Int = 2): DataFrame = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must fit signature")
     // The shingle table feeds three plan branches (band keying + both sides
     // of the jaccard re-attachment); persist it so tokenization/shingling

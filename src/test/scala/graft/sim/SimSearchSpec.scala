@@ -63,6 +63,22 @@ class SimSearchSpec extends AnyFunSuite {
     assert(pairs.agg(min("sim")).head().getDouble(0) > 0.9)
   }
 
+  test("IVF top-k: no invented pairs, exact sims, bucket math consistent") {
+    val q = emb.filter(col("vec_id") < 5)
+    val cents = SimSearch.sampleCentroids(emb, 8)
+    assert(cents.size === 8 && cents.head.size === 64)
+    val ivf = SimSearch.ivfTopK(emb, q, 10, cents, nProbe = 3)
+      .select("q_id", "vec_id", "sim")
+    val brute = SimSearch.bruteForceTopK(emb, q, Int.MaxValue)
+      .select(col("q_id"), col("vec_id"), col("sim").as("bsim"))
+    val joined = ivf.join(brute, Seq("q_id", "vec_id"), "left")
+    assert(joined.filter(col("bsim").isNull).count() === 0)
+    assert(joined.filter(abs(col("sim") - col("bsim")) > 1e-12).count() === 0)
+    // probing more lists can only add candidates (monotone recall)
+    val wide = SimSearch.ivfTopK(emb, q, 10, cents, nProbe = 8).count()
+    assert(wide >= ivf.count())
+  }
+
   test("hyperplanes are deterministic and well-spread") {
     val a = SimSearch.hyperplanes(8, 16)
     val b = SimSearch.hyperplanes(8, 16)

@@ -26,15 +26,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # escape single quotes: a path containing ' must not break the SQL text
+    sfdir_sql = sfdir.replace("'", "''")
+    outdir_sql = outdir.replace("'", "''")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir_sql}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = con.sql(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+                f"SELECT * FROM read_parquet('{outdir_sql}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"FAIL  {name}: no spark result ({e})"); n_bad += 1; continue
         try:
