@@ -176,6 +176,27 @@ object SparkEntryExt {
           max(unix_micros(col("ts"))).as("max_us"),
           count(lit(1)).as("n_events"))),
 
+    // X8: sessionization of the event stream — gap-based session ids via
+    // lag + running sum (the portable formulation of session windows; the
+    // streaming path would use session_window/flatMapGroupsWithState).
+    // All-integer micros arithmetic → bit-exact across engines.
+    "x8_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 3600L * 1000000L // 1 hour
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("new_session",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs ||
+            lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+    }),
+
     // ---- X7: multimodal binary columns (decode kernel stubbed) ----
 
     // Metadata-level query: binaries stay opaque; scan prunes to
@@ -323,6 +344,33 @@ object SparkEntryExt {
         |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_us,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "x8_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CASE WHEN ts_us - LAG(ts_us, 1) OVER w > 3600000000
+        |                OR LAG(ts_us, 1) OVER w IS NULL
+        |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+        |         END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MAX(ts_us) - MIN(ts_us) AS duration_us
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "x7_multimodal_meta" ->
       """SELECT doc_id AS media_id,

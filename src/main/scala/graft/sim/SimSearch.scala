@@ -33,8 +33,21 @@ object SimSearch {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity = dot / (|a| * |b|). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine via built-in folds — the UDF-free baseline the custom
+    * expression is cross-checked against (SimSearchSpec).
+    */
+  def cosineFolds(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine similarity = dot / (|a| * |b|) — a native codegen'd
+    * `Expression` (one fused loop, no zipped-array allocation); computes
+    * the identical IEEE sequence as `cosineFolds`.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** Group-wise top-k that survives scale: a per-(query, salt) local top-k
     * prunes each query's candidate stream down to `numSalts * k` rows before
@@ -99,22 +112,30 @@ object SimSearch {
   def signBits(emb: Column, planes: Seq[Seq[Double]]): Column =
     transform(typedLit(planes), p => dot(emb, p) > 0.0)
 
-  /** Banded sign-LSH bucket keys: `bands` (band, key) structs, key = the
-    * packed sign pattern of `rowsPerBand` hyperplane projections. Two
-    * vectors at angle θ share a band key with prob (1 - θ/π)^rowsPerBand;
-    * band-OR over `bands` bands gives ≈1 recall for near-duplicates while
-    * random pairs collide in any band with prob ≈ bands/2^rowsPerBand.
-    * The bit vector is lambda-bound so band packing reuses one evaluation.
+  /** Banded sign-LSH bucket keys (`array<long>`, band = array position):
+    * key[b] packs the sign pattern of `rowsPerBand` hyperplane projections.
+    * Two vectors at angle θ share a band key with prob
+    * (1 - θ/π)^rowsPerBand; band-OR over `bands` bands gives ≈1 recall for
+    * near-duplicates while random pairs collide in any band with prob
+    * ≈ bands/2^rowsPerBand. Native fused-loop expression (see
+    * `SignLshKeys`); `lshBandKeysFolds` is the built-in-only reference.
     */
   def lshBandKeys(emb: Column, planes: Seq[Seq[Double]], bands: Int,
-                  rowsPerBand: Int): Column = {
+                  rowsPerBand: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SignLshKeys(
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb),
+        planes.map(_.toArray).toArray, bands, rowsPerBand))
+
+  /** Fold-based twin of `lshBandKeys` (spec cross-check). */
+  def lshBandKeysFolds(emb: Column, planes: Seq[Seq[Double]], bands: Int,
+                       rowsPerBand: Int): Column = {
     require(planes.size >= bands * rowsPerBand, "not enough planes")
     graft.util.Expr.bind(signBits(emb, planes), bits =>
       array((0 until bands).map { b =>
-        val key = aggregate(
+        aggregate(
           slice(bits, lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(0L),
           (acc, bit) => acc * 2 + when(bit, 1L).otherwise(0L))
-        struct(lit(b).as("band"), key.as("key"))
       }: _*))
   }
 
@@ -122,8 +143,8 @@ object SimSearch {
   private def bandKeyed(df: DataFrame, planes: Seq[Seq[Double]], bands: Int,
                         rowsPerBand: Int, idCol: String, embCol: String) =
     df.select(col(idCol),
-        explode(lshBandKeys(col(embCol), planes, bands, rowsPerBand)).as("__bk"))
-      .select(col(idCol), col("__bk.band").as("band"), col("__bk.key").as("key"))
+      posexplode(lshBandKeys(col(embCol), planes, bands, rowsPerBand))
+        .as(Seq("band", "key")))
 
   /** ANN candidate pairs: explode band keys on both sides and equi-join on
     * (band, key) — a shuffle on a fixed-width key, never a cross join. The

@@ -20,6 +20,18 @@ class SimSearchSpec extends AnyFunSuite {
     assert(math.abs(sim - 10.0 / 14.0) < 1e-12)
   }
 
+  test("codegen'd cosine expression is bit-identical to the built-in folds") {
+    val both = emb.limit(200).select(
+      SimSearch.cosine(col("emb"), reverse(col("emb"))).as("native"),
+      SimSearch.cosineFolds(col("emb"), reverse(col("emb"))).as("folds"))
+    assert(both.filter(col("native") =!= col("folds")).count() === 0)
+    // null row propagates
+    val n = emb.limit(1)
+      .select(SimSearch.cosine(lit(null).cast("array<double>"), col("emb")))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("salted two-phase top-k equals the naive single-window ranking") {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"))
@@ -77,6 +89,14 @@ class SimSearchSpec extends AnyFunSuite {
     // probing more lists can only add candidates (monotone recall)
     val wide = SimSearch.ivfTopK(emb, q, 10, cents, nProbe = 8).count()
     assert(wide >= ivf.count())
+  }
+
+  test("native LSH band keys equal the fold-based formulation") {
+    val planes = SimSearch.hyperplanes(40, 64)
+    val both = emb.limit(100).select(
+      SimSearch.lshBandKeys(col("emb"), planes, 10, 4).as("native"),
+      SimSearch.lshBandKeysFolds(col("emb"), planes, 10, 4).as("folds"))
+    assert(both.filter(col("native") =!= col("folds")).count() === 0)
   }
 
   test("hyperplanes are deterministic and well-spread") {
