@@ -140,18 +140,20 @@ object SparkEntryExt {
     }),
 
     // SimHash document sketches (portable 31-bit rolling hash, so the
-    // oracle reproduces the exact bits).
+    // oracle reproduces the exact bits; shingle build + sketch both run
+    // as native kernels).
     "x2_simhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .withColumn("__sh", TextOps.shingles(TextOps.tokens(col("text")), 3))
+        .withColumn("__sh", TextOps.distinctShingles(col("text"), 3))
         .select(col("doc_id"), TextOps.simhash("__sh").as("simhash"))),
 
     // ---- X5: text analysis ----
 
-    // Document fingerprint: portable rolling hash of the raw text.
+    // Document fingerprint: portable rolling hash of the raw text (native
+    // kernel; the oracle reproduces it from the SQL formulation).
     "x5_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), expr(TextOps.rollingHashExpr("text")).as("fp"))),
+        .select(col("doc_id"), TextOps.rollingHash(col("text")).as("fp"))),
 
     // Language ID: stopword-count argmax heuristic.
     "x5_lang_id" -> ((s, d) =>

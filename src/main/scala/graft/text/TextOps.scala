@@ -64,6 +64,14 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Native one-pass distinct shingle set (spec-checked equal to
+    * `array_distinct(shingles(tokens(text), n))`).
+    */
+  def distinctShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
+
   /** Near-duplicate pairs by MinHash-LSH + exact Jaccard verification.
     * Input: (idCol, textCol). Output: (id_a, id_b, jac) with id_a < id_b and
     * jac >= threshold. Pairs whose true Jaccard clears `threshold` are found
@@ -85,17 +93,20 @@ object TextOps {
     // runs once, not three times. Spark evicts LRU under pressure; a
     // 100 TB pipeline would stage this to a table instead.
     val sh = docs
-      .select(col(idCol), array_distinct(shingles(tokens(col(textCol)), shingleN)).as("__sh"))
+      .select(col(idCol), distinctShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation joins carry ONLY (id, band, key) — the shingle
     // sets are re-attached to the surviving (deduped) pairs afterwards, so
     // the LSH shuffle moves fixed-width rows, never document payloads.
+    // Signature + band packing run fused in the native MinHashBandKeys
+    // kernel (band = array position).
     val keyed = sh
       .select(col(idCol),
-        explode(graft.util.Expr.bind(minhashSignature(col("__sh"), numHashes),
-          sig => lshBandKeys(sig, bands, rowsPerBand))).as("__bk"))
-      .select(col(idCol), col("__bk.band").as("band"), col("__bk.key").as("key"))
+        posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.MinHashBandKeys(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("__sh")),
+            numHashes, bands, rowsPerBand))).as(Seq("band", "key")))
     val cand = keyed.select(col(idCol).as("id_a"), col("band"), col("key"))
       .join(keyed.select(col(idCol).as("id_b"), col("band"), col("key")),
         Seq("band", "key"))
@@ -121,11 +132,11 @@ object TextOps {
       s"aggregate(transform(sequence(1, length($inner)), i -> CAST(ascii(substring($inner, i, 1)) AS BIGINT)), " +
       s"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647) END"
 
-  def rollingHash(c: Column): Column = {
-    // route through a SQL lambda over the column; c must be a simple column
-    // reference or the expression is duplicated per char — callers pass one.
-    expr(rollingHashExpr(c.toString))
-  }
+  /** Native rolling hash (same value as `rollingHashExpr`, spec-checked). */
+  def rollingHash(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.RollingHash31(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** 31-bit SimHash over the distinct shingle set, using the portable
     * rolling hash (so an independent engine can reproduce it exactly —
@@ -134,7 +145,13 @@ object TextOps {
     * The per-shingle hash array is lambda-bound: the 31 bit-sums scan one
     * evaluation instead of re-hashing every shingle per bit.
     */
-  def simhash(shingleCol: String): Column = {
+  def simhash(shingleCol: String): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SimHash31(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(shingleCol))))
+
+  /** Built-in-only twin of `simhash` (spec cross-check). */
+  def simhashFolds(shingleCol: String): Column = {
     val hs = expr(s"transform(array_distinct($shingleCol), s -> ${rollingHashExpr("s")})")
     graft.util.Expr.bind(hs, h => {
       val bits = (0 until 31).map { j =>

@@ -80,5 +80,36 @@ class TextOpsSpec extends AnyFunSuite {
     // "abc" → ((97*31)+98)*31+99 = 96354
     val df = Seq("abc").toDF("s")
     assert(df.select(expr(TextOps.rollingHashExpr("s"))).head().getLong(0) === 96354L)
+    assert(df.select(TextOps.rollingHash(col("s"))).head().getLong(0) === 96354L)
+  }
+
+  test("native distinctShingles equals the expression chain on the fixture") {
+    val docs = graft.tables.Tables.documents(spark, graft.TestSpark.Sf0001)
+      .limit(200)
+      .select(col("text"),
+        TextOps.distinctShingles(col("text"), 3).as("native"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("chain"))
+    assert(docs.filter(col("native") =!= col("chain")).count() === 0)
+    // edge cases: empty, whitespace-only, short, repeated shingles
+    val edge = Seq("", "   ", "a b", "x y z x y z x y z", "\tA  B\tc ")
+      .toDF("text")
+      .select(
+        TextOps.distinctShingles(col("text"), 3).as("native"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("chain"))
+    assert(edge.filter(col("native") =!= col("chain")).count() === 0)
+  }
+
+  test("native rollingHash and simhash equal their SQL-fold twins") {
+    val docs = graft.tables.Tables.documents(spark, graft.TestSpark.Sf0001)
+      .limit(100)
+      .withColumn("__sh", TextOps.shingles(TextOps.tokens(col("text")), 3))
+    val rh = docs.select(
+      TextOps.rollingHash(col("text")).as("native"),
+      expr(TextOps.rollingHashExpr("text")).as("folds"))
+    assert(rh.filter(col("native") =!= col("folds")).count() === 0)
+    val sh = docs.select(
+      TextOps.simhash("__sh").as("native"),
+      TextOps.simhashFolds("__sh").as("folds"))
+    assert(sh.filter(col("native") =!= col("folds")).count() === 0)
   }
 }
