@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{CosineSimilarity, MinHashBandKeys, RollingHash31, SignLshKeys, SimHash31, WordShingles}
+
+/** `SparkSessionExtensions` hook exposing the native expressions as SQL
+  * functions, so `spark.sql("SELECT graft_cosine_similarity(a, b) …")`
+  * works from any SQL surface. Enable with:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or programmatically via `ColumnBridge.registerFunctions` on an already
+  * running session — extensions only apply at session build time).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Seq[Expression] = {
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+    args
+  }
+
+  /** (name, info, builder) for every SQL-exposed native function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine_similarity",
+      info("graft_cosine_similarity",
+        "_FUNC_(a, b) - cosine similarity of two array<double> vectors"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_cosine_similarity", 2, args)
+        CosineSimilarity(a(0), a(1))
+      }),
+    ("graft_rolling_hash31",
+      info("graft_rolling_hash31",
+        "_FUNC_(str) - portable 31-bit polynomial rolling hash"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_rolling_hash31", 1, args)
+        RollingHash31(a(0))
+      }),
+    ("graft_simhash31",
+      info("graft_simhash31",
+        "_FUNC_(shingles) - 31-bit SimHash of an array<string> shingle set"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_simhash31", 1, args)
+        SimHash31(a(0))
+      }),
+    ("graft_word_shingles",
+      info("graft_word_shingles",
+        "_FUNC_(text, n) - distinct word n-gram shingles of text"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_word_shingles", 2, args)
+        WordShingles(a(0), intLit(a(1), "n"))
+      }),
+    ("graft_minhash_band_keys",
+      info("graft_minhash_band_keys",
+        "_FUNC_(shingles, numHashes, bands, rowsPerBand) - banded MinHash-LSH keys"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_minhash_band_keys", 4, args)
+        MinHashBandKeys(a(0), intLit(a(1), "numHashes"),
+          intLit(a(2), "bands"), intLit(a(3), "rowsPerBand"))
+      })
+  )
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+}

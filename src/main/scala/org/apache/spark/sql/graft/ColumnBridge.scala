@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register the graft SQL functions on a RUNNING session (the
+    * `spark.sql.extensions=graft.GraftExtensions` config only applies at
+    * session build time).
+    */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    graft.GraftExtensions.all.foreach { case (name, info, builder) =>
+      registry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info,
+        builder)
+    }
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    org.apache.spark.sql.graft.ColumnBridge.registerFunctions(s)
+    s
+  }
+
+  test("native expressions are callable from SQL") {
+    val sim = spark.sql(
+      """SELECT graft_cosine_similarity(array(1.0D, 2.0D, 3.0D),
+        |                               array(3.0D, 2.0D, 1.0D)) AS s""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(sim - 10.0 / 14.0) < 1e-12)
+
+    assert(spark.sql("SELECT graft_rolling_hash31('abc') AS h")
+      .head().getLong(0) === 96354L)
+
+    val sh = spark.sql("SELECT graft_word_shingles('a b c d', 3) AS sh")
+      .head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+
+    val keys = spark.sql(
+      "SELECT graft_minhash_band_keys(array('a b c', 'b c d'), 8, 4, 2) AS k")
+      .head().getSeq[Long](0)
+    assert(keys.length === 4)
+
+    assert(spark.sql("SELECT graft_simhash31(array('a b c')) AS s")
+      .head().getLong(0) >= 0L)
+  }
+
+  test("non-literal config args are rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles('a b c', 1 + 2)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
