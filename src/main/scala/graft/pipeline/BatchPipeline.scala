@@ -61,12 +61,22 @@ object BatchPipeline {
   /** S4: land bars under `raw/ano=YYYY/mes=MM/dia=DD/` — the reference
     * scraper's layout (ref `scraper/scraper_upload.py:41-47`), via real
     * `partitionBy` instead of hand-built key strings.
+    *
+    * The frame is hash-repartitioned on the partition keys first so each
+    * Hive partition is written by exactly one task → one file per
+    * `ano=/mes=/dia=` dir instead of one per (task × dir). This is the
+    * standard small-files guard: without it, N upstream tasks × P dirs
+    * can emit N×P files (observed 2× here, and unbounded at cluster
+    * scale). If a single day ever exceeds one task's write throughput,
+    * add a salt column to the repartition keys — not needed for daily
+    * OHLCV bars.
     */
   def writeRaw(df: DataFrame, rawDir: String,
                mode: SaveMode = SaveMode.Append): Unit =
     df.withColumn("ano", date_format(col("Date"), "yyyy"))
       .withColumn("mes", date_format(col("Date"), "MM"))
       .withColumn("dia", date_format(col("Date"), "dd"))
+      .repartition(col("ano"), col("mes"), col("dia"))
       .write.partitionBy("ano", "mes", "dia").mode(mode).parquet(rawDir)
 
   /** S2: partition-discovering scan of raw/ (ref `etl/etl_job.py:72-98`
@@ -92,11 +102,14 @@ object BatchPipeline {
       window)
   }
 
-  /** S5: refined sink — true Hive partitioning on (ativo, data). */
+  /** S5: refined sink — true Hive partitioning on (ativo, data). Same
+    * one-file-per-partition repartition as `writeRaw`.
+    */
   def writeRefined(df: DataFrame, refinedDir: String, processingDate: String,
                    mode: SaveMode = SaveMode.Overwrite,
                    dynamicOverwrite: Boolean = false): Unit = {
     val w = df.withColumn("data", lit(processingDate))
+      .repartition(col("ativo"), col("data"))
       .write.partitionBy("ativo", "data").mode(mode)
     (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
       .parquet(refinedDir)
