@@ -245,7 +245,30 @@ object SparkEntry {
         when(length(trim(col("text"))) === 0, lit(0L))
           .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
           .as("n_tokens"),
-        col("n_chars")))
+        col("n_chars"))),
+
+    // F1: processing-date parameterization + partition-key derivation via
+    // date_format (ref `etl/etl_job.py:37`, `scraper_upload.py:42-45`).
+    // The processing date is an injected parameter (pinned here), never
+    // wall-clock — `current_date()` would make runs non-reproducible.
+    "f1_processing_date" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy").as("ano"),
+        date_format(col("o_orderdate"), "MM").as("mes"),
+        date_format(col("o_orderdate"), "dd").as("dia"),
+        lit("2024-01-15").as("data"))),
+
+    // F2: string split / suffix build / concat / lower (ref
+    // `scraper_upload.py:29-30,47`: `TICKER.split(".")[0]`, f"{ATIVO}.SA",
+    // ATIVO.lower()).
+    "f2_string_ops" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_brand")).as("brand_lower"),
+        concat(col("p_brand"), lit(".SA")).as("ticker"),
+        split(concat(col("p_brand"), lit(".SA")), "\\.").getItem(0).as("ticker_base"),
+        split(col("p_type"), " ").getItem(0).as("type_head")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -415,6 +438,22 @@ object SparkEntry {
         |            ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |       END AS n_tokens,
         |       n_chars
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "f1_processing_date" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y') AS ano,
+        |       strftime(o_orderdate, '%m') AS mes,
+        |       strftime(o_orderdate, '%d') AS dia,
+        |       '2024-01-15' AS data
+        |FROM orders""".stripMargin,
+
+    "f2_string_ops" ->
+      """SELECT p_partkey,
+        |       lower(p_brand) AS brand_lower,
+        |       p_brand || '.SA' AS ticker,
+        |       split_part(p_brand || '.SA', '.', 1) AS ticker_base,
+        |       split_part(p_type, ' ', 1) AS type_head
+        |FROM part""".stripMargin
   ) ++ extOracleSql ++ pipelineOracleSql
 }
