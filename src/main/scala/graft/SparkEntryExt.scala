@@ -219,7 +219,49 @@ object SparkEntryExt {
       graft.media.Multimodal.featuresFromDocuments(s,
         Tables.documents(s, d))
         .select(col("media_id"), col("n_bytes").cast("bigint").as("n_bytes"),
-          col("mean_byte"), col("head_hash")))
+          col("mean_byte"), col("head_hash"))),
+
+    // ---- J2/J3: as-of + range joins (market-data enrichment shapes the
+    // reference's SQL surface would gain for free on a real engine) ----
+
+    // J2: backward as-of join — every event enriched with the same user's
+    // most recent purchase at-or-before it (exact-tie inclusive). DuckDB
+    // oracles it natively with ASOF LEFT JOIN. (user_id, ts) is unique in
+    // the fixture, so the greatest-time match is deterministic.
+    "j2_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_id"), col("ts_us").as("purchase_ts_us"))
+      graft.joins.AsOfJoin.backward(
+          ev.select("event_id", "user_id", "ts_us"), purchases,
+          Seq("user_id"), "ts_us", "ts_us")
+        .select("event_id", "user_id", "ts_us", "purchase_id", "purchase_ts_us")
+    }),
+
+    // J3: point-in-interval range join via bucketed equi-join (never a
+    // nested-loop product): overlapping 2h windows every 1h over the event
+    // span, counting events per window. Windows overlap, so this is a real
+    // range join — not expressible as date_trunc bucketing.
+    "j3_range_join" -> ((s, d) => {
+      val HourUs = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val iv = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+        .select(col("lo"), explode(sequence(lit(0L),
+          ((col("hi") - col("lo")) / HourUs).cast("long"))).as("interval_id"))
+        .select(col("interval_id"),
+          (col("lo") + col("interval_id") * HourUs).as("start_us"))
+        .withColumn("end_us", col("start_us") + 2 * HourUs)
+      val pairs = graft.joins.RangeJoin.pointInInterval(
+        ev, "ts_us", iv, "start_us", "end_us", HourUs)
+      val counts = pairs.groupBy("interval_id", "start_us")
+        .agg(count(lit(1)).as("n_events"))
+      iv.join(counts, Seq("interval_id", "start_us"), "left")
+        .select(col("interval_id"), col("start_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -394,6 +436,38 @@ object SparkEntryExt {
         |                                    i -> CAST(ascii(text[i]) AS BIGINT)),
         |                     (acc, c) -> (acc*31 + c) % 2147483647)
         |       END AS head_hash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "j2_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |),
+        |pur AS (
+        |  SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT e.event_id, e.user_id, e.ts_us, p.purchase_id, p.purchase_ts_us
+        |FROM ev e ASOF LEFT JOIN pur p
+        |  ON e.user_id = p.user_id AND e.ts_us >= p.purchase_ts_us""".stripMargin,
+
+    // range(0, 100000) is a constant over-generation (DuckDB's range()
+    // cannot take subquery bounds); the WHERE trims it to the real span.
+    "j3_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |),
+        |bounds AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+        |iv AS (
+        |  SELECT i AS interval_id, lo + i*3600000000 AS start_us,
+        |         lo + i*3600000000 + 7200000000 AS end_us
+        |  FROM range(0, 100000) t(i), bounds
+        |  WHERE i <= (hi - lo) // 3600000000
+        |)
+        |SELECT iv.interval_id, iv.start_us, CAST(COUNT(ev.event_id) AS BIGINT) AS n_events
+        |FROM iv LEFT JOIN ev
+        |  ON ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft.joins
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, attach the right row with the
+  * greatest right-time <= left-time within the same key group (ties
+  * inclusive, matching DuckDB `ASOF JOIN` / pandas `merge_asof`
+  * semantics). The reference has no as-of join, but it is THE canonical
+  * market-data enrichment (trade -> latest quote); Spark lacks a built-in
+  * for batch frames, so this composes one from a union + running
+  * `last(ignoreNulls)` window.
+  *
+  * Shape: `union(right tagged 0, left tagged 1) -> window over key ordered
+  * by (time, tag) -> filter left`. One hash exchange on the key — the same
+  * cost as the sort-merge join Spark would plan for an equi-join, with no
+  * row explosion and O(1) window state per row (running frame). At 100 TB
+  * the skew story is the per-key window one (high-cardinality keys are
+  * fine; for few-key data use a time-bucketed variant like
+  * `MarketEtl.rollingMeanBucketed`).
+  */
+object AsOfJoin {
+
+  /** @param left      rows to enrich; all its columns are preserved
+    * @param right     lookup rows; (keys, rightTime) must be unique for a
+    *                  deterministic result (the greatest-time tie would
+    *                  otherwise be arbitrary)
+    * @param keys      equi-join key columns (present on both sides)
+    * @param leftTime  left ordering column
+    * @param rightTime right ordering column; must be order-compatible with
+    *                  `leftTime` (numeric micros recommended — required if
+    *                  `toleranceUs` is set)
+    * @param toleranceUs max allowed `leftTime - rightTime`; stale matches
+    *                  are nulled out (left row kept, as-of LEFT join)
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               toleranceUs: Option[Long] = None): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val leftCols = left.columns.filterNot(keys.contains).toSeq
+    require(payload.intersect(left.columns).isEmpty,
+      s"as-of payload ${payload.mkString(",")} clashes with left columns")
+
+    val rightSchema = right.schema
+    val leftSchema = left.schema
+    def nullAs(c: String, from: org.apache.spark.sql.types.StructType): Column =
+      lit(null).cast(from(c).dataType).as(c)
+
+    // positional union: keys, __t, __tag, left cols (null on right rows),
+    // payload (null on left rows), __rt (matched right time, for tolerance)
+    val rightU = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
+        leftCols.map(nullAs(_, leftSchema)) ++
+        payload.map(col) :+
+        col(rightTime).as("__rt"): _*)
+    val leftU = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
+        leftCols.map(col) ++
+        payload.map(nullAs(_, rightSchema)) :+
+        lit(null).cast(rightSchema(rightTime).dataType).as("__rt"): _*)
+
+    // right rows sort before left rows at equal time (__tag 0 < 1), so an
+    // exact-tie right row is visible to the left row's running frame.
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (payload :+ "__rt").foldLeft(rightU.unionByName(leftU)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
+    val matchedLeft = carried.filter(col("__tag") === 1)
+    val tolerated = toleranceUs match {
+      case None => matchedLeft
+      case Some(tol) =>
+        val fresh = col("__rt").isNotNull && (col("__t") - col("__rt")) <= tol
+        payload.foldLeft(matchedLeft)((df, c) =>
+          df.withColumn(c, when(fresh, col(c))))
+    }
+    tolerated.select((left.columns.toSeq ++ payload).map(col): _*)
+  }
+}
