@@ -221,6 +221,16 @@ object SparkEntryExt {
         .select(col("media_id"), col("n_bytes").cast("bigint").as("n_bytes"),
           col("mean_byte"), col("head_hash"))),
 
+    // X5: the explode/regexp token pipeline (the Generator/UDTF shape):
+    // lower → regex split → explode → filter → count → top-k. Total order
+    // (n desc, term) makes the LIMIT boundary deterministic cross-engine.
+    "x5_term_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term")).limit(50)),
+
     // ---- J2/J3: as-of + range joins (market-data enrichment shapes the
     // reference's SQL surface would gain for free on a real engine) ----
 
@@ -437,6 +447,13 @@ object SparkEntryExt {
         |                     (acc, c) -> (acc*31 + c) % 2147483647)
         |       END AS head_hash
         |FROM documents""".stripMargin,
+
+    "x5_term_freq" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |  FROM documents
+        |) WHERE length(term) >= 3
+        |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
 
     "j2_asof_join" ->
       """WITH ev AS (
