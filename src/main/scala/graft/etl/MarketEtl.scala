@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => fx}
 
 /** Core transformation library — the reference's `transform()` pipeline
   * (reference `etl/etl_job.py:101-142`) re-expressed as composable, lazy
@@ -119,30 +120,64 @@ object MarketEtl {
   def rollingMeanBucketed(df: DataFrame, partitionCols: Seq[String],
                           orderCols: Seq[Column], valueCol: String, n: Int,
                           out: String, bucket: Column): DataFrame = {
+    // Single-shuffle design: ONE exchange+sort on (asset, bucket) computes
+    // the within-bucket rolling mean (correct for every row except the
+    // first n-1 of each bucket) plus row number/size. The per-bucket head
+    // and tail value lists (bounded, <= n-1 each) are extracted by a
+    // groupBy that REUSES the window's partitioning (no second exchange),
+    // corrections for the boundary rows are computed on that tiny
+    // per-bucket frame (prev-bucket tail ++ own head, folded in exact
+    // time order so the sum order matches a windowed avg bit-for-bit),
+    // and broadcast-joined back on (asset, bucket, row#). Shuffled bytes:
+    // 1x data + 2x(n-1) values per bucket, vs 3x data for the
+    // union-of-borrowed-rows formulation.
     val pc = partitionCols.map(col)
+    val bucketKeys = pc :+ col("__bucket")
     val withB = df.withColumn("__bucket", bucket)
-    // dense bucket index per asset — tiny frame (|assets| × |buckets| rows),
-    // cheap window, broadcast back.
-    val idx = withB.select(pc :+ col("__bucket"): _*).distinct()
-      .withColumn("__bidx", row_number().over(
-        Window.partitionBy(pc: _*).orderBy(col("__bucket"))))
-    val joined = withB.join(broadcast(idx), partitionCols :+ "__bucket")
-    // last n-1 rows of each bucket, re-tagged into the next bucket
-    val wDesc = Window.partitionBy(pc :+ col("__bidx"): _*)
-      .orderBy(orderCols.map(_.desc): _*)
-    val tails = joined
-      .withColumn("__rd", row_number().over(wDesc)).filter(col("__rd") < n)
-      .drop("__rd")
-      .withColumn("__bidx", col("__bidx") + 1)
-      .withColumn("__borrowed", lit(true))
-    val all = joined.withColumn("__borrowed", lit(false)).unionByName(tails)
-    val w = Window.partitionBy(pc :+ col("__bidx"): _*)
-      .orderBy(orderCols: _*).rowsBetween(-(n - 1), 0)
-    all
+    val wOrd = Window.partitionBy(bucketKeys: _*).orderBy(orderCols: _*)
+    val wFrame = wOrd.rowsBetween(-(n - 1), 0)
+    val wAll = Window.partitionBy(bucketKeys: _*)
+    val main = withB
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__sz", count(lit(1)).over(wAll))
+      .withColumn("__mm_local",
+        when(count(col(valueCol)).over(wFrame) === n, avg(col(valueCol)).over(wFrame)))
+
+    // (rn, value) structs sort by rn — direction-agnostic w.r.t. orderCols.
+    def ranked(cond: Column): Column =
+      fx.transform(
+        sort_array(collect_list(when(cond,
+          struct(col("__rn").as("r"), col(valueCol).cast("double").as("v"))))),
+        e => e.getField("v"))
+    val perBucket = main.groupBy(bucketKeys: _*).agg(
+      ranked(col("__rn") <= n - 1).as("__head"),
+      ranked(col("__rn") > col("__sz") - (n - 1)).as("__tail"))
+
+    // prev-bucket tail on the tiny frame; fold tail-slice ++ head-prefix in
+    // time order for each boundary position r = 1..min(n-1, size).
+    val wB = Window.partitionBy(pc: _*).orderBy(col("__bucket"))
+    val corrections = perBucket
+      .withColumn("__ptail", lag(col("__tail"), 1).over(wB))
+      .select(bucketKeys :+
+        posexplode(fx.transform(col("__head"), (_, i) => {
+          val need = lit(n) - (i + 1)
+          // slice start clamped to 1: slice() throws on start = 0, and the
+          // short-tail case is discarded by the `when` guard anyway
+          val combined = concat(
+            slice(col("__ptail"),
+              greatest(size(col("__ptail")) - need + 1, lit(1)), need),
+            slice(col("__head"), lit(1), i + 1))
+          when(size(col("__ptail")) >= need && size(combined) === n,
+            aggregate(combined, lit(0.0d), (acc, x) => acc + x) / n)
+        })): _*)
+      .select(bucketKeys ++ Seq((col("pos") + 1).as("__rn"), col("col").as("__mm_fix")): _*)
+
+    main
+      .join(broadcast(corrections),
+        partitionCols ++ Seq("__bucket", "__rn"), "left")
       .withColumn(out,
-        when(count(col(valueCol)).over(w) === n, avg(col(valueCol)).over(w)))
-      .filter(!col("__borrowed"))
-      .drop("__bucket", "__bidx", "__borrowed")
+        when(col("__rn") < n, col("__mm_fix")).otherwise(col("__mm_local")))
+      .drop("__bucket", "__rn", "__sz", "__mm_local", "__mm_fix")
   }
 
   /** A1 (`etl/etl_job.py:133-140`): per-asset hash aggregate — mean close,
