@@ -1,0 +1,41 @@
+package graft.joins
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.TestSpark
+
+/** ScalaCheck: the windowed as-of join equals the naive quadratic
+  * definition (greatest right-time <= left-time per key) on arbitrary
+  * small inputs.
+  */
+object AsOfJoinProps extends Properties("AsOfJoin") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val keys = Gen.oneOf("A", "B", "C")
+  private val lefts = Gen.listOf(Gen.zip(keys, Gen.choose(0L, 50L)))
+  // right times drawn distinct per key via set to honor the uniqueness
+  // precondition on (key, rightTime)
+  private val rights = Gen.mapOf(Gen.zip(Gen.zip(keys, Gen.choose(0L, 50L)), Gen.choose(0.0, 1.0)))
+
+  property("matches the naive greatest-time-at-or-before definition") =
+    forAll(lefts, rights) { (ls, rsMap) =>
+      val rs = rsMap.toSeq.map { case ((k, t), v) => (k, t, v) }
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.toDF("k", "rt", "v")
+      val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt")
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cand = rs.filter(r => r._1 == k && r._2 <= t)
+        i.toLong -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+      }.toMap
+      out == expect
+    }
+}
