@@ -247,6 +247,41 @@ object SparkEntry {
           .as("n_tokens"),
         col("n_chars"))),
 
+    // A3: exact percentiles (median/p90) per asset — the distribution
+    // aggregate the reference's SQL surface gains for free; rounded to 6
+    // decimals (interpolation arithmetic differs in the last ulp across
+    // engines). The scale path is approx_percentile (mergeable sketch),
+    // asserted against these exact values in GraftExtensionsSpec-style
+    // tests; here the exact form is the oracle-checked one.
+    "a3_percentiles" -> ((s, d) =>
+      bars(s, d).groupBy("ativo").agg(
+        round(percentile(col("close_price"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("close_price"), lit(0.9)), 6).as("p90"))),
+
+    // A4: hierarchical rollup (asset, year) — multi-level aggregate with
+    // grand-total row, free from the Spark SQL surface.
+    "a4_rollup" -> ((s, d) =>
+      bars(s, d)
+        .select(col("ativo"), date_format(col("dt"), "yyyy").as("yr"),
+          col("trade_volume"))
+        .rollup("ativo", "yr")
+        .agg(sum("trade_volume").cast("long").as("sum_vol"),
+          count(lit(1)).as("n"))),
+
+    // O4: set difference — customers ordering in 1995 but not 1996.
+    "o4_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .except(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+    }),
+
+    // O5: set intersection — customers ordering in both years.
+    "o5_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+    }),
+
     // F1: processing-date parameterization + partition-key derivation via
     // date_format (ref `etl/etl_job.py:37`, `scraper_upload.py:42-45`).
     // The processing date is an injected parameter (pinned here), never
@@ -439,6 +474,28 @@ object SparkEntry {
         |       END AS n_tokens,
         |       n_chars
         |FROM documents""".stripMargin,
+
+    "a3_percentiles" ->
+      s"""SELECT ativo, ROUND(quantile_cont(close_price, 0.5), 6) AS p50,
+         |       ROUND(quantile_cont(close_price, 0.9), 6) AS p90
+         |FROM ($barsSql) GROUP BY ativo""".stripMargin,
+
+    "a4_rollup" ->
+      s"""SELECT ativo, yr, CAST(SUM(trade_volume) AS BIGINT) AS sum_vol,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM (SELECT ativo, strftime(dt, '%Y') AS yr, trade_volume
+         |      FROM ($barsSql))
+         |GROUP BY ROLLUP(ativo, yr)""".stripMargin,
+
+    "o4_except" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996""".stripMargin,
+
+    "o5_intersect" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996""".stripMargin,
 
     "f1_processing_date" ->
       """SELECT o_orderkey,
