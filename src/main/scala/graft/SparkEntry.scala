@@ -251,8 +251,8 @@ object SparkEntry {
     // aggregate the reference's SQL surface gains for free; rounded to 6
     // decimals (interpolation arithmetic differs in the last ulp across
     // engines). The scale path is approx_percentile (mergeable sketch),
-    // asserted against these exact values in GraftExtensionsSpec-style
-    // tests; here the exact form is the oracle-checked one.
+    // asserted against the exact form in MarketEtlSpec; here the exact
+    // form is the oracle-checked one.
     "a3_percentiles" -> ((s, d) =>
       bars(s, d).groupBy("ativo").agg(
         round(percentile(col("close_price"), lit(0.5)), 6).as("p50"),
@@ -267,6 +267,17 @@ object SparkEntry {
         .rollup("ativo", "yr")
         .agg(sum("trade_volume").cast("long").as("sum_vol"),
           count(lit(1)).as("n"))),
+
+    // A5: pivot (pandas pivot_table shape): per-year trade volume with one
+    // column per asset. Pivot values are declared explicitly — at scale an
+    // inferred pivot would collect the distinct key set to the driver.
+    "a5_pivot" -> ((s, d) =>
+      bars(s, d)
+        .select(date_format(col("dt"), "yyyy").as("yr"), col("ativo"),
+          col("trade_volume"))
+        .groupBy("yr").pivot("ativo", Seq("A", "N", "R")).sum("trade_volume")
+        .select(col("yr"), col("A").cast("long").as("vol_a"),
+          col("N").cast("long").as("vol_n"), col("R").cast("long").as("vol_r"))),
 
     // O4: set difference — customers ordering in 1995 but not 1996.
     "o4_except" -> ((s, d) => {
@@ -486,6 +497,13 @@ object SparkEntry {
          |FROM (SELECT ativo, strftime(dt, '%Y') AS yr, trade_volume
          |      FROM ($barsSql))
          |GROUP BY ROLLUP(ativo, yr)""".stripMargin,
+
+    "a5_pivot" ->
+      s"""SELECT strftime(dt, '%Y') AS yr,
+         |       CAST(SUM(CASE WHEN ativo = 'A' THEN trade_volume END) AS BIGINT) AS vol_a,
+         |       CAST(SUM(CASE WHEN ativo = 'N' THEN trade_volume END) AS BIGINT) AS vol_n,
+         |       CAST(SUM(CASE WHEN ativo = 'R' THEN trade_volume END) AS BIGINT) AS vol_r
+         |FROM ($barsSql) GROUP BY 1""".stripMargin,
 
     "o4_except" ->
       """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995

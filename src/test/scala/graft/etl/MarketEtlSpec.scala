@@ -24,6 +24,15 @@ class MarketEtlSpec extends AnyFunSuite {
       Some(6.0), Some(7.0), Some(8.0)).map(o => o: Option[Any]))
   }
 
+  test("A3 approx_percentile tracks exact percentile (mergeable scale path)") {
+    val df = (1 to 1000).map(i => ("A", i.toDouble)).toDF("k", "v")
+    val r = df.agg(
+      percentile(col("v"), lit(0.5)).as("exact"),
+      approx_percentile(col("v"), lit(0.5), lit(10000)).as("approx")).head()
+    // accuracy 10000 on 1000 rows → sketch is lossless
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1.0)
+  }
+
   test("W1 rolling mean is per-partition (warm-up restarts per asset)") {
     val df = Seq(("A", 1, 10.0), ("A", 2, 20.0), ("B", 1, 30.0), ("B", 2, 50.0))
       .toDF("ativo", "d", "close")
