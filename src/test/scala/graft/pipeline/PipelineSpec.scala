@@ -69,6 +69,16 @@ class PipelineSpec extends AnyFunSuite {
     // F1: the data partition is the injected processing date everywhere
     assert(out.select("data").distinct().collect().map(_.get(0).toString).toSeq
       === Seq("2024-01-15"))
+
+    // P5: partition keys live in the directory name only — the parquet
+    // payload inside a partition dir must not repeat ativo/data (the
+    // reference drops them by hand, ref etl/etl_job.py:154-156; Spark's
+    // partitionBy subsumes that)
+    val leafFile = new File(s"$refinedDir/ativo=VALE3/data=2024-01-15")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val payloadCols = spark.read.parquet(leafFile.getAbsolutePath).columns.toSet
+    assert(!payloadCols.contains("ativo") && !payloadCols.contains("data"),
+      s"partition keys leaked into payload: $payloadCols")
   }
 
   test("incremental second run only rewrites touched asset partitions") {
