@@ -36,7 +36,21 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               toleranceUs: Option[Long] = None): DataFrame = {
+               toleranceUs: Option[Long] = None): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, toleranceUs, forward = false)
+
+  /** Forward as-of: the right row with the SMALLEST right-time >= left-time
+    * (ties inclusive) — same one-exchange shape scanned in descending time
+    * order. merge_asof(direction="forward") semantics.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              toleranceUs: Option[Long] = None): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, toleranceUs, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   toleranceUs: Option[Long], forward: Boolean): DataFrame = {
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val leftCols = left.columns.filterNot(keys.contains).toSeq
     require(payload.intersect(left.columns).isEmpty,
@@ -64,7 +78,10 @@ object AsOfJoin {
 
     // right rows sort before left rows at equal time (__tag 0 < 1), so an
     // exact-tie right row is visible to the left row's running frame.
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__tag"))
+    // Forward direction scans time descending — the running "last right row
+    // seen" is then the smallest right-time >= the current left-time.
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(timeOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = (payload :+ "__rt").foldLeft(rightU.unionByName(leftU)) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
@@ -74,7 +91,8 @@ object AsOfJoin {
     val tolerated = toleranceUs match {
       case None => matchedLeft
       case Some(tol) =>
-        val fresh = col("__rt").isNotNull && (col("__t") - col("__rt")) <= tol
+        val age = if (forward) col("__rt") - col("__t") else col("__t") - col("__rt")
+        val fresh = col("__rt").isNotNull && age <= tol
         payload.foldLeft(matchedLeft)((df, c) =>
           df.withColumn(c, when(fresh, col(c))))
     }

@@ -22,6 +22,23 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
   // precondition on (key, rightTime)
   private val rights = Gen.mapOf(Gen.zip(Gen.zip(keys, Gen.choose(0L, 50L)), Gen.choose(0.0, 1.0)))
 
+  property("forward matches the naive smallest-time-at-or-after definition") =
+    forAll(lefts, rights) { (ls, rsMap) =>
+      val rs = rsMap.toSeq.map { case ((k, t), v) => (k, t, v) }
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.toDF("k", "rt", "v")
+      val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt")
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cand = rs.filter(r => r._1 == k && r._2 >= t)
+        i.toLong -> (if (cand.isEmpty) None else Some(cand.minBy(_._2)._3))
+      }.toMap
+      out == expect
+    }
+
   property("matches the naive greatest-time-at-or-before definition") =
     forAll(lefts, rights) { (ls, rsMap) =>
       val rs = rsMap.toSeq.map { case ((k, t), v) => (k, t, v) }

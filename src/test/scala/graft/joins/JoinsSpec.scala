@@ -59,6 +59,21 @@ class JoinsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("trade_id", "sym", "t", "px"))
   }
 
+  test("forward as-of picks the smallest quote time >= trade time") {
+    val out = AsOfJoin.forward(trades, quotes, Seq("sym"), "t", "qt")
+      .orderBy("trade_id").collect()
+    // trade 1 at t=100 -> quote at 100 (tie inclusive)
+    assert(out(0).getDouble(out(0).fieldIndex("px")) == 10.0)
+    // trade 2 at t=205 -> next quote at 300
+    assert(out(1).getDouble(out(1).fieldIndex("px")) == 12.0)
+    // trade 3 at t=310 -> nothing later -> null
+    assert(out(2).isNullAt(out(2).fieldIndex("px")))
+    // trade 4 (B) at t=150 -> quote at 160
+    assert(out(3).getDouble(out(3).fieldIndex("px")) == 20.0)
+    // trade 5 (C): no quotes -> null
+    assert(out(4).isNullAt(out(4).fieldIndex("px")))
+  }
+
   // -------- RangeJoin --------
 
   test("pointInInterval matches half-open [start, end) across bucket boundaries") {
