@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-shape regression guards: the scale-relevant physical-plan
+  * properties the README's 100 TB story claims, pinned as tests so a
+  * refactor can't silently trade them away. Asserted on the pre-execution
+  * plan string (AQE may re-plan at runtime, but these properties are
+  * decided statically).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("o2_topk plans a true top-k (TakeOrderedAndProject), not a full sort") {
+    assert(plan("o2_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("j1 enrichment joins via broadcast, not a shuffle join") {
+    assert(plan("j1_left_join_enrich").contains("BroadcastHashJoin"))
+  }
+
+  test("p9 projection prunes the parquet read schema to the selected columns") {
+    val p = plan("p9_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey"))
+    assert(!readSchema.contains("o_custkey") && !readSchema.contains("o_orderpriority"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("p8 partition filter is pushed down to the scan") {
+    assert(plan("p8_partition_filter").contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"))
+  }
+
+  test("j3 range join never plans a nested-loop product") {
+    val p = plan("j3_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("flagship has one full-data exchange; the aggregate shuffles only partial-agg rows") {
+    val p = plan("flagship_etl").linesIterator.toSeq
+    val shuffles = p.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+    // exactly two hash exchanges: the window's (full data) and the
+    // aggregate branch's — which must sit ABOVE a partial HashAggregate,
+    // i.e. it ships one row per (task x asset), not the data
+    assert(shuffles.size == 2, s"expected 2 hash exchanges, saw ${shuffles.size}")
+    val aggExchangeIdx = shuffles.last._2
+    val below = p.drop(aggExchangeIdx + 1).take(3).mkString
+    assert(below.contains("HashAggregate"),
+      s"aggregate-side exchange is not post-partial-agg: $below")
+  }
+
+  test("x1 exact dedup shuffles on a fixed-width hash, not the raw text") {
+    val p = plan("x1_dedup_exact")
+    // the hash is pre-projected as a window partition key (_w0 =
+    // xxhash64(text)) and the exchange partitions on it
+    assert(p.contains("xxhash64"), "no xxhash64 bucketing in the dedup plan")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
+    assert(ex.contains("_w0"), s"dedup exchange not keyed on the hash projection: $ex")
+  }
+}
