@@ -42,6 +42,15 @@ class PipelineSpec extends AnyFunSuite {
     val back = BatchPipeline.readRaw(spark, rawDir)
     assert(back.count() === 20)
     assert(back.select("mes").distinct().head().getString(0) === "01")
+
+    // a filter on the partition keys prunes at the FILE LISTING, not after
+    // the scan — the property that makes raw/ queries O(selected days) at
+    // 100 TB. PartitionFilters in the plan + only the matching files read.
+    val pruned = back.filter(col("dia") === "05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("(dia"),
+      s"partition filter not pushed to listing:\n$scan")
+    assert(pruned.count() === 2) // one row per asset on day 5
   }
 
   test("e2e: refined layout is per-asset (fixes reference defect), mm_7d has 6 warm-up nulls, date pinned") {
