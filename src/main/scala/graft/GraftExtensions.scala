@@ -16,10 +16,13 @@ import graft.expressions.{CosineSimilarity, MinHashBandKeys, RollingHash31, Sign
   * running session — extensions only apply at session build time).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // opt-in interval-join rewrite (spark.graft.rangeJoin.bucketWidth > 0)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
+  }
 }
 
 object GraftExtensions {

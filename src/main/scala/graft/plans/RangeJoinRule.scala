@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+
+/** Optimizer rule: rewrite a pure-inequality point-in-interval inner join
+  * (`p >= s AND p < e`, no equi-conjunct) into the bucketed equi-join
+  * `RangeJoin.pointInInterval` builds by hand — Spark would otherwise plan
+  * BroadcastNestedLoopJoin (O(|points| x |intervals|) comparisons and a
+  * whole side broadcast), which is the classic interval-join scale trap.
+  *
+  * The rewrite replicates each interval row to every fixed-width bucket it
+  * overlaps (`explode(sequence(s div W, (e-1) div W))`), tags each point
+  * row with its single bucket (`p div W`), and adds the bucket equality to
+  * the join condition: Catalyst then plans a hash join, and the original
+  * predicate still filters exactly within each bucket, so the result is
+  * identical (each pair matches in exactly one bucket — the point's).
+  *
+  * Opt-in per session/query: set `spark.graft.rangeJoin.bucketWidth` to a
+  * positive long in the time unit of the join columns (pick it near the
+  * typical interval length; replication factor is len/W + 1). The rule is
+  * a no-op when unset, when the join has any equi-conjunct (hash join
+  * already applies), or when the bound columns are not integral. Applied
+  * via `spark.sql.extensions=graft.GraftExtensions`. Idempotent: the
+  * rewritten join contains an equi-conjunct, so it no longer matches.
+  */
+case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import RangeJoinRule.BucketWidthConf
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = session.conf.get(BucketWidthConf, "0").toLong
+    if (width <= 0) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        rewrite(j, left, right, cond, hint, width).getOrElse(j)
+    }
+  }
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  /** p div w as a floor (not truncate) — matches RangeJoin's bucketing and
+    * stays correct for negative times. Values are far below 2^53 in any
+    * epoch unit, so the double round-trip is exact.
+    */
+  private def bucketOf(p: Expression, w: Long): Expression =
+    Cast(Floor(Divide(Cast(p, DoubleType), Literal(w.toDouble))), LongType)
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, hint: JoinHint,
+                      width: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def crossSide(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+        (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+    // a hash join is already available — leave the plan alone
+    if (conjuncts.exists { case EqualTo(a, b) => crossSide(a, b); case _ => false })
+      return None
+
+    // normalize every comparison to (smaller, largerOrEqualSide) forms
+    // p >= s  (lower bound)  and  p < e  (upper bound)
+    val lower = conjuncts.collectFirst {
+      case c @ GreaterThanOrEqual(p, s) if crossSide(p, s) => (c: Expression, p, s)
+      case c @ LessThanOrEqual(s, p) if crossSide(s, p) => (c: Expression, p, s)
+    }
+    val upper = conjuncts.collectFirst {
+      case c @ LessThan(p, e) if crossSide(p, e) => (c: Expression, p, e)
+      case c @ GreaterThan(e, p) if crossSide(e, p) => (c: Expression, p, e)
+    }
+    (lower, upper) match {
+      case (Some((lc, p1, s)), Some((uc, p2, e)))
+          if p1.semanticEquals(p2) && integral(p1) && integral(s) && integral(e) &&
+            // point bounds on one side, interval bounds on the other
+            (s.references ++ e.references).nonEmpty &&
+            p1.references.nonEmpty &&
+            ((p1.references.subsetOf(left.outputSet) &&
+              (s.references ++ e.references).subsetOf(right.outputSet)) ||
+             (p1.references.subsetOf(right.outputSet) &&
+              (s.references ++ e.references).subsetOf(left.outputSet))) =>
+        val pointOnLeft = p1.references.subsetOf(left.outputSet)
+        val (pointPlan, intervalPlan) = if (pointOnLeft) (left, right) else (right, left)
+
+        val pb = Alias(bucketOf(p1, width), "__graft_pb")()
+        val newPoint = Project(pointPlan.output :+ pb, pointPlan)
+
+        // one bucket id per overlapped bucket; empty-range rows (e <= s)
+        // produce an empty sequence instead of a runtime error
+        val lo = bucketOf(s, width)
+        val hi = bucketOf(Subtract(Cast(e, LongType), Literal(1L)), width)
+        val seq = If(LessThanOrEqual(lo, hi),
+          Sequence(lo, hi, None,
+            Some(session.sessionState.conf.sessionLocalTimeZone)),
+          Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+        val ib = AttributeReference("__graft_ib", LongType, nullable = false)()
+        val newInterval = Generate(Explode(seq), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None, generatorOutput = Seq(ib),
+          child = intervalPlan)
+
+        val bucketEq = EqualTo(pb.toAttribute, ib)
+        val (newLeft, newRight) =
+          if (pointOnLeft) (newPoint, newInterval) else (newInterval, newPoint)
+        val newJoin = Join(newLeft, newRight, Inner,
+          Some((conjuncts :+ (bucketEq: Expression)).reduce(And)), hint)
+        Some(Project(j.output, newJoin))
+      case _ => None
+    }
+  }
+}
+
+object RangeJoinRule {
+  val BucketWidthConf = "spark.graft.rangeJoin.bucketWidth"
+}

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RangeJoinRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // vals: a fresh toDF per reference would mint new attribute ids and the
+  // cross-frame join conditions below would not resolve
+  private lazy val points = (0 to 500).map(i => (i.toLong, (i * 7 % 1000).toLong))
+    .toDF("pid", "p")
+  // overlapping intervals + one empty range (e <= s) that must not error
+  private lazy val intervals = ((0 to 100).map(i => (i.toLong, i * 10L, i * 10L + 25L))
+    :+ (999L, 50L, 40L)).toDF("iv", "s", "e")
+
+  test("rewrites an inequality join to a hash join with identical results") {
+    val cond = points("p") >= intervals("s") && points("p") < intervals("e")
+    val plain = points.join(intervals, cond)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    assert(points.join(intervals, cond).queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "baseline should be a BNLJ")
+
+    try {
+      spark.experimental.extraOptimizations = Seq(RangeJoinRule(spark))
+      spark.conf.set(RangeJoinRule.BucketWidthConf, "16")
+      val opt = points.join(intervals, cond)
+      val plan = opt.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      assert(opt.select("pid", "iv").as[(Long, Long)].collect().toSet === plain)
+    } finally {
+      spark.conf.unset(RangeJoinRule.BucketWidthConf)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("leaves joins with an equi-conjunct alone") {
+    val withKey = points.withColumn("k", points("pid") % 3)
+    val ivWithKey = intervals.withColumn("k", intervals("iv") % 3)
+    try {
+      spark.experimental.extraOptimizations = Seq(RangeJoinRule(spark))
+      spark.conf.set(RangeJoinRule.BucketWidthConf, "16")
+      val j = withKey.join(ivWithKey,
+        withKey("k") === ivWithKey("k") &&
+          withKey("p") >= ivWithKey("s") && withKey("p") < ivWithKey("e"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_pb"), s"rule fired on an equi-join:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset(RangeJoinRule.BucketWidthConf)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("no-op when the bucket width conf is unset") {
+    try {
+      spark.experimental.extraOptimizations = Seq(RangeJoinRule(spark))
+      val cond = points("p") >= intervals("s") && points("p") < intervals("e")
+      assert(points.join(intervals, cond).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+}
