@@ -250,6 +250,23 @@ object SparkEntryExt {
         .select("event_id", "user_id", "ts_us", "purchase_id", "purchase_ts_us")
     }),
 
+    // J4/J5: semi and anti joins — existence filtering without payload
+    // duplication (the scale-safe alternative to join+distinct).
+    "j4_semi_join" -> ((s, d) => {
+      val bigSpenders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0).select("o_custkey")
+      Tables.customer(s, d).join(bigSpenders,
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    }),
+
+    "j5_anti_join" -> ((s, d) => {
+      val anyOrders = Tables.orders(s, d).select("o_custkey")
+      Tables.customer(s, d).join(anyOrders,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    }),
+
     // J3: point-in-interval range join via bucketed equi-join (never a
     // nested-loop product): overlapping 2h windows every 1h over the event
     // span, counting events per window. Windows overlap, so this is a real
@@ -454,6 +471,15 @@ object SparkEntryExt {
         |  FROM documents
         |) WHERE length(term) >= 3
         |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
     "j2_asof_join" ->
       """WITH ev AS (
