@@ -103,13 +103,16 @@ object BatchPipeline {
   }
 
   /** S5: refined sink — true Hive partitioning on (ativo, data). Same
-    * one-file-per-partition repartition as `writeRaw`.
+    * one-file-per-partition repartition as `writeRaw`, plus date
+    * clustering within each file: parquet row-group min/max stats on
+    * `date` then prune date-range scans without reading the pages.
     */
   def writeRefined(df: DataFrame, refinedDir: String, processingDate: String,
                    mode: SaveMode = SaveMode.Overwrite,
                    dynamicOverwrite: Boolean = false): Unit = {
     val w = df.withColumn("data", lit(processingDate))
       .repartition(col("ativo"), col("data"))
+      .sortWithinPartitions(col("date"))
       .write.partitionBy("ativo", "data").mode(mode)
     (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
       .parquet(refinedDir)

@@ -90,6 +90,25 @@ class PipelineSpec extends AnyFunSuite {
       s"partition keys leaked into payload: $payloadCols")
   }
 
+  test("compaction collapses accumulated small files, preserving data and partitions") {
+    val dir = tmp("compact")
+    // simulate many micro-batch writes: 10 appends of 2 rows each
+    import spark.implicits._
+    (1 to 10).foreach { i =>
+      Seq((i.toLong, "A", i * 1.0), (i.toLong + 100, "B", i * 2.0))
+        .toDF("id", "k", "v")
+        .repartition(2).write.mode(SaveMode.Append)
+        .partitionBy("k").parquet(dir)
+    }
+    val expect = spark.read.parquet(dir).collect().toSet
+    val (before, after) = Compaction.compact(spark, dir, targetBytes = 1L << 30,
+      partitionCols = Seq("k"))
+    assert(before >= 20, s"fixture should start fragmented, had $before files")
+    assert(after == 2, s"expected one file per partition, got $after") // k=A, k=B
+    assert(new File(s"$dir/k=A").isDirectory && new File(s"$dir/k=B").isDirectory)
+    assert(spark.read.parquet(dir).collect().toSet === expect)
+  }
+
   test("incremental second run only rewrites touched asset partitions") {
     val rawDir = tmp("incr_raw")
     val refinedDir = tmp("incr_refined")
