@@ -135,6 +135,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(vale.count() === 11)
   }
 
+  test("declared-schema read absorbs files with missing columns (defensive ingest)") {
+    // the reference normalizes whatever arrives (ref etl_job.py:64-69,
+    // 120-121); our equivalent is the declared read schema (absent columns
+    // come back null) + the P4 conditional default downstream
+    val rawDir = tmp("drift")
+    BatchPipeline.writeRaw(bars, rawDir, SaveMode.Overwrite)
+    // a later file without ativo or Volume (schema drift)
+    Seq((Timestamp.valueOf("2024-02-01 00:00:00"), 7.0))
+      .toDF("Date", "Close")
+      .write.mode(SaveMode.Append).parquet(s"$rawDir/ano=2024/mes=02/dia=01")
+    val back = BatchPipeline.readRaw(spark, rawDir)
+    assert(back.count() === 21)
+    val drifted = back.filter(col("mes") === "02").head()
+    assert(drifted.isNullAt(drifted.fieldIndex("ativo")))
+    assert(drifted.isNullAt(drifted.fieldIndex("Volume")))
+    assert(drifted.getDouble(drifted.fieldIndex("Close")) === 7.0)
+  }
+
   test("catalog registration: introspection + partition-pruned reads") {
     val rawDir = tmp("cat_raw")
     val refinedDir = tmp("cat_refined")
