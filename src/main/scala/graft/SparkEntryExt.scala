@@ -86,6 +86,15 @@ object SparkEntryExt {
         .select(col("q_id"), col("rank"), col("vec_id"),
           round(col("sim"), 6).as("sim6"))),
 
+    // Same ranking through the bounded-heap TypedImperativeAggregate
+    // (O(k) state per group, map-side partials, no window sort) — shares
+    // x4_cosine_topk's oracle, so a green row proves the custom aggregate
+    // end to end.
+    "x4_topk_agg" -> ((s, d) =>
+      SimSearch.bruteForceTopKAgg(emb(s, d), emb(s, d).filter(col("vec_id") < 10), 10)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim6"))),
+
     // ANN variant: banded sign-LSH bucket join instead of a full scan —
     // the 100 TB path. Approximate by construction → no SQL oracle (recall
     // vs brute force is asserted in SimSearchSpec); driver records rows>0.
@@ -291,20 +300,26 @@ object SparkEntryExt {
     })
   )
 
+  private val cosineTopKSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id,
+      |         list_cosine_similarity(q.emb, e.emb) AS sim
+      |  FROM e q JOIN e ON e.vec_id != q.vec_id
+      |  WHERE q.vec_id < 10
+      |),
+      |r AS (SELECT q_id, vec_id, sim,
+      |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |      FROM p)
+      |SELECT q_id, rank, vec_id, ROUND(sim, 6) AS sim6
+      |FROM r WHERE rank <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "x4_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |p AS (
-        |  SELECT q.vec_id AS q_id, e.vec_id,
-        |         list_cosine_similarity(q.emb, e.emb) AS sim
-        |  FROM e q JOIN e ON e.vec_id != q.vec_id
-        |  WHERE q.vec_id < 10
-        |),
-        |r AS (SELECT q_id, vec_id, sim,
-        |             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-        |      FROM p)
-        |SELECT q_id, rank, vec_id, ROUND(sim, 6) AS sim6
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "x4_cosine_topk" -> cosineTopKSql,
+
+    // identical oracle: the heap aggregate must reproduce the window
+    // ranking bit-for-bit (same score, same id tiebreak)
+    "x4_topk_agg" -> cosineTopKSql,
 
     "x4_cosine_neardup" ->
       s"""WITH a AS ($plantedEmbSql),

@@ -87,6 +87,41 @@ object SimSearch {
     topKPerQuery(pairs, k, "q_id", idCol, "sim")
   }
 
+  /** Group-wise top-k via the bounded-heap aggregate (`TopKByScore`):
+    * O(k) state per group with map-side partial aggregation — each task
+    * keeps its local top-k and merge is heap union, so no task ever sorts
+    * a query's full candidate list and the shuffle carries k pairs per
+    * (task, query). The salted two-phase `topKPerQuery` is the
+    * built-in-only twin; both produce identical output (score desc, id
+    * asc tiebreak).
+    */
+  def topKAgg(pairs: DataFrame, k: Int, qCol: String = "q_id",
+              idCol: String = "vec_id", simCol: String = "sim"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.expressions.TopKByScore(
+        ColumnBridge.expression(col(simCol)),
+        ColumnBridge.expression(col(idCol).cast("long")), k)
+        .toAggregateExpression())
+    pairs.groupBy(col(qCol)).agg(agg.as("__topk"))
+      .select(col(qCol), posexplode(col("__topk")))
+      .select(col(qCol), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.id").as(idCol), col("col.score").as(simCol))
+  }
+
+  /** `bruteForceTopK` with the heap aggregate instead of the salted
+    * two-phase window ranking.
+    */
+  def bruteForceTopKAgg(vectors: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", embCol: String = "emb"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    val pairs = vectors
+      .join(broadcast(q), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        cosine(col("__q_emb"), col(embCol)).as("sim"))
+    topKAgg(pairs, k, "q_id", idCol, "sim")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `numPlanes`
     * vectors of `dim` components in [-1, 1), derived from a fixed-seed
     * splitmix64 — identical across runs and machines.

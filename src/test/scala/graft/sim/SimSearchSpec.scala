@@ -48,6 +48,27 @@ class SimSearchSpec extends AnyFunSuite {
     assert(salted.exceptAll(naive).isEmpty && naive.exceptAll(salted).isEmpty)
   }
 
+  test("bounded-heap top-k aggregate equals the window ranking exactly") {
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"))
+    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        SimSearch.cosine(col("qe"), col("emb")).as("sim"))
+    val agg = SimSearch.topKAgg(pairs, 10).select("q_id", "rank", "vec_id", "sim")
+    val win = SimSearch.topKPerQuery(pairs, 10).select("q_id", "rank", "vec_id", "sim")
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
+
+  test("heap top-k keeps deterministic id order under score ties") {
+    import spark.implicits._
+    val pairs = Seq((1L, 10L, 0.5), (1L, 7L, 0.5), (1L, 3L, 0.5), (1L, 9L, 0.9))
+      .toDF("q_id", "vec_id", "sim")
+    val out = SimSearch.topKAgg(pairs, 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    // 0.9 first, then the tied 0.5s by ascending id
+    assert(out === Seq((1L, 9L), (2L, 3L), (3L, 7L)))
+  }
+
   test("ANN results are a subset of the brute-force candidate space with correct sims") {
     val planes = SimSearch.hyperplanes(200, 64)
     val q = emb.filter(col("vec_id") < 5)
