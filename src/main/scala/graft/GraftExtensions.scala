@@ -64,6 +64,13 @@ object GraftExtensions {
         val a = arity("graft_word_shingles", 2, args)
         WordShingles(a(0), intLit(a(1), "n"))
       }),
+    ("graft_topk",
+      info("graft_topk",
+        "_FUNC_(score, id, k) - aggregate: top-k (score,id) pairs, score desc, id tiebreak"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_topk", 3, args)
+        graft.expressions.TopKByScore(a(0), a(1), intLit(a(2), "k"))
+      }),
     ("graft_minhash_band_keys",
       info("graft_minhash_band_keys",
         "_FUNC_(shingles, numHashes, bands, rowsPerBand) - banded MinHash-LSH keys"),

@@ -30,6 +30,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
     assert(spark.sql("SELECT graft_simhash31(array('a b c')) AS s")
       .head().getLong(0) >= 0L)
+
+    val topk = spark.sql(
+      """SELECT graft_topk(s, i, 2) AS t FROM VALUES
+        |  (0.5D, 10L), (0.9D, 7L), (0.5D, 3L) AS v(s, i)""".stripMargin)
+      .selectExpr("inline(t)")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(topk === Seq((0.9, 7L), (0.5, 3L)))
   }
 
   test("non-literal config args are rejected with a clear error") {

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+case class Doc(ts: Timestamp, docId: Long, text: String)
+
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("duplicates across micro-batches are dropped; first arrival wins") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = StreamingDedup.dedupWithinWatermark(
+      input.toDF(), "ts", withinUs = 3600L * 1000000L, col("text"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct docs + an in-batch duplicate
+      input.addData(Doc(t(0), 1L, "alpha"), Doc(t(1), 2L, "beta"),
+        Doc(t(2), 3L, "alpha"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate + one new doc
+      input.addData(Doc(t(5), 4L, "beta"), Doc(t(6), 5L, "gamma"))
+      q.processAllAvailable()
+
+      val got = spark.table("dedup_out")
+        .select("docId", "text").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+    } finally q.stop()
+  }
+}
