@@ -37,4 +37,21 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(got === Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
     } finally q.stop()
   }
+
+  test("stream-static broadcast enrichment (streaming J1): every event joins the dim") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("alpha", "pt"), ("beta", "en")).toDF("text", "lang")
+    val input = MemoryStream[Doc]
+    val out = input.toDF().join(broadcast(dim), Seq("text"), "left")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Doc(t(0), 1L, "alpha"), Doc(t(1), 2L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("docId", "lang").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(1L -> Some("pt"), 2L -> None))
+    } finally q.stop()
+  }
 }
