@@ -279,6 +279,15 @@ object SparkEntry {
         .select(col("yr"), col("A").cast("long").as("vol_a"),
           col("N").cast("long").as("vol_n"), col("R").cast("long").as("vol_r"))),
 
+    // A6: cube — all grouping-set combinations of (asset, year).
+    "a6_cube" -> ((s, d) =>
+      bars(s, d)
+        .select(col("ativo"), date_format(col("dt"), "yyyy").as("yr"),
+          col("trade_volume"))
+        .cube("ativo", "yr")
+        .agg(sum("trade_volume").cast("long").as("sum_vol"),
+          count(lit(1)).as("n"))),
+
     // O4: set difference — customers ordering in 1995 but not 1996.
     "o4_except" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -504,6 +513,13 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN ativo = 'N' THEN trade_volume END) AS BIGINT) AS vol_n,
          |       CAST(SUM(CASE WHEN ativo = 'R' THEN trade_volume END) AS BIGINT) AS vol_r
          |FROM ($barsSql) GROUP BY 1""".stripMargin,
+
+    "a6_cube" ->
+      s"""SELECT ativo, yr, CAST(SUM(trade_volume) AS BIGINT) AS sum_vol,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM (SELECT ativo, strftime(dt, '%Y') AS yr, trade_volume
+         |      FROM ($barsSql))
+         |GROUP BY CUBE(ativo, yr)""".stripMargin,
 
     "o4_except" ->
       """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
