@@ -133,6 +133,14 @@ object SparkEntryExt {
     "x2_neardup_minhash" -> ((s, d) =>
       TextOps.nearDupPairs(docsWithPlanted(s, d), 0.8)),
 
+    // The deduplicated CORPUS (what a training pipeline keeps): min-id
+    // survivor over the near-dup relation. Oracle recomputes the drop set
+    // from exact Jaccard — a green row proves LSH found exactly the true
+    // duplicate set AND the survivor selection matches.
+    "x2_dedup_corpus" -> ((s, d) =>
+      TextOps.dedupCorpus(docsWithPlanted(s, d), 0.8)
+        .select(col("doc_id"), length(col("text")).as("n_len"))),
+
     // Exact n-gram-Jaccard all-pairs on a bounded subset (the brute-force
     // twin the LSH path is verified against).
     "x2_jaccard_ngram" -> ((s, d) => {
@@ -345,6 +353,22 @@ object SparkEntryExt {
          |  WHERE len(a.s) > 0 AND len(b.s) > 0
          |)
          |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.8""".stripMargin,
+
+    "x2_dedup_corpus" ->
+      s"""WITH all_docs AS ($docsWithPlantedSql),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM all_docs)
+         |),
+         |dups AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)) >= 0.8
+         |)
+         |SELECT doc_id, CAST(length(text) AS INT) AS n_len FROM all_docs
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
 
     "x2_jaccard_ngram" ->
       s"""WITH all_docs AS ($docsWithPlantedSql),

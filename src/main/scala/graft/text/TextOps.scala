@@ -120,6 +120,23 @@ object TextOps {
       .filter(col("jac") >= threshold)
   }
 
+  /** Near-dup DEDUPLICATED corpus — what a training-data pipeline actually
+    * keeps: drop every document that near-duplicates a smaller-id one
+    * (min-id survivor over the `nearDupPairs` relation; standard practice
+    * in web-scale dedup — no transitive closure pass, so chains keep one
+    * doc per adjacent pair rather than one per connected component).
+    * The drop set is a fixed-width id column; removal is a left-anti join.
+    */
+  def dedupCorpus(docs: DataFrame, threshold: Double,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  shingleN: Int = 3, numHashes: Int = 24,
+                  bands: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    val dupIds = nearDupPairs(docs, threshold, idCol, textCol, shingleN,
+        numHashes, bands, rowsPerBand)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Portable 31-bit polynomial rolling hash of a string column:
     * fold(acc*31 + codepoint) mod (2^31-1). Stays within int64 at every
     * step and starts from the first char (0*31+c == c), so any engine with
