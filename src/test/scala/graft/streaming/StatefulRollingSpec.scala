@@ -66,4 +66,25 @@ class StatefulRollingSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Long]("total_volume")).sum === 140L)
     } finally q.stop()
   }
+
+  test("session_window groups events by activity gap (streaming X8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[BarIn]
+    // two activity bursts per asset, > 1 day apart → two sessions
+    val q = input.toDS().toDF()
+      .withWatermark("date", "0 seconds")
+      .groupBy(col("ativo"), session_window(col("date"), "36 hours"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(bar("A", 1, 1.0), bar("A", 2, 1.0), // burst 1: days 1-2
+        bar("A", 10, 1.0), bar("A", 11, 1.0), bar("A", 12, 1.0)) // burst 2
+      q.processAllAvailable()
+      val sessions = spark.table("session_out")
+        .orderBy("session_window.start")
+        .select("n").collect().map(_.getLong(0)).toSeq
+      assert(sessions === Seq(2L, 3L))
+    } finally q.stop()
+  }
 }
