@@ -18,8 +18,10 @@ import graft.tables.Tables
   * disk. The DuckDB oracle recomputes the same dataflow straight from
   * `lineitem` — a green row proves the round trip loses nothing.
   *
-  * Bars are limited to half a calendar year to keep the raw tree at ~180
-  * Hive partitions (the partitioned-write cost under bench).
+  * Bars are limited to one calendar quarter: ~90 Hive partition dirs is
+  * plenty to exercise discovery/pruning while keeping the per-file writer
+  * init (the dominant partitioned-write cost at tiny scale) off the bench
+  * critical path.
   */
 object SparkEntryPipeline {
 
@@ -36,7 +38,7 @@ object SparkEntryPipeline {
   private def dailyBars(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
       .groupBy(col("l_returnflag").as("ativo"), col("l_shipdate").as("Date"))
       .agg(max(col("l_extendedprice")).as("Close"),
         sum(col("l_quantity")).cast("long").as("Volume"))
@@ -47,7 +49,7 @@ object SparkEntryPipeline {
       |       CAST(SUM(l_quantity) AS BIGINT) AS trade_volume
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-      |  AND l_shipdate < TIMESTAMP '1995-07-01'
+      |  AND l_shipdate < TIMESTAMP '1995-04-01'
       |GROUP BY 1, 2""".stripMargin
 
   /** The refined dataflow on daily bars, as DuckDB SQL (mirrors
