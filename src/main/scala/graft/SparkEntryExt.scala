@@ -104,13 +104,15 @@ object SparkEntryExt {
         .select(col("q_id"), col("rank"), col("vec_id"),
           round(col("sim"), 6).as("sim6"))),
 
-    // IVF variant: 16 sampled centroids, probe the 4 nearest lists — the
+    // IVF variant: 16 Lloyd-fitted centroids (3 spherical k-means rounds
+    // from deterministic seeds), probe the 6 nearest lists — the
     // partition-pruned inverted-list shape. Approximate → rows-only check;
-    // recall/structure asserted in SimSearchSpec.
+    // recall/structure asserted in SimSearchSpec (fitted >= sampled seeds
+    // at these parameters).
     "x4_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
-      val cents = SimSearch.sampleCentroids(e, 16)
-      SimSearch.ivfTopK(e, e.filter(col("vec_id") < 10), 10, cents, nProbe = 4)
+      val cents = SimSearch.fitCentroids(e, 16, iters = 3)
+      SimSearch.ivfTopK(e, e.filter(col("vec_id") < 10), 10, cents, nProbe = 6)
         .select(col("q_id"), col("rank"), col("vec_id"),
           round(col("sim"), 6).as("sim6"))
     }),

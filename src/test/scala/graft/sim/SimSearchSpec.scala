@@ -112,6 +112,41 @@ class SimSearchSpec extends AnyFunSuite {
     assert(wide >= ivf.count())
   }
 
+  test("Lloyd-fitted centroids: deterministic, unit-norm, recall@10 >= sampled seeds") {
+    // The fixture embeddings are near-uniform on the sphere, so fitting
+    // mostly BALANCES the inverted lists (the efficiency win); the recall
+    // comparison runs at the x4_ivf_topk entry's own parameters
+    // (16 centroids, 3 Lloyd rounds, nProbe=6), where fitted centroids
+    // also beat the raw first-n-by-id seeds on recall. Everything is
+    // deterministic, so the margin is stable run to run.
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = SimSearch.bruteForceTopK(emb, q, 10).select("q_id", "vec_id")
+    val bruteN = brute.count().toDouble
+    def recallAt10(cents: Seq[Seq[Double]]): Double =
+      SimSearch.ivfTopK(emb, q, 10, cents, nProbe = 6)
+        .select("q_id", "vec_id")
+        .join(brute, Seq("q_id", "vec_id")).count() / bruteN
+    val fitted = SimSearch.fitCentroids(emb, 16, iters = 3)
+    assert(fitted === SimSearch.fitCentroids(emb, 16, iters = 3),
+      "fit must be deterministic")
+    assert(fitted.forall(c =>
+      math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9),
+      "fitted centroids must be unit-norm (argmax-dot == argmax-cosine)")
+    val base = recallAt10(SimSearch.sampleCentroids(emb, 16))
+    val fit = recallAt10(fitted)
+    assert(fit >= base, s"fitted recall $fit < sampled-seed recall $base")
+    // balanced lists: Lloyd pulls the skinny tail up — the smallest fitted
+    // inverted list must be at least as large as the seeds' smallest
+    def minList(cents: Seq[Seq[Double]]): Long = {
+      val scores = (e: org.apache.spark.sql.Column) =>
+        transform(typedLit(cents), c => SimSearch.dot(e, c))
+      emb.select(graft.util.Expr.bind(scores(col("emb")),
+          s => array_position(s, array_max(s))).as("b"))
+        .groupBy("b").count().agg(min("count")).head().getLong(0)
+    }
+    assert(minList(fitted) >= minList(SimSearch.sampleCentroids(emb, 16)))
+  }
+
   test("native LSH band keys equal the fold-based formulation") {
     val planes = SimSearch.hyperplanes(40, 64)
     val both = emb.limit(100).select(

@@ -55,6 +55,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"aggregate-side exchange is not post-partial-agg: $below")
   }
 
+  test("ANN/near-dup embedding re-attachment never forces a corpus broadcast") {
+    // VERDICT r2 #1: the re-attachment joins must not hint broadcast() of a
+    // frame that grows with the corpus. With size-based auto-broadcast off
+    // (isolated child session — own SQLConf, shared context), any remaining
+    // BroadcastExchange in these plans could only come from a forced hint.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Seq("x4_ann_topk", "x4_cosine_neardup").foreach { q =>
+      val p = SparkEntry.queries(q)(s2, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
+        s"$q forces a broadcast of a corpus-derived frame:\n$p")
+    }
+  }
+
   test("x1 exact dedup shuffles on a fixed-width hash, not the raw text") {
     val p = plan("x1_dedup_exact")
     // the hash is pre-projected as a window partition key (_w0 =
