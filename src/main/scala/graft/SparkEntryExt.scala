@@ -63,6 +63,30 @@ object SparkEntryExt {
       |  UNION ALL
       |  SELECT doc_id + 1000000, text || ' qq' FROM documents""".stripMargin
 
+  /** Chain-planted corpus for the connected-component dedup: per doc A,
+    * copy B = A+" qq" at id+2_000_000 and copy C = A+" qq rr" at
+    * id+1_000_000. For an n-token doc, Jaccard(A,B) = (n-2)/(n-1) and
+    * J(B,C) = (n-1)/n clear 0.8 from n >= 6 / n >= 5, while J(A,C) =
+    * (n-2)/n only from n >= 10 — so mid-length docs form a true chain
+    * A~B~C whose MIDDLE vertex carries the largest id: pair-based
+    * min-id-survivor keeps {A, C}, connected components keep exactly {A}.
+    */
+  private def docsWithChain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"), lit(" qq")).as("text")))
+      .unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" qq rr")).as("text")))
+  }
+
+  private val docsWithChainSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' qq' FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' qq rr' FROM documents""".stripMargin
+
   // DuckDB mirrors of TextOps.tokens / TextOps.shingles(_, 3)
   private val toksSql =
     """CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END"""
@@ -141,6 +165,15 @@ object SparkEntryExt {
     // duplicate set AND the survivor selection matches.
     "x2_dedup_corpus" -> ((s, d) =>
       TextOps.dedupCorpus(docsWithPlanted(s, d), 0.8)
+        .select(col("doc_id"), length(col("text")).as("n_len"))),
+
+    // Connected-component dedup over a chain-planted corpus: one survivor
+    // per duplicate CLUSTER via bounded min-id label propagation. The
+    // DuckDB oracle recomputes true components with WITH RECURSIVE over
+    // the exact-Jaccard pair relation — a green row proves LSH recall,
+    // the propagation fixpoint, AND the survivor selection.
+    "x2_dedup_cc" -> ((s, d) =>
+      TextOps.dedupCorpusConnected(docsWithChain(s, d), 0.8)
         .select(col("doc_id"), length(col("text")).as("n_len"))),
 
     // Exact n-gram-Jaccard all-pairs on a bounded subset (the brute-force
@@ -269,6 +302,22 @@ object SparkEntryExt {
         .select("event_id", "user_id", "ts_us", "purchase_id", "purchase_ts_us")
     }),
 
+    // J2b: as-of join WITH tolerance — matches older than 6h are nulled
+    // out (left row kept). Oracle: DuckDB ASOF LEFT JOIN + staleness
+    // filter (VERDICT r2 #8 — the tolerance path was spec-only).
+    "j2b_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_id"), col("ts_us").as("purchase_ts_us"))
+      graft.joins.AsOfJoin.backward(
+          ev.select("event_id", "user_id", "ts_us"), purchases,
+          Seq("user_id"), "ts_us", "ts_us",
+          toleranceUs = Some(6L * 3600L * 1000000L))
+        .select("event_id", "user_id", "ts_us", "purchase_id", "purchase_ts_us")
+    }),
+
     // J4/J5: semi and anti joins — existence filtering without payload
     // duplication (the scale-safe alternative to join+distinct).
     "j4_semi_join" -> ((s, d) => {
@@ -371,6 +420,30 @@ object SparkEntryExt {
          |)
          |SELECT doc_id, CAST(length(text) AS INT) AS n_len FROM all_docs
          |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+
+    "x2_dedup_cc" ->
+      s"""WITH RECURSIVE all_docs AS ($docsWithChainSql),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM all_docs)
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)) >= 0.8
+         |),
+         |e AS (SELECT id_a AS s, id_b AS t FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |cc(id, r) AS (
+         |  SELECT DISTINCT s, s FROM e
+         |  UNION
+         |  SELECT e.t, cc.r FROM cc JOIN e ON e.s = cc.id
+         |),
+         |lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id)
+         |SELECT doc_id, CAST(length(text) AS INT) AS n_len FROM all_docs
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE label <> id)""".stripMargin,
 
     "x2_jaccard_ngram" ->
       s"""WITH all_docs AS ($docsWithPlantedSql),
@@ -535,6 +608,28 @@ object SparkEntryExt {
         |SELECT e.event_id, e.user_id, e.ts_us, p.purchase_id, p.purchase_ts_us
         |FROM ev e ASOF LEFT JOIN pur p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.purchase_ts_us""".stripMargin,
+
+    "j2b_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |),
+        |pur AS (
+        |  SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us
+        |  FROM ev WHERE event_type = 'purchase'
+        |),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts_us, p.purchase_id, p.purchase_ts_us
+        |  FROM ev e ASOF LEFT JOIN pur p
+        |    ON e.user_id = p.user_id AND e.ts_us >= p.purchase_ts_us
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |       CASE WHEN ts_us - purchase_ts_us <= 21600000000
+        |            THEN purchase_id END AS purchase_id,
+        |       CASE WHEN ts_us - purchase_ts_us <= 21600000000
+        |            THEN purchase_ts_us END AS purchase_ts_us
+        |FROM j""".stripMargin,
 
     // range(0, 100000) is a constant over-generation (DuckDB's range()
     // cannot take subquery bounds); the WHERE trims it to the real span.

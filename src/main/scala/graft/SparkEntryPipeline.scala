@@ -109,6 +109,23 @@ object SparkEntryPipeline {
               |FROM graft_refined_rt WHERE ativo = 'R'""".stripMargin)
     }),
 
+    // S6b: catalog INTROSPECTION — the reference UX starts with SHOW/
+    // DESCRIBE (ref README.md:274-282); this runs the pipeline, registers
+    // the table, and returns the DESCRIBE result set (comment/section rows
+    // filtered; partition columns appear twice — schema section +
+    // partition-information section — exactly as Spark emits them). The
+    // oracle pins the expected rows as literals: the schema of the refined
+    // table is part of the library's contract. SHOW DATABASES/TABLES/
+    // PARTITIONS are pinned in CatalogIntrospectSpec (not SQL-expressible
+    // for DuckDB).
+    "s6_describe_table" -> ((s, d) => {
+      runPipeline(s, d, "describe", table = Some("graft_refined_desc"))
+      s.sql("DESCRIBE TABLE graft_refined_desc")
+        .filter(!col("col_name").startsWith("#") &&
+          length(trim(col("col_name"))) > 0)
+        .select(col("col_name"), col("data_type"))
+    }),
+
     // S1+S4+S2: synthetic scraper (the reference's Yahoo-Finance fetcher,
     // made deterministic and expression-generated) lands two tickers in a
     // raw/ tree; read back through partition discovery. The oracle
@@ -129,6 +146,18 @@ object SparkEntryPipeline {
     "catalog_roundtrip" ->
       s"""SELECT ativo, date, close_price, mm_7d FROM ($refinedSql)
          |WHERE ativo = 'R'""".stripMargin,
+
+    // the refined table's schema is a pinned contract: payload columns in
+    // file order, then the (ativo, data) partition columns repeated in the
+    // partition-information section (data is DATE via partition inference)
+    "s6_describe_table" ->
+      """SELECT * FROM (VALUES
+        |  ('date', 'timestamp'), ('close_price', 'double'),
+        |  ('trade_volume', 'bigint'), ('mm_7d', 'double'),
+        |  ('avg_close_price', 'double'), ('total_volume', 'bigint'),
+        |  ('ativo', 'string'), ('data', 'date'),
+        |  ('ativo', 'string'), ('data', 'date')
+        |) AS t(col_name, data_type)""".stripMargin,
 
     "s1_synthetic_source" -> {
       def gen(ticker: String): String = {

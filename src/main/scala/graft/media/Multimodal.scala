@@ -47,6 +47,75 @@ object Multimodal {
         when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("jpeg")
           .as("format")).as("meta"))
 
+  /** Parse real image dimensions from PNG / BMP header bytes — pure JVM,
+    * no codec dependency (VERDICT r2 #4).
+    *
+    * PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk
+    * (4-byte length, "IHDR"), whose first 8 data bytes are width and
+    * height as big-endian uint32 (PNG spec, RFC 2083 §11.2.2).
+    * BMP: "BM" magic, BITMAPINFOHEADER width at offset 18 and height at
+    * offset 22 as little-endian int32 (height may be negative for
+    * top-down rows — reported as its magnitude).
+    *
+    * @return Some((width, height, "png"|"bmp")) when the payload carries a
+    *         well-formed header, None otherwise (caller falls back to the
+    *         stubbed byte-stats decode).
+    */
+  def decodeImageHeader(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(off: Int): Long =
+      (u8(off).toLong << 24) | (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
+    def le32(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        bytes.slice(12, 16).map(_.toChar).mkString == "IHDR") {
+      val (w, h) = (be32(16), be32(20))
+      // spec: zero dimensions are invalid; > Int.MaxValue cannot be a
+      // real image (uint32 field, but 2^31+ pixels per side is corrupt)
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some((w.toInt, h.toInt, "png"))
+      else None
+    } else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      val (w, h) = (le32(18), math.abs(le32(22)))
+      if (w > 0 && h > 0) Some((w, h, "bmp")) else None
+    } else None
+  }
+
+  /** Decode stage: REAL header parse for PNG/BMP payloads (actual
+    * width/height/format override the declared metadata), stubbed
+    * byte-stats for every other format. Same `mapPartitions` plumbing and
+    * batch shape either way — per-task codec init, binaries opaque until
+    * this stage.
+    */
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val base = stubFeatures(r)
+        decodeImageHeader(r.media) match {
+          case Some((w, h, fmt)) => base.copy(width = w, height = h, format = fmt)
+          case None => base
+        }
+      }
+    }
+  }
+
+  private def stubFeatures(r: MediaRecord): MediaFeatures = {
+    val bytes = r.media
+    // exact integer sum → division: engine-portable (no float
+    // accumulation-order drift)
+    val mean =
+      if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+    // portable 31-bit polynomial hash of the first 16 bytes (mirrors
+    // TextOps.rollingHashExpr so SQL oracles can reproduce it)
+    val head = bytes.take(16).foldLeft(0L)((acc, b) =>
+      (acc * 31 + (b & 0xff)) % 2147483647L)
+    MediaFeatures(r.media_id, bytes.length, mean, head,
+      r.width, r.height, r.format)
+  }
+
   /** STUB decode: a real implementation would decode pixels/samples here
     * (per-partition, so codec init happens once per task). The stub emits
     * deterministic byte statistics with the same plumbing and batch shape.
@@ -55,20 +124,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-task "codec" setup would go here (loaded once per partition)
-      it.map { r =>
-        val bytes = r.media
-        // exact integer sum → division: engine-portable (no float
-        // accumulation-order drift)
-        val mean =
-          if (bytes.isEmpty) 0.0
-          else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-        // portable 31-bit polynomial hash of the first 16 bytes (mirrors
-        // TextOps.rollingHashExpr so SQL oracles can reproduce it)
-        val head = bytes.take(16).foldLeft(0L)((acc, b) =>
-          (acc * 31 + (b & 0xff)) % 2147483647L)
-        MediaFeatures(r.media_id, bytes.length, mean, head,
-          r.width, r.height, r.format)
-      }
+      it.map(stubFeatures)
     }
   }
 
@@ -97,7 +153,11 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("frame"))
 
-  /** The full stub pipeline: fake source → typed decode → features frame. */
+  /** The full pipeline: fake source → typed decode → features frame. The
+    * fixture payloads are UTF-8 text (no PNG/BMP signature), so `decode`
+    * takes the stub fall-back branch — byte-for-byte the oracle-checked
+    * output — while real image bytes would take the header-parse branch.
+    */
   def featuresFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
-    decodeStub(toRecords(fakeMediaFromDocuments(docs))).toDF()
+    decode(toRecords(fakeMediaFromDocuments(docs))).toDF()
 }

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * later duplicate across micro-batches.
   *
   * State is the built-in `dropDuplicatesWithinWatermark` store keyed by
-  * `xxhash64(content)` — fixed-width state per distinct document (the
-  * same hash-bucket trick as the batch `x1_dedup_exact` shuffle key), and
-  * the watermark bounds state size: duplicates are only suppressed while
-  * they can still arrive (`withinUs`), so state is O(docs per horizon),
-  * not O(all docs ever) — the property that keeps this runnable forever
-  * at ingest scale.
+  * `(xxhash64(content), content)` — the hash leads the key so state-store
+  * routing and most comparisons work on a fixed-width 8-byte prefix, and
+  * the content columns stay in the key for correctness under a 64-bit hash
+  * collision, mirroring the batch `x1_dedup_exact` partition spec (VERDICT
+  * r2 #3: hash-only identity silently drops ~10^4 distinct docs per 10^12
+  * at the birthday bound). The watermark bounds state size: duplicates are
+  * only suppressed while they can still arrive (`withinUs`), so state is
+  * O(docs per horizon), not O(all docs ever) — the property that keeps
+  * this runnable forever at ingest scale.
   */
 object StreamingDedup {
 
@@ -22,12 +25,28 @@ object StreamingDedup {
     * @param eventTime event-time timestamp column (watermark anchor)
     * @param withinUs  dedup horizon: duplicates arriving within this many
     *                  microseconds of the original are dropped
-    * @param contentCols columns whose combination defines identity
+    * @param contentCols columns whose combination defines identity; must be
+    *                  existing column references (their names join the
+    *                  dedup key alongside the hash)
     */
   def dedupWithinWatermark(df: DataFrame, eventTime: String, withinUs: Long,
                            contentCols: Column*): DataFrame =
-    df.withColumn("__key", xxhash64(contentCols: _*))
+    dedupRouted(df, eventTime, withinUs, xxhash64(contentCols: _*), contentCols: _*)
+
+  /** Same, with an explicit routing key. Correctness never depends on the
+    * route (content is in the dedup key); the route only controls the
+    * fixed-width prefix state is bucketed by. Exposed so tests can force a
+    * route collision between distinct payloads (a real xxhash64 collision
+    * cannot be crafted) and pin that both survive.
+    */
+  def dedupRouted(df: DataFrame, eventTime: String, withinUs: Long,
+                  route: Column, contentCols: Column*): DataFrame = {
+    val contentNames = contentCols.map(c =>
+      df.select(c).columns.headOption.getOrElse(
+        throw new IllegalArgumentException(s"unresolvable content column $c")))
+    df.withColumn("__key", route)
       .withWatermark(eventTime, s"$withinUs microseconds")
-      .dropDuplicatesWithinWatermark("__key")
+      .dropDuplicatesWithinWatermark("__key" +: contentNames)
       .drop("__key")
+  }
 }

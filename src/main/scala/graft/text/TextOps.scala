@@ -137,6 +137,76 @@ object TextOps {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Min-id connected-component labels over an undirected pair relation
+    * `(id_a, id_b)` — bounded-iteration label propagation: every vertex
+    * starts labeled with its own id; each round takes the min of its own
+    * and its neighbors' labels; fixpoint when no label moves. Converges in
+    * O(component diameter) rounds (near-dup chains are shallow in
+    * practice; `maxIters` bounds the worst case). Each round is one
+    * equi-join + partial-aggregated min — the scalable formulation of
+    * connected components (label payload is one long; no transitive-pair
+    * materialization). `localCheckpoint` truncates the growing plan
+    * lineage per round. Convergence detection is O(1) extra work: labels
+    * only ever decrease, so the label sum (exact, DECIMAL(38,0) — no
+    * overflow, no float fuzz) is strictly monotone and stalls exactly at
+    * the fixpoint — no change-join needed.
+    *
+    * @return (id, label) for every vertex appearing in `pairs`; label =
+    *         smallest id in the vertex's connected component (if
+    *         `maxIters` is hit first, labels are an upper bound — callers
+    *         keeping one survivor per label may then keep extras, never
+    *         lose docs)
+    */
+  def minLabelComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("__nbr"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Connected-component near-dup dedup (VERDICT r2 #6): one survivor —
+    * the minimum id — per duplicate CLUSTER, not per adjacent pair, so a
+    * chain A~B~C keeps exactly A even when A and C are not direct
+    * near-duplicates. `dedupCorpus` (pair-based drop) stays available as
+    * the cheaper no-iteration variant; they differ exactly on chain
+    * topologies where a middle vertex carries the largest id.
+    */
+  def dedupCorpusConnected(docs: DataFrame, threshold: Double,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           shingleN: Int = 3, numHashes: Int = 24,
+                           bands: Int = 12, rowsPerBand: Int = 2,
+                           maxIters: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold, idCol, textCol, shingleN,
+      numHashes, bands, rowsPerBand)
+    val dropIds = minLabelComponents(pairs.select("id_a", "id_b"), maxIters)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Portable 31-bit polynomial rolling hash of a string column:
     * fold(acc*31 + codepoint) mod (2^31-1). Stays within int64 at every
     * step and starts from the first char (0*31+c == c), so any engine with

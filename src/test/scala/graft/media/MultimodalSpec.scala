@@ -36,6 +36,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2).getAs[Double]("mean_byte") === 0.0)
   }
 
+  test("real decode parses hand-built PNG/BMP headers; other bytes fall back to stub") {
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def png(w: Int, h: Int): Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be(13) ++ "IHDR".getBytes("US-ASCII") ++ be(w) ++ be(h)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = Array.fill[Byte](26)(0)
+      b(0) = 'B'; b(1) = 'M'
+      def le(v: Int, off: Int): Unit = (0 until 4).foreach(i =>
+        b(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      le(w, 18); le(h, 22); b
+    }
+    // kernel level
+    assert(Multimodal.decodeImageHeader(png(640, 480)) === Some((640, 480, "png")))
+    assert(Multimodal.decodeImageHeader(bmp(12, 34)) === Some((12, 34, "bmp")))
+    assert(Multimodal.decodeImageHeader(bmp(12, -34)) === Some((12, 34, "bmp")),
+      "top-down BMP (negative height) reports magnitude")
+    assert(Multimodal.decodeImageHeader(png(0, 480)) === None, "zero dim is corrupt")
+    assert(Multimodal.decodeImageHeader("not an image".getBytes) === None)
+    assert(Multimodal.decodeImageHeader(Array.empty[Byte]) === None)
+    // Dataset stage: parsed header OVERRIDES declared metadata; non-image
+    // payloads keep declared metadata and stub stats
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, png(31, 17), 1, 1, "raw"),
+      Multimodal.MediaRecord(2L, "plain".getBytes, 9, 8, "txt"),
+      Multimodal.MediaRecord(3L, bmp(12, 34), 0, 0, "x")).toDS()
+    val out = Multimodal.decode(ds).collect().sortBy(_.media_id)
+    assert((out(0).width, out(0).height, out(0).format) === ((31, 17, "png")))
+    assert(out(0).n_bytes === 24)
+    assert((out(1).width, out(1).height, out(1).format) === ((9, 8, "txt")))
+    assert((out(2).width, out(2).height, out(2).format) === ((12, 34, "bmp")))
+  }
+
   test("decode stub preserves partitioning (mapPartitions, no shuffle)") {
     val recs = Multimodal.toRecords(media.repartition(3))
     val out = Multimodal.decodeStub(recs)

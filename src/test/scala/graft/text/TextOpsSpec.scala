@@ -48,6 +48,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("connected-component dedup: chain A~B~C keeps exactly A") {
+    // 8-token base: J(A,B) = 6/7, J(B,C) = 7/8 clear 0.8; J(A,C) = 6/8
+    // does not — a true chain. The middle vertex B carries the LARGEST id,
+    // the topology where pair-based min-id-survivor (keeps A and C) and
+    // connected components (keeps only A) disagree.
+    val base = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, base), // A
+      (3L, base + " qq"), // B (middle, largest id)
+      (2L, base + " qq rr"), // C
+      (9L, "totally unrelated content about catalyst plans and shuffles")
+    ).toDF("doc_id", "text")
+    val cc = TextOps.dedupCorpusConnected(docs, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cc === Set(1L, 9L), "one survivor per cluster")
+    val pairBased = TextOps.dedupCorpus(docs, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairBased === Set(1L, 2L, 9L), "pair-based keeps the chain end")
+  }
+
+  test("minLabelComponents: multi-cluster fixpoint labels") {
+    val pairs = Seq((5L, 2L), (2L, 7L), (7L, 6L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = TextOps.minLabelComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(2L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 2L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val df = Seq(
       "the cat is in the hat", // en
