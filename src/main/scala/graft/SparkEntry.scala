@@ -58,8 +58,12 @@ object SparkEntry {
     // ---- reference-parity core (SURVEY §2.2-§2.6) ----
 
     // Full transform() = A+B+C: W1 rolling mean + A1 aggregate + J1 join.
+    // The window is cardinality-adaptive (VERDICT r2 #2): with 3 assets it
+    // re-buckets on (asset, time bucket) so the headline plan never
+    // serializes into 3 sort tasks; results are oracle-identical.
     "flagship_etl" -> ((s, d) =>
-      MarketEtl.transform(bars(s, d), "ativo", barOrder, "close_price", "trade_volume")),
+      MarketEtl.transform(bars(s, d), "ativo", barOrder, "close_price",
+        "trade_volume", adaptiveOn = Some(col("dt")))),
 
     // A1: per-asset hash aggregate.
     "a1_asset_agg" -> ((s, d) =>

@@ -137,6 +137,12 @@ object MarketEtl {
     val wOrd = Window.partitionBy(bucketKeys: _*).orderBy(orderCols: _*)
     val wFrame = wOrd.rowsBetween(-(n - 1), 0)
     val wAll = Window.partitionBy(bucketKeys: _*)
+    // The windowed frame feeds two plan branches (the result and the
+    // per-bucket head/tail extraction), so the scan + bucket exchange +
+    // sort appear twice in the plan (column pruning specializes the two
+    // subtrees, defeating ReuseExchange; persisting here was measured
+    // SLOWER at sf0.1 — cache materialization + codegen break cost more
+    // than the second pruned scan+sort, and both copies parallelize).
     val main = withB
       .withColumn("__rn", row_number().over(wOrd))
       .withColumn("__sz", count(lit(1)).over(wAll))
@@ -180,6 +186,52 @@ object MarketEtl {
       .drop("__bucket", "__rn", "__sz", "__mm_local", "__mm_fix")
   }
 
+  /** Cardinality-adaptive W1 (VERDICT r2 #2): picks the finest time-bucket
+    * granularity (month → year → none) whose every (key, bucket) group
+    * provably satisfies `rollingMeanBucketed`'s ≥ n-1-rows precondition AND
+    * which actually multiplies window parallelism — otherwise falls back to
+    * the plain per-key window. With few huge keys (the flagship fixture: 3
+    * assets) this turns 3 serial sort tasks into #keys × #buckets; with
+    * many small keys it correctly stays plain (the per-key window already
+    * parallelizes, and bucketing would only add boundary machinery).
+    *
+    * Cost: ONE extra pass over `df` — a map-side-combined count by
+    * (keys, month), persisted (≤ #keys × #months rows, tiny); the year and
+    * plain-key stats derive from it without touching `df` again. The
+    * decision is exact, not estimated: min group size over ALL groups
+    * ≥ n-1 (stricter than the non-final-groups precondition, so always
+    * safe). Results are identical across all three branches — w1/w1b share
+    * one oracle, and the pipeline round-trip oracles pin this path.
+    */
+  def rollingMeanAdaptive(df: DataFrame, partitionCols: Seq[String],
+                          orderCols: Seq[Column], valueCol: String, n: Int,
+                          out: String, timeCol: Column): DataFrame = {
+    val pc = partitionCols.map(col)
+    val monthCounts = df
+      .groupBy(pc :+ date_trunc("month", timeCol).as("__m"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (min group size, group count); (-1, 0) on an empty frame
+    def stats(counts: DataFrame): (Long, Long) = {
+      val r = counts.agg(min(col("cnt")), count(lit(1))).head()
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))
+    }
+    val (minM, gM) = stats(monthCounts)
+    val (minY, gY) = stats(monthCounts
+      .groupBy(pc :+ date_trunc("year", col("__m")).as("__y"): _*)
+      .agg(sum(col("cnt")).as("cnt")))
+    val nPlain = monthCounts.select(pc: _*).distinct().count()
+    monthCounts.unpersist()
+    if (minM >= n - 1 && gM > nPlain)
+      rollingMeanBucketed(df, partitionCols, orderCols, valueCol, n, out,
+        date_trunc("month", timeCol))
+    else if (minY >= n - 1 && gY > nPlain)
+      rollingMeanBucketed(df, partitionCols, orderCols, valueCol, n, out,
+        date_trunc("year", timeCol))
+    else
+      rollingMean(df, partitionCols, orderCols, valueCol, n, out)
+  }
+
   /** A1 (`etl/etl_job.py:133-140`): per-asset hash aggregate — mean close,
     * total volume. Partial aggregation (map-side combine) happens before the
     * exchange; null handling matches pandas (avg/sum skip nulls).
@@ -199,11 +251,20 @@ object MarketEtl {
 
   /** The full reference `transform()` (A+B+C, `README.md:50-56`) on a frame
     * already in standard shape (`ativo`, order columns, close, volume):
-    * rolling mean then aggregate-enrichment, one plan.
+    * rolling mean then aggregate-enrichment, one plan. With `adaptiveOn`
+    * set to the bar time column, the window goes through
+    * `rollingMeanAdaptive` — the skew-safe default for the pipeline and
+    * the flagship entry (VERDICT r2 #2).
     */
   def transform(df: DataFrame, asset: String, orderCols: Seq[Column],
-                close: String, vol: String, window: Int = 7): DataFrame = {
-    val withMm = rollingMean(df, Seq(asset), orderCols, close, window, "mm_7d")
+                close: String, vol: String, window: Int = 7,
+                adaptiveOn: Option[Column] = None): DataFrame = {
+    val withMm = adaptiveOn match {
+      case Some(t) =>
+        rollingMeanAdaptive(df, Seq(asset), orderCols, close, window, "mm_7d", t)
+      case None =>
+        rollingMean(df, Seq(asset), orderCols, close, window, "mm_7d")
+    }
     enrich(withMm, assetAggregate(df, asset, close, vol), asset)
   }
 }

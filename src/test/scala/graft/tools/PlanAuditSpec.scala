@@ -42,17 +42,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("flagship has one full-data exchange; the aggregate shuffles only partial-agg rows") {
+  test("flagship window re-buckets on (asset, time bucket); asset-only exchanges are post-agg") {
+    // VERDICT r2 #2: the headline window must never serialize into
+    // #assets sort tasks. The adaptive path re-partitions the window on
+    // (ativo, __bucket) — parallelism #assets × #buckets — and every
+    // exchange keyed on ativo alone may carry only aggregated (tiny)
+    // frames: boundary corrections (one row per bucket) or the partial
+    // per-asset aggregate.
     val p = plan("flagship_etl").linesIterator.toSeq
+    val winLine = p.find(l => l.contains("avg(close_price") &&
+      l.contains("windowspecdefinition"))
+    assert(winLine.exists(_.contains("__bucket")),
+      s"rolling-mean window is not bucket-partitioned: $winLine")
     val shuffles = p.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
-    // exactly two hash exchanges: the window's (full data) and the
-    // aggregate branch's — which must sit ABOVE a partial HashAggregate,
-    // i.e. it ships one row per (task x asset), not the data
-    assert(shuffles.size == 2, s"expected 2 hash exchanges, saw ${shuffles.size}")
-    val aggExchangeIdx = shuffles.last._2
-    val below = p.drop(aggExchangeIdx + 1).take(3).mkString
-    assert(below.contains("HashAggregate"),
-      s"aggregate-side exchange is not post-partial-agg: $below")
+    assert(shuffles.nonEmpty)
+    shuffles.filterNot(_._1.contains("__bucket")).foreach { case (line, i) =>
+      val below = p.drop(i + 1).take(2).mkString
+      assert(below.contains("Aggregate"),
+        s"asset-only exchange carries unaggregated data: $line\n$below")
+    }
   }
 
   test("ANN/near-dup embedding re-attachment never forces a corpus broadcast") {
