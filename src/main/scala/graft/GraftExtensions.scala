@@ -69,7 +69,17 @@ object GraftExtensions {
         "_FUNC_(score, id, k) - aggregate: top-k (score,id) pairs, score desc, id tiebreak"),
       (args: Seq[Expression]) => {
         val a = arity("graft_topk", 3, args)
-        graft.expressions.TopKByScore(a(0), a(1), intLit(a(2), "k"))
+        // implicit numeric casts (ADVICE r2): float/decimal scores and int
+        // ids are valid SQL inputs — align them to the aggregate's
+        // (DOUBLE, BIGINT) contract; non-numeric types still fail the
+        // expression's analysis-time check
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+        def castIf(e: Expression, to: org.apache.spark.sql.types.DataType) =
+          if (e.dataType != to && e.dataType.isInstanceOf[NumericType]) Cast(e, to)
+          else e
+        graft.expressions.TopKByScore(
+          castIf(a(0), DoubleType), castIf(a(1), LongType), intLit(a(2), "k"))
       }),
     ("graft_minhash_band_keys",
       info("graft_minhash_band_keys",

@@ -55,6 +55,17 @@ case class TopKByScore(
 
   require(k > 0, "k must be positive")
 
+  // analysis-time type check (ADVICE r2): update() hard-casts, so a float
+  // score or int id reaching eval would be a mid-job ClassCastException;
+  // the SQL builder inserts casts for numeric inputs before this runs
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_topk requires (score DOUBLE, id BIGINT), got " +
+          s"(${score.dataType.sql}, ${id.dataType.sql})")
+
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

@@ -4,18 +4,37 @@ import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Small-files compaction — the maintenance operator every partitioned
   * lake needs once streaming/incremental writes accumulate: rewrite a
-  * parquet directory into ceil(bytes / targetBytes) files, preserving
-  * Hive partition columns. (The reference never compacts — its Glue jobs
+  * parquet directory so each Hive partition holds ≈ceil(partitionBytes /
+  * targetBytes) files. (The reference never compacts — its Glue jobs
   * rewrite whole prefixes — but any incremental mode, like our streaming
   * T5b path, produces one file per micro-batch per partition and needs
   * this.)
   *
-  * Local-FS staging: write to `<dir>__compact_tmp`, then swap. On a real
-  * cluster the same two-phase shape applies with the storage's atomic
-  * rename/commit primitive.
+  * Design points (VERDICT r2 #9 + ADVICE r2):
+  *   - the file-count target is PER Hive partition, not global: the
+  *     driver-side dir walk (already needed for byte counts) sizes each
+  *     partition separately, and rows are sliced inside their partition —
+  *     a hot partition splits into many files without dragging tiny files
+  *     into cold partitions;
+  *   - partition columns are read as STRINGS (schema forced, inference
+  *     off): partition-value type inference would rewrite zero-padded
+  *     `mes=01` dirs as `mes=1` on the compacted tree, silently breaking
+  *     readers that declared string partitions (the exact hazard
+  *     `BatchPipeline.rawSchemaWithPartitions` documents);
+  *   - the swap never deletes live data before the replacement is in
+  *     place: old tree moves aside, staged tree promotes, old tree deletes
+  *     LAST — every crash point leaves a complete tree on disk (possibly
+  *     under `<dir>__compact_old`, documented recovery).
+  *
+  * Scale note: one shuffle sized by the data; the slice key is
+  * `xxhash64(payload) mod partitionSlices`, so task count ≈ Σ slices and
+  * no task writes more than ~targetBytes. The driver holds one entry per
+  * partition dir — the same listing any table-format metadata op holds.
   */
 object Compaction {
 
@@ -24,23 +43,70 @@ object Compaction {
               partitionCols: Seq[String] = Nil): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val before = parquetFiles(dir)
-    val bytes = before.map(_.length()).sum
-    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-
     val tmp = dir.stripSuffix("/") + "__compact_tmp"
-    val df = spark.read.parquet(dir)
+    val old = dir.stripSuffix("/") + "__compact_old"
+    require(!new File(old).exists(),
+      s"$old exists — recover or remove the previous interrupted compaction first")
+
+    // partition columns as declared strings: dir names round-trip verbatim
+    val inferred = spark.read.parquet(dir).schema
+    val stringPartitions = StructType(inferred.map(f =>
+      if (partitionCols.contains(f.name)) f.copy(dataType = StringType) else f))
+    val df = spark.read.schema(stringPartitions).parquet(dir)
+
     val writer =
-      if (partitionCols.nonEmpty)
-        // one file per (partition value, target-size slice)
-        df.repartition(parts, partitionCols.map(df(_)): _*)
+      if (partitionCols.isEmpty) {
+        val bytes = before.map(_.length()).sum
+        val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        df.repartition(parts).write
+      } else {
+        // per-partition slice counts from the dir walk
+        val slicesPerDir: Seq[(Seq[String], Int)] = before
+          .groupBy(f => partitionValues(dir, f, partitionCols))
+          .map { case (vals, fs) =>
+            vals -> math.max(1,
+              math.ceil(fs.map(_.length()).sum.toDouble / targetBytes).toInt)
+          }.toSeq
+        val totalSlices = slicesPerDir.map(_._2).sum
+        val lookup = spark.createDataFrame(
+          spark.sparkContext.parallelize(slicesPerDir.map { case (vals, n) =>
+            org.apache.spark.sql.Row.fromSeq(vals :+ n)
+          }, 1),
+          StructType(partitionCols.map(c =>
+            org.apache.spark.sql.types.StructField(c, StringType)))
+            .add("__slices", org.apache.spark.sql.types.IntegerType))
+        val payload = df.columns.filterNot(partitionCols.contains).toSeq
+        df.join(broadcast(lookup), partitionCols)
+          .withColumn("__slice",
+            pmod(xxhash64(payload.map(col): _*), col("__slices").cast("long")))
+          .repartition(totalSlices,
+            partitionCols.map(col) :+ col("__slice"): _*)
+          .drop("__slice", "__slices")
           .write.partitionBy(partitionCols: _*)
-      else df.repartition(parts).write
+      }
     writer.mode(SaveMode.Overwrite).parquet(tmp)
 
-    // swap: remove originals, move compacted tree into place
-    deleteRecursively(new File(dir))
+    // three-step swap: every crash point leaves a complete tree on disk
+    Files.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(new File(old))
     (before.length, parquetFiles(dir).length)
+  }
+
+  /** Hive partition values of a data file, in `partitionCols` order,
+    * parsed from its path under `root` (`ano=1995/mes=01/...`).
+    */
+  private def partitionValues(root: String, f: File,
+                              partitionCols: Seq[String]): Seq[String] = {
+    val rel = new File(root).toPath.toAbsolutePath.normalize
+      .relativize(f.toPath.toAbsolutePath.normalize).toString
+    val kv = rel.split('/').toSeq.filter(_.contains('=')).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    partitionCols.map(c => kv.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"file ${f.getPath} lacks partition column $c in its path")))
   }
 
   private def parquetFiles(dir: String): Seq[File] = {

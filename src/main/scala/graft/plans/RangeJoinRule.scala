@@ -22,16 +22,27 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
   *
   * Opt-in per session/query: set `spark.graft.rangeJoin.bucketWidth` to a
   * positive long in the time unit of the join columns (pick it near the
-  * typical interval length; replication factor is len/W + 1). The rule is
-  * a no-op when unset, when the join has any equi-conjunct (hash join
-  * already applies), or when the bound columns are not integral. Applied
-  * via `spark.sql.extensions=graft.GraftExtensions`. Idempotent: the
-  * rewritten join contains an equi-conjunct, so it no longer matches.
+  * typical interval length; replication factor is len/W + 1). The conf is
+  * SESSION-scoped — once set, every pure-inequality inner join in the
+  * session is rewritten, so scope it per query: set it, run the query,
+  * unset it (or use a dedicated session via `spark.newSession()`). As a
+  * backstop for a width tuned to one join leaking onto another, an
+  * interval spanning more than `spark.graft.rangeJoin.maxReplication`
+  * buckets (default 4096) fails fast with a clear message instead of
+  * materializing an explode() of unbounded width (ADVICE r2 — Spark's
+  * sequence() would otherwise error opaquely near 2^31 elements or
+  * silently bloat the join).
+  *
+  * The rule is a no-op when unset, when the join has any equi-conjunct
+  * (hash join already applies), or when the bound columns are not
+  * integral. Applied via `spark.sql.extensions=graft.GraftExtensions`.
+  * Idempotent: the rewritten join contains an equi-conjunct, so it no
+  * longer matches.
   */
 case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  import RangeJoinRule.BucketWidthConf
+  import RangeJoinRule.{BucketWidthConf, MaxReplicationConf}
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = session.conf.get(BucketWidthConf, "0").toLong
@@ -46,11 +57,15 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     e.dataType == LongType || e.dataType == IntegerType
 
   /** p div w as a floor (not truncate) — matches RangeJoin's bucketing and
-    * stays correct for negative times. Values are far below 2^53 in any
-    * epoch unit, so the double round-trip is exact.
+    * stays correct for negative times. Pure integer arithmetic
+    * (p - pmod(p, w) is exactly divisible by w, so truncating division IS
+    * floor division): exact for EVERY long, closing the documented 2^53
+    * double-round-trip caveat of the previous formulation (ADVICE r2).
     */
-  private def bucketOf(p: Expression, w: Long): Expression =
-    Cast(Floor(Divide(Cast(p, DoubleType), Literal(w.toDouble))), LongType)
+  private def bucketOf(p: Expression, w: Long): Expression = {
+    val pl = Cast(p, LongType)
+    new IntegralDivide(Subtract(pl, Pmod(pl, Literal(w))), Literal(w))
+  }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       cond: Expression, hint: JoinHint,
@@ -90,13 +105,25 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
         val newPoint = Project(pointPlan.output :+ pb, pointPlan)
 
         // one bucket id per overlapped bucket; empty-range rows (e <= s)
-        // produce an empty sequence instead of a runtime error
+        // produce an empty sequence instead of a runtime error, and rows
+        // spanning more than maxReplication buckets fail fast with
+        // guidance (the width is session-global — a value tuned for one
+        // join must not silently explode another)
+        val maxRepl = session.conf.get(MaxReplicationConf, "4096").toLong
         val lo = bucketOf(s, width)
         val hi = bucketOf(Subtract(Cast(e, LongType), Literal(1L)), width)
-        val seq = If(LessThanOrEqual(lo, hi),
+        val emptyArr =
+          Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false))
+        val guarded = If(
+          LessThanOrEqual(Subtract(hi, lo), Literal(maxRepl - 1)),
           Sequence(lo, hi, None,
             Some(session.sessionState.conf.sessionLocalTimeZone)),
-          Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+          Cast(new RaiseError(Literal(
+            s"graft range join: an interval spans more than $maxRepl buckets at " +
+              s"$BucketWidthConf=$width — raise the width (scope the conf per " +
+              s"query) or $MaxReplicationConf")),
+            ArrayType(LongType, containsNull = false)))
+        val seq = If(LessThanOrEqual(lo, hi), guarded, emptyArr)
         val ib = AttributeReference("__graft_ib", LongType, nullable = false)()
         val newInterval = Generate(Explode(seq), unrequiredChildIndex = Nil,
           outer = false, qualifier = None, generatorOutput = Seq(ib),
@@ -115,4 +142,5 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
 
 object RangeJoinRule {
   val BucketWidthConf = "spark.graft.rangeJoin.bucketWidth"
+  val MaxReplicationConf = "spark.graft.rangeJoin.maxReplication"
 }

@@ -39,6 +39,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(topk === Seq((0.9, 7L), (0.5, 3L)))
   }
 
+  test("graft_topk: numeric inputs are cast; non-numeric fail at analysis (ADVICE r2)") {
+    // float score / int id go through the builder's implicit casts
+    val topk = spark.sql(
+      """SELECT graft_topk(s, i, 2) AS t FROM VALUES
+        |  (CAST(0.5 AS FLOAT), 10), (CAST(0.9 AS FLOAT), 7) AS v(s, i)""".stripMargin)
+      .selectExpr("inline(t)")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(topk === Seq((0.9f.toDouble, 7L), (0.5f.toDouble, 10L)))
+    // a string score is an ANALYSIS error, not a mid-job ClassCastException
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT graft_topk(s, i, 2) FROM VALUES ('x', 1L) AS v(s, i)""")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_topk requires"))
+  }
+
   test("non-literal config args are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_word_shingles('a b c', 1 + 2)").collect()

@@ -109,6 +109,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).collect().toSet === expect)
   }
 
+  test("compaction targets file counts per partition and keeps zero-padded dirs (ADVICE r2)") {
+    import spark.implicits._
+    val dir = tmp("compact_skew")
+    // zero-padded ano=/mes= layout with heavy skew: mes=01 gets 12 appends
+    // (~60 rows), mes=02 gets one 2-row file
+    (1 to 12).foreach { i =>
+      (1 to 5).map(j => (i * 10L + j, "2024", "01", s"payload $i $j"))
+        .toDF("id", "ano", "mes", "body")
+        .coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("ano", "mes").parquet(dir)
+    }
+    Seq((900L, "2024", "02", "cold a"), (901L, "2024", "02", "cold b"))
+      .toDF("id", "ano", "mes", "body")
+      .coalesce(1).write.mode(SaveMode.Append).partitionBy("ano", "mes").parquet(dir)
+    // read with declared string partitions (the consumer contract under test)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val declared = StructType(Seq(StructField("id", LongType),
+      StructField("body", StringType), StructField("ano", StringType),
+      StructField("mes", StringType)))
+    val expect = spark.read.schema(declared).parquet(dir).collect().toSet
+    val hotBytes = new File(s"$dir/ano=2024/mes=01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target ≈ half the hot partition → hot dir must split, cold dir = 1 file
+    val (before, after) = Compaction.compact(spark, dir,
+      targetBytes = hotBytes / 2, partitionCols = Seq("ano", "mes"))
+    assert(before >= 13)
+    def files(p: String) = new File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).length
+    // zero-padded dir names survive: no mes=1 rewrite
+    assert(new File(s"$dir/ano=2024/mes=01").isDirectory,
+      "zero-padded partition dir must be preserved")
+    assert(!new File(s"$dir/ano=2024/mes=1").exists(),
+      "partition-type inference must not rewrite the layout")
+    assert(files(s"$dir/ano=2024/mes=01") >= 2,
+      "hot partition must split into multiple files")
+    assert(files(s"$dir/ano=2024/mes=02") === 1,
+      "cold partition must compact to exactly one file")
+    assert(after === files(s"$dir/ano=2024/mes=01") + files(s"$dir/ano=2024/mes=02"))
+    assert(spark.read.schema(declared).parquet(dir).collect().toSet === expect,
+      "declared-string-partition readers must see identical data after compaction")
+    assert(!new File(dir + "__compact_tmp").exists() &&
+      !new File(dir + "__compact_old").exists(), "staging trees cleaned up")
+  }
+
   test("incremental second run only rewrites touched asset partitions") {
     val rawDir = tmp("incr_raw")
     val refinedDir = tmp("incr_refined")

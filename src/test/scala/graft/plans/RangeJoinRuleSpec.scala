@@ -55,6 +55,29 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("an interval spanning more than maxReplication buckets fails fast (ADVICE r2)") {
+    // width 16 with a 10^6-long interval → ~62500 buckets > the cap of 64:
+    // must raise the guard's message, not materialize the explode
+    val hugeIv = Seq((1L, 0L, 1000000L)).toDF("iv", "s", "e")
+    try {
+      spark.experimental.extraOptimizations = Seq(RangeJoinRule(spark))
+      spark.conf.set(RangeJoinRule.BucketWidthConf, "16")
+      spark.conf.set(RangeJoinRule.MaxReplicationConf, "64")
+      val cond = points("p") >= hugeIv("s") && points("p") < hugeIv("e")
+      val e = intercept[Exception] {
+        points.join(hugeIv, cond).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("spans more than 64 buckets")),
+        s"unexpected error: $e")
+    } finally {
+      spark.conf.unset(RangeJoinRule.BucketWidthConf)
+      spark.conf.unset(RangeJoinRule.MaxReplicationConf)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("no-op when the bucket width conf is unset") {
     try {
       spark.experimental.extraOptimizations = Seq(RangeJoinRule(spark))
