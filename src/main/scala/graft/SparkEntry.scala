@@ -82,6 +82,37 @@ object SparkEntry {
                 "avg_close_price", "total_volume")
     }),
 
+    // J7: salted skew join — same result (and oracle) as j1, but the
+    // enrichment join runs as a salted shuffle join instead of a
+    // broadcast: the scale path when the dim side outgrows broadcast and
+    // the fact side has hot keys (3-value ativo is maximal skew).
+    "j7_salted_join" -> ((s, d) => {
+      val b = bars(s, d)
+      graft.joins.SkewJoin.saltedEquiJoin(
+          b, MarketEtl.assetAggregate(b), Seq("ativo"), salts = 8, "left")
+        .select("ativo", "l_orderkey", "l_linenumber", "close_price",
+          "avg_close_price", "total_volume")
+    }),
+
+    // J6: bucketed co-located join — orders and lineitem pre-bucketed on
+    // the join key (one-time layout), then the fact-fact join plans with
+    // NO exchange on either side; the only shuffle left is the tiny
+    // post-partial aggregate. Integer-exact aggregates keep the oracle
+    // drift-free.
+    "j6_bucketed_join" -> ((s, d) => {
+      val leaf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val ot = s"graft_orders_bkt_$leaf"
+      val lt = s"graft_lineitem_bkt_$leaf"
+      graft.joins.BucketedJoin.ensureBucketedTable(
+        s, Tables.orders(s, d), ot, buckets = 8, "o_orderkey")
+      graft.joins.BucketedJoin.ensureBucketedTable(
+        s, Tables.lineitem(s, d), lt, buckets = 8, "l_orderkey")
+      s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+    }),
+
     // P2+P6: rename + timestamp->date cast.
     "p2_rename_cast" -> ((s, d) =>
       Tables.lineitem(s, d).select(
@@ -375,6 +406,24 @@ object SparkEntry {
          |SELECT b.ativo, b.l_orderkey, b.l_linenumber, b.close_price,
          |       a.avg_close_price, a.total_volume
          |FROM base b LEFT JOIN agg a USING (ativo)""".stripMargin,
+
+    // identical oracle to j1: salting must not change the matched multiset
+    "j7_salted_join" ->
+      s"""WITH base AS ($barsSql),
+         |agg AS (
+         |  SELECT ativo, AVG(close_price) AS avg_close_price,
+         |         SUM(trade_volume) AS total_volume
+         |  FROM base GROUP BY ativo
+         |)
+         |SELECT b.ativo, b.l_orderkey, b.l_linenumber, b.close_price,
+         |       a.avg_close_price, a.total_volume
+         |FROM base b LEFT JOIN agg a USING (ativo)""".stripMargin,
+
+    "j6_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "p2_rename_cast" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,

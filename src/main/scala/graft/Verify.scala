@@ -17,6 +17,9 @@ object Verify {
       // local-FS harness: skip Hadoop CRC shadow files (halves file ops
       // on partitioned writes; checksums are a distributed-FS concern)
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // bucketed-layout tables (j6) live in the warehouse — keep it in tmp
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -102,4 +102,29 @@ class JoinsSpec extends AnyFunSuite {
       .select("iv_id").as[Long].collect().toSet
     assert(out == Set(1L, 2L))
   }
+
+  // -------- SkewJoin --------
+
+  test("saltedEquiJoin equals the plain join: left, null keys, duplicate dim rows") {
+    val big = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0),
+      (4L, null, 4.0), (5L, "C", 5.0)).toDF("id", "k", "v")
+    // duplicate dim rows per key: the matched MULTISET must be preserved
+    val dim = Seq(("A", "x"), ("A", "y"), ("B", "z")).toDF("k", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select("id", "k", "v", "tag")
+    val plain = canon(big.join(dim, Seq("k"), "left"))
+    val salted = canon(SkewJoin.saltedEquiJoin(big, dim, Seq("k"), 4, "left"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // inner variant too
+    val pi = canon(big.join(dim, Seq("k"), "inner"))
+    val si = canon(SkewJoin.saltedEquiJoin(big, dim, Seq("k"), 4, "inner"))
+    assert(si.exceptAll(pi).isEmpty && pi.exceptAll(si).isEmpty)
+  }
+
+  test("saltedEquiJoin actually spreads a hot key across salts") {
+    val big = Seq.tabulate(200)(i => (i.toLong, "HOT", i * 1.0)).toDF("id", "k", "v")
+    val salts = big.withColumn("__salt",
+        pmod(xxhash64(big.columns.map(col): _*), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts >= 6, s"salt spread too narrow: $salts of 8 buckets hit")
+  }
 }

@@ -77,6 +77,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("j6 bucketed join is exchange-free on both join sides") {
+    // bucketBy(8, key) on both tables: the scans satisfy the join's
+    // distribution requirement, so the ONLY hash exchange left is the tiny
+    // post-partial-aggregate one. Broadcast disabled in a child session so
+    // the small fixture can't sidestep the bucketing path.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = SparkEntry.queries("j6_bucketed_join")(s2, sf)
+      .queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(p.exists(_.contains("SortMergeJoin")), "bucketed join should sort-merge")
+    val exchanges = p.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+    assert(exchanges.size == 1,
+      s"expected only the aggregate exchange, saw:\n${exchanges.map(_._1).mkString("\n")}")
+    val below = p.drop(exchanges.head._2 + 1).take(2).mkString
+    assert(below.contains("HashAggregate"), s"lone exchange is not post-agg: $below")
+  }
+
+  test("j7 salted join shuffles on (key, salt), never a single hot-key task") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = SparkEntry.queries("j7_salted_join")(s2, sf)
+      .queryExecution.executedPlan.toString
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
+    assert(ex.contains("__salt"), s"join exchange not salted: $ex")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x1 exact dedup shuffles on a fixed-width hash, not the raw text") {
     val p = plan("x1_dedup_exact")
     // the hash is pre-projected as a window partition key (_w0 =
