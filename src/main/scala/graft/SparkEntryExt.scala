@@ -94,6 +94,15 @@ object SparkEntryExt {
     s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t)-1), " +
       s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE [] END"
 
+  // DuckDB mirror of TextOps.rollingHash(text) (shared by the x5
+  // fingerprint and the x9 sampling bucket)
+  private val fpSql =
+    """CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+      |     ELSE list_reduce(list_transform(range(1, length(text)+1),
+      |                                     i -> CAST(ascii(text[i]) AS BIGINT)),
+      |                      (acc, c) -> (acc*31 + c) % 2147483647)
+      |END""".stripMargin
+
   private val enStopSql = TextOps.EnStop.map(w => s"'$w'").mkString(", ")
   private val esStopSql = TextOps.EsStop.map(w => s"'$w'").mkString(", ")
   private val deStopSql = TextOps.DeStop.map(w => s"'$w'").mkString(", ")
@@ -221,6 +230,45 @@ object SparkEntryExt {
     "x5_bpe_tokens" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    // ---- X9-X11: training-data pipeline operators (round 3) ----
+
+    // X9a: content-hash train/eval split — reproducible across engines,
+    // runs, repartitionings and id reassignment (portable hash, no RNG).
+    "x9_hash_split" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.hashSplit(col("text"), evalPerMill = 100).as("split"))),
+
+    // X9b: stratified deterministic downsampling — the data-mixing
+    // primitive (keep 50% en / 20% es / 10% tail, by content hash).
+    "x9_stratified_sample" -> ((s, d) =>
+      TextOps.stratifiedSampleByHash(Tables.documents(s, d), "text", "lang",
+          Map("en" -> 500, "es" -> 200), defaultPerMill = 100)
+        .select("doc_id", "lang")),
+
+    // X10: sequence packing — documents into ~512-token bins, sharded by
+    // id so each shard packs independently (scale-safe prefix sum).
+    // Output: per-(shard, bin) document and token totals.
+    "x10_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+          .as("n_tok"))
+      TextOps.packSequences(docs, "doc_id", "n_tok", budgetTokens = 512L, shards = 8)
+        .groupBy(col("__shard").as("shard"), col("__bin").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }),
+
+    // X11: benchmark decontamination — corpus (originals + planted
+    // near-dup copies) vs an "eval suite" (every 50th doc): exact copies
+    // AND near-dup copies of eval docs are dropped via >= 5 shared
+    // distinct shingles; the oracle recomputes the same join.
+    "x11_decontaminate" -> ((s, d) => {
+      val evalSet = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(50L)) === 0)
+      TextOps.decontaminate(docsWithPlanted(s, d), evalSet, minOverlap = 5)
+        .select(col("doc_id"), length(col("text")).as("n_len"))
+    }),
 
     // ---- X6/events: timestamp handling (nanos → micros) oracle-checked ----
 
@@ -522,6 +570,55 @@ object SparkEntryExt {
         |         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
         |         m -> CAST(ceil(length(m)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+
+    "x9_hash_split" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN ($fpSql) % 1000 < 100 THEN 'eval' ELSE 'train' END AS split
+         |FROM documents""".stripMargin,
+
+    "x9_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ($fpSql) % 1000 AS b FROM documents
+         |) WHERE b < CASE WHEN lang = 'en' THEN 500
+         |                 WHEN lang = 'es' THEN 200
+         |                 ELSE 100 END""".stripMargin,
+
+    "x10_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |              ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |         END AS n_tok
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT doc_id % 8 AS shard, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tok AS pre
+        |  FROM t
+        |)
+        |SELECT shard, CAST(FLOOR(pre / 512) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "x11_decontaminate" ->
+      s"""WITH all_docs AS ($docsWithPlantedSql),
+         |ev AS (
+         |  SELECT DISTINCT unnest(list_distinct(${shinglesSql("tk")})) AS sh
+         |  FROM (SELECT $toksSql AS tk FROM documents WHERE doc_id % 50 = 0)
+         |),
+         |ds AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")})) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM all_docs)
+         |),
+         |bad AS (
+         |  SELECT doc_id FROM ds JOIN ev USING (sh)
+         |  GROUP BY doc_id HAVING COUNT(*) >= 5
+         |)
+         |SELECT doc_id, CAST(length(text) AS INT) AS n_len FROM all_docs
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "x6_event_times" ->
       """SELECT event_type,

@@ -250,6 +250,96 @@ object TextOps {
     })
   }
 
+  // ---- deterministic sampling / splits (X9) ----
+
+  /** Deterministic sampling bucket in [0, buckets) from the portable
+    * content hash: reproducible across engines, runs and repartitionings
+    * (no RNG state), and stable under re-crawls that reassign ids — the
+    * properties a train/eval split must have. `rollingHash` is
+    * non-negative, so pmod == %.
+    */
+  def hashBucket(text: Column, buckets: Int): Column =
+    pmod(rollingHash(text), lit(buckets.toLong))
+
+  /** Content-hash train/eval split: `evalPerMill` of documents (by
+    * content) land in "eval", the rest in "train". Same doc text → same
+    * split, forever, on any engine.
+    */
+  def hashSplit(text: Column, evalPerMill: Int): Column =
+    when(hashBucket(text, 1000) < evalPerMill, lit("eval")).otherwise(lit("train"))
+
+  /** Stratified deterministic downsampling: keep `perMill(stratum)` ‰ of
+    * each stratum (default `defaultPerMill`), selected by content hash —
+    * the data-mixing primitive of a training pipeline (e.g. keep 50% of
+    * English, 20% of Spanish, 10% of the tail), fully reproducible and
+    * push-down-friendly (one filter, no shuffle, no RNG).
+    */
+  def stratifiedSampleByHash(df: DataFrame, textCol: String, stratumCol: String,
+                             perMill: Map[String, Int],
+                             defaultPerMill: Int): DataFrame = {
+    val threshold = perMill.foldLeft(lit(defaultPerMill.toLong)) {
+      case (acc, (stratum, pm)) =>
+        when(col(stratumCol) === stratum, lit(pm.toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(textCol), 1000) < threshold)
+  }
+
+  // ---- sequence packing (X10) ----
+
+  /** Sequence packing: assign documents to ~`budgetTokens` bins (the
+    * pretraining batch-packing shape). Distributed formulation: documents
+    * shard by `idCol % shards` (each shard packs independently — the
+    * scale-safe alternative to one global running sum), then an exclusive
+    * prefix sum of token counts within the shard, ordered by id, gives
+    * `bin = floor(prefix / budget)`. Each bin's total is ≤ budget +
+    * maxDocTokens (a doc straddling the boundary joins the next bin) —
+    * the standard bound for streaming/distributed packing; true first-fit
+    * packing is inherently sequential. All-integer arithmetic →
+    * bit-exact across engines.
+    *
+    * @return input plus (__shard, __bin) columns
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budgetTokens: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("__bin",
+        floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / budgetTokens))
+  }
+
+  // ---- benchmark decontamination (X11) ----
+
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least `minOverlap` distinct word shingles with ANY document of the
+    * evaluation set — the standard n-gram-overlap contamination filter a
+    * training pipeline runs before pretraining. The eval shingle set is
+    * deduplicated once and the check is an equi-join on the shingle key +
+    * per-doc count: never an all-pairs comparison, and the corpus side
+    * streams through one shuffle keyed by shingle. (At 100 TB the join
+    * key would be xxhash64(shingle) — 8 fixed bytes instead of the
+    * string; kept as the string here so the DuckDB oracle can reproduce
+    * the join exactly.)
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3, minOverlap: Int = 5): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(distinctShingles(col(textCol), shingleN)).as("__sh"))
+      .distinct()
+    // per-doc shingles are distinct and evalSh is distinct, so each
+    // (doc, shingle) row matches at most one eval row: count == number of
+    // distinct shared shingles, without a countDistinct
+    val contaminated = docs
+      .select(col(idCol), explode(distinctShingles(col(textCol), shingleN)).as("__sh"))
+      .join(evalSh, "__sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minOverlap)
+      .select(col(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // ---- language ID (stopword heuristic) ----
 
   val EnStop: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
