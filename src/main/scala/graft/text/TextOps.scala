@@ -164,9 +164,22 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    // ONE job per round (VERDICT r3 #2): the checkpoint is LAZY — the
+    // convergence-sum action is what materializes (and lineage-truncates)
+    // the new labels, instead of an eager-checkpoint job followed by a
+    // separate sum job. The previous round's checkpoint blocks are
+    // unpersisted explicitly once the new round has materialized, rather
+    // than left for the ContextCleaner — abandoned blocks were charging
+    // GC pauses to whichever query ran next (the observed 2-4× bench
+    // spread on this query).
+    def blocksOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -174,11 +187,13 @@ object TextOps {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("__nbr"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(labels)
+        .localCheckpoint(eager = false)
+      val s = labelSum(next)
+      blocksOf(labels).foreach(_.unpersist(blocking = false))
+      labels = next
       converged = s == prevSum
       prevSum = s
       it += 1

@@ -127,4 +127,19 @@ class JoinsSpec extends AnyFunSuite {
       .select("__salt").distinct().count()
     assert(salts >= 6, s"salt spread too narrow: $salts of 8 buckets hit")
   }
+
+  test("saltedEquiJoin entropyCols: same multiset, hot key still spreads") {
+    val big = Seq.tabulate(200)(i => (i.toLong, "HOT", i * 1.0)).toDF("id", "k", "v")
+    val dim = Seq(("HOT", "x"), ("HOT", "y")).toDF("k", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select("id", "k", "v", "tag")
+    val plain = canon(big.join(dim, Seq("k"), "left"))
+    val salted = canon(SkewJoin.saltedEquiJoin(big, dim, Seq("k"), 8, "left",
+      entropyCols = Seq("id")))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the (key, id) hash must spread as well as the full-row hash did
+    val spread = big.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("id")), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(spread >= 6, s"entropy-salt spread too narrow: $spread of 8 buckets hit")
+  }
 }

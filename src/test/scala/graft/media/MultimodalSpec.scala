@@ -69,6 +69,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert((out(2).width, out(2).height, out(2).format) === ((12, 34, "bmp")))
   }
 
+  test("JPEG SOF0/SOF2 parse: walker skips APP0, stops at SOS, rejects junk") {
+    val base = Multimodal.jpegHeaderBytes(800, 600, progressive = false)
+    assert(Multimodal.decodeImageHeader(base) === Some((800, 600, "jpeg")))
+    val prog = Multimodal.jpegHeaderBytes(31, 17, progressive = true)
+    assert(Multimodal.decodeImageHeader(prog) === Some((31, 17, "jpeg")))
+    // SOI + SOS and no SOF: dimensions unavailable → fall back
+    val sosOnly = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x00).map(_.toByte)
+    assert(Multimodal.decodeImageHeader(sosOnly) === None)
+    // truncated mid-segment: no crash, no result
+    assert(Multimodal.decodeImageHeader(base.take(20)) === None)
+    // C4 (DHT) must NOT be mistaken for a frame header: DHT then SOF0
+    val dhtFirst =
+      Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0x00, 0x00).map(_.toByte) ++
+        Multimodal.jpegHeaderBytes(12, 34, progressive = false).drop(2)
+    assert(Multimodal.decodeImageHeader(dhtFirst) === Some((12, 34, "jpeg")))
+  }
+
+  test("planted-image constructors invert through the parser (the oracle contract)") {
+    val docs = Seq((0L, "a", 1L), (1L, "b", 1L), (2L, "c", 1L), (3L, "d", 1L),
+      (100L, "e", 1L)).toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.decode(Multimodal.plantedImages(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    Seq(0L, 1L, 2L, 3L, 100L).foreach { id =>
+      val f = out(id)
+      assert(f.width === (id % 64 + 1).toInt, s"id=$id width")
+      assert(f.height === (id % 48 + 1).toInt, s"id=$id height")
+      val fmt = (id % 4) match {
+        case 0 => "png"; case 1 => "bmp"; case _ => "jpeg"
+      }
+      assert(f.format === fmt, s"id=$id format")
+    }
+  }
+
   test("decode stub preserves partitioning (mapPartitions, no shuffle)") {
     val recs = Multimodal.toRecords(media.repartition(3))
     val out = Multimodal.decodeStub(recs)
