@@ -248,6 +248,50 @@ object SparkEntry {
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     }),
 
+    // Q5-flavor: 6-way star join (VERDICT r3 #6 — nothing previously
+    // stressed multi-join order/AQE). Declared in the natural shape and
+    // left to Catalyst: region/nation/supplier/customer are broadcast
+    // dims, lineitem⋈orders is the one genuine shuffle join at scale.
+    // Revenue is summed as DECIMAL: a 6-way shuffle join scrambles fold
+    // order, so a double sum would drift from the oracle's; casting each
+    // (bit-identical) double product to decimal(25,4) makes the sum exact
+    // integer arithmetic — order-independent, hash-matchable.
+    "q5_local_supplier" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(25,4)")
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+
+    // Q9-flavor profit rollup (no partsupp in the fixture: cost stands in
+    // as 10% of retail price × quantity): part filter → 5-way join →
+    // (nation, year) aggregate. Same decimal-exact sum discipline.
+    "q9_product_profit" -> ((s, d) => {
+      val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity"))
+        .cast("decimal(25,4)")
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    }),
+
     // ---- [EXT] LLM-data-pipeline operators (SURVEY §2.11) ----
 
     // X1: exact dedup with PLANTED duplicates (the fixture has none — ADVICE
@@ -527,6 +571,35 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+
+    // decimal-exact revenue: see the Spark-side comment on fold order
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                    AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                - 0.1 * p_retailprice * l_quantity AS DECIMAL(25,4)))
+        |            AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year""".stripMargin,
 
     "x1_dedup_exact" ->
       """WITH all_docs AS (

@@ -104,6 +104,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q5/q9 multi-join: every join survives as a shuffled equi-join with broadcast off") {
+    // VERDICT r3 #6, regime 1 — the 100 TB degradation check: with the
+    // broadcast escape hatch removed (at scale NO side may fit), every one
+    // of the 5-6 joins must still plan as a keyed shuffle join. A missing
+    // equi-conjunct (the c_nationkey = s_nationkey leg is the easy wrong
+    // turn) would surface here as a nested-loop/cartesian product.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Seq("q5_local_supplier", "q9_product_profit").foreach { q =>
+      val p = SparkEntry.queries(q)(s2, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degrades to a product join without broadcast:\n$p")
+      val joins = "SortMergeJoin".r.findAllIn(p).size +
+        "ShuffledHashJoin".r.findAllIn(p).size
+      val expected = if (q == "q5_local_supplier") 5 else 4
+      assert(joins == expected, s"$q: expected $expected shuffled joins, got $joins:\n$p")
+    }
+  }
+
+  test("q5/q9 multi-join: dims broadcast under size-based planning; filters pushed") {
+    // regime 2 — with size estimates available the planner must pick
+    // broadcast joins for the bounded dims (at sf0.001 every dim
+    // qualifies), and q9's part filter must reach the parquet scan.
+    val p5 = plan("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 3,
+      s"q5 dims not broadcast:\n$p5")
+    val p9 = plan("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p9).size >= 3,
+      s"q9 dims not broadcast:\n$p9")
+    val pushed = p9.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("StringContains(p_name,red)"),
+      s"part filter not pushed down: $pushed")
+  }
+
   test("x1 exact dedup shuffles on a fixed-width hash, not the raw text") {
     val p = plan("x1_dedup_exact")
     // the hash is pre-projected as a window partition key (_w0 =
