@@ -340,6 +340,14 @@ object SparkEntryExt {
         .select(col("media_id"), col("n_bytes").cast("bigint").as("n_bytes"),
           col("width"), col("height"), col("format"))),
 
+    // Audio modality: planted RIFF/WAVE headers (param values derived
+    // arithmetically from doc_id) parsed back by the pure-JVM chunk
+    // walker — same constructor-inversion oracle contract as
+    // x7_decode_real.
+    "x7_audio_meta" -> ((s, d) =>
+      graft.media.Multimodal.audioMeta(
+        graft.media.Multimodal.plantedAudio(Tables.documents(s, d)))),
+
     // X5: the explode/regexp token pipeline (the Generator/UDTF shape):
     // lower → regex split → explode → filter → count → top-k. Total order
     // (n desc, term) makes the LIMIT boundary deterministic cross-engine.
@@ -705,6 +713,15 @@ object SparkEntryExt {
         |       CAST(doc_id % 48 + 1 AS INT) AS height,
         |       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
         |            ELSE 'jpeg' END AS format
+        |FROM documents""".stripMargin,
+
+    "x7_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+        |            ELSE 16000 END AS INT) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INT)
+        |         AS bits_per_sample
         |FROM documents""".stripMargin,
 
     "x5_term_freq" ->

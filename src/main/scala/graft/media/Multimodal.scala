@@ -153,6 +153,103 @@ object Multimodal {
     b.array()
   }
 
+  /** Parse WAV (RIFF/WAVE) header metadata — the audio counterpart of
+    * `decodeImageHeader`, pure JVM. Layout (RIFF spec): "RIFF" + size +
+    * "WAVE", then chunks of (4-byte id, 4-byte LE size); the "fmt " chunk
+    * carries audio format (offset +8 in the chunk, LE u16), channel count
+    * (+10), sample rate (+12, LE u32), bits per sample (+22).
+    *
+    * @return Some((channels, sampleRate, bitsPerSample)) for a well-formed
+    *         PCM-style header, None otherwise.
+    */
+  def decodeWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    def le32(off: Int): Long =
+      u8(off).toLong | (u8(off + 1).toLong << 8) |
+        (u8(off + 2).toLong << 16) | (u8(off + 3).toLong << 24)
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length)
+        new String(bytes, off, 4, "US-ASCII")
+      else ""
+    if (bytes.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      // chunk walk from offset 12: fmt need not be the first chunk
+      var i = 12
+      var res: Option[(Int, Int, Int)] = None
+      while (res.isEmpty && i + 8 <= bytes.length) {
+        val id = tag(i)
+        val sz = le32(i + 4)
+        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= bytes.length) {
+          val channels = le16(i + 10)
+          val rate = le32(i + 12)
+          val bps = le16(i + 22)
+          if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bps > 0)
+            res = Some((channels, rate.toInt, bps))
+          else i = bytes.length // malformed fmt: stop
+        } else {
+          // chunks are word-aligned: odd sizes carry a pad byte
+          val step = 8L + sz + (sz % 2)
+          if (step <= 0 || i + step > Int.MaxValue) i = bytes.length
+          else i += step.toInt
+        }
+      }
+      res
+    }
+  }
+
+  /** Minimal RIFF/WAVE header with a junk chunk BEFORE fmt (so the chunk
+    * walk is exercised) — 48 bytes, no sample data.
+    */
+  def wavHeaderBytes(channels: Int, sampleRate: Int, bitsPerSample: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+    b.put("JUNK".getBytes("US-ASCII")).putInt(4).putInt(0) // skip-me chunk
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * (bitsPerSample / 8)) // byte rate
+    b.putShort((channels * (bitsPerSample / 8)).toShort) // block align
+    b.putShort(bitsPerSample.toShort)
+    b.array()
+  }
+
+  /** Planted REAL audio payloads (mirrors `plantedImages`): deterministic
+    * WAV headers whose parameters derive arithmetically from doc_id.
+    */
+  def plantedAudio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val ch = (id % 2 + 1).toInt
+        val rate = if (id % 3 == 0) 44100 else if (id % 3 == 1) 22050 else 16000
+        val bps = if (id % 2 == 0) 16 else 8
+        (id, wavHeaderBytes(ch, rate, bps))
+      }
+    }.toDF("media_id", "media")
+  }
+
+  /** Audio metadata extraction stage: WAV headers → typed columns; rows
+    * whose payload is not parseable surface NULL metadata (kept, not
+    * dropped — the caller decides). Same mapPartitions batch shape as
+    * `decode`.
+    */
+  def audioMeta(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavHeader(bytes) match {
+            case Some((ch, rate, bps)) =>
+              (id, Some(ch), Some(rate), Some(bps))
+            case None => (id, None: Option[Int], None: Option[Int], None: Option[Int])
+          }
+        }
+      }.toDF("media_id", "channels", "sample_rate", "bits_per_sample")
+  }
+
   /** Planted REAL image payloads over the documents fixture: per doc_id a
     * deterministic PNG / BMP / baseline-JPEG / progressive-JPEG header
     * whose dimensions derive arithmetically from the id, with deliberately

@@ -102,6 +102,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV header parse: chunk walk skips junk, handles odd sizes, rejects junk bytes") {
+    val ok = Multimodal.wavHeaderBytes(2, 44100, 16)
+    assert(Multimodal.decodeWavHeader(ok) === Some((2, 44100, 16)))
+    assert(Multimodal.decodeWavHeader(Multimodal.wavHeaderBytes(1, 16000, 8))
+      === Some((1, 16000, 8)))
+    // truncated / non-RIFF payloads
+    assert(Multimodal.decodeWavHeader(ok.take(20)) === None)
+    assert(Multimodal.decodeWavHeader("RIFFnope".getBytes) === None)
+    assert(Multimodal.decodeWavHeader(Array.empty[Byte]) === None)
+    // odd-size chunk before fmt must be pad-stepped, not mis-aligned
+    val oddJunk = {
+      val b = java.nio.ByteBuffer.allocate(49).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(41).put("WAVE".getBytes)
+      b.put("JUNK".getBytes).putInt(3).put(Array[Byte](0, 0, 0, 0)) // 3 + pad
+      b.put("fmt ".getBytes).putInt(16)
+      b.putShort(1).putShort(2).putInt(8000).putInt(8000 * 2 * 2)
+      b.putShort(4).putShort(16)
+      b.array()
+    }
+    assert(Multimodal.decodeWavHeader(oddJunk) === Some((2, 8000, 16)))
+  }
+
+  test("planted audio inverts through the parser (the x7_audio_meta contract)") {
+    val docs = Seq((0L, "a", 1L), (1L, "b", 1L), (2L, "c", 1L), (5L, "d", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.audioMeta(Multimodal.plantedAudio(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    Seq(0L, 1L, 2L, 5L).foreach { id =>
+      val rate = if (id % 3 == 0) 44100 else if (id % 3 == 1) 22050 else 16000
+      assert(out(id) === (((id % 2 + 1).toInt, rate, if (id % 2 == 0) 16 else 8)),
+        s"id=$id")
+    }
+  }
+
   test("decode stub preserves partitioning (mapPartitions, no shuffle)") {
     val recs = Multimodal.toRecords(media.repartition(3))
     val out = Multimodal.decodeStub(recs)
