@@ -53,6 +53,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned.count() === 2) // one row per asset on day 5
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes raw partitions at runtime") {
+    // The 100 TB join-on-partition-key path: joining the Hive-partitioned
+    // raw tree to a FILTERED dim must inject a dynamicpruning expression
+    // into the scan's PartitionFilters, so only the dim-selected partition
+    // dirs are listed/read at runtime — static pruning can't do this (the
+    // selected keys are only known after the dim filter runs).
+    // The injection rule gates on cluster-sized benefit estimates and on
+    // dim-side shape: the dim must be a source relation (not a local
+    // collection) carrying a selective predicate (equality; a bare
+    // boolean attribute does not qualify), and the local fixture's scan
+    // estimate is far below the default benefit bar — so the test lowers
+    // the gates the same way the bloom-filter pin does.
+    val rawDir = tmp("dpp_raw")
+    BatchPipeline.writeRaw(bars, rawDir, SaveMode.Overwrite)
+    val dimDir = tmp("dpp_dim")
+    (1 to 10).map(d => (f"$d%02d", if (d % 2 == 0) "keep" else "drop"))
+      .toDF("dia", "tag").write.mode(SaveMode.Overwrite).parquet(dimDir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+      "100000")
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    val fact = BatchPipeline.readRaw(s2, rawDir)
+    val dim = s2.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tag") === "keep"), Seq("dia"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in the scan:\n$plan")
+    assert(joined.count() === 10) // 5 even days × 2 assets
+  }
+
   test("e2e: refined layout is per-asset (fixes reference defect), mm_7d has 6 warm-up nulls, date pinned") {
     val rawDir = tmp("e2e_raw")
     val refinedDir = tmp("e2e_refined")

@@ -138,6 +138,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"part filter not pushed down: $pushed")
   }
 
+  test("q9 accepts a runtime bloom filter on the fact side (semi-join pushdown)") {
+    // At 100 TB the part-name filter's selectivity should reach the
+    // lineitem scan as a runtime bloom filter on l_partkey (row-level
+    // semi-join pushdown), so non-matching fact rows die at the scan
+    // instead of riding the shuffle. Thresholds are lowered because the
+    // injection rule gates on scan-size estimates sized for clusters.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    val p = SparkEntry.queries("q9_product_profit")(s2, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("bloom_filter") || p.contains("might_contain"),
+      s"no runtime bloom filter injected on the fact scan:\n$p")
+  }
+
   test("x1 exact dedup shuffles on a fixed-width hash, not the raw text") {
     val p = plan("x1_dedup_exact")
     // the hash is pre-projected as a window partition key (_w0 =
