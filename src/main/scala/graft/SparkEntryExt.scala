@@ -348,6 +348,13 @@ object SparkEntryExt {
       graft.media.Multimodal.audioMeta(
         graft.media.Multimodal.plantedAudio(Tables.documents(s, d)))),
 
+    // Video modality: planted ISO-BMFF (MP4) headers, alternating mvhd
+    // v0/v1, parsed back by the box walker; duration_ms is exact integer
+    // math so the oracle reproduces it with DIV.
+    "x7_video_meta" -> ((s, d) =>
+      graft.media.Multimodal.videoMeta(
+        graft.media.Multimodal.plantedVideo(Tables.documents(s, d)))),
+
     // X5: the explode/regexp token pipeline (the Generator/UDTF shape):
     // lower → regex split → explode → filter → count → top-k. Total order
     // (n desc, term) makes the LIMIT boundary deterministic cross-engine.
@@ -722,6 +729,16 @@ object SparkEntryExt {
         |            ELSE 16000 END AS INT) AS sample_rate,
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INT)
         |         AS bits_per_sample
+        |FROM documents""".stripMargin,
+
+    "x7_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |            ELSE 90000 END AS INT) AS timescale,
+        |       CAST((doc_id % 1000 + 1) * 60 AS BIGINT) AS duration_ticks,
+        |       CAST((doc_id % 1000 + 1) * 60 * 1000 //
+        |            CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |            ELSE 90000 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "x5_term_freq" ->

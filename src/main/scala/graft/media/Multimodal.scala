@@ -215,6 +215,125 @@ object Multimodal {
     b.array()
   }
 
+  /** Parse MP4 (ISO BMFF) movie-header metadata — the video counterpart of
+    * `decodeImageHeader`/`decodeWavHeader`, pure JVM. Layout (ISO 14496-12):
+    * top-level boxes of (4-byte BE size, 4-byte type; size 1 → 64-bit
+    * largesize follows); the `moov` container holds `mvhd`, whose version-0
+    * payload is ver(1) flags(3) ctime(4) mtime(4) timescale(4 BE)
+    * duration(4 BE) — version 1 widens ctime/mtime/duration to 8 bytes.
+    *
+    * @return Some((timescale, durationTicks)) when a well-formed moov/mvhd
+    *         is found, None otherwise.
+    */
+  def decodeMp4Header(bytes: Array[Byte]): Option[(Int, Long)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(off: Int): Long =
+      (u8(off).toLong << 24) | (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length) new String(bytes, off, 4, "US-ASCII") else ""
+    // (payload start, box end) for the box at `i`, or None if malformed
+    def box(i: Int, limit: Int): Option[(Int, Int)] = {
+      if (i + 8 > limit) return None
+      val sz = be32(i)
+      if (sz == 1 && i + 16 <= limit) {
+        val large = be64(i + 8)
+        if (large >= 16 && i + large <= limit) Some((i + 16, i + large.toInt))
+        else None
+      } else if (sz == 0) Some((i + 8, limit)) // box runs to end of input
+      else if (sz >= 8 && i + sz <= limit) Some((i + 8, i + sz.toInt))
+      else None
+    }
+    def findBox(name: String, from: Int, limit: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= limit) {
+        box(i, limit) match {
+          case Some((payload, end)) =>
+            if (tag(i + 4) == name) return Some((payload, end))
+            i = end
+          case None => return None
+        }
+      }
+      None
+    }
+    for {
+      (moovPayload, moovEnd) <- findBox("moov", 0, bytes.length)
+      (p, end) <- findBox("mvhd", moovPayload, moovEnd)
+      ver = u8(p)
+      res <- ver match {
+        case 0 if p + 20 <= end =>
+          val ts = be32(p + 12); val dur = be32(p + 16)
+          if (ts > 0 && ts <= Int.MaxValue) Some((ts.toInt, dur)) else None
+        case 1 if p + 32 <= end =>
+          val ts = be32(p + 20); val dur = be64(p + 24)
+          if (ts > 0 && ts <= Int.MaxValue && dur >= 0) Some((ts.toInt, dur))
+          else None
+        case _ => None
+      }
+    } yield res
+  }
+
+  /** Minimal ISO-BMFF bytes: ftyp + moov{free, mvhd} — the walker must
+    * step over ftyp at top level and free inside moov. Version 0 or 1
+    * mvhd as requested.
+    */
+  def mp4HeaderBytes(timescale: Int, durationTicks: Long, v1: Boolean): Array[Byte] = {
+    val mvhdPayload = if (v1) 4 + 8 + 8 + 4 + 8 + 80 else 4 + 4 + 4 + 4 + 4 + 80
+    val mvhdSize = 8 + mvhdPayload
+    val moovSize = 8 + 16 + mvhdSize // free(16) + mvhd
+    val b = java.nio.ByteBuffer.allocate(16 + moovSize)
+    b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(512)
+    b.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    b.putInt(16).put("free".getBytes("US-ASCII")).putLong(0L)
+    b.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+    if (v1) {
+      b.putInt(0x01000000) // version 1, flags 0
+      b.putLong(0L).putLong(0L) // ctime, mtime (64-bit)
+      b.putInt(timescale).putLong(durationTicks)
+    } else {
+      b.putInt(0) // version 0, flags 0
+      b.putInt(0).putInt(0) // ctime, mtime
+      b.putInt(timescale).putInt(durationTicks.toInt)
+    }
+    // rate/volume/matrix/next-track padding (80 bytes of zeros) is
+    // already present: the buffer was allocated to full size
+    b.array()
+  }
+
+  /** Planted REAL video payloads (mirrors `plantedImages`): deterministic
+    * MP4 headers, alternating mvhd v0/v1, parameters derived from doc_id.
+    */
+  def plantedVideo(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val ts = if (id % 3 == 0) 600 else if (id % 3 == 1) 1000 else 90000
+        val dur = (id % 1000 + 1) * 60L
+        (id, mp4HeaderBytes(ts, dur, v1 = id % 2 == 1))
+      }
+    }.toDF("media_id", "media")
+  }
+
+  /** Video metadata extraction: mvhd timescale/duration → typed columns
+    * plus exact integer milliseconds (ticks * 1000 / timescale, floor) —
+    * engine-portable, no float division.
+    */
+  def videoMeta(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeMp4Header(bytes) match {
+            case Some((ts, dur)) =>
+              (id, Some(ts), Some(dur), Some(dur * 1000L / ts))
+            case None => (id, None: Option[Int], None: Option[Long], None: Option[Long])
+          }
+        }
+      }.toDF("media_id", "timescale", "duration_ticks", "duration_ms")
+  }
+
   /** Planted REAL audio payloads (mirrors `plantedImages`): deterministic
     * WAV headers whose parameters derive arithmetically from doc_id.
     */

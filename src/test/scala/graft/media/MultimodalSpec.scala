@@ -137,6 +137,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 mvhd parse: v0 and v1 boxes, walker skips ftyp/free, rejects junk") {
+    assert(Multimodal.decodeMp4Header(Multimodal.mp4HeaderBytes(600, 36000L, v1 = false))
+      === Some((600, 36000L)))
+    assert(Multimodal.decodeMp4Header(Multimodal.mp4HeaderBytes(90000, 123456789L, v1 = true))
+      === Some((90000, 123456789L)))
+    val full = Multimodal.mp4HeaderBytes(1000, 60L, v1 = false)
+    assert(Multimodal.decodeMp4Header(full.take(30)) === None, "truncated moov")
+    assert(Multimodal.decodeMp4Header("nonsense bytes here!".getBytes) === None)
+    assert(Multimodal.decodeMp4Header(Array.empty[Byte]) === None)
+  }
+
+  test("planted video inverts through the parser (the x7_video_meta contract)") {
+    val docs = Seq((0L, "a", 1L), (1L, "b", 1L), (2L, "c", 1L), (7L, "d", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.videoMeta(Multimodal.plantedVideo(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    Seq(0L, 1L, 2L, 7L).foreach { id =>
+      val ts = if (id % 3 == 0) 600 else if (id % 3 == 1) 1000 else 90000
+      val dur = (id % 1000 + 1) * 60L
+      assert(out(id) === ((ts, dur, dur * 1000L / ts)), s"id=$id")
+    }
+  }
+
   test("decode stub preserves partitioning (mapPartitions, no shuffle)") {
     val recs = Multimodal.toRecords(media.repartition(3))
     val out = Multimodal.decodeStub(recs)
