@@ -67,6 +67,52 @@ object MarketEtlProps extends Properties("MarketEtl") {
       }
     }
 
+  /** Random (asset, month, rows-per-month) shapes: sparse months (1-row
+    * groups), dense months, 1-3 assets — steers `rollingMeanAdaptive`
+    * through all three branches (month / year / plain fallback) of the
+    * single-job stats decision (VERDICT r3 #1 rewrite).
+    */
+  private val monthDataGen: Gen[List[(String, java.sql.Timestamp, Double)]] = {
+    val assetGen = for {
+      months <- Gen.someOf(0 until 12)
+      counts <- Gen.listOfN(months.size, Gen.choose(1, 9))
+      closes <- Gen.listOfN(math.max(counts.sum, 0), Gen.choose(1.0, 100.0))
+    } yield (months.toList.sorted, counts, closes)
+    for {
+      nA <- Gen.choose(1, 3)
+      perAsset <- Gen.listOfN(nA, assetGen)
+    } yield perAsset.zipWithIndex.flatMap { case ((months, counts, closes), ai) =>
+      var idx = 0
+      months.zip(counts).flatMap { case (m, c) =>
+        (1 to c).map { day =>
+          val t = java.sql.Timestamp.valueOf(f"2024-${m + 1}%02d-$day%02d 00:00:00")
+          val v = closes(idx); idx += 1
+          (s"A$ai", t, v)
+        }
+      }
+    }
+  }
+
+  property("adaptive rolling mean is bit-identical to the plain window on any shape") =
+    // NoShrink: shrinking can mint duplicate (asset, ts) keys, making the
+    // window order non-total and the comparison meaningless
+    org.scalacheck.Prop.forAllNoShrink(monthDataGen, Gen.choose(2, 5)) { (rows, n) =>
+      rows.isEmpty || {
+        val df = rows.toDF("ativo", "ts", "close")
+        def canon(out: org.apache.spark.sql.DataFrame) =
+          out.select("ativo", "ts", "mm").collect()
+            .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+              if (r.isNullAt(2)) None
+              else Some(java.lang.Double.doubleToLongBits(r.getDouble(2)))))
+            .sortBy(x => (x._1, x._2)).toSeq
+        val plain = canon(MarketEtl.rollingMean(
+          df, Seq("ativo"), Seq(col("ts")), "close", n, "mm"))
+        val adaptive = canon(MarketEtl.rollingMeanAdaptive(
+          df, Seq("ativo"), Seq(col("ts")), "close", n, "mm", col("ts")))
+        plain == adaptive
+      }
+    }
+
   property("union-by-name column set is the union of the inputs'") =
     forAll(Gen.someOf("a", "b", "c"), Gen.someOf("b", "c", "d")) { (l, r) =>
       l.isEmpty || r.isEmpty || {
