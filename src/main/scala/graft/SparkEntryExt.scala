@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sim.SimSearch
@@ -274,6 +275,46 @@ object SparkEntryExt {
         .filter(pmod(col("doc_id"), lit(50L)) === 0)
       TextOps.decontaminate(docsWithPlanted(s, d), evalSet, minOverlap = 5)
         .select(col("doc_id"), length(col("text")).as("n_len"))
+    }),
+
+    // X5b: PII redaction — emails then 7+-digit runs masked, planted
+    // deterministically per doc_id (the fixture has no PII) so the oracle
+    // proves the masks fired, not just that text passed through.
+    "x5_redact_pii" -> ((s, d) => {
+      val dirty = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@mail.example or call 55119"),
+          lpad(col("doc_id").cast("string"), 7, "0")).as("text"))
+      dirty.select(col("doc_id"), TextOps.redactPii(col("text")).as("clean"))
+    }),
+
+    // X12: one-pass column profiling — the data-quality snapshot a
+    // training pipeline runs on every drop: per column (rows, nulls,
+    // distincts). One scan: multiple count-distincts expand map-side,
+    // the single aggregated row unpivots via stack.
+    "x12_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cs = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cs.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+      val one = docs.agg(aggs.head, aggs.tail: _*)
+      one.select(expr(
+        s"stack(${cs.size}, " + cs.map(c =>
+          s"'$c', n_rows, n_rows - nn_$c, nd_$c").mkString(", ") +
+          ") as (column_name, n_rows, n_null, n_distinct)"))
+    }),
+
+    // O6: latest snapshot per key (SCD-style "current state" view) — the
+    // standard window-dedup over an event log; total order via
+    // (ts desc, event_id desc) so ties are deterministic cross-engine.
+    "o6_latest_per_key" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
     }),
 
     // ---- X6/events: timestamp handling (nanos → micros) oracle-checked ----
@@ -616,6 +657,54 @@ object SparkEntryExt {
          |) WHERE b < CASE WHEN lang = 'en' THEN 500
          |                 WHEN lang = 'es' THEN 200
          |                 ELSE 100 END""".stripMargin,
+
+    "x5_redact_pii" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |              || '@mail.example or call 55119'
+        |              || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g'),
+        |         '[0-9]{7,}', '<NUM>', 'g') AS clean
+        |FROM dirty""".stripMargin,
+
+    "x12_profile" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(doc_id) AS BIGINT) AS nn_doc_id,
+        |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+        |         CAST(COUNT(text) AS BIGINT) AS nn_text,
+        |         CAST(COUNT(DISTINCT text) AS BIGINT) AS nd_text,
+        |         CAST(COUNT(lang) AS BIGINT) AS nn_lang,
+        |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd_lang,
+        |         CAST(COUNT(source) AS BIGINT) AS nn_source,
+        |         CAST(COUNT(DISTINCT source) AS BIGINT) AS nd_source,
+        |         CAST(COUNT(n_chars) AS BIGINT) AS nn_n_chars,
+        |         CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nd_n_chars
+        |  FROM documents
+        |)
+        |SELECT 'doc_id' AS column_name, n_rows, n_rows - nn_doc_id AS n_null,
+        |       nd_doc_id AS n_distinct FROM a
+        |UNION ALL SELECT 'text', n_rows, n_rows - nn_text, nd_text FROM a
+        |UNION ALL SELECT 'lang', n_rows, n_rows - nn_lang, nd_lang FROM a
+        |UNION ALL SELECT 'source', n_rows, n_rows - nn_source, nd_source FROM a
+        |UNION ALL SELECT 'n_chars', n_rows, n_rows - nn_n_chars, nd_n_chars FROM a""".stripMargin,
+
+    "o6_latest_per_key" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC)
+        |           AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
 
     "x10_pack_sequences" ->
       """WITH t AS (

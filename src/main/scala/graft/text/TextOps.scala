@@ -265,6 +265,22 @@ object TextOps {
     })
   }
 
+  // ---- PII redaction (X5b) ----
+
+  /** Scrub obvious PII spans from free text before training — the standard
+    * pre-tokenization hygiene pass: emails → `<EMAIL>`, then 7+-digit runs
+    * (phone / account numbers) → `<NUM>`. Email replacement runs first so
+    * the local-part's digits can't be half-eaten by the number rule.
+    * Patterns are RE2-compatible (no backreferences or lookaround), so any
+    * engine reproduces them byte-for-byte, and `regexp_replace` is a
+    * codegen'd native expression — the scrub rides the scan, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
   // ---- deterministic sampling / splits (X9) ----
 
   /** Deterministic sampling bucket in [0, buckets) from the portable
