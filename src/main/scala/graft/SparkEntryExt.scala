@@ -288,6 +288,48 @@ object SparkEntryExt {
       dirty.select(col("doc_id"), TextOps.redactPii(col("text")).as("clean"))
     }),
 
+    // X9c: per-source document cap — domain balancing, the web-corpus op
+    // that stops one crawl source from dominating the mix: keep at most K
+    // docs per source, chosen deterministically by content-hash order (no
+    // RNG, so the same corpus always keeps the same docs). One window
+    // shuffle keyed by source.
+    "x9_per_source_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(TextOps.rollingHash(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 40)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // X13: dataset-version diff — reconciliation between two corpus
+    // versions (the dataset-versioning op): FULL OUTER join on the key,
+    // rows classed added / removed / changed / unchanged. The "new"
+    // version is derived deterministically in-query: every 7th doc
+    // dropped, every 5th doc's text altered, 100 synthetic docs appended.
+    "x13_dataset_diff" -> ((s, d) => {
+      val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v2 = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(col("text"), lit(" [edited]"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(
+          Tables.documents(s, d).select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
+            .filter(col("doc_id") < 1000100L))
+      v1.select(col("doc_id"), col("text").as("old_text"))
+        .join(v2.select(col("doc_id"), col("text").as("new_text")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_text").isNull, "added")
+            .when(col("new_text").isNull, "removed")
+            .when(col("old_text") =!= col("new_text"), "changed")
+            .otherwise("unchanged").as("status"))
+    }),
+
     // X12: one-pass column profiling — the data-quality snapshot a
     // training pipeline runs on every drop: per column (rows, nulls,
     // distincts). One scan: multiple count-distincts expand map-side,
@@ -673,6 +715,31 @@ object SparkEntryExt {
         |           '<EMAIL>', 'g'),
         |         '[0-9]{7,}', '<NUM>', 'g') AS clean
         |FROM dirty""".stripMargin,
+
+    "x9_per_source_cap" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY ($fpSql), doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn <= 40""".stripMargin,
+
+    "x13_dataset_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id + 1000000 < 1000100
+        |)
+        |SELECT COALESCE(d.doc_id, v2.doc_id) AS doc_id,
+        |       CASE WHEN d.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN d.text <> v2.text THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM documents d FULL JOIN v2 ON d.doc_id = v2.doc_id""".stripMargin,
 
     "x12_profile" ->
       """WITH a AS (
