@@ -322,6 +322,26 @@ object SparkEntry {
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
 
+    // X3c: MERGEABLE distinct sketches (Datasketches HLL) — the
+    // incremental-stats lifecycle at 100 TB: per-partition sketches are
+    // persisted once and UNIONED losslessly instead of rescanning the
+    // corpus per question. One row: estimate from merged per-type
+    // sketches, estimate from one global sketch (must agree exactly —
+    // union is the sketch's native operation), and the exact count.
+    // Approximate by construction → rows-only here; exact equality of the
+    // two estimates is asserted in SketchSpec.
+    "x3_hll_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val perType = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+      val global = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("global_est"),
+        countDistinct(col("user_id")).as("exact"))
+      merged.crossJoin(global)
+    }),
+
     // X6: JSON column extraction.
     "x6_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
