@@ -113,6 +113,29 @@ object MarketEtlProps extends Properties("MarketEtl") {
       }
     }
 
+  property("packSequences: every bin total <= budget + max doc, bins ordered by id") =
+    // bin INDICES may skip (a doc larger than the budget advances the
+    // prefix past whole bins) — the documented guarantees are the total
+    // bound and that bin assignment is monotone in id within a shard
+    org.scalacheck.Prop.forAllNoShrink(
+      Gen.listOf(Gen.choose(1L, 200L)), Gen.choose(64L, 256L)) { (toks, budget) =>
+      toks.isEmpty || {
+        val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "n_tok")
+        val out = graft.text.TextOps
+          .packSequences(df, "doc_id", "n_tok", budget, shards = 4)
+          .select("doc_id", "__shard", "__bin", "n_tok").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val maxDoc = toks.max
+        val binTotals = out.groupBy(x => (x._2, x._3)).map(_._2.map(_._4).sum)
+        val monotone = out.groupBy(_._2).values.forall { rows =>
+          val byId = rows.sortBy(_._1).map(_._3).toSeq
+          byId == byId.sorted
+        }
+        binTotals.forall(_ <= budget + maxDoc) && monotone
+      }
+    }
+
   property("union-by-name column set is the union of the inputs'") =
     forAll(Gen.someOf("a", "b", "c"), Gen.someOf("b", "c", "d")) { (l, r) =>
       l.isEmpty || r.isEmpty || {
