@@ -156,6 +156,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no runtime bloom filter injected on the fact scan:\n$p")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (the planner-side skew path)") {
+    // Complements j7's explicit salting: when the engine plans the join
+    // (AQE on, thresholds scaled to the fixture), a hot key must be
+    // handled by runtime skew-split — the final adaptive plan marks the
+    // sort-merge join skew=true. At 100 TB the same mechanism engages at
+    // the default 256 MB thresholds.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // 98% of rows on one key: the unsalted join's hot partition dwarfs
+    // the median, the unambiguous skew shape
+    import org.apache.spark.sql.functions.{col, concat, lit, when, pmod}
+    val b = s2.range(200000).select(
+      when(pmod(col("id"), lit(100)) < 98, lit("HOT"))
+        .otherwise(concat(lit("c"), pmod(col("id"), lit(100)))).as("ativo"),
+      col("id").cast("double").as("close_price"))
+    // dim built WITHOUT aggregation: the skew rule only matches
+    // SMJ(Sort(shuffle), Sort(shuffle)) — an agg between sort and
+    // shuffle stage (as in a groupBy dim) makes the join ineligible,
+    // which is itself worth knowing: aggregate dims go the salted or
+    // broadcast route (j7/j1), raw-relation joins get AQE skew-split
+    val dim = s2.range(100)
+      .select(concat(lit("c"), col("id")).as("ativo"), col("id").as("meta"))
+      .unionByName(s2.range(1).select(lit("HOT").as("ativo"), lit(-1L).as("meta")))
+    val joined = b.join(dim, Seq("ativo"))
+    // materialize THIS query execution (count() would plan a different
+    // one and leave joined's adaptive plan unfinalized)
+    joined.collect()
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark the hot-key join skewed:\n$finalPlan")
+  }
+
   test("x1 exact dedup shuffles on a fixed-width hash, not the raw text") {
     val p = plan("x1_dedup_exact")
     // the hash is pre-projected as a window partition key (_w0 =
