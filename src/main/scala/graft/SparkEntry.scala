@@ -369,6 +369,16 @@ object SparkEntry {
         round(percentile(col("close_price"), lit(0.5)), 6).as("p50"),
         round(percentile(col("close_price"), lit(0.9)), 6).as("p90"))),
 
+    // A3b: the SCALE-SAFE exact-percentile formulation — range-partitioned
+    // two-pass rank selection instead of the built-in sort-based aggregate
+    // (which buffers every group value in one executor's memory and sorts
+    // each group on one thread). Shares a3's oracle: results identical.
+    "a3b_percentiles_scalable" -> ((s, d) =>
+      graft.stats.Percentiles.exactQuantiles(
+          bars(s, d), "ativo", "close_price", Seq(0.5, 0.9), Seq("p50", "p90"))
+        .select(col("ativo"), round(col("p50"), 6).as("p50"),
+          round(col("p90"), 6).as("p90"))),
+
     // A4: hierarchical rollup (asset, year) — multi-level aggregate with
     // grand-total row, free from the Spark SQL surface.
     "a4_rollup" -> ((s, d) =>
@@ -654,6 +664,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "a3_percentiles" ->
+      s"""SELECT ativo, ROUND(quantile_cont(close_price, 0.5), 6) AS p50,
+         |       ROUND(quantile_cont(close_price, 0.9), 6) AS p90
+         |FROM ($barsSql) GROUP BY ativo""".stripMargin,
+
+    // identical oracle to a3: the distributed formulation must not change
+    // a single value
+    "a3b_percentiles_scalable" ->
       s"""SELECT ativo, ROUND(quantile_cont(close_price, 0.5), 6) AS p50,
          |       ROUND(quantile_cont(close_price, 0.9), 6) AS p90
          |FROM ($barsSql) GROUP BY ativo""".stripMargin,

@@ -1,0 +1,139 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact per-group quantiles with linear interpolation (`quantile_cont`
+  * semantics — identical to Spark's `percentile` aggregate and DuckDB's
+  * `quantile_cont`), computed WITHOUT buffering any group in memory.
+  *
+  * Spark's sort-based `percentile` aggregate collects every value of a
+  * group into one buffer — at 100 TB a single large group OOMs an
+  * executor, and the per-group sort runs on one thread. This operator is
+  * the scale-safe formulation:
+  *
+  *   1. range-partition by (group, value) and sort within partitions —
+  *      ONE parallel external sort; a huge group SPANS partitions, so
+  *      parallelism is bounded by data size, not group count;
+  *   2. count rows per (partition, group) — a tiny P × G frame collected
+  *      to the driver (the same O(partitions × groups) metadata any
+  *      range-partitioner already holds);
+  *   3. from the counts, compute each group's target ranks
+  *      (r = 1 + q·(n−1); the floor/ceil neighbors) and each partition's
+  *      per-group global rank offset; one `mapPartitions` pass emits ONLY
+  *      the rows at needed ranks — ≤ 2·|qs| rows per group;
+  *   4. interpolate driver-side on that tiny picked set (bounded by the
+  *      result size itself).
+  *
+  * The input is scanned twice (count pass + pick pass) over the persisted
+  * sorted form; both passes are fully parallel. Ties in the value column
+  * are rank-ambiguous but value-identical, so results are deterministic.
+  */
+object Percentiles {
+
+  /** @param qs quantiles in [0, 1], e.g. Seq(0.5, 0.9); output columns are
+    *           the group column followed by one double column per q, named
+    *           by `outNames` (must align with `qs`)
+    * @param numPartitions explicit range-partition count; 0 (default)
+    *           leaves it to the shuffle conf + AQE, which coalesces by
+    *           data size — right at scale, but a test asserting
+    *           within-group parallelism must pin it
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[Double], outNames: Seq[String],
+                     numPartitions: Int = 0): DataFrame = {
+    require(qs.nonEmpty && qs.size == outNames.size,
+      "qs and outNames must align")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), "quantiles must be in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val projected = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ranged =
+      if (numPartitions > 0)
+        projected.repartitionByRange(numPartitions, col("g"), col("v"))
+      else projected.repartitionByRange(col("g"), col("v"))
+    val sorted = ranged
+      .sortWithinPartitions(col("g"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(partition, group) counts — P × G rows, tiny
+      val counts = sorted
+        .select(spark_partition_id().as("pid"), col("g"))
+        .groupBy("pid", "g").count()
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+
+      val totals: Map[String, Long] =
+        counts.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3).sum }
+      if (totals.isEmpty) {
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField(groupCol,
+            org.apache.spark.sql.types.StringType) +:
+            outNames.map(n => org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.DoubleType)))
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      }
+      // offset(pid, g) = rows of g in partitions before pid
+      val offsets: Map[(Int, String), Long] = counts
+        .groupBy(_._2).flatMap { case (g, rs) =>
+          var acc = 0L
+          rs.sortBy(_._1).map { case (pid, _, c) =>
+            val o = ((pid, g), acc); acc += c; o
+          }
+        }
+      // 1-based target ranks per group: floor and ceil of 1 + q(n-1)
+      val ranks: Map[String, Array[Long]] = totals.map { case (g, n) =>
+        g -> qs.flatMap { q =>
+          val r = 1.0 + q * (n - 1)
+          Seq(math.floor(r).toLong, math.ceil(r).toLong)
+        }.distinct.toArray
+      }
+      val bcOffsets = spark.sparkContext.broadcast(offsets)
+      val bcRanks = spark.sparkContext.broadcast(ranks)
+
+      // pass 2: emit only the rows sitting at a needed global rank
+      val picked = sorted
+        .select(spark_partition_id().as("pid"), col("g"), col("v"))
+        .as[(Int, String, Double)]
+        .mapPartitions { it =>
+          val offs = bcOffsets.value
+          val need = bcRanks.value
+          val local = scala.collection.mutable.HashMap.empty[String, Long]
+          it.flatMap { case (pid, g, v) =>
+            val rank = local.getOrElse(g, offs.getOrElse((pid, g), 0L)) + 1L
+            local(g) = rank
+            if (need.get(g).exists(_.contains(rank))) Some((g, rank, v))
+            else None
+          }
+        }
+        .collect()
+        .groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(t => t._2 -> t._3).toMap }
+
+      val rows = totals.keys.toSeq.sorted.map { g =>
+        val n = totals(g)
+        val byRank = picked(g)
+        val vals = qs.map { q =>
+          val r = 1.0 + q * (n - 1)
+          val (lo, hi) = (math.floor(r).toLong, math.ceil(r).toLong)
+          val (vl, vh) = (byRank(lo), byRank(hi))
+          if (lo == hi) vl else vl + (vh - vl) * (r - lo)
+        }
+        Row.fromSeq(g +: vals)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType) +:
+          outNames.map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    } finally sorted.unpersist()
+  }
+}
