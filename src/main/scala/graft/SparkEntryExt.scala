@@ -320,13 +320,17 @@ object SparkEntryExt {
             (col("doc_id") + 1000000L).as("doc_id"),
             concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
             .filter(col("doc_id") < 1000100L))
-      v1.select(col("doc_id"), col("text").as("old_text"))
-        .join(v2.select(col("doc_id"), col("text").as("new_text")),
-          Seq("doc_id"), "full_outer")
+      // presence decided by per-side markers, NOT value-nullness: a doc
+      // present in both versions with null text must class as unchanged,
+      // exactly as the oracle's `d.doc_id IS NULL` key-presence test does
+      v1.select(col("doc_id"), col("text").as("old_text"),
+          lit(true).as("in_old"))
+        .join(v2.select(col("doc_id"), col("text").as("new_text"),
+          lit(true).as("in_new")), Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
-          when(col("old_text").isNull, "added")
-            .when(col("new_text").isNull, "removed")
-            .when(col("old_text") =!= col("new_text"), "changed")
+          when(col("in_old").isNull, "added")
+            .when(col("in_new").isNull, "removed")
+            .when(!(col("old_text") <=> col("new_text")), "changed")
             .otherwise("unchanged").as("status"))
     }),
 
@@ -737,7 +741,7 @@ object SparkEntryExt {
         |SELECT COALESCE(d.doc_id, v2.doc_id) AS doc_id,
         |       CASE WHEN d.doc_id IS NULL THEN 'added'
         |            WHEN v2.doc_id IS NULL THEN 'removed'
-        |            WHEN d.text <> v2.text THEN 'changed'
+        |            WHEN d.text IS DISTINCT FROM v2.text THEN 'changed'
         |            ELSE 'unchanged' END AS status
         |FROM documents d FULL JOIN v2 ON d.doc_id = v2.doc_id""".stripMargin,
 
@@ -870,7 +874,7 @@ object SparkEntryExt {
     // proves the bytes round-tripped through the real parser
     "x7_decode_real" ->
       """SELECT doc_id AS media_id,
-        |       CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 26
+        |       CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 54
         |            ELSE 39 END AS BIGINT) AS n_bytes,
         |       CAST(doc_id % 64 + 1 AS INT) AS width,
         |       CAST(doc_id % 48 + 1 AS INT) AS height,

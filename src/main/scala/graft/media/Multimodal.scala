@@ -127,11 +127,16 @@ object Multimodal {
     b.array()
   }
 
+  /** A coherent 54-byte BITMAPINFOHEADER bmp (file header + full 40-byte
+    * DIB header, planes=1, 24 bpp, no pixel data): the DIB size field says
+    * 40 and width/height really are the int32 fields at 18/22 that layout
+    * defines — a real reader agrees with our parser about the geometry.
+    */
   def bmpHeaderBytes(w: Int, h: Int): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(14).putInt(12)
-    b.position(18)
-    b.putInt(w).putInt(h)
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h)
+    b.putShort(1).putShort(24) // planes, bits per pixel
     b.array()
   }
 

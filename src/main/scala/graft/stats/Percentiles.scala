@@ -2,6 +2,7 @@ package graft.stats
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Exact per-group quantiles with linear interpolation (`quantile_cont`
@@ -26,6 +27,14 @@ import org.apache.spark.storage.StorageLevel
   *   4. interpolate driver-side on that tiny picked set (bounded by the
   *      result size itself).
   *
+  * Aggregate-parity edges: null values are ignored for rank math but a
+  * group whose values are ALL null (or a null group key) still yields an
+  * output row — with null quantiles — exactly like the built-in
+  * aggregate. One deliberate divergence: the group column is returned as
+  * StringType whatever its input type (the rank bookkeeping keys on its
+  * string form); callers grouping on non-string keys cast the result
+  * back before joining on it.
+  *
   * The input is scanned twice (count pass + pick pass) over the persisted
   * sorted form; both passes are fully parallel. Ties in the value column
   * are rank-ambiguous but value-identical, so results are deterministic.
@@ -33,8 +42,8 @@ import org.apache.spark.storage.StorageLevel
 object Percentiles {
 
   /** @param qs quantiles in [0, 1], e.g. Seq(0.5, 0.9); output columns are
-    *           the group column followed by one double column per q, named
-    *           by `outNames` (must align with `qs`)
+    *           the group column (as string — see above) followed by one
+    *           double column per q, named by `outNames` (aligned with `qs`)
     * @param numPartitions explicit range-partition count; 0 (default)
     *           leaves it to the shuffle conf + AQE, which coalesces by
     *           data size — right at scale, but a test asserting
@@ -49,10 +58,15 @@ object Percentiles {
     val spark = df.sparkSession
     import spark.implicits._
 
+    val schema = StructType(
+      StructField(groupCol, StringType) +:
+        outNames.map(n => StructField(n, DoubleType)))
+
+    // nulls kept: they sort FIRST within each group (asc, nulls first),
+    // so non-null ranks are a simple skip-nulls count
     val projected = df
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
     val ranged =
       if (numPartitions > 0)
         projected.repartitionByRange(numPartitions, col("g"), col("v"))
@@ -61,25 +75,21 @@ object Percentiles {
       .sortWithinPartitions(col("g"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // pass 1: per-(partition, group) counts — P × G rows, tiny
+      // pass 1: per-(partition, group) row + non-null counts — P × G, tiny
       val counts = sorted
-        .select(spark_partition_id().as("pid"), col("g"))
-        .groupBy("pid", "g").count()
+        .select(spark_partition_id().as("pid"), col("g"), col("v"))
+        .groupBy("pid", "g")
+        .agg(count(col("v")).as("nn")) // count(v) skips nulls
         .collect()
         .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      if (counts.isEmpty)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+      // non-null totals; an all-null group appears with total 0 (its rows
+      // grouped with nn = 0) and gets null quantiles below
       val totals: Map[String, Long] =
         counts.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3).sum }
-      if (totals.isEmpty) {
-        val schema = org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField(groupCol,
-            org.apache.spark.sql.types.StringType) +:
-            outNames.map(n => org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.DoubleType)))
-        return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schema)
-      }
-      // offset(pid, g) = rows of g in partitions before pid
+      // offset(pid, g) = non-null rows of g in partitions before pid
       val offsets: Map[(Int, String), Long] = counts
         .groupBy(_._2).flatMap { case (g, rs) =>
           var acc = 0L
@@ -88,11 +98,12 @@ object Percentiles {
           }
         }
       // 1-based target ranks per group: floor and ceil of 1 + q(n-1)
-      val ranks: Map[String, Array[Long]] = totals.map { case (g, n) =>
-        g -> qs.flatMap { q =>
-          val r = 1.0 + q * (n - 1)
-          Seq(math.floor(r).toLong, math.ceil(r).toLong)
-        }.distinct.toArray
+      val ranks: Map[String, Array[Long]] = totals.collect {
+        case (g, n) if n > 0 =>
+          g -> qs.flatMap { q =>
+            val r = 1.0 + q * (n - 1)
+            Seq(math.floor(r).toLong, math.ceil(r).toLong)
+          }.distinct.toArray
       }
       val bcOffsets = spark.sparkContext.broadcast(offsets)
       val bcRanks = spark.sparkContext.broadcast(ranks)
@@ -100,40 +111,42 @@ object Percentiles {
       // pass 2: emit only the rows sitting at a needed global rank
       val picked = sorted
         .select(spark_partition_id().as("pid"), col("g"), col("v"))
-        .as[(Int, String, Double)]
+        .as[(Int, String, Option[Double])]
         .mapPartitions { it =>
           val offs = bcOffsets.value
           val need = bcRanks.value
           val local = scala.collection.mutable.HashMap.empty[String, Long]
-          it.flatMap { case (pid, g, v) =>
-            val rank = local.getOrElse(g, offs.getOrElse((pid, g), 0L)) + 1L
-            local(g) = rank
-            if (need.get(g).exists(_.contains(rank))) Some((g, rank, v))
-            else None
+          it.flatMap {
+            case (_, _, None) => None // nulls carry no rank
+            case (pid, g, Some(v)) =>
+              val rank = local.getOrElse(g, offs.getOrElse((pid, g), 0L)) + 1L
+              local(g) = rank
+              if (need.get(g).exists(_.contains(rank))) Some((g, rank, v))
+              else None
           }
         }
         .collect()
         .groupBy(_._1)
         .map { case (g, rs) => g -> rs.map(t => t._2 -> t._3).toMap }
 
-      val rows = totals.keys.toSeq.sorted.map { g =>
-        val n = totals(g)
-        val byRank = picked(g)
-        val vals = qs.map { q =>
-          val r = 1.0 + q * (n - 1)
-          val (lo, hi) = (math.floor(r).toLong, math.ceil(r).toLong)
-          val (vl, vh) = (byRank(lo), byRank(hi))
-          if (lo == hi) vl else vl + (vh - vl) * (r - lo)
+      // null group key sorts first (matches SQL NULLS FIRST group output)
+      val orderedGroups = totals.keys.toSeq.sortWith((a, b) =>
+        a == null && b != null || (a != null && b != null && a < b))
+      val rows = orderedGroups.map { g =>
+        val vals: Seq[Any] = totals.get(g).filter(_ > 0) match {
+          case None => qs.map(_ => null) // all-null group: null quantiles
+          case Some(n) =>
+            val byRank = picked(g)
+            qs.map { q =>
+              val r = 1.0 + q * (n - 1)
+              val (lo, hi) = (math.floor(r).toLong, math.ceil(r).toLong)
+              val (vl, vh) = (byRank(lo), byRank(hi))
+              if (lo == hi) vl else vl + (vh - vl) * (r - lo)
+            }
         }
         Row.fromSeq(g +: vals)
       }
-      val schema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField(groupCol,
-          org.apache.spark.sql.types.StringType) +:
-          outNames.map(n => org.apache.spark.sql.types.StructField(n,
-            org.apache.spark.sql.types.DoubleType)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     } finally sorted.unpersist()
   }
 }

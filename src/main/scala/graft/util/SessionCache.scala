@@ -16,8 +16,22 @@ package graft.util
 object SessionCache {
   private val m = new java.util.concurrent.ConcurrentHashMap[Any, Any]()
 
-  def getOrCompute[V](key: Any)(f: => V): V =
-    m.computeIfAbsent(key, _ => f).asInstanceOf[V]
+  /** Compute OUTSIDE the map's bin lock: `computeIfAbsent` would hold the
+    * lock for the whole Spark job (minutes for an IVF fit), block
+    * unrelated same-bin keys, and throw if the computation ever touches
+    * the cache itself. The cost is that two racing first callers may both
+    * compute — fine for the idempotent, deterministic artifacts stored
+    * here (first write wins, the duplicate is discarded).
+    */
+  def getOrCompute[V](key: Any)(f: => V): V = {
+    val cached = m.get(key)
+    if (cached != null) cached.asInstanceOf[V]
+    else {
+      val computed = f
+      val prev = m.putIfAbsent(key, computed)
+      (if (prev != null) prev else computed).asInstanceOf[V]
+    }
+  }
 
   def invalidate(key: Any): Unit = { m.remove(key); () }
 

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.Sf0001
 
   test("per-type HLL sketches union to the exact same estimate as one global sketch") {
     val r = SparkEntry.queries("x3_hll_merge")(spark, sf)

@@ -57,6 +57,27 @@ class PercentilesSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(2) - 99000.01) < 1e-6)
   }
 
+  test("null group keys and all-null groups behave like the built-in aggregate") {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("v", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        SRow(null, 1.0), SRow(null, 3.0),      // null GROUP: still a group
+        SRow("allnull", null), SRow("allnull", null), // all-null VALUES
+        SRow("mixed", 1.0), SRow("mixed", null), SRow("mixed", 5.0))),
+      schema)
+    val out = Percentiles.exactQuantiles(df, "g", "v", Seq(0.5), Seq("p50"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(None) === Some(2.0), "null group must aggregate its values")
+    assert(out(Some("allnull")) === None,
+      "all-null group must yield a row with null quantiles, not vanish")
+    assert(out(Some("mixed")) === Some(3.0), "nulls skipped in rank math")
+    assert(out.size === 3)
+  }
+
   test("empty input yields an empty frame with the right schema") {
     val df = Seq.empty[(String, Double)].toDF("g", "v")
     val out = Percentiles.exactQuantiles(df, "g", "v", Seq(0.5), Seq("p50"))
