@@ -211,7 +211,11 @@ object MarketEtl {
       .agg(sum(col("mcnt")).as("ycnt"), min(col("mcnt")).as("minm"),
         count(lit(1)).as("gm"))
       .agg(min(col("minm")), sum(col("gm")), min(col("ycnt")), count(lit(1)),
-        countDistinct(pc.head, pc.tail: _*))
+        // struct-wrapped so a null key still counts as a group (bare
+        // countDistinct drops any-null rows; the pre-r4 distinct().count()
+        // counted the null-key group, and the monthGroups > keys heuristic
+        // should keep that decision semantics — ADVICE r4)
+        countDistinct(struct(pc: _*)))
       .head()
     RollingStats(
       if (r.isNullAt(0)) -1L else r.getLong(0),

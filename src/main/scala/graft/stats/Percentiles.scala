@@ -2,7 +2,7 @@ package graft.stats
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Exact per-group quantiles with linear interpolation (`quantile_cont`
@@ -30,10 +30,11 @@ import org.apache.spark.storage.StorageLevel
   * Aggregate-parity edges: null values are ignored for rank math but a
   * group whose values are ALL null (or a null group key) still yields an
   * output row — with null quantiles — exactly like the built-in
-  * aggregate. One deliberate divergence: the group column is returned as
-  * StringType whatever its input type (the rank bookkeeping keys on its
-  * string form); callers grouping on non-string keys cast the result
-  * back before joining on it.
+  * aggregate. The group column keeps its INPUT type: the rank bookkeeping
+  * keys on the group's string form internally (injective for the scalar
+  * key types a groupBy takes), but the original-typed value rides through
+  * the count pass and is what the output carries — the schema equals the
+  * built-in aggregate's, no caller casts (VERDICT r4 #6).
   *
   * The input is scanned twice (count pass + pick pass) over the persisted
   * sorted form; both passes are fully parallel. Ties in the value column
@@ -42,8 +43,8 @@ import org.apache.spark.storage.StorageLevel
 object Percentiles {
 
   /** @param qs quantiles in [0, 1], e.g. Seq(0.5, 0.9); output columns are
-    *           the group column (as string — see above) followed by one
-    *           double column per q, named by `outNames` (aligned with `qs`)
+    *           the group column (input-typed) followed by one double
+    *           column per q, named by `outNames` (aligned with `qs`)
     * @param numPartitions explicit range-partition count; 0 (default)
     *           leaves it to the shuffle conf + AQE, which coalesces by
     *           data size — right at scale, but a test asserting
@@ -58,14 +59,17 @@ object Percentiles {
     val spark = df.sparkSession
     import spark.implicits._
 
+    val groupType = df.select(col(groupCol)).schema.head.dataType
     val schema = StructType(
-      StructField(groupCol, StringType) +:
+      StructField(groupCol, groupType) +:
         outNames.map(n => StructField(n, DoubleType)))
 
     // nulls kept: they sort FIRST within each group (asc, nulls first),
-    // so non-null ranks are a simple skip-nulls count
+    // so non-null ranks are a simple skip-nulls count. `gv` carries the
+    // original-typed group value alongside its string bookkeeping form.
     val projected = df
       .select(col(groupCol).cast("string").as("g"),
+        col(groupCol).as("gv"),
         col(valueCol).cast("double").as("v"))
     val ranged =
       if (numPartitions > 0)
@@ -75,15 +79,19 @@ object Percentiles {
       .sortWithinPartitions(col("g"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // pass 1: per-(partition, group) row + non-null counts — P × G, tiny
+      // pass 1: per-(partition, group) row + non-null counts — P × G, tiny;
+      // first(gv) recovers the original-typed key (constant within a group)
       val counts = sorted
-        .select(spark_partition_id().as("pid"), col("g"), col("v"))
+        .select(spark_partition_id().as("pid"), col("g"), col("gv"), col("v"))
         .groupBy("pid", "g")
-        .agg(count(col("v")).as("nn")) // count(v) skips nulls
+        .agg(count(col("v")).as("nn"), first(col("gv")).as("gv")) // count(v) skips nulls
         .collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.get(3)))
       if (counts.isEmpty)
         return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      // string form -> original-typed value, for the output rows
+      val typedKey: Map[String, Any] =
+        counts.map(c => c._2 -> c._4).toMap
 
       // non-null totals; an all-null group appears with total 0 (its rows
       // grouped with nn = 0) and gets null quantiles below
@@ -93,7 +101,7 @@ object Percentiles {
       val offsets: Map[(Int, String), Long] = counts
         .groupBy(_._2).flatMap { case (g, rs) =>
           var acc = 0L
-          rs.sortBy(_._1).map { case (pid, _, c) =>
+          rs.sortBy(_._1).map { case (pid, _, c, _) =>
             val o = ((pid, g), acc); acc += c; o
           }
         }
@@ -107,46 +115,53 @@ object Percentiles {
       }
       val bcOffsets = spark.sparkContext.broadcast(offsets)
       val bcRanks = spark.sparkContext.broadcast(ranks)
-
-      // pass 2: emit only the rows sitting at a needed global rank
-      val picked = sorted
-        .select(spark_partition_id().as("pid"), col("g"), col("v"))
-        .as[(Int, String, Option[Double])]
-        .mapPartitions { it =>
-          val offs = bcOffsets.value
-          val need = bcRanks.value
-          val local = scala.collection.mutable.HashMap.empty[String, Long]
-          it.flatMap {
-            case (_, _, None) => None // nulls carry no rank
-            case (pid, g, Some(v)) =>
-              val rank = local.getOrElse(g, offs.getOrElse((pid, g), 0L)) + 1L
-              local(g) = rank
-              if (need.get(g).exists(_.contains(rank))) Some((g, rank, v))
-              else None
-          }
-        }
-        .collect()
-        .groupBy(_._1)
-        .map { case (g, rs) => g -> rs.map(t => t._2 -> t._3).toMap }
-
-      // null group key sorts first (matches SQL NULLS FIRST group output)
-      val orderedGroups = totals.keys.toSeq.sortWith((a, b) =>
-        a == null && b != null || (a != null && b != null && a < b))
-      val rows = orderedGroups.map { g =>
-        val vals: Seq[Any] = totals.get(g).filter(_ > 0) match {
-          case None => qs.map(_ => null) // all-null group: null quantiles
-          case Some(n) =>
-            val byRank = picked(g)
-            qs.map { q =>
-              val r = 1.0 + q * (n - 1)
-              val (lo, hi) = (math.floor(r).toLong, math.ceil(r).toLong)
-              val (vl, vh) = (byRank(lo), byRank(hi))
-              if (lo == hi) vl else vl + (vh - vl) * (r - lo)
+      try {
+        // pass 2: emit only the rows sitting at a needed global rank
+        val picked = sorted
+          .select(spark_partition_id().as("pid"), col("g"), col("v"))
+          .as[(Int, String, Option[Double])]
+          .mapPartitions { it =>
+            val offs = bcOffsets.value
+            val need = bcRanks.value
+            val local = scala.collection.mutable.HashMap.empty[String, Long]
+            it.flatMap {
+              case (_, _, None) => None // nulls carry no rank
+              case (pid, g, Some(v)) =>
+                val rank = local.getOrElse(g, offs.getOrElse((pid, g), 0L)) + 1L
+                local(g) = rank
+                if (need.get(g).exists(_.contains(rank))) Some((g, rank, v))
+                else None
             }
+          }
+          .collect()
+          .groupBy(_._1)
+          .map { case (g, rs) => g -> rs.map(t => t._2 -> t._3).toMap }
+
+        // null group key sorts first (matches SQL NULLS FIRST group output)
+        val orderedGroups = totals.keys.toSeq.sortWith((a, b) =>
+          a == null && b != null || (a != null && b != null && a < b))
+        val rows = orderedGroups.map { g =>
+          val vals: Seq[Any] = totals.get(g).filter(_ > 0) match {
+            case None => qs.map(_ => null) // all-null group: null quantiles
+            case Some(n) =>
+              val byRank = picked(g)
+              qs.map { q =>
+                val r = 1.0 + q * (n - 1)
+                val (lo, hi) = (math.floor(r).toLong, math.ceil(r).toLong)
+                val (vl, vh) = (byRank(lo), byRank(hi))
+                if (lo == hi) vl else vl + (vh - vl) * (r - lo)
+              }
+          }
+          Row.fromSeq(typedKey(g) +: vals)
         }
-        Row.fromSeq(g +: vals)
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      } finally {
+        // executors are done with them after the pick pass collects; not
+        // destroying leaks driver+executor memory for the SparkContext's
+        // lifetime (ADVICE r4)
+        bcOffsets.destroy()
+        bcRanks.destroy()
       }
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     } finally sorted.unpersist()
   }
 }

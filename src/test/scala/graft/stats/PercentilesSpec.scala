@@ -78,6 +78,22 @@ class PercentilesSpec extends AnyFunSuite {
     assert(out.size === 3)
   }
 
+  test("group key keeps its input type and joins back without casts") {
+    import org.apache.spark.sql.types.IntegerType
+    val df = (1 to 100).map(i => (i % 5, i.toDouble)).toDF("k", "v")
+    val out = Percentiles.exactQuantiles(df, "k", "v", Seq(0.5), Seq("p50"))
+    assert(out.schema("k").dataType === IntegerType,
+      "output key must carry the input type, not string (VERDICT r4 #6)")
+    // the point of the typed key: joining back onto the source needs no cast
+    val expect = df.groupBy("k")
+      .agg(percentile(col("v"), lit(0.5)).as("p50_builtin"))
+    val joined = expect.join(out, Seq("k")).select("k", "p50_builtin", "p50")
+      .collect()
+    assert(joined.length === 5, "typed join must match every group")
+    joined.foreach(r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9, s"group ${r.getInt(0)}"))
+  }
+
   test("empty input yields an empty frame with the right schema") {
     val df = Seq.empty[(String, Double)].toDF("g", "v")
     val out = Percentiles.exactQuantiles(df, "g", "v", Seq(0.5), Seq("p50"))
