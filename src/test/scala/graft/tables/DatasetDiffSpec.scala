@@ -1,0 +1,74 @@
+package graft.tables
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Dataset-versioning lifecycle (VERDICT r4 #4): versions live as real
+  * partitioned parquet trees; the diff consumes read-back tables and
+  * schema drift between versions is classed per column.
+  */
+class DatasetDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("persisted version trees: hive layout on disk, row diff over read-back") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B"), (5L, "e")) // 2 changed, 3/4 gone, 5 new
+      .toDF("doc_id", "text")
+    val key = Seq("spec", "difftrees", System.nanoTime().toString)
+    val root = DatasetDiff.ensureVersions(spark, key,
+      Seq("v1" -> v1, "v2" -> v2),
+      partitionCol = Some(("part_bucket", pmod(col("doc_id"), lit(2L)))))
+
+    // a REAL hive-partitioned tree, not a flat file dump
+    val dirs = new File(root, "v1").listFiles().map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("part_bucket=")),
+      s"no hive partition dirs under $root/v1: $dirs")
+
+    val got = DatasetDiff.rowDiff(
+      spark.read.parquet(s"$root/v1"), spark.read.parquet(s"$root/v2"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("schema drift between read-back versions: added/removed/type_changed") {
+    val v1 = Seq((1L, "a", 0.5)).toDF("doc_id", "text", "score")
+    val v2 = Seq((1L, "a", 1, "en")).toDF("doc_id", "text", "score", "lang")
+    val key = Seq("spec", "drift", System.nanoTime().toString)
+    val root = DatasetDiff.ensureVersions(spark, key,
+      Seq("v1" -> v1, "v2" -> v2))
+    val drift = DatasetDiff.schemaDiff(
+      spark.read.parquet(s"$root/v1"), spark.read.parquet(s"$root/v2")).toMap
+    assert(drift("lang") === "added")
+    assert(drift("score") === "type_changed", "double -> int must be flagged")
+    assert(drift("doc_id") === "unchanged")
+    assert(drift("text") === "unchanged")
+
+    // a column dropped in v2 classes as removed (diff the other way)
+    val back = DatasetDiff.schemaDiff(
+      spark.read.parquet(s"$root/v2"), spark.read.parquet(s"$root/v1")).toMap
+    assert(back("lang") === "removed")
+  }
+
+  test("null payloads: key present in both versions with null text is unchanged") {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType)))
+    def mk(rows: Seq[SRow]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val v1 = mk(Seq(SRow(1L, null), SRow(2L, "x"), SRow(3L, null)))
+    val v2 = mk(Seq(SRow(1L, null), SRow(2L, null), SRow(4L, null)))
+    val got = DatasetDiff.rowDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", // both null: presence, not value
+      2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+}

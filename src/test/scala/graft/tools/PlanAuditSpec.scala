@@ -194,6 +194,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"AQE did not mark the hot-key join skewed:\n$finalPlan")
   }
 
+  test("x9 per-source cap plans a bounded-heap aggregate, not a per-source sort") {
+    // VERDICT r4 #2: keep<=K per source must never full-sort a source's
+    // rows in one task (hot-crawl-source skew). The plan must carry the
+    // graft_topk TypedImperativeAggregate with a PARTIAL stage (map-side
+    // O(K) state) and contain no Window and no Sort node at all.
+    val p = plan("x9_per_source_cap")
+    assert(!p.contains("Window"), s"cap still plans a window:\n$p")
+    assert(!p.linesIterator.exists(_.matches(""".*[+*(\-:\s]Sort \[.*""")),
+      s"cap still plans a sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregate missing from the plan:\n$p")
+    assert(p.contains("partial_topkbyscore") || p.contains("partial_TopKByScore"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("x12 sketch profile plans one scan with no Expand; exact twin keeps it") {
+    // VERDICT r4 #3: multiple countDistincts replicate every scan row per
+    // distinct aggregate via Expand and shuffle whole distinct sets — the
+    // sketch profile must instead plan plain aggregates (fixed-size HLL
+    // partials) over a single un-replicated scan.
+    val sketch = plan("x12_profile_sketch")
+    assert(!sketch.contains("Expand"),
+      s"sketch profile still replicates rows via Expand:\n$sketch")
+    assert(sketch.contains("hll_sketch_agg") || sketch.contains("HllSketchAgg"),
+      s"no HLL aggregate in the sketch profile plan:\n$sketch")
+    // the exact twin legitimately pays Expand at fixture scale — it is the
+    // oracle fixture, not the scale path; if this ever changes, revisit
+    // the pair's comments
+    assert(plan("x12_profile").contains("Expand"))
+  }
+
   test("x1 exact dedup shuffles on a fixed-width hash, not the raw text") {
     val p = plan("x1_dedup_exact")
     // the hash is pre-projected as a window partition key (_w0 =
