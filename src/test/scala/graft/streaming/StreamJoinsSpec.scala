@@ -50,6 +50,94 @@ class StreamJoinsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution: unmatched clicks emit null rows only after the horizon closes") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Purchase]
+    val out = StreamJoins.intervalJoinLeftOuter(
+      clicks.toDF().withColumnRenamed("user", "user_id"),
+      buys.toDF().withColumnRenamed("user", "user_id"),
+      "user_id", "click_ts", "buy_ts",
+      watermark = "5 minutes", horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attr_lo_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("attr_lo_out")
+        .select("click_id", "buy_id")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+
+      // user 1 converts in-horizon; user 2 clicks and never buys
+      clicks.addData(Click(t(0), 1L, 100L), Click(t(1), 2L, 200L))
+      buys.addData(Purchase(t(5), 1L, 900L))
+      q.processAllAvailable()
+      // user 2's horizon [10:01, 10:11] is not yet provably over (the
+      // watermark sits near 10:00) — emitting the null row NOW could be
+      // wrong, a purchase at 10:10 may still arrive. Pin the timing.
+      assert(!rows().exists(_._1 == 200L),
+        s"null attribution emitted before the horizon closed: ${rows()}")
+
+      // advance both watermarks past 10:01 + 10m horizon + 5m watermark
+      clicks.addData(Click(t(40), 9L, 999L))
+      buys.addData(Purchase(t(40), 9L, 998L))
+      q.processAllAvailable()
+      // one more nudge batch: unmatched-row eviction fires on the batch
+      // AFTER the watermark advances
+      clicks.addData(Click(t(45), 8L, 888L))
+      buys.addData(Purchase(t(46), 7L, 777L))
+      q.processAllAvailable()
+
+      val got = rows()
+      assert(got.contains(100L -> Some(900L)), s"matched row missing: $got")
+      assert(got.contains(200L -> None),
+        s"unmatched click never got its null attribution: $got")
+      assert(got.count(_._1 == 200L) === 1,
+        s"unmatched click must emit exactly once: $got")
+    } finally q.stop()
+  }
+
+  test("left-outer join state plateaus at the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Purchase]
+    // every click unmatched (disjoint users): pure null-emission load
+    val out = StreamJoins.intervalJoinLeftOuter(
+      clicks.toDF().withColumnRenamed("user", "user_id"),
+      buys.toDF().withColumnRenamed("user", "user_id"),
+      "user_id", "click_ts", "buy_ts",
+      watermark = "1 minutes", horizon = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("attr_lo_soak")
+      .outputMode("append").start()
+    try {
+      val rows = (0 until 6).map { b =>
+        clicks.addData((0 until 3).map(j => Click(t(8 * b), 1000L + b * 10L + j, b * 100L + j)): _*)
+        buys.addData((0 until 3).map(j => Purchase(t(8 * b), 2000L + b * 10L + j, b * 100L + j)): _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators(0).numRowsTotal
+      }
+      val tail = rows.drop(3)
+      assert(tail.forall(_ <= 12L),
+        s"left-outer join state not watermark-bounded: $rows")
+      // and the unmatched clicks did flow out as null rows
+      val nulls = spark.table("attr_lo_soak").filter("buy_id IS NULL").count()
+      assert(nulls >= 3, s"no null attributions emitted in the soak: $nulls")
+    } finally q.stop()
+  }
+
+  test("malformed horizon strings are rejected at construction") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Purchase]
+    def build(h: String) = StreamJoins.intervalJoin(
+      clicks.toDF().withColumnRenamed("user", "user_id"),
+      buys.toDF().withColumnRenamed("user", "user_id"),
+      "user_id", "click_ts", "buy_ts", watermark = "5 minutes", horizon = h)
+    intercept[IllegalArgumentException](build("10 minutes'; DROP TABLE x"))
+    intercept[IllegalArgumentException](build("soon"))
+    intercept[IllegalArgumentException](build("-3 minutes"))
+    build("10 minutes") // the valid shape still constructs
+  }
+
   test("interval-join state is watermark-bounded (numRowsTotal plateaus)") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Click]
