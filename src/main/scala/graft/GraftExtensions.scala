@@ -88,6 +88,35 @@ object GraftExtensions {
         val a = arity("graft_minhash_band_keys", 4, args)
         MinHashBandKeys(a(0), intLit(a(1), "numHashes"),
           intLit(a(2), "bands"), intLit(a(3), "rowsPerBand"))
+      }),
+    ("graft_kll_agg",
+      info("graft_kll_agg",
+        "_FUNC_(value, k) - aggregate: mergeable KLL quantile sketch (binary)"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_kll_agg", 2, args)
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{DoubleType, NumericType}
+        val v = if (a(0).dataType != DoubleType &&
+          a(0).dataType.isInstanceOf[NumericType]) Cast(a(0), DoubleType) else a(0)
+        graft.expressions.KllSketchAgg(v, intLit(a(1), "k"))
+      }),
+    ("graft_kll_union",
+      info("graft_kll_union",
+        "_FUNC_(sketch) - aggregate: union of serialized KLL sketches"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_kll_union", 1, args)
+        graft.expressions.KllUnionAgg(a(0))
+      }),
+    ("graft_kll_quantile",
+      info("graft_kll_quantile",
+        "_FUNC_(sketch, rank) - quantile at rank in [0,1] from a KLL sketch"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_kll_quantile", 2, args)
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{DoubleType, NumericType}
+        val r = if (a(1).dataType != DoubleType &&
+          a(1).dataType.isInstanceOf[NumericType]) Cast(a(1), DoubleType) else a(1)
+        graft.expressions.KllQuantile(a(0), r)
       })
   )
 

@@ -51,7 +51,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ extQueries ++ pipelineQueries
+    coreQueries ++ extQueries ++ pipelineQueries ++ SparkEntryR5.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -763,5 +763,5 @@ object SparkEntry {
         |       split_part(p_brand || '.SA', '.', 1) AS ticker_base,
         |       split_part(p_type, ' ', 1) AS type_head
         |FROM part""".stripMargin
-  ) ++ extOracleSql ++ pipelineOracleSql
+  ) ++ extOracleSql ++ pipelineOracleSql ++ SparkEntryR5.oracleSql
 }

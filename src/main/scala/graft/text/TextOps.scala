@@ -315,6 +315,55 @@ object TextOps {
     df.filter(hashBucket(col(textCol), 1000) < threshold)
   }
 
+  // ---- chunking & repetition metrics (X14/X15) ----
+
+  /** Fixed-size token chunking with overlap (X14): each document becomes
+    * ⌈n/stride⌉ chunks of up to `chunkTokens` tokens, starting every
+    * `stride` tokens (overlap = chunkTokens − stride) — the standard
+    * pretraining chunker. Pure per-row explode arithmetic: no shuffle, no
+    * state, embarrassingly parallel at any scale. Empty documents yield
+    * no chunks. Output: (idCol, chunk_idx, n_tok, chunk_text).
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0), size(col("__tk")) - 1, lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        size(slice(col("__tk"), col("__start") + 1, lit(chunkTokens)))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("__tk"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Duplicate-token fraction (X15, Gopher-style repetition signal):
+    * 1 − distinct/total tokens, 0.0 for empty docs. Int/int division —
+    * bit-exact across engines.
+    */
+  def dupTokenFrac(toks: Column): Column =
+    graft.util.Expr.bind(toks, tk =>
+      when(size(tk) > 0,
+        (size(tk) - size(array_distinct(tk))).cast("double") / size(tk))
+        .otherwise(lit(0.0)))
+
+  /** Top-bigram fraction (X15): occurrences of the most frequent bigram
+    * over total bigrams, 0.0 when fewer than 2 tokens. Row-local
+    * O(distinct-bigrams × bigrams) — bounded by document length, no
+    * shuffle; a groupBy/explode twin would replace it for megabyte-scale
+    * documents.
+    */
+  def topBigramFrac(toks: Column): Column =
+    graft.util.Expr.bind(shingles(toks, 2), bg =>
+      when(size(bg) > 0,
+        array_max(transform(array_distinct(bg),
+          b => size(filter(bg, x => x === b)))).cast("double") / size(bg))
+        .otherwise(lit(0.0)))
+
   // ---- sequence packing (X10) ----
 
   /** Sequence packing: assign documents to ~`budgetTokens` bins (the

@@ -56,6 +56,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_topk requires"))
   }
 
+  test("KLL sketch functions are callable from SQL and exact under capacity") {
+    // 5 values < k=200: the sketch holds them all, so quantiles are EXACT
+    // (INCLUSIVE criteria: smallest value with rank >= r)
+    val p50 = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_agg(v, 200), 0.5D) AS q FROM VALUES
+        |  (1.0D), (2.0D), (3.0D), (4.0D), (5.0D) AS t(v)""".stripMargin)
+      .head().getDouble(0)
+    assert(p50 === 3.0)
+    // union of two part-sketches over a partitioned range is still exact
+    // under capacity — the mergeable-lifecycle contract
+    val merged = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_union(sk), 1.0D) AS q FROM (
+        |  SELECT graft_kll_agg(v, 200) AS sk FROM VALUES
+        |    (1.0D), (2.0D) AS t(v)
+        |  UNION ALL
+        |  SELECT graft_kll_agg(v, 200) FROM VALUES
+        |    (9.0D), (10.0D) AS t(v)
+        |)""".stripMargin).head().getDouble(0)
+    assert(merged === 10.0)
+    // int input is cast by the builder; string fails at analysis
+    assert(!spark.sql("SELECT graft_kll_agg(v, 200) FROM VALUES (1), (2) AS t(v)")
+      .head().isNullAt(0))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_kll_agg(v, 200) FROM VALUES ('x') AS t(v)").collect()
+    }
+    assert(e.getMessage.contains("graft_kll_agg requires"))
+  }
+
   test("non-literal config args are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_word_shingles('a b c', 1 + 2)").collect()

@@ -45,6 +45,53 @@ class SketchSpec extends AnyFunSuite {
       "fresh session rebuilt the sketch table instead of loading it")
   }
 
+  test("KLL quantiles stay within rank tolerance of the exact percentiles") {
+    // k=200 bounds normalized rank error at ~1.65% (99% conf); assert the
+    // sketch's p50/p90 land inside the exact quantiles at rank ±5% — a
+    // bound loose enough to hold under KLL's randomized compaction on
+    // every run, tight enough to catch a broken update/merge path.
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("a7_kll_quantiles")(spark, TestSpark.Sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.tables.Tables.lineitem(spark, TestSpark.Sf001)
+      .groupBy(col("l_returnflag").as("ativo"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
+        percentile(col("l_extendedprice"), lit(0.55)).as("p55"),
+        percentile(col("l_extendedprice"), lit(0.85)).as("p85"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (a, (p45, p55, p85, p95)) =>
+      val (k50, k90) = approx(a)
+      assert(k50 >= p45 && k50 <= p55, s"$a: p50 sketch $k50 outside [$p45, $p55]")
+      assert(k90 >= p85 && k90 <= p95, s"$a: p90 sketch $k90 outside [$p85, $p95]")
+    }
+  }
+
+  test("per-month KLL sketches union into the same rank guarantees as one pass") {
+    // The incremental lifecycle: one sketch per ingest month, stored, then
+    // unioned at question time — the union's quantiles must satisfy the
+    // same rank tolerance as a single global sketch would.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    org.apache.spark.sql.graft.ColumnBridge.registerFunctions(s)
+    val li = graft.tables.Tables.lineitem(s, TestSpark.Sf001)
+    val monthly = li.groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(expr("graft_kll_agg(l_extendedprice, 200)").as("sk"))
+    val merged = monthly
+      .agg(expr("graft_kll_quantile(graft_kll_union(sk), 0.5D)").as("p50"))
+      .head().getDouble(0)
+    val Array(lo, hi) = li
+      .agg(percentile(col("l_extendedprice"), lit(0.45)),
+        percentile(col("l_extendedprice"), lit(0.55)))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(merged >= lo && merged <= hi,
+      s"merged-sketch p50 $merged outside exact rank window [$lo, $hi]")
+  }
+
   test("sketch profile tracks the exact profile within HLL tolerance on every column") {
     // VERDICT r4 #3: x12_profile_sketch is the 100 TB twin of x12_profile —
     // row/null counts must be EXACT; approx distincts within ~5% (lgK=12

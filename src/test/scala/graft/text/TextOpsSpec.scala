@@ -28,6 +28,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df.select(TextOps.jaccard(col("x"), col("y"))).head().getDouble(0) === 0.5)
   }
 
+  test("chunkDocs: stride windows cover every token with the declared overlap") {
+    // 10 tokens, chunk 4 / stride 3 → starts 0,3,6,9; sizes 4,4,4,1
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(df, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (1L, 3L, 1L, "t10")))
+    // empty document yields no chunks, and every token appears in a chunk
+    assert(!out.exists(_._1 == 2L))
+  }
+
+  test("dupTokenFrac and topBigramFrac: exact ratios, empty-doc zeroes") {
+    val df = Seq("a a b", "a b a b a", "a", "").toDF("text")
+    val out = df.select(
+      TextOps.dupTokenFrac(TextOps.tokens(col("text"))).as("d"),
+      TextOps.topBigramFrac(TextOps.tokens(col("text"))).as("b"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(out(0) === ((1.0 / 3.0, 1.0 / 2.0)))  // bigrams: "a a","a b" → top 1/2
+    assert(out(1) === ((3.0 / 5.0, 2.0 / 4.0)))  // "a b"×2,"b a"×2 → top 2/4
+    assert(out(2) === ((0.0, 0.0)))              // single token: no dups, no bigrams
+    assert(out(3) === ((0.0, 0.0)))
+  }
+
   test("nearDupPairs finds a planted near-duplicate and nothing else") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -225,6 +225,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("x12_profile").contains("Expand"))
   }
 
+  test("q10 top-20 customers plans a true top-k over the aggregate, not a full sort") {
+    // At 100 TB the customer ranking must never materialize: each
+    // partition of the grouped aggregate keeps 20 rows
+    // (TakeOrderedAndProject), the driver merges P×20.
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
+  }
+
+  test("q18 HAVING prunes the fact aggregate before the dimension joins") {
+    // the lineitem groupBy-HAVING must sit BELOW the joins: the filter on
+    // sum(l_quantity) applies to the aggregate output, so only qualifying
+    // orders (few) ride into the orders/customer joins
+    val p = plan("q18_large_orders").linesIterator.toSeq
+    val aggIdx = p.indexWhere(l => l.contains("HashAggregate") &&
+      l.contains("sum(l_quantity"))
+    val joinIdx = p.indexWhere(l => l.contains("Join"))
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"fact aggregate not below the joins:\n${p.mkString("\n")}")
+    // the HAVING filter (on the aggregate's tot alias) sits between the
+    // joins and the final aggregate — qualifying orders only ride upward
+    val filtIdx = p.indexWhere(l => l.contains("Filter") && l.contains("tot#"))
+    assert(filtIdx >= 0 && filtIdx < aggIdx,
+      s"HAVING filter not above the fact aggregate:\n${p.mkString("\n")}")
+  }
+
+  test("x14 chunking is shuffle-free (pure per-row explode)") {
+    val p = plan("x14_chunk_docs")
+    assert(!p.contains("Exchange"), s"chunking plans a shuffle:\n$p")
+    assert(p.contains("Generate"), "explode generator missing")
+  }
+
+  test("x16 temperature mix broadcasts thresholds; corpus is scanned, never shuffled") {
+    // the corpus-side rows must meet the per-source thresholds via a
+    // broadcast join — every hash exchange in the plan may carry only
+    // the tiny per-source aggregates, never corpus rows
+    val p = plan("x16_temperature_mix").linesIterator.toSeq
+    assert(p.exists(_.contains("BroadcastHashJoin")),
+      "threshold join is not broadcast")
+    p.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+      .foreach { case (line, i) =>
+        val below = p.drop(i + 1).take(2).mkString
+        assert(below.contains("Aggregate"),
+          s"corpus-carrying exchange found: $line\n$below")
+      }
+  }
+
+  test("x17 curation pipeline: heap cap, no product joins, hash-led dedup shuffle") {
+    // the five-stage composition must keep each stage's scale shape: the
+    // per-source cap stays a bounded-heap partial aggregate (no full
+    // per-source sort re-introduced by the composition), no join degrades
+    // to a product, and the dedup exchange is keyed on the text hash
+    val p = plan("x17_curation_pipeline")
+    assert(p.contains("partial_topkbyscore") || p.contains("partial_TopKByScore"),
+      s"cap stage lost its map-side bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("xxhash64"), "dedup shuffle not hash-led")
+  }
+
   test("x1 exact dedup shuffles on a fixed-width hash, not the raw text") {
     val p = plan("x1_dedup_exact")
     // the hash is pre-projected as a window partition key (_w0 =
