@@ -51,7 +51,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ extQueries ++ pipelineQueries ++ SparkEntryR5.queries
+    coreQueries ++ extQueries ++ pipelineQueries ++ SparkEntryR5.queries ++
+      SparkEntryR5b.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -763,5 +764,6 @@ object SparkEntry {
         |       split_part(p_brand || '.SA', '.', 1) AS ticker_base,
         |       split_part(p_type, ' ', 1) AS type_head
         |FROM part""".stripMargin
-  ) ++ extOracleSql ++ pipelineOracleSql ++ SparkEntryR5.oracleSql
+  ) ++ extOracleSql ++ pipelineOracleSql ++ SparkEntryR5.oracleSql ++
+    SparkEntryR5b.oracleSql
 }
