@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.tables.Tables
+import graft.text.Search
 
 /** Round-5b query entries: the correlated-subquery surface (TPC-H
   * q2/q4/q17/q21/q22 shapes adapted to the fixture schema — the reference's
@@ -123,6 +125,22 @@ object SparkEntryR5b {
       GROUP BY c_mktsegment
       """)),
 
+    // X18: ranked text retrieval over the corpus (inverted-index search).
+    // Integer-exact scaled tf-idf scoring (idf = (N·10⁶) DIV df, all
+    // BIGINT) so the row is hash-exact cross-engine; one corpus scan, one
+    // doc-keyed shuffle (terms pivoted to conditional counts), true top-k.
+    // The real-BM25 twin is `x18_bm25_topk` (rows-only; ranking properties
+    // in SearchSpec) — same split as HLL vs exact distinct.
+    "x18_tfidf_search" -> ((s, d) =>
+      Search.tfidfTopK(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Search.DefaultTerms, 20)),
+
+    "x18_bm25_topk" -> ((s, d) =>
+      Search.bm25TopK(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        Search.DefaultTerms, 20)),
+
     // Q2 shape: best-supplier-per-nation — suppliers whose account balance
     // equals their nation's maximum (the fixture schema has no partsupp;
     // the correlated-scalar-max-per-group skeleton is the q2 core). Pure
@@ -197,6 +215,32 @@ object SparkEntryR5b {
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
                          WHERE s2.s_nationkey = supplier.s_nationkey)
-      """
+      """,
+    "x18_tfidf_search" -> {
+      val toksSql =
+        """CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+      val terms = graft.text.Search.DefaultTerms
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
+      }.mkString(",\n             ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(SUM((tf_$i > 0)::BIGINT) AS BIGINT) AS df_$i").mkString(", ")
+      val scoreSum = terms.indices.map(i =>
+        s"tf_$i * ((n_docs * 1000000) // df_$i)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         $tfCols
+         |  FROM t
+         |  WHERE len(list_filter(tk, x -> x IN ($inList))) > 0
+         |),
+         |dfs AS (SELECT $dfCols FROM m),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, CAST($scoreSum AS BIGINT) AS score
+         |FROM m, dfs, nd
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin
+    }
   )
 }
