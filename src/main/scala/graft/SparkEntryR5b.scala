@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
-import graft.tables.Tables
+import graft.tables.{DatasetDiff, Merge, Tables}
 import graft.text.Search
 
 /** Round-5b query entries: the correlated-subquery surface (TPC-H
@@ -141,6 +141,45 @@ object SparkEntryR5b {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         Search.DefaultTerms, 20)),
 
+    // X19: SCD2 MERGE/upsert over PERSISTED versions — the incremental
+    // lakehouse write path (see tables/Merge.scala for semantics and the
+    // one-join + row-local-explode scale shape, pinned in MergeSpec). The
+    // snapshot (current + closed history) and the change batch (updates,
+    // idempotent re-deliveries, deletes, inserts, absent-key deletes) are
+    // derived deterministically from `documents`, WRITTEN as real
+    // hive-partitioned parquet trees (same lifecycle discipline as
+    // x13_dataset_diff), and the merge consumes the read-back tables. The
+    // oracle recomputes the same merge as a disjoint-case UNION.
+    "x19_scd2_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val curRows = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), col("text"),
+          lit("2025-01-01").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"),
+          lit(true).as("is_current"))
+      val histRows = docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [old]")).as("text"),
+          lit("2024-01-01").cast("timestamp").as("valid_from"),
+          lit("2025-01-01").cast("timestamp").as("valid_to"),
+          lit(false).as("is_current"))
+      val changes = docs
+        .filter(col("doc_id") % 9 === 0 || col("doc_id") % 5 === 0 ||
+          col("doc_id") % 13 === 1 || col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 9 === 0, lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+      val root = DatasetDiff.ensureVersions(s, Seq("x19_versions", d),
+        Seq("snapshot" -> curRows.unionByName(histRows), "changes" -> changes),
+        partitionCol = Some(("part_bucket", pmod(col("doc_id"), lit(4L)))))
+      Merge.applyScd2(
+        s.read.parquet(s"$root/snapshot").drop("part_bucket"),
+        s.read.parquet(s"$root/changes").drop("part_bucket"),
+        "doc_id", "text", lit("2026-01-01").cast("timestamp"))
+    }),
+
     // Q2 shape: best-supplier-per-nation — suppliers whose account balance
     // equals their nation's maximum (the fixture schema has no partsupp;
     // the correlated-scalar-max-per-group skeleton is the q2 core). Pure
@@ -241,6 +280,44 @@ object SparkEntryR5b {
          |FROM m, dfs, nd
          |ORDER BY score DESC, doc_id
          |LIMIT 20""".stripMargin
-    }
+    },
+    "x19_scd2_merge" -> """
+      WITH cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      chg AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN NULL
+                    WHEN doc_id % 5 = 0 THEN text || ' [v2]'
+                    ELSE text END AS payload,
+               CASE WHEN doc_id % 9 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        FROM documents
+        WHERE doc_id % 9 = 0 OR doc_id % 5 = 0 OR doc_id % 13 = 1
+           OR doc_id % 7 = 3)
+      -- history passthrough
+      SELECT doc_id, text || ' [old]' AS text,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             TIMESTAMP '2025-01-01' AS valid_to, FALSE AS is_current
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      -- kept current: no change row, or an idempotent upsert re-delivery
+      SELECT c.doc_id, c.text, TIMESTAMP '2025-01-01',
+             CAST(NULL AS TIMESTAMP), TRUE
+      FROM cur c LEFT JOIN chg g USING (doc_id)
+      WHERE g.doc_id IS NULL
+         OR (g.op = 'upsert' AND g.payload IS NOT DISTINCT FROM c.text)
+      UNION ALL
+      -- closed: delete, or upsert with a different payload
+      SELECT c.doc_id, c.text, TIMESTAMP '2025-01-01',
+             TIMESTAMP '2026-01-01', FALSE
+      FROM cur c JOIN chg g USING (doc_id)
+      WHERE g.op = 'delete'
+         OR (g.op = 'upsert' AND g.payload IS DISTINCT FROM c.text)
+      UNION ALL
+      -- new current: changed upsert or insert of an absent key
+      SELECT g.doc_id, g.payload, TIMESTAMP '2026-01-01',
+             CAST(NULL AS TIMESTAMP), TRUE
+      FROM chg g LEFT JOIN cur c USING (doc_id)
+      WHERE g.op = 'upsert'
+        AND (c.doc_id IS NULL OR g.payload IS DISTINCT FROM c.text)
+      """
   )
 }
