@@ -64,4 +64,62 @@ class SubqueryPlanSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned 0 rows")
     }
   }
+
+  // ---- round-5c: the remaining TPC-H shapes (SparkEntryR5c) ----
+
+  test("q11 HAVING threshold runs its scalar subquery once") {
+    val p = plan("q11_balance_concentration")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "global-total threshold should be a one-shot scalar subquery")
+    assert(p.contains("HashAggregate"), "no grouped aggregate")
+    noProduct(p, "q11")
+  }
+
+  test("q15 max-revenue threshold is a one-shot scalar subquery over the CTE") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "MAX(total_rev) should run once, not per supplier row")
+    assert(p.contains("HashAggregate"), "no per-supplier aggregate")
+    noProduct(p, "q15")
+  }
+
+  test("q16 NOT IN plans a null-aware LeftAnti hash join") {
+    val p = plan("q16_supplier_diversity")
+    assert(p.contains("LeftAnti"), "NOT IN did not become an anti join")
+    noProduct(p, "q16")
+  }
+
+  test("q20 nested IN chain plans stacked LeftSemi hash joins") {
+    val p = plan("q20_heavy_shippers")
+    val semis = "LeftSemi".r.findAllIn(p).size
+    assert(semis >= 2, s"expected two stacked semi joins, saw $semis in:\n$p")
+    noProduct(p, "q20")
+  }
+
+  test("q19 disjunctive bands stay a hash equi-join with a residual filter") {
+    val p = plan("q19_banded_revenue")
+    assert(p.contains("HashJoin"), "partkey equi-join lost to a non-hash strategy")
+    noProduct(p, "q19")
+  }
+
+  test("q13 keeps the outer join (zero-order customers survive)") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter"), "left join collapsed — zero bucket would vanish")
+    noProduct(p, "q13")
+  }
+
+  test("q8 dimension tree broadcasts at defaults") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in the dim tree")
+    noProduct(p, "q8")
+  }
+
+  test("r5c pack: every query returns rows at sf0.001") {
+    for (q <- Seq("q6_forecast_revenue", "q8_market_share",
+      "q11_balance_concentration", "q12_late_shipments",
+      "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
+      "q16_supplier_diversity", "q19_banded_revenue", "q20_heavy_shippers")) {
+      assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned 0 rows")
+    }
+  }
 }
