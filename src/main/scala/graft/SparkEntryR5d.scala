@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.ZOrder
 import graft.tables.Tables
+import graft.text.TextOps
 
 /** Round-5d query entries: lakehouse data-layout operators — z-order
   * clustering with min/max file-skipping (`pipeline/ZOrder.scala`).
@@ -46,14 +47,55 @@ object SparkEntryR5d {
         .filter(col("user_id").between(UserLo, UserHi) &&
           col("value").between(ValLo, ValHi))
         .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
+    // X21: cross-table fuzzy join (entity resolution) — a perturbed probe
+    // set (every 10th doc + one appended token) resolved against the
+    // corpus by MinHash-LSH candidates + exact-Jaccard verify, never the
+    // |probe|×|corpus| product. The oracle recomputes the EXACT all-pairs
+    // Jaccard at fixture scale: a green row proves the LSH path finds
+    // exactly the true >= 0.8 pair set (precision 1 by verify; per-pair
+    // miss prob <= 5e-6 at the J=0.8 boundary, vanishing above it).
+    "x21_fuzzy_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val probe = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("probe_id"),
+          concat(col("text"), lit(" qq")).as("text"))
+      TextOps.fuzzyJoin(probe, docs, 0.8)
     })
   )
+
+  // DuckDB mirrors of TextOps.tokens / TextOps.shingles(_, 3) — same
+  // strings as SparkEntryExt's x2 oracles
+  private val toksSql =
+    """CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+  private def shinglesSql(t: String) =
+    s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t)-1), " +
+      s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE [] END"
 
   def oracleSql: Map[String, String] = Map(
     "x20_zorder_prune" -> s"""
       SELECT event_id, user_id, value FROM events
       WHERE user_id BETWEEN $UserLo AND $UserHi
         AND value BETWEEN $ValLo AND $ValHi
+      """,
+    "x21_fuzzy_join" -> s"""
+      WITH probe AS (
+        SELECT doc_id + 1000000 AS probe_id, text || ' qq' AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      shp AS (
+        SELECT probe_id, list_distinct(${shinglesSql("tk")}) AS s
+        FROM (SELECT probe_id, $toksSql AS tk FROM probe)),
+      shd AS (
+        SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s
+        FROM (SELECT doc_id, $toksSql AS tk FROM documents))
+      SELECT probe_id, doc_id,
+             CAST(len(list_intersect(p.s, d.s)) AS DOUBLE)
+               / len(list_distinct(p.s || d.s)) AS jac
+      FROM shp p, shd d
+      WHERE len(p.s) > 0 AND len(d.s) > 0
+        AND CAST(len(list_intersect(p.s, d.s)) AS DOUBLE)
+              / len(list_distinct(p.s || d.s)) >= 0.8
       """
   )
 }

@@ -120,6 +120,49 @@ object TextOps {
       .filter(col("jac") >= threshold)
   }
 
+  /** CROSS-TABLE fuzzy join (entity resolution): pair rows of `left` with
+    * rows of `right` whose text Jaccard clears `threshold` — without ever
+    * forming the |left|×|right| product. Same MinHash-LSH discipline as
+    * `nearDupPairs`: both sides band-key their signatures, candidates come
+    * from the (band, key) equi-join, and every candidate is exact-verified,
+    * so precision is 1 and recall is 1-(1-J^r)^b per true pair.
+    *
+    * Scale shape: the LSH join moves fixed-width (id, band, key) rows only;
+    * shingle sets re-attach to the surviving candidates. When one side is
+    * small (a probe/query set against a 100 TB corpus — the common entity-
+    * resolution case), its keyed form broadcasts under size-based planning
+    * and the big side is scanned once, never shuffled by payload.
+    *
+    * Output: (leftId, rightId, jac) — column names taken from the inputs.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, threshold: Double,
+                leftId: String = "probe_id", rightId: String = "doc_id",
+                textCol: String = "text",
+                shingleN: Int = 3, numHashes: Int = 24,
+                bands: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must fit signature")
+    import org.apache.spark.sql.graft.ColumnBridge
+    def shingled(df: DataFrame, id: String, tag: String): DataFrame = df
+      .select(col(id), distinctShingles(col(textCol), shingleN).as(s"__sh$tag"))
+      .filter(size(col(s"__sh$tag")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def keyed(sh: DataFrame, id: String, tag: String): DataFrame = sh
+      .select(col(id), posexplode(ColumnBridge.column(
+        graft.expressions.MinHashBandKeys(
+          ColumnBridge.expression(col(s"__sh$tag")),
+          numHashes, bands, rowsPerBand))).as(Seq("band", "key")))
+    val shL = shingled(left, leftId, "l")
+    val shR = shingled(right, rightId, "r")
+    val cand = keyed(shL, leftId, "l")
+      .join(keyed(shR, rightId, "r"), Seq("band", "key"))
+      .select(col(leftId), col(rightId))
+      .dropDuplicates(leftId, rightId)
+    cand.join(shL, leftId).join(shR, rightId)
+      .select(col(leftId), col(rightId),
+        jaccard(col("__shl"), col("__shr")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** Near-dup DEDUPLICATED corpus — what a training-data pipeline actually
     * keeps: drop every document that near-duplicates a smaller-id one
     * (min-id survivor over the `nearDupPairs` relation; standard practice
