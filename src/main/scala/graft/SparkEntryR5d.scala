@@ -62,6 +62,31 @@ object SparkEntryR5d {
         .select((col("doc_id") + lit(1000000L)).as("probe_id"),
           concat(col("text"), lit(" qq")).as("text"))
       TextOps.fuzzyJoin(probe, docs, 0.8)
+    }),
+
+    // X22: snapshot time travel — a three-version history of `documents`
+    // (base → every-5th edited → every-7th dropped) committed at known
+    // timestamps, then read AS OF a mid-history instant. The manifest
+    // resolves the version driver-side; exactly ONE snapshot directory is
+    // scanned. Oracle recomputes the v2 derivation directly — a green row
+    // proves AS OF picked the right snapshot and the snapshot is intact.
+    "x22_time_travel" -> ((s, d) => {
+      import java.sql.Timestamp
+      val root = tmpBase(d, "docs_tt")
+      if (graft.tables.TimeTravel.versions(s, root).size < 3) {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val v2 = docs.withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")))
+        graft.tables.TimeTravel.commit(docs, root,
+          Timestamp.valueOf("2026-01-01 00:00:00"))
+        graft.tables.TimeTravel.commit(v2, root,
+          Timestamp.valueOf("2026-01-02 00:00:00"))
+        graft.tables.TimeTravel.commit(v2.filter(col("doc_id") % 7 =!= 0),
+          root, Timestamp.valueOf("2026-01-03 00:00:00"))
+      }
+      graft.tables.TimeTravel.readAsOf(s, root,
+        Timestamp.valueOf("2026-01-02 12:00:00"))
     })
   )
 
@@ -96,6 +121,11 @@ object SparkEntryR5d {
       WHERE len(p.s) > 0 AND len(d.s) > 0
         AND CAST(len(list_intersect(p.s, d.s)) AS DOUBLE)
               / len(list_distinct(p.s || d.s)) >= 0.8
+      """,
+    "x22_time_travel" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END AS text
+      FROM documents
       """
   )
 }
