@@ -87,6 +87,28 @@ object SparkEntryR5d {
       }
       graft.tables.TimeTravel.readAsOf(s, root,
         Timestamp.valueOf("2026-01-02 12:00:00"))
+    }),
+
+    // X23: incremental aggregate maintenance — the per-source stats table
+    // is PERSISTED once from the base corpus; absorbing the change batch
+    // is summarize(delta) + a full-outer merge of two tiny summaries. The
+    // corpus is scanned exactly once (the delta) — pinned in
+    // IncrementalStatsSpec — yet the merged counters equal the full
+    // recompute the oracle runs. Sketch-identity (merge-then-estimate ==
+    // recompute-then-estimate) is pinned in the same spec.
+    "x23_incremental_stats" -> ((s, d) => {
+      import graft.stats.IncrementalStats
+      val root = tmpBase(d, "stats_base")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      if (!new java.io.File(root, "_SUCCESS").exists())
+        IncrementalStats.summarize(docs.filter(col("doc_id") % 3 =!= 0),
+          "source", "n_chars", "doc_id")
+          .write.mode("overwrite").parquet(root)
+      val deltaSum = IncrementalStats.summarize(
+        docs.filter(col("doc_id") % 3 === 0), "source", "n_chars", "doc_id")
+      IncrementalStats.merge(s.read.parquet(root), deltaSum, "source")
+        .select(IncrementalStats.exactCols("source"): _*)
     })
   )
 
@@ -126,6 +148,11 @@ object SparkEntryR5d {
       SELECT doc_id,
              CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END AS text
       FROM documents
+      """,
+    "x23_incremental_stats" -> """
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_val
+      FROM documents GROUP BY source
       """
   )
 }
