@@ -109,7 +109,23 @@ object SparkEntryR5d {
         docs.filter(col("doc_id") % 3 === 0), "source", "n_chars", "doc_id")
       IncrementalStats.merge(s.read.parquet(root), deltaSum, "source")
         .select(IncrementalStats.exactCols("source"): _*)
-    })
+    }),
+
+    // W6: SLIDING event-time windows (1 h window, 15 min slide) — each
+    // event lands in exactly window/slide = 4 overlapping windows; Spark
+    // plans this as a row-local window-instance explode feeding the same
+    // partial/final aggregate as tumbling, so the cost knob is the
+    // window:slide ratio (4× row replication here), never a shuffle
+    // blowup. Counts + exact distincts only (integer math, no float fold
+    // order). Watermarked streaming twin with append-mode emission timing
+    // pinned in StreamingWindowSpec.
+    "w6_sliding_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("n_events"), col("n_users")))
   )
 
   // DuckDB mirrors of TextOps.tokens / TextOps.shingles(_, 3) — same
@@ -153,6 +169,15 @@ object SparkEntryR5d {
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(n_chars) AS BIGINT) AS sum_val
       FROM documents GROUP BY source
+      """,
+    // each event belongs to win_start = floor15(ts) - k*15min, k = 0..3
+    "w6_sliding_agg" -> """
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - k) * 900000000
+               AS win_start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
+      GROUP BY 1
       """
   )
 }

@@ -58,4 +58,46 @@ class StreamingWindowSpec extends AnyFunSuite {
         s"streaming windows $got differ from batch $expected")
     } finally q.stop()
   }
+
+  test("streaming SLIDING windows equal the batch aggregate; emission at window end") {
+    implicit val sc = spark.sqlContext
+    val ev = MemoryStream[WinEv]
+    val out = ev.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("n_events"))
+    val q = out.writeStream.format("memory").queryName("w6_stream")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq(WinEv(t(10, 0), 1), WinEv(t(10, 20), 2), WinEv(t(10, 50), 1))
+      ev.addData(batch1: _*)
+      q.processAllAvailable()
+      // watermark 10:20: only windows ending <= 10:20 could emit, and the
+      // earliest window containing 10:00 is [09:15, 10:15) — ends 10:15
+      // < 10:20, so AT MOST that one window may have emitted; the window
+      // [10:00, 11:00) must not have
+      val early = spark.table("w6_stream")
+        .collect().map(_.getLong(0)).toSet
+      val tenAmUs = t(10, 0).getTime * 1000L
+      assert(!early.contains(tenAmUs),
+        "open sliding window emitted before the watermark passed its end")
+
+      // sentinel far ahead closes every real window
+      ev.addData(WinEv(t(15, 0), 9))
+      q.processAllAvailable()
+
+      val got = spark.table("w6_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = batch1.toDF()
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getStruct(0).getTimestamp(0).getTime * 1000L -> r.getLong(1))
+        .toMap
+      assert(got === expected,
+        s"streaming sliding windows $got differ from batch $expected")
+      // sanity: a single 10:00 event really spans 4 slide instances
+      assert(expected.count { case (w, _) => w <= tenAmUs && tenAmUs < w + 3600000000L } === 4)
+    } finally q.stop()
+  }
 }
