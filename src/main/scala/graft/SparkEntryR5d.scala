@@ -126,6 +126,25 @@ object SparkEntryR5d {
           countDistinct(col("user_id")).as("n_users"))
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users")))
+,
+    // A8: explicit GROUPING SETS — the general form behind the existing
+    // rollup (a4) and cube (a6): three hand-picked sets (by returnflag,
+    // by linestatus, grand total) in ONE pass — Spark's Expand replicates
+    // each row once per set feeding a single aggregate, never three
+    // scans. GROUPING() markers disambiguate the null-vs-missing classes,
+    // cast BIGINT on both engines.
+    "a8_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("r5d_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM r5d_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """)
+    })
   )
 
   // DuckDB mirrors of TextOps.tokens / TextOps.shingles(_, 3) — same
@@ -178,6 +197,15 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "a8_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       """
   )
 }

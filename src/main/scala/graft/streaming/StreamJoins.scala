@@ -79,6 +79,19 @@ object StreamJoins {
     * (StreamJoinsSpec pins both the late-emission timing and the state
     * plateau).
     */
+  /** Stream-STATIC enrichment: join a stream to a batch dimension table.
+    * No watermark and no join state — the static side is planned fresh
+    * per micro-batch (broadcast under size-based planning for a dim that
+    * fits, which is the 100 TB enrichment shape: the stream never
+    * shuffles, each task probes the broadcast map). Note: for a plain
+    * parquet static side the file listing is fixed when the query starts —
+    * picking up a dimension rewrite mid-query needs a re-listing source
+    * (or a query restart).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
+             joinType: String = "left"): DataFrame =
+    stream.join(dim, Seq(keyCol), joinType)
+
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
                             leftTs: String, rightTs: String,
                             watermark: String, horizon: String): DataFrame =

@@ -163,4 +163,32 @@ class StreamJoinsSpec extends AnyFunSuite {
         s"join state not bounded by the watermark horizon: $rows")
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the dim, stateless") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val out = StreamJoins.enrich(clicks.toDF(), dim, "user")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Click(t(0), 1L, 100L), Click(t(1), 2L, 200L),
+        Click(t(2), 7L, 700L)) // 7 has no dim row → null tier (left join)
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("click_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(100L -> Some("gold"), 200L -> Some("silver"),
+        700L -> None))
+      // stateless: no state store operator participates at all
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "enrichment must not allocate join state")
+      // a later batch joins the same dim again
+      clicks.addData(Click(t(3), 2L, 201L))
+      q.processAllAvailable()
+      val n = spark.table("enrich_out")
+        .filter($"click_id" === 201L && $"tier" === "silver").count()
+      assert(n === 1L)
+    } finally q.stop()
+  }
 }
