@@ -127,6 +127,30 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users")))
 ,
+    // X24: declarative data-quality gate — the violations report a
+    // pipeline runs before publishing a table. All row-local rules fold
+    // into ONE scan (pinned in ChecksSpec); uniqueness is one key count;
+    // referential integrity is one anti-join against the (broadcastable)
+    // parent keys; the cross-table temporal rule runs over the joined
+    // frame and unions in. Fixture truth: the duplicate line-key surplus
+    // and ship-before-order counts are real, non-zero violations.
+    "x24_quality_report" -> ((s, d) => {
+      import graft.quality.Checks
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val base = Checks.run(li, Seq(
+        Checks.notNull("l_quantity"),
+        Checks.inRange("l_discount", 0.0, 0.1),
+        Checks.RowCheck("positive_price", col("l_extendedprice") <= 0),
+        Checks.Unique("unique_line_key", Seq("l_orderkey", "l_linenumber")),
+        Checks.RefIntegrity("order_exists", "l_orderkey", ord, "o_orderkey")))
+      val temporal = Checks.run(
+        li.join(ord, col("l_orderkey") === col("o_orderkey")),
+        Seq(Checks.RowCheck("ship_after_order",
+          col("l_shipdate") < col("o_orderdate"))))
+      base.unionByName(temporal)
+    }),
+
     // A8: explicit GROUPING SETS — the general form behind the existing
     // rollup (a4) and cube (a6): three hand-picked sets (by returnflag,
     // by linestatus, grand total) in ONE pass — Spark's Expand replicates
@@ -197,6 +221,36 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "x24_quality_report" -> """
+      SELECT 'not_null_l_quantity' AS rule,
+             CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT)
+               AS violations FROM lineitem
+      UNION ALL
+      SELECT 'range_l_discount',
+             CAST(COUNT(*) FILTER (WHERE l_discount IS NULL
+               OR l_discount < 0.0 OR l_discount > 0.1) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'positive_price',
+             CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique_line_key',
+             CAST(COALESCE((SELECT SUM(c - 1) FROM (
+               SELECT COUNT(*) AS c FROM lineitem
+               GROUP BY l_orderkey, l_linenumber) WHERE c > 1), 0) AS BIGINT)
+      UNION ALL
+      SELECT 'order_exists',
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                     ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_orderkey IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'ship_after_order',
+             CAST((SELECT COUNT(*) FROM lineitem JOIN orders
+                     ON l_orderkey = o_orderkey
+                   WHERE l_shipdate < o_orderdate) AS BIGINT)
       """,
     "a8_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus,

@@ -65,6 +65,34 @@ object TextHashKernels {
     * UTF8String's — exactly Spark's `trim`/`lower`; the `\s+` split is the
     * same Java regex `functions.split` applies.
     */
+  /** X15 repetition metrics in one pass over the token array:
+    * dup_frac = 1 − distinct/total tokens (0.0 for empty), and
+    * top_bigram_frac = max bigram count / total bigrams (0.0 below 2
+    * tokens). Ratio math matches the HOF formulation exactly
+    * ((int-derived double) / int in IEEE-754), so oracles are unchanged.
+    */
+  def repetitionStats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    if (n == 0) { out.update(0, 0.0); out.update(1, 0.0); return out }
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) { seen.add(toks.getUTF8String(i)); i += 1 }
+    out.update(0, (n - seen.size).toDouble / n)
+    if (n < 2) { out.update(1, 0.0); return out }
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var best = 0
+    i = 0
+    while (i + 1 < n) {
+      val bg = toks.getUTF8String(i).toString + " " + toks.getUTF8String(i + 1).toString
+      val c = counts.merge(bg, 1, Integer.sum)
+      if (c > best) best = c
+      i += 1
+    }
+    out.update(1, best.toDouble / (n - 1))
+    out
+  }
+
   def wordShingles(u: UTF8String, n: Int): ArrayData = {
     val t = u.trim().toLowerCase().toString
     if (t.isEmpty) return new GenericArrayData(Array.empty[Any])
@@ -179,6 +207,31 @@ case class SimHash31(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.TextHashKernels.simHash31($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native X15 repetition metrics over an `array<string>` TOKEN column:
+  * struct(dup_frac, top_bigram_frac) in one compiled O(n) pass (token
+  * hash-set + bigram hash-map). Replaces two interpreted higher-order
+  * folds that measured ~0.8 ms PER ROW on ~50-token docs (4.6 s for the
+  * 5000-doc sf0.1 bench corpus); same int/int-derived double ratios, so
+  * the DuckDB oracle is unchanged.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_repetition_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.repetitionStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.repetitionStats($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -86,7 +86,8 @@ object TextOps {
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, numHashes: Int = 24,
-                   bands: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+                   bands: Int = 12, rowsPerBand: Int = 2,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must fit signature")
     // The shingle table feeds three plan branches (band keying + both sides
     // of the jaccard re-attachment); persist it so tokenization/shingling
@@ -101,12 +102,13 @@ object TextOps {
     // the LSH shuffle moves fixed-width rows, never document payloads.
     // Signature + band packing run fused in the native MinHashBandKeys
     // kernel (band = array position).
-    val keyed = sh
+    val keyed = capBuckets(sh
       .select(col(idCol),
         posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
           graft.expressions.MinHashBandKeys(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("__sh")),
-            numHashes, bands, rowsPerBand))).as(Seq("band", "key")))
+            numHashes, bands, rowsPerBand))).as(Seq("band", "key"))),
+      maxBucketSize)
     val cand = keyed.select(col(idCol).as("id_a"), col("band"), col("key"))
       .join(keyed.select(col(idCol).as("id_b"), col("band"), col("key")),
         Seq("band", "key"))
@@ -118,6 +120,54 @@ object TextOps {
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("__sa"), col("__sb")).as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** Hot-bucket guard for LSH candidate generation. The join cost of LSH
+    * is Σ over buckets of B² (self-join) or B_l·B_r (cross-join): ONE
+    * boilerplate mega-bucket — a template string shared by millions of
+    * near-identical-but-not-equal documents — turns the candidate join
+    * quadratic on its own. With a cap, buckets larger than `maxBucketSize`
+    * are excluded from candidate generation entirely.
+    *
+    * Contract (be honest about it): a J >= τ pair survives as long as ANY
+    * of its b shared band buckets is under the cap, so organic near-dup
+    * pairs keep their 1-(1-J^r)^b recall; what the cap sacrifices is the
+    * pathological mega-clique itself — whose pair LIST is inherently
+    * quadratic in output size anyway. The production discipline: run
+    * EXACT dedup first (x1/x17 do), profile with `lshBucketStats`, then
+    * cap. Default Int.MaxValue leaves the plan untouched.
+    */
+  private def capBuckets(keyed: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) keyed
+    else {
+      val ok = keyed.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select(col("band"), col("key"))
+      keyed.join(ok, Seq("band", "key"), "left_semi")
+    }
+
+  /** Candidate-economics diagnostic: per-(band, key) bucket sizes at or
+    * above `minSize`, with the quadratic pair cost each contributes —
+    * run this before a large dedup to spot boilerplate mega-buckets and
+    * choose `maxBucketSize` (or a content pre-filter) from evidence.
+    */
+  def lshBucketStats(docs: DataFrame, minSize: Long,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     shingleN: Int = 3, numHashes: Int = 24,
+                     bands: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    val sh = docs
+      .select(col(idCol), distinctShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    sh.select(posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.MinHashBandKeys(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__sh")),
+          numHashes, bands, rowsPerBand))).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") >= minSize)
+      .withColumn("pair_cost",
+        (col("bucket_size") * (col("bucket_size") - 1) / 2).cast("long"))
   }
 
   /** CROSS-TABLE fuzzy join (entity resolution): pair rows of `left` with
@@ -139,7 +189,8 @@ object TextOps {
                 leftId: String = "probe_id", rightId: String = "doc_id",
                 textCol: String = "text",
                 shingleN: Int = 3, numHashes: Int = 24,
-                bands: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+                bands: Int = 12, rowsPerBand: Int = 2,
+                maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must fit signature")
     import org.apache.spark.sql.graft.ColumnBridge
     def shingled(df: DataFrame, id: String, tag: String): DataFrame = df
@@ -153,8 +204,10 @@ object TextOps {
           numHashes, bands, rowsPerBand))).as(Seq("band", "key")))
     val shL = shingled(left, leftId, "l")
     val shR = shingled(right, rightId, "r")
-    val cand = keyed(shL, leftId, "l")
-      .join(keyed(shR, rightId, "r"), Seq("band", "key"))
+    // bucket cost here is B_left × B_right — cap each side independently
+    val cand = capBuckets(keyed(shL, leftId, "l"), maxBucketSize)
+      .join(capBuckets(keyed(shR, rightId, "r"), maxBucketSize),
+        Seq("band", "key"))
       .select(col(leftId), col(rightId))
       .dropDuplicates(leftId, rightId)
     cand.join(shL, leftId).join(shR, rightId)
@@ -384,6 +437,16 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Native one-pass X15 metrics: struct(dup_frac, top_bigram_frac) via
+    * the compiled kernel — the production form (spec-checked equal to the
+    * two HOF formulations below, which remain as the executable
+    * definition of the semantics).
+    */
+  def repetitionStats(toks: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.RepetitionStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks)))
+
   /** Duplicate-token fraction (X15, Gopher-style repetition signal):
     * 1 − distinct/total tokens, 0.0 for empty docs. Int/int division —
     * bit-exact across engines.
@@ -395,16 +458,24 @@ object TextOps {
         .otherwise(lit(0.0)))
 
   /** Top-bigram fraction (X15): occurrences of the most frequent bigram
-    * over total bigrams, 0.0 when fewer than 2 tokens. Row-local
-    * O(distinct-bigrams × bigrams) — bounded by document length, no
-    * shuffle; a groupBy/explode twin would replace it for megabyte-scale
-    * documents.
+    * over total bigrams, 0.0 when fewer than 2 tokens. Row-local sort +
+    * one linear fold (longest equal-run over the sorted bigrams) —
+    * O(B log B) per document vs the naive distinct×filter quadratic,
+    * which measured 4.8 s on the 500-doc bench corpus (long docs: ~10 ms
+    * PER DOCUMENT is what a per-row quadratic costs). No shuffle.
     */
   def topBigramFrac(toks: Column): Column =
-    graft.util.Expr.bind(shingles(toks, 2), bg =>
+    graft.util.Expr.bind(array_sort(shingles(toks, 2)), bg =>
       when(size(bg) > 0,
-        array_max(transform(array_distinct(bg),
-          b => size(filter(bg, x => x === b)))).cast("double") / size(bg))
+        aggregate(bg,
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"),
+              acc.getField("run") + 1).otherwise(lit(1))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")).cast("double") / size(bg))
         .otherwise(lit(0.0)))
 
   // ---- sequence packing (X10) ----

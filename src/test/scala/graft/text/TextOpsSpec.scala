@@ -56,6 +56,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3) === ((0.0, 0.0)))
   }
 
+  test("native repetitionStats kernel equals the HOF definitions on the fixture") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "solo"), (9003L, "x x x x x"))
+        .toDF("doc_id", "text"))
+    val both = docs.select(col("doc_id"),
+      TextOps.repetitionStats(TextOps.tokens(col("text"))).as("__st"),
+      TextOps.dupTokenFrac(TextOps.tokens(col("text"))).as("d2"),
+      TextOps.topBigramFrac(TextOps.tokens(col("text"))).as("b2"))
+      .select(col("doc_id"), col("__st.dup_frac").as("d1"), col("d2"),
+        col("__st.top_bigram_frac").as("b1"), col("b2"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2), s"dup_frac diverges at ${r.getLong(0)}")
+      assert(r.getDouble(3) === r.getDouble(4), s"top_bigram diverges at ${r.getLong(0)}")
+    }
+    assert(both.length > 500)
+  }
+
   test("nearDupPairs finds a planted near-duplicate and nothing else") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

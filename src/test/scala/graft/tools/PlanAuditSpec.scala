@@ -123,6 +123,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q8 seven-join dim tree: all joins survive as shuffled equi-joins with broadcast off") {
+    // the deepest dimension tree in the suite (part, orders, customer,
+    // nation x2, region, supplier around one fact scan) — regime 1: with
+    // broadcast off every join must stay a keyed shuffle join; a missing
+    // equi-conjunct in the doubly-aliased nation legs would surface as a
+    // product here.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = SparkEntry.queries("q8_market_share")(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q8 degrades to a product join without broadcast:\n$p")
+    val joins = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins == 7, s"q8: expected 7 shuffled joins, got $joins:\n$p")
+  }
+
   test("q5/q9 multi-join: dims broadcast under size-based planning; filters pushed") {
     // regime 2 — with size estimates available the planner must pick
     // broadcast joins for the bounded dims (at sf0.001 every dim
