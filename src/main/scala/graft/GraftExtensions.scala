@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, MinHashBandKeys, RollingHash31, SignLshKeys, SimHash31, WordShingles}
+import graft.expressions.{CosineSimilarity, MinHashBandKeys, RepetitionStats, RollingHash31, SignLshKeys, SimHash31, WordShingles}
 
 /** `SparkSessionExtensions` hook exposing the native expressions as SQL
   * functions, so `spark.sql("SELECT graft_cosine_similarity(a, b) …")`
@@ -88,6 +88,13 @@ object GraftExtensions {
         val a = arity("graft_minhash_band_keys", 4, args)
         MinHashBandKeys(a(0), intLit(a(1), "numHashes"),
           intLit(a(2), "bands"), intLit(a(3), "rowsPerBand"))
+      }),
+    ("graft_repetition_stats",
+      info("graft_repetition_stats",
+        "_FUNC_(tokens) - struct(dup_frac, top_bigram_frac) repetition metrics"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_repetition_stats", 1, args)
+        RepetitionStats(a(0))
       }),
     ("graft_kll_agg",
       info("graft_kll_agg",

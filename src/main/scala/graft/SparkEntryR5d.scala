@@ -127,6 +127,17 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users")))
 ,
+    // X25: n-gram LM train + score — perplexity-filter lifecycle in exact
+    // fixed-point: train trigram/context counts on the corpus (one scan,
+    // one n-gram count shuffle; denominators derived from the LM table,
+    // never a second corpus scan), then score every document by its
+    // summed conditional-probability proxy. Hash joins only (pinned in
+    // NgramLmSpec); all-integer arithmetic → hash-exact cross-engine.
+    "x25_ngram_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.text.NgramLm.score(docs, graft.text.NgramLm.train(docs))
+    }),
+
     // X24: declarative data-quality gate — the violations report a
     // pipeline runs before publishing a table. All row-local rules fold
     // into ONE scan (pinned in ChecksSpec); uniqueness is one key count;
@@ -221,6 +232,24 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "x25_ngram_score" -> s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      tri AS (SELECT doc_id, unnest(${shinglesSql("tk")}) AS tri FROM tk),
+      lm AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS cnt3 FROM tri GROUP BY tri),
+      lmp AS (SELECT tri, cnt3,
+                     SUM(cnt3) OVER (PARTITION BY
+                       split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2))
+                       AS cnt2
+              FROM lm),
+      sc AS (SELECT t.doc_id,
+                    CAST(SUM(l.cnt3 * 1000000 // l.cnt2) AS BIGINT) AS score,
+                    CAST(COUNT(*) AS BIGINT) AS n_tri
+             FROM tri t JOIN lmp l USING (tri)
+             GROUP BY t.doc_id)
+      SELECT d.doc_id, COALESCE(sc.score, 0) AS score,
+             COALESCE(sc.n_tri, 0) AS n_tri
+      FROM documents d LEFT JOIN sc USING (doc_id)
       """,
     "x24_quality_report" -> """
       SELECT 'not_null_l_quantity' AS rule,

@@ -114,6 +114,27 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** Non-distinct variant: every shingle occurrence in order — the form
+    * n-gram COUNTING needs (LM training/scoring), where multiplicity is
+    * the whole point. Same tokenization as `wordShingles`.
+    */
+  def wordShinglesAll(u: UTF8String, n: Int): ArrayData = {
+    val t = u.trim().toLowerCase().toString
+    if (t.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = t.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused MinHash signature + banded key packing over the distinct
     * shingle set: numHashes min-hashes (xxhash64 of the shingle, re-mixed
     * per hash function), then key[b] = xxhash64-fold of that band's
@@ -207,6 +228,26 @@ case class SimHash31(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.TextHashKernels.simHash31($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Non-distinct shingle extraction (multiplicity preserved, in order) —
+  * the n-gram-counting twin of `WordShingles`.
+  */
+case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles_all"
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.wordShinglesAll(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.wordShinglesAll($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -72,6 +72,15 @@ object TextOps {
       graft.expressions.WordShingles(
         org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
+  /** Native one-pass ALL-occurrences shingle list (multiplicity kept, in
+    * order; spec-checked equal to `shingles(tokens(text), n)`) — for
+    * n-gram counting.
+    */
+  def allShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordShinglesAll(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
+
   /** Near-duplicate pairs by MinHash-LSH + exact Jaccard verification.
     * Input: (idCol, textCol). Output: (id_a, id_b, jac) with id_a < id_b and
     * jac >= threshold. Pairs whose true Jaccard clears `threshold` are found

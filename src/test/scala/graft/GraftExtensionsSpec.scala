@@ -31,6 +31,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_simhash31(array('a b c')) AS s")
       .head().getLong(0) >= 0L)
 
+    val rep = spark.sql(
+      "SELECT graft_repetition_stats(array('a', 'b', 'a', 'b', 'a')) AS r")
+      .selectExpr("r.dup_frac", "r.top_bigram_frac").head()
+    assert(rep.getDouble(0) === 3.0 / 5.0 && rep.getDouble(1) === 2.0 / 4.0)
+
     val topk = spark.sql(
       """SELECT graft_topk(s, i, 2) AS t FROM VALUES
         |  (0.5D, 10L), (0.9D, 7L), (0.5D, 3L) AS v(s, i)""".stripMargin)

@@ -158,6 +158,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df.select(TextOps.rollingHash(col("s"))).head().getLong(0) === 96354L)
   }
 
+  test("native allShingles equals the non-distinct expression chain, order and multiplicity") {
+    val docs = graft.tables.Tables.documents(spark, graft.TestSpark.Sf0001)
+      .limit(200)
+      .select(col("text"),
+        TextOps.allShingles(col("text"), 3).as("native"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("chain"))
+      .unionByName(Seq("", "   ", "a b", "x y z x y z x y z", "\tA  B\tc ")
+        .toDF("text").select(col("text"),
+          TextOps.allShingles(col("text"), 3).as("native"),
+          TextOps.shingles(TextOps.tokens(col("text")), 3).as("chain")))
+    assert(docs.filter(col("native") =!= col("chain")).count() === 0)
+  }
+
   test("native distinctShingles equals the expression chain on the fixture") {
     val docs = graft.tables.Tables.documents(spark, graft.TestSpark.Sf0001)
       .limit(200)
