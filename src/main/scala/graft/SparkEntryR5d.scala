@@ -127,6 +127,23 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users")))
 ,
+    // X26: product-quantization ANN — the memory-compression leg of the
+    // similarity family (64 floats → 8 codes, 32×): per-subspace Lloyd
+    // codebooks persisted via ArtifactStore (fresh JVM loads, no refit —
+    // pinned in PqSpec), ADC compressed-domain scan, exact-cosine re-rank
+    // of the small candidate pool. Approximate by design → rows-only;
+    // recall vs brute force asserted in PqSpec.
+    "x26_pq_topk" -> ((s, d) => {
+      import graft.sim.Pq
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("CAST(embedding AS array<double>)").as("emb"))
+      val cb = Pq.ensureCodebooks(s, emb, s"$d/embeddings", m = 8, k = 16,
+        iters = 2)
+      Pq.topK(emb, emb.filter(col("vec_id") < 10), cb, k = 10, rerank = 60)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim6"))
+    }),
+
     // X25: n-gram LM train + score — perplexity-filter lifecycle in exact
     // fixed-point: train trigram/context counts on the corpus (one scan,
     // one n-gram count shuffle; denominators derived from the LM table,

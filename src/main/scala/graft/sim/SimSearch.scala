@@ -280,7 +280,7 @@ object SimSearch {
     * argmax-cosine; non-normalized centroid sets rank by raw projection,
     * matching the original behavior.
     */
-  private def centroidScores(emb: Column, centroids: Seq[Seq[Double]]): Column =
+  private[sim] def centroidScores(emb: Column, centroids: Seq[Seq[Double]]): Column =
     array(centroids.map(c => dotNative(emb, typedLit(c))): _*)
 
   /** IVF-style ANN top-k: vectors are assigned to their nearest centroid's
