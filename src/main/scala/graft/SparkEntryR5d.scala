@@ -125,8 +125,8 @@ object SparkEntryR5d {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .select(unix_micros(col("w.start")).as("win_start_us"),
-          col("n_events"), col("n_users")))
-,
+          col("n_events"), col("n_users"))),
+
     // X26: product-quantization ANN — the memory-compression leg of the
     // similarity family (64 floats → 8 codes, 32×): per-subspace Lloyd
     // codebooks persisted via ArtifactStore (fresh JVM loads, no refit —

@@ -31,13 +31,23 @@ object NgramLm {
     * count of CONTEXTS THAT CONTINUE — the correct conditional
     * denominator, free of document-tail miscounts).
     */
-  def train(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  /** @param minCount vocabulary pruning: trigrams seen fewer than
+    *   `minCount` times are dropped from the LM TABLE (at web scale the
+    *   singleton tail IS most of the table). Denominators are computed
+    *   over the FULL counts first, so surviving conditionals are
+    *   unchanged — pruned trigrams simply score as unseen (they drop out
+    *   of the scoring join), the standard OOV treatment.
+    */
+  def train(docs: DataFrame, textCol: String = "text",
+            minCount: Long = 1): DataFrame = {
     val tri = docs
       .select(explode(TextOps.allShingles(col(textCol), 3)).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("cnt3"))
       .withColumn("__p2", prefix2)
     val ctx = tri.groupBy(col("__p2")).agg(sum(col("cnt3")).as("cnt2"))
-    tri.join(ctx, "__p2").select(col("tri"), col("cnt3"), col("cnt2"))
+    tri.join(ctx, "__p2")
+      .filter(col("cnt3") >= minCount)
+      .select(col("tri"), col("cnt3"), col("cnt2"))
   }
 
   /** Score every document against a trained LM: fixed-point likelihood

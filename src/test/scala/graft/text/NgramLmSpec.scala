@@ -48,6 +48,22 @@ class NgramLmSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("minCount pruning keeps conditionals intact; pruned trigrams score as unseen") {
+    val lmAll = NgramLm.train(corpus)
+    val lmPruned = NgramLm.train(corpus, minCount = 2)
+    // only "a b c" (cnt3=2) survives; its denominator is UNCHANGED (3)
+    val kept = lmPruned.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kept === Map("a b c" -> ((2L, 3L))))
+    // scores drop monotonically (unseen trigrams contribute 0)
+    val sAll = NgramLm.score(corpus, lmAll).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sPruned = NgramLm.score(corpus, lmPruned).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sPruned.forall { case (id, s) => s <= sAll(id) })
+    assert(sPruned(2L) === 666666L && sPruned(3L) === 0L)
+  }
+
   test("scoring plans hash joins, never a product") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     val p = NgramLm.score(docs, NgramLm.train(docs))
