@@ -127,6 +127,22 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users"))),
 
+    // X27: edit-distance fuzzy join (typo-tolerant record linkage) —
+    // PassJoin pigeonhole blocking is COMPLETE (a theorem, not a recall
+    // probability), so the blocked join + levenshtein verify equals the
+    // full-product brute force EXACTLY — which is precisely what the
+    // DuckDB oracle computes. Probe set: every 5th part's name-key with
+    // one substituted character.
+    "x27_edit_join" -> ((s, d) => {
+      val base = Tables.part(s, d).select(col("p_partkey").as("part_id"),
+        concat(col("p_name"), lit("-"), col("p_partkey")).as("s"))
+      val probe = base.filter(col("part_id") % 5 === 0)
+        .select((col("part_id") + lit(1000000L)).as("probe_id"),
+          expr("concat(substring(s, 1, 2), '~', substring(s, 4, length(s)))").as("s"))
+      graft.text.EditDistanceJoin.join(probe, base, 1,
+        leftId = "probe_id", rightId = "part_id")
+    }),
+
     // X26: product-quantization ANN — the memory-compression leg of the
     // similarity family (64 floats → 8 codes, 32×): per-subspace Lloyd
     // codebooks persisted via ArtifactStore (fresh JVM loads, no refit —
@@ -249,6 +265,18 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "x27_edit_join" -> """
+      WITH r AS (SELECT p_partkey AS part_id,
+                        p_name || '-' || CAST(p_partkey AS VARCHAR) AS s
+                 FROM part),
+      p AS (SELECT part_id + 1000000 AS probe_id,
+                   substr(s, 1, 2) || '~' || substr(s, 4) AS s
+            FROM r WHERE part_id % 5 = 0)
+      SELECT p.probe_id, r.part_id,
+             CAST(levenshtein(p.s, r.s) AS BIGINT) AS dist
+      FROM p, r
+      WHERE levenshtein(p.s, r.s) <= 1
       """,
     "x25_ngram_score" -> s"""
       WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
