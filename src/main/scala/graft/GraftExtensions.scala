@@ -96,6 +96,27 @@ object GraftExtensions {
         val a = arity("graft_repetition_stats", 1, args)
         RepetitionStats(a(0))
       }),
+    ("graft_freq_agg",
+      info("graft_freq_agg",
+        "_FUNC_(item, maxMapSize) - aggregate: mergeable frequent-items sketch (binary)"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_freq_agg", 2, args)
+        graft.expressions.FreqItemsAgg(a(0), intLit(a(1), "maxMapSize"))
+      }),
+    ("graft_freq_union",
+      info("graft_freq_union",
+        "_FUNC_(sketch, maxMapSize) - aggregate: union of frequent-items sketches"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_freq_union", 2, args)
+        graft.expressions.FreqItemsUnionAgg(a(0), intLit(a(1), "maxMapSize"))
+      }),
+    ("graft_freq_topk",
+      info("graft_freq_topk",
+        "_FUNC_(sketch, k) - top-k items with estimate and error bounds"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_freq_topk", 2, args)
+        graft.expressions.FreqItemsTopK(a(0), a(1))
+      }),
     ("graft_kll_agg",
       info("graft_kll_agg",
         "_FUNC_(value, k) - aggregate: mergeable KLL quantile sketch (binary)"),

@@ -127,6 +127,24 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users"))),
 
+    // X28: heavy-hitters sketch — the mergeable twin of the exact
+    // term-frequency top-k (x5_term_freq): one bounded Misra-Gries-style
+    // blob per partition instead of shuffling every distinct token;
+    // NO_FALSE_NEGATIVES guarantees no true heavy hitter is missed, and
+    // each row carries explicit (lower, upper) bounds. Approximate by
+    // construction → rows-only; exact-under-capacity, merge==global, and
+    // bound-bracketing pinned in FreqSketchSpec. Completes the mergeable
+    // sketch family: HLL (distinct), KLL (quantiles), FI (top items).
+    "x28_heavy_hitters" -> ((s, d) => {
+      org.apache.spark.sql.graft.ColumnBridge.registerFunctions(s)
+      Tables.documents(s, d)
+        .select(explode(TextOps.allShingles(col("text"), 1)).as("tok"))
+        .createOrReplaceTempView("r5d_tokens")
+      s.sql("""
+        SELECT inline(graft_freq_topk(graft_freq_agg(tok, 1024), 10))
+        FROM r5d_tokens""")
+    }),
+
     // X27: edit-distance fuzzy join (typo-tolerant record linkage) —
     // PassJoin pigeonhole blocking is COMPLETE (a theorem, not a recall
     // probability), so the blocked join + levenshtein verify equals the
