@@ -117,6 +117,34 @@ object GraftExtensions {
         val a = arity("graft_freq_topk", 2, args)
         graft.expressions.FreqItemsTopK(a(0), a(1))
       }),
+    ("graft_theta_agg",
+      info("graft_theta_agg",
+        "_FUNC_(value, lgK) - aggregate: mergeable theta distinct-set sketch (binary)"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_theta_agg", 2, args)
+        graft.expressions.ThetaSketchAgg(a(0), intLit(a(1), "lgK"))
+      }),
+    ("graft_theta_union",
+      info("graft_theta_union",
+        "_FUNC_(sketch, lgK) - aggregate: union of theta sketches"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_theta_union", 2, args)
+        graft.expressions.ThetaUnionAgg(a(0), intLit(a(1), "lgK"))
+      }),
+    ("graft_theta_count",
+      info("graft_theta_count",
+        "_FUNC_(sketch) - rounded distinct estimate of a theta sketch"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_theta_count", 1, args)
+        graft.expressions.ThetaCount(a(0))
+      }),
+    ("graft_theta_intersect_count",
+      info("graft_theta_intersect_count",
+        "_FUNC_(a, b) - rounded distinct estimate of the intersection of two theta sketches"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_theta_intersect_count", 2, args)
+        graft.expressions.ThetaIntersectCount(a(0), a(1))
+      }),
     ("graft_kll_agg",
       info("graft_kll_agg",
         "_FUNC_(value, k) - aggregate: mergeable KLL quantile sketch (binary)"),

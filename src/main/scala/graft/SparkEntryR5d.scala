@@ -127,6 +127,25 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users"))),
 
+    // X29: distinct-set algebra via theta sketches — "how many users did
+    // BOTH A and B" from two tiny blobs instead of a distinct×distinct
+    // join. At fixture cardinalities (users « 2^lgK) the sketches never
+    // enter estimation mode, so the rounded intersection estimates are
+    // EXACT integers and the row is a real DuckDB-oracle row — the same
+    // exact-under-capacity trick as x3_distinct_exact vs HLL. Sketch per
+    // event_type (one scan), then pairwise intersect on the 5×4/2 pairs.
+    "x29_set_overlap" -> ((s, d) => {
+      org.apache.spark.sql.graft.ColumnBridge.registerFunctions(s)
+      Tables.events(s, d).createOrReplaceTempView("r5d_events")
+      s.sql("""
+        WITH sk AS (SELECT event_type, graft_theta_agg(user_id, 12) AS sk
+                    FROM r5d_events GROUP BY event_type)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               graft_theta_intersect_count(a.sk, b.sk) AS n_both
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+        """)
+    }),
+
     // X28: heavy-hitters sketch — the mergeable twin of the exact
     // term-frequency top-k (x5_term_freq): one bounded Misra-Gries-style
     // blob per partition instead of shuffling every distinct token;
@@ -283,6 +302,20 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "x29_set_overlap" -> """
+      WITH t AS (SELECT DISTINCT event_type FROM events),
+      pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+                FROM t a JOIN t b ON a.event_type < b.event_type),
+      ov AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                    COUNT(DISTINCT x.user_id) AS c
+             FROM (SELECT DISTINCT event_type, user_id FROM events) x
+             JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+               ON x.user_id = y.user_id AND x.event_type < y.event_type
+             GROUP BY 1, 2)
+      SELECT ta AS type_a, tb AS type_b,
+             CAST(COALESCE(c, 0) AS BIGINT) AS n_both
+      FROM pairs LEFT JOIN ov USING (ta, tb)
       """,
     "x27_edit_join" -> """
       WITH r AS (SELECT p_partkey AS part_id,
