@@ -127,6 +127,17 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users"))),
 
+    // X30: correlation via sufficient statistics — exact integer/decimal
+    // components (n, Σx, Σy, Σx², Σy², Σxy) folded order-independently,
+    // correlation derived at the END in one deterministic double
+    // evaluation per group. The components are plain sums → mergeable
+    // (the IncrementalStats lifecycle for second-order moments); the
+    // built-in float-accumulator corr is fold-order-dependent and could
+    // never hash-match an oracle.
+    "x30_sufficient_stats" -> ((s, d) =>
+      graft.stats.SufficientStats.perGroup(
+        Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")),
+
     // X29: distinct-set algebra via theta sketches — "how many users did
     // BOTH A and B" from two tiny blobs instead of a distinct×distinct
     // join. At fixture cardinalities (users « 2^lgK) the sketches never
@@ -302,6 +313,37 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "x30_sufficient_stats" -> """
+      WITH c AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(28,2)) AS sum_y,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_xx,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_extendedprice AS DECIMAL(18,2))
+                        AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_yy,
+               CAST(SUM(CAST(CAST(l_quantity AS BIGINT)
+                             * CAST(l_extendedprice AS DECIMAL(18,2))
+                        AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS sum_xy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT *,
+             ROUND(CASE
+               WHEN (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) > 0
+                AND (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                     - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                            - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                              - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+             END, 12) AS corr
+      FROM c
       """,
     "x29_set_overlap" -> """
       WITH t AS (SELECT DISTINCT event_type FROM events),
