@@ -127,6 +127,19 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users"))),
 
+    // X31: fixed-width histogram — the profiling primitive x12 lacks:
+    // value distribution in 20 equal buckets over a declared [0, 110000)
+    // domain. Bucket assignment is pure integer-cents arithmetic
+    // ((cents × 20) DIV 11_000_000) so the bucket boundary — the only
+    // thing float math could blur — is engine-exact; one scan, one tiny
+    // aggregate, mergeable counts.
+    "x31_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(expr(
+          "(CAST(round(l_extendedprice * 100) AS BIGINT) * 20) div 11000000")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     // X30: correlation via sufficient statistics — exact integer/decimal
     // components (n, Σx, Σy, Σx², Σy², Σxy) folded order-independently,
     // correlation derived at the END in one deterministic double
@@ -313,6 +326,12 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "x31_histogram" -> """
+      SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) * 20) // 11000000
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
       """,
     "x30_sufficient_stats" -> """
       WITH c AS (
