@@ -73,6 +73,17 @@ object SparkEntryR5d {
     "x22_time_travel" -> ((s, d) => {
       import java.sql.Timestamp
       val root = tmpBase(d, "docs_tt")
+      // partial history (a prior run died mid-build) cannot be resumed:
+      // re-committing v0 would violate commit-ts monotonicity and wedge
+      // every later run — wipe and rebuild the deterministic history
+      val nVersions = graft.tables.TimeTravel.versions(s, root).size
+      if (nVersions > 0 && nVersions < 3) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+      }
       if (graft.tables.TimeTravel.versions(s, root).size < 3) {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         val v2 = docs.withColumn("text",

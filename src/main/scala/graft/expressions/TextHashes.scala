@@ -70,6 +70,9 @@ object TextHashKernels {
     * top_bigram_frac = max bigram count / total bigrams (0.0 below 2
     * tokens). Ratio math matches the HOF formulation exactly
     * ((int-derived double) / int in IEEE-754), so oracles are unchanged.
+    * Null elements (possible when called from SQL on a hand-built array;
+    * `TextOps.tokens` never yields them) count as one shared "null
+    * token" — HashSet/HashMap accept the null key, so no crash.
     */
   def repetitionStats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = toks.numElements()
@@ -77,15 +80,19 @@ object TextHashKernels {
     if (n == 0) { out.update(0, 0.0); out.update(1, 0.0); return out }
     val seen = new java.util.HashSet[UTF8String](n * 2)
     var i = 0
-    while (i < n) { seen.add(toks.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      seen.add(if (toks.isNullAt(i)) null else toks.getUTF8String(i))
+      i += 1
+    }
     out.update(0, (n - seen.size).toDouble / n)
     if (n < 2) { out.update(1, 0.0); return out }
-    val counts = new java.util.HashMap[String, Int](n * 2)
+    def tok(j: Int): String =
+      if (toks.isNullAt(j)) null else toks.getUTF8String(j).toString
+    val counts = new java.util.HashMap[(String, String), Int](n * 2)
     var best = 0
     i = 0
     while (i + 1 < n) {
-      val bg = toks.getUTF8String(i).toString + " " + toks.getUTF8String(i + 1).toString
-      val c = counts.merge(bg, 1, Integer.sum)
+      val c = counts.merge((tok(i), tok(i + 1)), 1, Integer.sum)
       if (c > best) best = c
       i += 1
     }

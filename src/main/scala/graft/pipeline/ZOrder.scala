@@ -41,52 +41,65 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  private val Bits = 16 // per-dimension resolution; 4 dims × 16 bits < 64
-
-  /** Spread the low 16 bits of `v` so consecutive bits land `step` apart
-    * (step = number of interleaved dimensions). Classic Morton spreading
-    * via shift-and-mask, generalized to k dims by iterating bit-groups.
-    * Built entirely from codegen'd bitwise built-ins.
+  /** Per-dimension resolution: as many bits as fit k dims below the
+    * long's SIGN BIT (bit 63) — 16 bits up to 3 dims, 15 at 4 dims. With
+    * 4×16 the top bit of dim 3 would land ON the sign bit, flipping half
+    * the rows negative and range-partitioning them FIRST — silently
+    * destroying the clustering (pruning stays correct, just useless).
     */
-  private def spread(v: Column, step: Int): Column = {
+  private def bitsFor(k: Int): Int = math.min(16, 63 / k)
+
+  /** Spread the low `bits` bits of `v` so consecutive bits land `step`
+    * apart (step = number of interleaved dimensions). Classic Morton
+    * spreading generalized to k dims. Built entirely from codegen'd
+    * bitwise built-ins; the shift-or chain is branch-free and static.
+    */
+  private def spread(v: Column, step: Int, bits: Int): Column = {
     if (step == 1) v
-    else {
-      // Place bit i of v at position i*step: sum over the 16 bits. A
-      // 16-term shift-or chain is branch-free and codegen-collapsible;
-      // resolution is fixed so the expression tree is static.
-      (0 until Bits).map { i =>
-        shiftleft(shiftright(v, i).bitwiseAND(lit(1L)), i * step)
-      }.reduce(_ bitwiseOR _)
-    }
+    else (0 until bits).map { i =>
+      shiftleft(shiftright(v, i).bitwiseAND(lit(1L)), i * step)
+    }.reduce(_ bitwiseOR _)
   }
 
-  /** Rank-normalize `c` into [0, 2^16) by linear min/max scaling (stats
+  /** Rank-normalize `c` into [0, 2^bits) by linear min/max scaling (stats
     * passed in — computed once by the caller). Double arithmetic is fine
     * here: the scale only steers LAYOUT quality; filter correctness never
     * reads it.
     */
-  private def normalize(c: Column, lo: Double, hi: Double): Column = {
+  private def normalize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
     val range = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+    val maxV = ((1 << bits) - 1).toDouble
     least(greatest(
-      floor((c.cast("double") - lit(lo)) * lit(((1 << Bits) - 1).toDouble / range)),
-      lit(0.0)), lit(((1 << Bits) - 1).toDouble)).cast("long")
+      floor((c.cast("double") - lit(lo)) * lit(maxV / range)),
+      lit(0.0)), lit(maxV)).cast("long")
   }
 
-  /** The interleaved z-value for `cols` given (lo, hi) stats per column. */
+  /** The interleaved z-value for `cols` given (lo, hi) stats per column.
+    * Always non-negative: k·bitsFor(k) < 64 keeps the sign bit clear.
+    */
   def zValue(cols: Seq[Column], stats: Seq[(Double, Double)]): Column = {
     require(cols.nonEmpty && cols.size <= 4, s"1-4 dims, got ${cols.size}")
     val k = cols.size
+    val bits = bitsFor(k)
     cols.zip(stats).zipWithIndex.map { case ((c, (lo, hi)), i) =>
-      shiftleft(spread(normalize(c, lo, hi), k), i)
+      shiftleft(spread(normalize(c, lo, hi, bits), k, bits), i)
     }.reduce(_ bitwiseOR _)
   }
 
-  /** One-pass per-column (min, max) stats for the clustering columns. */
+  /** One-pass per-column (min, max) stats for the clustering columns. A
+    * column with no non-null values (or an empty input) gets the
+    * degenerate (0, 1) range — every row's z-contribution for it is then
+    * null/zero, which the null-routing path already handles, instead of
+    * an opaque NPE from the null aggregate.
+    */
   def columnStats(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      if (row.isNullAt(2 * i)) (0.0, 1.0)
+      else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
   }
 
   /** Write `df` z-order-clustered on `cols` into `outDir` as ~`numFiles`
@@ -125,15 +138,19 @@ object ZOrder {
       .write.mode("overwrite").parquet(indexDir(dataDir))
   }
 
-  /** Files whose [min, max] range on `column` intersects [lo, hi] — the
-    * driver-side index consultation. The index is tiny by construction;
-    * the collect is bounded metadata (one row per file).
+  /** One conjunctive index consultation: read the tiny index ONCE, apply
+    * every range's intersection test in a single filter, collect the
+    * surviving file paths (bounded metadata — one row per file). Empty
+    * `ranges` keeps every file (no pruning evidence, full read).
     */
-  def candidateFiles(spark: SparkSession, dataDir: String, column: String,
-                     lo: Any, hi: Any): Seq[String] = {
-    spark.read.parquet(indexDir(dataDir))
-      .filter(!(col(s"max_$column") < lit(lo) || col(s"min_$column") > lit(hi)))
-      .select(col("file_path"))
+  def candidateFiles(spark: SparkSession, dataDir: String,
+                     ranges: Seq[(String, Any, Any)]): Seq[String] = {
+    val idx = spark.read.parquet(indexDir(dataDir))
+    val pred = ranges
+      .map { case (c, lo, hi) =>
+        !(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    idx.filter(pred).select(col("file_path"))
       .collect().map(_.getString(0)).toSeq
   }
 
@@ -144,9 +161,7 @@ object ZOrder {
     */
   def prunedRead(spark: SparkSession, dataDir: String,
                  ranges: Seq[(String, Any, Any)]): DataFrame = {
-    val perCol = ranges.map { case (c, lo, hi) =>
-      candidateFiles(spark, dataDir, c, lo, hi).toSet }
-    val files = perCol.reduce(_ intersect _).toSeq.sorted
+    val files = candidateFiles(spark, dataDir, ranges).sorted
     if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
     else spark.read.parquet(files: _*)
   }
@@ -154,9 +169,8 @@ object ZOrder {
   /** Pruning power diagnostic: (files matching the box, total files). */
   def pruneStats(spark: SparkSession, dataDir: String,
                  ranges: Seq[(String, Any, Any)]): (Int, Int) = {
-    val total = spark.read.parquet(indexDir(dataDir)).count().toInt
-    val kept = ranges.map { case (c, lo, hi) =>
-      candidateFiles(spark, dataDir, c, lo, hi).toSet }.reduce(_ intersect _)
-    (kept.size, total)
+    val all = candidateFiles(spark, dataDir, Seq.empty)
+    val kept = candidateFiles(spark, dataDir, ranges)
+    (kept.size, all.size)
   }
 }

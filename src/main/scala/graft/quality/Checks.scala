@@ -47,7 +47,9 @@ object Checks {
   final case class RefIntegrity(name: String, childKey: String,
                                 parent: DataFrame, parentKey: String) extends Check
 
-  /** Evaluate `checks` against `df` → (rule, violations). */
+  /** Evaluate `checks` against `df` → (rule, violations). An empty check
+    * list yields an empty report, not an error.
+    */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -56,14 +58,17 @@ object Checks {
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     if (rowChecks.nonEmpty) {
-      // one scan: each rule is a conditional-sum column, then unpivot
+      // one scan: each rule is a conditional-sum column, then unpivot.
+      // Aggregates alias as positional __c<i> and rule names enter ONLY
+      // as escaped string literals — a name containing quotes/backticks
+      // is data, never SQL structure.
       val agg = df.agg(
-        sum(when(rowChecks.head.violated, 1L).otherwise(0L))
-          .as(rowChecks.head.name),
-        rowChecks.tail.map(r =>
-          sum(when(r.violated, 1L).otherwise(0L)).as(r.name)): _*)
-      val stackExpr = rowChecks.map(r => s"'${r.name}', coalesce(`${r.name}`, 0L)")
-        .mkString(s"stack(${rowChecks.size}, ", ", ", ") as (rule, violations)")
+        sum(when(rowChecks.head.violated, 1L).otherwise(0L)).as("__c0"),
+        rowChecks.tail.zipWithIndex.map { case (r, i) =>
+          sum(when(r.violated, 1L).otherwise(0L)).as(s"__c${i + 1}") }: _*)
+      val stackExpr = rowChecks.zipWithIndex.map { case (r, i) =>
+        s"'${r.name.replace("\\", "\\\\").replace("'", "\\'")}', coalesce(__c$i, 0L)"
+      }.mkString(s"stack(${rowChecks.size}, ", ", ", ") as (rule, violations)")
       frames += agg.selectExpr(stackExpr)
     }
 
@@ -81,6 +86,8 @@ object Checks {
           .select(lit(name).as("rule"), col("violations"))
       case _: RowCheck => () // folded above
     }
-    frames.reduce(_ unionByName _)
+    if (frames.isEmpty)
+      Seq.empty[(String, Long)].toDF("rule", "violations")
+    else frames.reduce(_ unionByName _)
   }
 }

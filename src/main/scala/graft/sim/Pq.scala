@@ -121,7 +121,6 @@ object Pq {
            k: Int, rerank: Int,
            idCol: String = "vec_id", embCol: String = "emb"): DataFrame = {
     require(rerank >= k, "rerank pool must be >= k")
-    val spark = vectors.sparkSession
     // per-query ADC tables: table(m)(kk) = q_m · c_(m,kk) — #queries ×
     // M × K doubles, driver-bounded (the query set is small by contract)
     val qRows = queries.select(col(idCol), col(embCol)).collect()

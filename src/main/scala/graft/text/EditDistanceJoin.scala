@@ -68,8 +68,24 @@ object EditDistanceJoin {
       .filter(length(col("__seg")) > 0)
       .select(col(rightId), col("__l"), col("__i"), col("__seg"))
 
+    // Completeness edge: a left string SHORTER than k = d+1 chars cannot
+    // contribute k non-empty segments, so the pigeonhole argument does
+    // not apply to it. Such strings are at most d chars and can only
+    // match rights of length <= 2d — pair the two tiny slices through a
+    // target-length equi-join (left explodes its ±d length window), so
+    // even this sliver stays a hash join, never a product.
+    val shortCand = left
+      .filter(length(col(strCol)) < k)
+      .select(col(leftId),
+        explode(sequence(length(col(strCol)) - d, length(col(strCol)) + d))
+          .as("__lb"))
+      .join(right.filter(length(col(strCol)) <= 2 * d)
+        .select(col(rightId), length(col(strCol)).as("__lb")), "__lb")
+      .select(col(leftId), col(rightId))
+
     val cand = lKeys.join(rKeys, Seq("__l", "__i", "__seg"))
       .select(col(leftId), col(rightId))
+      .unionByName(shortCand)
       .dropDuplicates(leftId, rightId)
 
     // verify on the surviving pairs only (re-attach strings, length gate

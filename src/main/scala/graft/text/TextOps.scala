@@ -202,6 +202,10 @@ object TextOps {
                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must fit signature")
     import org.apache.spark.sql.graft.ColumnBridge
+    // Persisted like nearDupPairs' shingle table (each side feeds band
+    // keying AND re-attachment): Spark evicts LRU under pressure, and a
+    // 100 TB pipeline would stage these to tables; callers running many
+    // fuzzy joins in one session can spark.catalog.clearCache() between.
     def shingled(df: DataFrame, id: String, tag: String): DataFrame = df
       .select(col(id), distinctShingles(col(textCol), shingleN).as(s"__sh$tag"))
       .filter(size(col(s"__sh$tag")) > 0)

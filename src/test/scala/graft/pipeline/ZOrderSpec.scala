@@ -66,6 +66,29 @@ class ZOrderSpec extends AnyFunSuite {
       s"narrow single-dim range should skip some files: kept $kept of $total")
   }
 
+  test("4-dim z-values never touch the sign bit (clustering order survives)") {
+    import spark.implicits._
+    // extreme corners in every dimension — the 4th dim's top bit is the
+    // hazard: at 16 bits/dim it would land on bit 63 and flip the sign
+    val df = Seq((0.0, 0.0, 0.0, 0.0), (1.0, 1.0, 1.0, 1.0),
+      (0.0, 0.0, 0.0, 1.0), (1.0, 0.5, 0.25, 0.99))
+      .toDF("a", "b", "c", "d")
+    val stats = Seq((0.0, 1.0), (0.0, 1.0), (0.0, 1.0), (0.0, 1.0))
+    val zs = df.select(ZOrder.zValue(
+      Seq(col("a"), col("b"), col("c"), col("d")), stats).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.forall(_ >= 0L), s"negative z-value leaked the sign bit: ${zs.toSeq}")
+    assert(zs.distinct.length == zs.length, "corner z-values should differ")
+  }
+
+  test("all-null clustering column degrades gracefully (no NPE)") {
+    val dir = freshDir("allnull")
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toLong, Option.empty[Double])).toDF("k", "v")
+    ZOrder.clusterWrite(df, Seq("k", "v"), dir, numFiles = 2)
+    assert(spark.read.parquet(dir).count() === 20)
+  }
+
   test("degenerate constant column does not break clustering") {
     val dir = freshDir("const")
     import spark.implicits._

@@ -45,6 +45,14 @@ class ChecksSpec extends AnyFunSuite {
     assert(got === Map("not_null_k" -> 0L, "uniq_k" -> 0L))
   }
 
+  test("rule names with quotes are data, not SQL; empty check list is an empty report") {
+    val df = Seq((1L, 0.5)).toDF("k", "d")
+    val got = report(df, Seq(
+      Checks.RowCheck("discount isn't `weird`", col("d") < 0)))
+    assert(got === Map("discount isn't `weird`" -> 0L))
+    assert(Checks.run(df, Seq.empty).collect().isEmpty)
+  }
+
   test("all row-local rules fold into ONE scan of the input") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val plan = Checks.run(df, Seq(

@@ -55,6 +55,22 @@ class EditDistanceJoinSpec extends AnyFunSuite {
     assert(d === 2L)
   }
 
+  test("strings shorter than d+1 chars keep completeness (short-sliver branch)") {
+    val l = Seq((1L, "a"), (2L, "ab"), (3L, "xyz")).toDF("probe_id", "s")
+    val r = Seq((10L, "ab"), (11L, "b"), (12L, "abc"), (13L, "xxyz"),
+      (14L, "zzzz")).toDF("doc_id", "s")
+    val got = EditDistanceJoin.join(l, r, 1)
+      .select("probe_id", "doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expected = l.select(col("probe_id"), col("s").as("__a"))
+      .crossJoin(r.select(col("doc_id"), col("s").as("__b")))
+      .filter(levenshtein(col("__a"), col("__b")) <= 1)
+      .select("probe_id", "doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.contains((1L, 11L)), "sanity: 'a'~'b' is a 1-edit pair")
+  }
+
   test("blocking join never plans a product") {
     val p = EditDistanceJoin.join(probes, corpus, 1)
       .queryExecution.executedPlan.toString
