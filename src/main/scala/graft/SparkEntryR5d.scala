@@ -138,6 +138,22 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users"))),
 
+    // W7: EWMA over the per-asset DAILY close series — the reference's
+    // pandas users' `ewm(alpha).mean()`. Daily closes are exact decimal
+    // sums cast to double (deterministic), then the inherently sequential
+    // recurrence folds per key in typed flatMapGroups (bounded series —
+    // a few thousand daily points per asset; see stats/Ewma). The oracle
+    // replays the identical recurrence as a recursive CTE: same fold
+    // order → bit-identical doubles.
+    "w7_ewma" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("ativo"),
+          col("l_shipdate").as("dt"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("close"))
+      graft.stats.Ewma.perKey(daily, 0.2, "ativo", "dt", "close")
+    }),
+
     // X31: fixed-width histogram — the profiling primitive x12 lacks:
     // value distribution in 20 equal buckets over a declared [0, 110000)
     // domain. Bucket assignment is pure integer-cents arithmetic
@@ -337,6 +353,26 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "w7_ewma" -> """
+      WITH RECURSIVE daily AS (
+        SELECT l_returnflag AS ativo, l_shipdate AS dt,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS x,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_shipdate) AS rn
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT ativo, dt, rn, x AS ewma FROM daily WHERE rn = 1
+        UNION ALL
+        -- the multipliers must be the JVM's DOUBLES (1.0 - 0.2 in IEEE
+        -- arithmetic is one ulp BELOW the decimal-literal 0.8), so spell
+        -- the same operations, not the rounded constant
+        SELECT d.ativo, d.dt, d.rn,
+               CAST(0.2 AS DOUBLE) * d.x
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.ewma
+        FROM daily d JOIN r ON d.ativo = r.ativo AND d.rn = r.rn + 1)
+      SELECT ativo, dt, ewma FROM r
       """,
     "x31_histogram" -> """
       SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) * 20) // 11000000
