@@ -138,6 +138,42 @@ object SparkEntryR5d {
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("n_events"), col("n_users"))),
 
+    // W8: rolling z-score anomaly flags — monitoring over the same 7-row
+    // frame as the flagship's mm_7d, but built from WINDOW SUFFICIENT
+    // STATISTICS (exact decimal Σx, Σx² over the window; numerators stay
+    // under 2^53 so the decimal→double casts are exactly rounded in both
+    // engines), never a float-accumulator STDDEV. z derives in one
+    // spelled-identically double expression, rounded to 10, and the
+    // |z| > 2 flag reads the ROUNDED value so the boundary is shared.
+    "w8_zscore_outliers" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("r5d_lineitem_w8")
+      s.sql("""
+        WITH b AS (SELECT l_returnflag AS ativo, l_shipdate AS dt,
+                          l_extendedprice AS close_price,
+                          l_orderkey, l_linenumber
+                   FROM r5d_lineitem_w8),
+        w AS (
+          SELECT ativo, l_orderkey, l_linenumber, close_price,
+                 COUNT(*) OVER win AS n,
+                 CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER win
+                      AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(CAST(close_price AS DECIMAL(18,2))
+                               * CAST(close_price AS DECIMAL(18,2))
+                          AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sxx
+          FROM b
+          WINDOW win AS (PARTITION BY ativo
+                         ORDER BY dt, l_orderkey, l_linenumber, close_price
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT ativo, l_orderkey, l_linenumber,
+               ROUND(CASE WHEN n = 7
+                           AND (7.0D * sxx - sx * sx) / (7.0D * 6.0D) > 0
+                          THEN (close_price - sx / 7.0D)
+                               / sqrt((7.0D * sxx - sx * sx) / (7.0D * 6.0D))
+                     END, 10) AS z
+        FROM w
+        """).withColumn("is_outlier", abs(col("z")) > 2.0)
+    }),
+
     // W7: EWMA over the per-asset DAILY close series — the reference's
     // pandas users' `ewm(alpha).mean()`. Daily closes are exact decimal
     // sums cast to double (deterministic), then the inherently sequential
@@ -353,6 +389,38 @@ object SparkEntryR5d {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM (SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events)
       GROUP BY 1
+      """,
+    "w8_zscore_outliers" -> """
+      WITH b AS (SELECT l_returnflag AS ativo, l_shipdate AS dt,
+                        l_extendedprice AS close_price,
+                        l_orderkey, l_linenumber
+                 FROM lineitem),
+      w AS (
+        SELECT ativo, l_orderkey, l_linenumber, close_price,
+               COUNT(*) OVER win AS n,
+               CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER win
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(CAST(close_price AS DECIMAL(18,2))
+                             * CAST(close_price AS DECIMAL(18,2))
+                        AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sxx
+        FROM b
+        WINDOW win AS (PARTITION BY ativo
+                       ORDER BY dt, l_orderkey, l_linenumber, close_price
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      , zed AS (
+        SELECT ativo, l_orderkey, l_linenumber,
+               ROUND(CASE WHEN n = 7
+                           AND (CAST(7.0 AS DOUBLE) * sxx - sx * sx)
+                               / (CAST(7.0 AS DOUBLE) * CAST(6.0 AS DOUBLE)) > 0
+                          THEN (close_price - sx / CAST(7.0 AS DOUBLE))
+                               / sqrt((CAST(7.0 AS DOUBLE) * sxx - sx * sx)
+                                      / (CAST(7.0 AS DOUBLE)
+                                         * CAST(6.0 AS DOUBLE)))
+                     END, 10) AS z
+        FROM w)
+      SELECT ativo, l_orderkey, l_linenumber, z,
+             CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 2.0 END AS is_outlier
+      FROM zed
       """,
     "w7_ewma" -> """
       WITH RECURSIVE daily AS (
