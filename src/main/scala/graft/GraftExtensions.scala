@@ -163,6 +163,35 @@ object GraftExtensions {
         val a = arity("graft_kll_union", 1, args)
         graft.expressions.KllUnionAgg(a(0))
       }),
+    ("graft_hashed_bag_score",
+      info("graft_hashed_bag_score",
+        "_FUNC_(tokens, buckets) - hashed bag-of-words integer linear score"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_hashed_bag_score", 2, args)
+        graft.expressions.HashedBagScore(a(0), intLit(a(1), "buckets"))
+      }),
+    ("graft_bloom_agg",
+      info("graft_bloom_agg",
+        "_FUNC_(key, expectedItems, fpp) - aggregate: mergeable Bloom membership sketch (binary)"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_bloom_agg", 3, args)
+        graft.expressions.BloomFilterAgg(a(0), longLit(a(1), "expectedItems"),
+          doubleLit(a(2), "fpp"))
+      }),
+    ("graft_bloom_union",
+      info("graft_bloom_union",
+        "_FUNC_(sketch) - aggregate: OR-union of serialized Bloom sketches"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_bloom_union", 1, args)
+        graft.expressions.BloomUnionAgg(a(0))
+      }),
+    ("graft_bloom_contains",
+      info("graft_bloom_contains",
+        "_FUNC_(sketch, key) - false = PROVEN absent; true = possibly present"),
+      (args: Seq[Expression]) => {
+        val a = arity("graft_bloom_contains", 2, args)
+        graft.expressions.BloomMightContain(a(0), a(1))
+      }),
     ("graft_kll_quantile",
       info("graft_kll_quantile",
         "_FUNC_(sketch, rank) - quantile at rank in [0,1] from a KLL sketch"),
@@ -180,5 +209,23 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, name: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def doubleLit(e: Expression, name: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+      v.doubleValue()
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+      if v.isInstanceOf[org.apache.spark.sql.types.Decimal] =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got $other")
   }
 }

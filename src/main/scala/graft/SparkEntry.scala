@@ -52,7 +52,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ extQueries ++ pipelineQueries ++ SparkEntryR5.queries ++
-      SparkEntryR5b.queries ++ SparkEntryR5c.queries ++ SparkEntryR5d.queries
+      SparkEntryR5b.queries ++ SparkEntryR5c.queries ++ SparkEntryR5d.queries ++
+      SparkEntryR6.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -765,5 +766,6 @@ object SparkEntry {
         |       split_part(p_type, ' ', 1) AS type_head
         |FROM part""".stripMargin
   ) ++ extOracleSql ++ pipelineOracleSql ++ SparkEntryR5.oracleSql ++
-    SparkEntryR5b.oracleSql ++ SparkEntryR5c.oracleSql ++ SparkEntryR5d.oracleSql
+    SparkEntryR5b.oracleSql ++ SparkEntryR5c.oracleSql ++ SparkEntryR5d.oracleSql ++
+    SparkEntryR6.oracleSql
 }

@@ -1,0 +1,334 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.SaveMode
+
+import graft.tables.Tables
+
+/** Round-6 operator surface: product-analytics shapes over the event log
+  * (funnel conversion, cohort retention), corpus-membership sketches, and
+  * the remaining set-algebra / source-format coverage. Split from
+  * `SparkEntryExt` to keep each file readable; merged into
+  * `SparkEntry.queries` / `oracleSql`.
+  *
+  * Reference provenance: the reference's event surface is the Athena SQL
+  * examples over the refined table (`/root/reference/README.md:274-296`) —
+  * funnels and cohorts are the two analytics shapes those examples build
+  * toward (sessionized engagement over time); here they are first-class
+  * operators with exact oracles.
+  */
+object SparkEntryR6 {
+
+  // µs per ISO week; epoch (1970-01-01) is a Thursday but all that matters
+  // is that BOTH engines bucket on the same integer boundary.
+  private val WeekUs = 604800000000L
+
+  private def tmpBase(sfDir: String, name: String): String = {
+    val leaf = new java.io.File(sfDir).getName
+    s"${System.getProperty("java.io.tmpdir")}/graft_r6/$leaf/$name"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X32: staged conversion funnel (signup → click → purchase) ----
+    //
+    // The per-user event timeline is processed with STACKED RUNNING-MIN
+    // windows over ONE (user_id)-keyed sort: su_ts = earliest signup so
+    // far; qc_ts = earliest click strictly after that signup; a purchase
+    // qualifies if strictly after qc_ts. All three stage flags then fold
+    // in the same per-user aggregate (partitioning preserved from the
+    // window — no second data shuffle), and the final global roll-up
+    // moves three longs per task. Strict `>` at each stage boundary makes
+    // the result independent of intra-timestamp orderings, so the count
+    // is engine-exact. One data shuffle total; no self-joins (the naive
+    // funnel is a 3-way self-join — quadratic on hot users).
+    "x32_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withSu = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("su_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+      val withQc = withSu.withColumn("qc_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("su_ts"),
+          col("ts"))).over(w))
+      val perUser = withQc.groupBy("user_id").agg(
+        max(when(col("su_ts").isNotNull, 1L).otherwise(0L)).as("a"),
+        max(when(col("qc_ts").isNotNull, 1L).otherwise(0L)).as("b"),
+        max(when(col("event_type") === "purchase" &&
+          col("ts") > col("qc_ts"), 1L).otherwise(0L)).as("c"))
+      perUser.agg(
+        sum(col("a")).as("n_signup"),
+        sum(col("b")).as("n_click_after"),
+        sum(col("c")).as("n_purchase_after"))
+    }),
+
+    // ---- X33: weekly cohort retention ----
+    //
+    // cohort = epoch-week of the user's FIRST event (unordered per-user
+    // window min — no sort, just a hash exchange); offset = event's
+    // epoch-week minus cohort week. Integer-µs division on both engines
+    // makes every bucket boundary exact. countDistinct(user) per
+    // (cohort, offset) is the retention triangle. Two shuffles (user
+    // window + cohort aggregate) — the minimum for this shape without a
+    // persisted first-seen table (which X23's incremental summary would
+    // provide at 100 TB: first_us is exactly the kind of per-key stat it
+    // maintains).
+    "x33_cohort_retention" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("first_us", min(col("us")).over(wu))
+        .select(col("user_id"),
+          expr(s"first_us div $WeekUs").as("cohort_week"),
+          expr(s"us div $WeekUs - first_us div $WeekUs").as("week_off"))
+        .groupBy("cohort_week", "week_off")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- X34: Bloom-pruned incremental corpus dedup ----
+    //
+    // The "is this document already in the corpus" check WITHOUT joining
+    // the new batch against 100 TB: the corpus maintains per-bucket Bloom
+    // sketches (16 here; thousands at scale — one tiny artifact row per
+    // key range, the same lifecycle as the HLL/KLL blobs). A new batch
+    // broadcast-joins the sketch table on bucket and probes map-side:
+    // `might_contain = false` rows are PROVEN new (Bloom's no-false-
+    // negative contract) and never shuffle; only true-dups + the ≤fpp
+    // false-positive sliver pay the exact verify. The verify is an
+    // anti-join on the CONTENT (hash routes, content decides — x1b's
+    // collision discipline), so the final answer is EXACT whatever the
+    // fpp: the oracle is a plain NOT EXISTS with no Bloom anywhere.
+    // Batch = untouched new docs ∪ planted re-crawls of corpus texts
+    // under fresh ids, so both branches (proven-new fast path, verified
+    // duplicate) carry real rows.
+    "x34_bloom_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column => ccol, expression => cexp}
+      import graft.expressions.{BloomFilterAgg, BloomMightContain}
+      import graft.text.TextOps
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val recrawl = existing.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 5 === 0).unionByName(recrawl)
+      def fp(c: Column) = TextOps.rollingHash(c)
+      val blooms = existing
+        .groupBy(pmod(fp(col("text")), lit(16)).cast("int").as("bucket"))
+        .agg(ccol(BloomFilterAgg(cexp(fp(col("text"))), 4096L, 0.01)).as("bf"))
+      val probed = batch
+        .withColumn("fp", fp(col("text")))
+        .withColumn("bucket", pmod(col("fp"), lit(16)).cast("int"))
+        .join(broadcast(blooms), Seq("bucket"), "left")
+        .withColumn("might",
+          ccol(BloomMightContain(cexp(col("bf")), cexp(col("fp")))))
+      // bucket absent from the corpus, or bloom says no → proven new
+      val provenNew = probed
+        .filter(col("bf").isNull || !col("might"))
+        .select("doc_id")
+      val verifiedNew = probed
+        .filter(col("bf").isNotNull && col("might"))
+        .join(existing.select("text"), Seq("text"), "left_anti")
+        .select("doc_id")
+      provenNew.unionByName(verifiedNew)
+    }),
+
+    // ---- X36: hashed linear quality classifier ----
+    //
+    // The hashing-trick feature map of a fastText-style linear text
+    // classifier (the quality-filter stage of LLM corpus curation —
+    // score each doc, keep the positive tail): tokens → portable hash →
+    // bucket → integer weight → sum, one compiled kernel pass riding the
+    // scan (native `HashedBagScore`, whole-stage codegen intact; the
+    // interpreted HOF equivalent is the 8×-slower shape X15 replaced).
+    // Weights live in a FUNCTION of the bucket id rather than a learned
+    // table, which externalizes training while keeping the serving-path
+    // plan identical — swapping in learned weights is a broadcast join or
+    // a literal array, not a new operator. All-integer arithmetic, so the
+    // keep boundary is engine-exact.
+    "x36_hash_classifier" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column => ccol, expression => cexp}
+      import graft.expressions.HashedBagScore
+      import graft.text.TextOps
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          ccol(HashedBagScore(cexp(TextOps.tokens(col("text"))), 4096)).as("score"))
+        .select(col("doc_id"), col("score"),
+          when(col("score") > 0, 1).otherwise(0).as("keep"))
+    }),
+
+    // ---- W9: window-frame suite (RANGE frame + distribution funcs) ----
+    //
+    // The frame semantics the W-family hasn't pinned yet, in one
+    // user-partitioned pass: a VALUE-RANGE frame (trailing 2 days by
+    // event time — peers at the same instant are IN the frame, unlike a
+    // ROWS frame), plus ntile / percent_rank / cume_dist over a total
+    // order. The range frame orders by integer µs and sums integer
+    // µ-value (floor(value·1e6) — same double multiply both engines), so
+    // every output is integer-derived and engine-exact; percent_rank and
+    // cume_dist are single divisions of small integers (exact in IEEE).
+    // Both window specs share the (user_id) partition key: one exchange,
+    // and the (us, event_id) sort serves the (us) range frame as a
+    // prefix.
+    "w9_window_frames" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_us"))
+      val wRange = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-172800000000L, 0)
+      val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ev.select(col("event_id"),
+        sum(col("v_us")).over(wRange).as("range_sum"),
+        ntile(4).over(wOrd).cast("long").as("tile"),
+        percent_rank().over(wOrd).as("pr"),
+        cume_dist().over(wOrd).as("cd"))
+    }),
+
+    // ---- O7/O8: multiset set algebra (EXCEPT ALL / INTERSECT ALL) ----
+    //
+    // O4/O5 pinned the DISTINCT forms; these are the BAG forms — the
+    // difference matters exactly when multiplicity is the signal (how
+    // many MORE times was a part shipped returned-flagged than
+    // accepted). Spark plans both as a single hash aggregate over a
+    // union with signed counts + generate — one shuffle, no join, and
+    // the same shape a manual count-compare would produce.
+    "o7_except_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "R").select("l_partkey")
+        .exceptAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+    }),
+
+    "o8_intersect_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "R").select("l_partkey")
+        .intersectAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
+    }),
+
+    // ---- S10: ORC sink + source round-trip ----
+    //
+    // Same schema-on-read discipline as the CSV/JSON round-trips (S8/S9):
+    // write the part dim as ORC, read it back with the original schema.
+    // ORC is the second columnar container a lakehouse meets in practice;
+    // a green row proves the format hop loses nothing (the oracle reads
+    // the original parquet).
+    "s10_orc_roundtrip" -> ((s, d) => {
+      val root = tmpBase(d, "orc_part")
+      val p = Tables.part(s, d).select("p_partkey", "p_name", "p_retailprice")
+      p.write.mode(SaveMode.Overwrite).orc(root)
+      s.read.schema(p.schema).orc(root)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x32_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events
+        |), s1 AS (
+        |  SELECT *,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS su_ts
+        |  FROM e
+        |), s2 AS (
+        |  SELECT *,
+        |         min(CASE WHEN event_type = 'click' AND ts > su_ts THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS qc_ts
+        |  FROM s1
+        |), u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN su_ts IS NOT NULL THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN qc_ts IS NOT NULL THEN 1 ELSE 0 END) AS b,
+        |         max(CASE WHEN event_type = 'purchase' AND ts > qc_ts
+        |             THEN 1 ELSE 0 END) AS c
+        |  FROM s2 GROUP BY user_id
+        |)
+        |SELECT CAST(sum(a) AS BIGINT) AS n_signup,
+        |       CAST(sum(b) AS BIGINT) AS n_click_after,
+        |       CAST(sum(c) AS BIGINT) AS n_purchase_after
+        |FROM u""".stripMargin,
+
+    "x33_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |), f AS (
+        |  SELECT user_id, us, min(us) OVER (PARTITION BY user_id) AS first_us
+        |  FROM e
+        |)
+        |SELECT first_us // 604800000000 AS cohort_week,
+        |       us // 604800000000 - first_us // 604800000000 AS week_off,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // No Bloom anywhere in the oracle — the sketch only PRUNES; the
+    // engine's answer must equal the plain content anti-join exactly.
+    "x34_bloom_dedup" ->
+      """WITH existing AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+        |), batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM existing
+        |  WHERE doc_id % 7 = 3
+        |)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = b.text)""".stripMargin,
+
+    // DuckDB mirror of tokens → rollingHash31 → bucket → weight → sum
+    // (same integer pipeline as the native kernel, so exact equality).
+    "x36_hash_classifier" ->
+      """SELECT doc_id, score,
+        |       CASE WHEN score > 0 THEN 1 ELSE 0 END AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(coalesce(list_sum(list_transform(
+        |           CASE WHEN trim(text) = '' THEN []
+        |                ELSE string_split_regex(trim(lower(text)), '\s+') END,
+        |           t -> ((list_reduce(
+        |                    list_transform(range(1, length(t)+1),
+        |                                   i -> CAST(ascii(t[i]) AS BIGINT)),
+        |                    (acc, c) -> (acc * 31 + c) % 2147483647)
+        |                  % 4096) * 2654435761) % 1001 - 500)), 0) AS BIGINT)
+        |           AS score
+        |  FROM documents
+        |)""".stripMargin,
+
+    "w9_window_frames" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS v_us
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |       CAST(sum(v_us) OVER (PARTITION BY user_id ORDER BY us
+        |                            RANGE BETWEEN 172800000000 PRECEDING
+        |                                  AND CURRENT ROW) AS BIGINT)
+        |         AS range_sum,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    "o7_except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+
+    "o8_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+
+    "s10_orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part"
+  )
+}

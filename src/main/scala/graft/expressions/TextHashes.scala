@@ -180,6 +180,29 @@ object TextHashKernels {
     }
     new GenericArrayData(keys)
   }
+
+  /** Hashed bag-of-words linear score: Σ_tokens w[rollingHash31(tok) mod
+    * buckets], with the integer weight table derived from the bucket id
+    * (w(b) = (b·2654435761) mod 1001 − 500 ∈ [−500, 500]). All-integer
+    * int64 arithmetic (buckets ≤ 2^16 keeps b·2654435761 < 2^48), so any
+    * engine that can hash a token reproduces the score EXACTLY — the
+    * hashing-trick feature map of a fastText-style linear classifier with
+    * the training externalized to the weight function.
+    */
+  def hashedBagScore(toks: ArrayData, buckets: Int): Long = {
+    val n = toks.numElements()
+    var score = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val b = rollingHash31(t) % buckets
+        score += (b * 2654435761L) % 1001L - 500L
+      }
+      i += 1
+    }
+    score
+  }
 }
 
 /** Native distinct word-n-gram shingles — byte-compatible with the
@@ -280,6 +303,29 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.TextHashKernels.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native hashed-linear-classifier score over an `array<string>` token
+  * column — one compiled O(tokens) pass (hash → bucket → integer weight →
+  * sum), rides the scan inside whole-stage codegen. The interpreted
+  * equivalent is a `transform`+`aggregate` HOF chain (the same shape X15
+  * replaced at 8× cost).
+  */
+case class HashedBagScore(child: Expression, buckets: Int) extends UnaryExpression {
+  require(buckets >= 2 && buckets <= 65536, "buckets in [2, 65536]")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hashed_bag_score"
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.hashedBagScore(input.asInstanceOf[ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashKernels.hashedBagScore($c, $buckets)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

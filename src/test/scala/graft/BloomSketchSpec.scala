@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.BloomOps
+
+/** Bloom membership sketch family: NO FALSE NEGATIVES (the load-bearing
+  * contract for dedup pruning), bit-array union == global build (exactly —
+  * insertion only ORs bits, so merge order and partitioning are invisible
+  * in the serialized form), bounded false-positive rate, and analysis-time
+  * type checks.
+  */
+class BloomSketchSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    org.apache.spark.sql.graft.ColumnBridge.registerFunctions(s)
+    s
+  }
+  import spark.implicits._
+
+  test("no false negatives: every inserted key reports present") {
+    (0L until 2000L).toDF("k").createOrReplaceTempView("bloom_keys")
+    val missed = spark.sql("""
+      WITH sk AS (SELECT graft_bloom_agg(k, 4096, 0.01) AS bf FROM bloom_keys)
+      SELECT count(*) AS missed
+      FROM bloom_keys, sk WHERE NOT graft_bloom_contains(sk.bf, k)""")
+      .collect()(0).getLong(0)
+    assert(missed === 0L)
+  }
+
+  test("per-partition sketches OR-union to the bit-identical global sketch") {
+    (0L until 2000L).toDF("k").withColumn("part", col("k") % 7)
+      .createOrReplaceTempView("bloom_parts")
+    val Array(merged, global) = spark.sql("""
+      WITH per_part AS (
+        SELECT part, graft_bloom_agg(k, 4096, 0.01) AS bf
+        FROM bloom_parts GROUP BY part)
+      SELECT graft_bloom_union(bf) AS bf FROM per_part
+      UNION ALL
+      SELECT graft_bloom_agg(k, 4096, 0.01) AS bf FROM bloom_parts""")
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(java.util.Arrays.equals(merged, global))
+  }
+
+  test("false-positive rate on absent keys stays near the configured fpp") {
+    (0L until 4000L).toDF("k").createOrReplaceTempView("bloom_fpp")
+    val bf = BloomOps.deserialize(
+      spark.sql("SELECT graft_bloom_agg(k, 4096, 0.01) FROM bloom_fpp")
+        .collect()(0).getAs[Array[Byte]](0))
+    val probes = 100000L until 120000L
+    val fps = probes.count(bf.mightContainLong)
+    // configured 1%; allow generous slack against hash unluck
+    assert(fps.toDouble / probes.size < 0.03,
+      s"false-positive rate ${fps.toDouble / probes.size}")
+  }
+
+  test("string keys work and route through binary hashing") {
+    Seq("alpha", "beta", "gamma").toDF("s").createOrReplaceTempView("bloom_strs")
+    val r = spark.sql("""
+      WITH sk AS (SELECT graft_bloom_agg(s, 128, 0.01) AS bf FROM bloom_strs)
+      SELECT graft_bloom_contains(sk.bf, 'beta')  AS hit,
+             graft_bloom_contains(sk.bf, 'delta') AS miss_candidate
+      FROM sk""").collect()(0)
+    assert(r.getBoolean(0))
+    // 'delta' is absent; with 128 slots for 3 keys a false positive is
+    // astronomically unlikely — but the contract only PROVES absence when
+    // false, so assert nothing stronger than "hit is definitely true"
+  }
+
+  test("empty union input evaluates to null, not a crash") {
+    val r = spark.sql(
+      "SELECT graft_bloom_union(bf) FROM (SELECT CAST(NULL AS BINARY) AS bf) WHERE false")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("type errors are analysis-time failures") {
+    Seq(1.5).toDF("x").createOrReplaceTempView("bloom_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_agg(x, 128, 0.01) FROM bloom_bad").collect()
+    }
+    assert(e.getMessage.contains("graft_bloom_agg"))
+  }
+}
