@@ -160,6 +160,51 @@ object SparkEntryR6 {
           when(col("score") > 0, 1).otherwise(0).as("keep"))
     }),
 
+    // ---- X35: semantic dedup over embeddings (SemDeDup) ----
+    //
+    // The embedding-space analogue of X2's text near-dup dedup: documents
+    // whose EMBEDDINGS are near-parallel are semantic duplicates even
+    // when their surface text shares no n-grams. Survivor rule is
+    // identical to x2_dedup_cc — min-id per connected component of the
+    // `cos > τ` graph, via the same bounded min-label propagation. This
+    // entry is the EXACT form: all-pairs native-codegen'd cosine (one
+    // fused loop per pair, no array allocation) — quadratic, so it is
+    // the fixture-scale ORACLE; the corpus-scale path is
+    // x35_semdedup_cluster below. τ=0.35 sits ≥2.8e-5 from every pair's
+    // similarity at the oracle SF (measured), so the strict `>` boundary
+    // is engine-exact in double precision. Output is ids only — no float
+    // column can wobble the hash.
+    "x35_semdedup" -> ((s, d) => {
+      import graft.sim.SimSearch
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
+      SimSearch.semDedupSurvivors(e,
+        SimSearch.allPairsCosinePairs(e, 0.35)).select("vec_id")
+    }),
+
+    // ---- X35b: clustered SemDeDup (the 100 TB path) ----
+    //
+    // SemDeDup proper (Abbas et al. 2023): k-means partition the
+    // embedding space (centroids are a durable ArtifactStore index table
+    // — a fresh JVM loads, never refits), then run the SAME exact
+    // pairwise dedup within each cluster only. Pair volume drops from
+    // N²/2 to Σ|cluster|²/2, and the pair join is an equi-join on the
+    // cluster id — at scale each cluster is one shuffle partition, never
+    // a cross-corpus product. Approximate by design (cross-cluster pairs
+    // are unseen): no SQL oracle — `SemDedupSpec` pins precision == 1
+    // (every drop is in the exact drop set) and recall ≥ 0.5 on the
+    // fixture, plus artifact-provenance (cached centroids, no refit).
+    "x35_semdedup_cluster" -> ((s, d) => {
+      import graft.sim.SimSearch
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
+      val cents = graft.util.ArtifactStore.getOrCompute(s, "semdedup_centroids",
+        Seq(d, 8, 3), graft.util.ArtifactStore.CentroidsCodec) {
+        SimSearch.fitCentroids(e, 8, iters = 3)
+      }
+      SimSearch.semDedupClustered(e, 0.35, cents, nProbe = 2).select("vec_id")
+    }),
+
     // ---- W9: window-frame suite (RANGE frame + distribution funcs) ----
     //
     // The frame semantics the W-family hasn't pinned yet, in one
@@ -300,6 +345,28 @@ object SparkEntryR6 {
         |           AS score
         |  FROM documents
         |)""".stripMargin,
+
+    // Exact recomputation of the survivor set: same cos>τ graph (DuckDB's
+    // list_cosine_similarity over DOUBLE[] — measured margin to τ is
+    // ≥2.8e-5, ~10 orders above double noise), same min-id-per-component
+    // rule via WITH RECURSIVE. No clustering anywhere in the oracle.
+    "x35_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) > 0.35
+        |), ed AS (
+        |  SELECT id_a AS s, id_b AS t FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), cc(id, r) AS (
+        |  SELECT DISTINCT s, s FROM ed
+        |  UNION
+        |  SELECT ed.t, cc.r FROM cc JOIN ed ON ed.s = cc.id
+        |), lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id)
+        |SELECT vec_id FROM e
+        |WHERE vec_id NOT IN (SELECT id FROM lab WHERE label <> id)""".stripMargin,
 
     "w9_window_frames" ->
       """WITH e AS (

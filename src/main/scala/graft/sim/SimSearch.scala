@@ -339,4 +339,100 @@ object SimSearch {
       .select(col("id_a"), col("id_b"), cosine(col("__ea"), col("__eb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** All-pairs cosine near-dup pairs, strict `sim > tau` — the EXACT
+    * (quadratic) candidate generator. Only sound on a bounded input: a
+    * fixture-scale oracle table, or the inside of ONE cluster partition
+    * (which is how `semDedupClustered` uses the same per-pair math at
+    * corpus scale). Output: (id_a, id_b) with id_a < id_b.
+    */
+  def allPairsCosinePairs(vectors: DataFrame, tau: Double,
+                          idCol: String = "vec_id",
+                          embCol: String = "emb"): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(embCol).as("__ea"))
+    val b = vectors.select(col(idCol).as("id_b"), col(embCol).as("__eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(cosine(col("__ea"), col("__eb")) > tau)
+      .select("id_a", "id_b")
+  }
+
+  /** Nearest-centroid assignment (1-based `__bucket`) — the same argmax
+    * the IVF query path uses; with unit-norm centroids argmax-dot ==
+    * argmax-cosine. With `nProbe > 1` each vector is assigned to its
+    * nProbe nearest centroids (one output row per assignment): the
+    * overlapping-clusters trick — a pair straddling one boundary is
+    * still co-bucketed in a runner-up cluster, trading ≤nProbe× row
+    * duplication for recall.
+    */
+  def assignClusters(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                     embCol: String = "emb", nProbe: Int = 1,
+                     idCol: String = "vec_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size, "nProbe out of range")
+    if (nProbe == 1)
+      vectors.withColumn("__bucket",
+        graft.util.Expr.bind(centroidScores(col(embCol), centroids),
+          s => array_position(s, array_max(s))))
+    else
+      vectors
+        .select(col("*"),
+          posexplode(centroidScores(col(embCol), centroids))
+            .as(Seq("__cidx", "__score")))
+        // rank WITHIN one vector's k centroid scores — tiny partitions,
+        // but at scale prefer the no-shuffle form: the scores array is
+        // already per-row, so a future array-sort top-n would avoid the
+        // window exchange entirely; at k≤64 this is negligible either way
+        .withColumn("__pr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__cidx"))))
+        .filter(col("__pr") <= nProbe)
+        // posexplode is 0-based; match the 1-based array_position buckets
+        .withColumn("__bucket", col("__cidx") + 1)
+        .drop("__cidx", "__score", "__pr")
+  }
+
+  /** SemDeDup survivor set: one representative — the minimum id — per
+    * connected component of the `sim > tau` graph, via the same bounded
+    * min-label propagation the text CC-dedup uses (one equi-join +
+    * partial-aggregated min per round; no transitive-pair blowup).
+    * Output: the surviving rows of `vectors`, all columns.
+    */
+  def semDedupSurvivors(vectors: DataFrame, pairs: DataFrame,
+                        idCol: String = "vec_id"): DataFrame = {
+    val dropIds = graft.text.TextOps
+      .minLabelComponents(pairs.select("id_a", "id_b"))
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    vectors.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * embedding space, then dedup EXACTLY but only WITHIN each cluster —
+    * the pairwise work is quadratic in the cluster size, never in the
+    * corpus. The within-cluster pair join is an equi-join on `__bucket`,
+    * so at 100 TB each cluster's pairs build from one shuffle partition's
+    * worth of vectors (k sized so corpus/k fits a task; skewed clusters
+    * split by the same salting discipline as every other hot key).
+    * Approximate BY DESIGN: a near-dup pair straddling a cluster boundary
+    * is missed — recall vs the exact graph is asserted in `SemDedupSpec`,
+    * precision is 1.0 (every drop is verified by exact cosine).
+    */
+  def semDedupClustered(vectors: DataFrame, tau: Double,
+                        centroids: Seq[Seq[Double]],
+                        idCol: String = "vec_id",
+                        embCol: String = "emb",
+                        nProbe: Int = 1): DataFrame = {
+    val assigned = assignClusters(vectors, centroids, embCol, nProbe, idCol)
+    val a = assigned.select(col("__bucket"), col(idCol).as("id_a"),
+      col(embCol).as("__ea"))
+    val b = assigned.select(col("__bucket"), col(idCol).as("id_b"),
+      col(embCol).as("__eb"))
+    val pairs = a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__ea"), col("__eb")) > tau)
+      .select("id_a", "id_b")
+      // nProbe>1 can co-bucket a pair in several clusters; the CC input
+      // is a set of edges, so collapse before propagation
+      .dropDuplicates("id_a", "id_b")
+    semDedupSurvivors(vectors, pairs, idCol)
+  }
 }
