@@ -136,6 +136,30 @@ object SparkEntryR6 {
       provenNew.unionByName(verifiedNew)
     }),
 
+    // ---- X37: incremental near-dup dedup against a persisted LSH index ----
+    //
+    // The NEAR-dup complement of x34's exact-membership lifecycle: the
+    // corpus's MinHash band keys persist as a parquet index table (built
+    // at most once per (corpus, params) — the same durable-artifact
+    // lifecycle as the IVF centroids); a new batch shingles+signs ONLY
+    // itself, equi-joins the index for candidates, and exact-Jaccard-
+    // verifies the candidate sliver — the corpus is never re-tokenized.
+    // The oracle recomputes exact all-pairs batch×corpus Jaccard with no
+    // LSH anywhere: a green row proves index recall AND the verify.
+    "x37_incremental_neardup" -> ((s, d) => {
+      import graft.text.LshIndex
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val recrawl = corpus.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" qq")).as("text"))
+      val batch = docs.filter(col("doc_id") % 5 === 0).unionByName(recrawl)
+      val idx = LshIndex.ensureIndex(s, corpus,
+        Seq(d, "mod5", 3, 24, 12, 2))
+      val dups = LshIndex.probeNearDups(batch, corpus, idx, 0.8)
+      batch.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
+    }),
+
     // ---- X36: hashed linear quality classifier ----
     //
     // The hashing-trick feature map of a fastText-style linear text
@@ -233,6 +257,71 @@ object SparkEntryR6 {
         cume_dist().over(wOrd).as("cd"))
     }),
 
+    // ---- A9: winsorization (percentile clipping) ----
+    //
+    // The outlier-taming stage of a stats/feature pipeline: clamp a
+    // value column to its per-group [p05, p95]. Bounds come from the
+    // scale-safe rank-selection percentiles (a3b's machinery — no
+    // per-group buffer, a huge group spans partitions), rounded to 6 on
+    // BOTH engines (the a3/a3b-proven shared boundary, so every clip
+    // comparison reads an identical double); the tiny per-group bounds
+    // frame broadcast-joins back and the clip itself is map-side — the
+    // corpus is scanned once for bounds (2 passes over the sorted form)
+    // and once for the clip, never sorted per group. Outputs are
+    // integer-cents sums: fold-order-independent, engine-exact.
+    "a9_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      val bounds = graft.stats.Percentiles
+        .exactQuantiles(li, "flag", "v", Seq(0.05, 0.95), Seq("lo", "hi"))
+        .select(col("flag"), round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+      val clipped = li.join(broadcast(bounds), Seq("flag"))
+        .withColumn("cv",
+          when(col("v") < col("lo"), col("lo"))
+            .when(col("v") > col("hi"), col("hi"))
+            .otherwise(col("v")))
+      clipped.groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(expr("CAST(round(cv * 100) AS BIGINT)")).as("sum_cents"))
+    }),
+
+    // ---- W10: calendar resample + forward fill (gap fill) ----
+    //
+    // The time-series regularization every market/metrics pipeline needs
+    // (pandas `reindex(date_range).ffill()`, done distributed): per key,
+    // densify to the full daily grid between that key's first and last
+    // observation, then forward-fill the last daily value across gaps.
+    // Daily-last is a deterministic total-order pick ((us, event_id)
+    // desc — engine-exact); the grid is a row-local `sequence` explode
+    // (never a driver loop or a cross join against a calendar table);
+    // the fill is `last(ignoreNulls)` over a running frame. All three
+    // window/join steps share the user_id key, so AQE coalesces around
+    // one partitioning; day arithmetic is integer-µs division and the
+    // filled value is a bit-exact COPY of an observed value — nothing
+    // interpolated, nothing float-derived.
+    "w10_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .withColumn("day", expr("us div 86400000000"))
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value"))
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("value"), ignoreNulls = true).over(wFill).as("v_filled"),
+          col("value").isNull.cast("int").as("is_gap"))
+    }),
+
     // ---- O7/O8: multiset set algebra (EXCEPT ALL / INTERSECT ALL) ----
     //
     // O4/O5 pinned the DISTINCT forms; these are the BAG forms — the
@@ -327,6 +416,40 @@ object SparkEntryR6 {
         |SELECT b.doc_id FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = b.text)""".stripMargin,
 
+    // Exact all-pairs batch×corpus Jaccard — no LSH, no index anywhere.
+    "x37_incremental_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+        |), batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' qq' AS text
+        |  FROM corpus WHERE doc_id % 7 = 3
+        |), bs AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk)-1),
+        |                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        |        FROM batch)
+        |), cs AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk)-1),
+        |                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        |        FROM corpus)
+        |), dups AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM bs b JOIN cs c ON len(b.s) > 0 AND len(c.s) > 0
+        |    AND CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+        |          / len(list_distinct(b.s || c.s)) >= 0.8
+        |)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+
     // DuckDB mirror of tokens → rollingHash31 → bucket → weight → sum
     // (same integer pipeline as the native kernel, so exact equality).
     "x36_hash_classifier" ->
@@ -384,6 +507,49 @@ object SparkEntryR6 {
         |       cume_dist() OVER w AS cd
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    // quantile_cont == the rank-selection interpolation (a3b-proven);
+    // ROUND(6) pins the shared boundary, integer-cents sums pin the rest.
+    "a9_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag,
+        |         ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |         ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |       CAST(sum(CAST(round(100 * CASE WHEN l_extendedprice < lo THEN lo
+        |                     WHEN l_extendedprice > hi THEN hi
+        |                     ELSE l_extendedprice END) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem JOIN b ON l_returnflag = b.flag
+        |GROUP BY flag""".stripMargin,
+
+    // Same total-order daily-last pick, same integer-day grid
+    // (generate_series == Spark sequence on bigint), same running
+    // IGNORE-NULLS fill; v_filled is a bit-exact copy either way.
+    "w10_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events
+        |), daily AS (
+        |  SELECT user_id, day, value FROM (
+        |    SELECT user_id, day, value,
+        |           row_number() OVER (PARTITION BY user_id, day
+        |                              ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        |  FROM daily GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.day,
+        |       last_value(d.value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |       CAST(d.value IS NULL AS INT) AS is_gap
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)""".stripMargin,
 
     "o7_except_all" ->
       """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
