@@ -372,22 +372,22 @@ object SimSearch {
       vectors.withColumn("__bucket",
         graft.util.Expr.bind(centroidScores(col(embCol), centroids),
           s => array_position(s, array_max(s))))
-    else
+    else {
+      // top-nProbe is ROW-LOCAL: sort the per-row (−score, idx) pairs and
+      // slice — no window, no exchange (the scores array is already on
+      // the row; a row_number window here would shuffle the whole corpus
+      // just to rank k≤64 numbers). Tie order matches the nProbe=1
+      // argmax: score desc, then centroid index asc.
+      val k = centroids.size
+      val ranked = graft.util.Expr.bind(centroidScores(col(embCol), centroids),
+        s => slice(sort_array(zip_with(s,
+          sequence(lit(1), lit(k)).cast("array<double>"),
+          (sc, i) => struct((-sc).as("ns"), i.as("idx")))), 1, nProbe))
       vectors
-        .select(col("*"),
-          posexplode(centroidScores(col(embCol), centroids))
-            .as(Seq("__cidx", "__score")))
-        // rank WITHIN one vector's k centroid scores — tiny partitions,
-        // but at scale prefer the no-shuffle form: the scores array is
-        // already per-row, so a future array-sort top-n would avoid the
-        // window exchange entirely; at k≤64 this is negligible either way
-        .withColumn("__pr", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__cidx"))))
-        .filter(col("__pr") <= nProbe)
-        // posexplode is 0-based; match the 1-based array_position buckets
-        .withColumn("__bucket", col("__cidx") + 1)
-        .drop("__cidx", "__score", "__pr")
+        .select(col("*"), explode(ranked).as("__r"))
+        .withColumn("__bucket", col("__r.idx").cast("long"))
+        .drop("__r")
+    }
   }
 
   /** SemDeDup survivor set: one representative — the minimum id — per

@@ -307,4 +307,53 @@ class PlanAuditSpec extends AnyFunSuite {
     val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
     assert(ex.contains("_w0"), s"dedup exchange not keyed on the hash projection: $ex")
   }
+
+  test("a9 winsorize: bounds broadcast back; the clip path never sorts per group") {
+    // percentile bounds come from the rank-selection machinery (its own
+    // range-partitioned sort); the CLIP must be a map-side broadcast join
+    // over the scan — re-introducing a per-group window/sort here is the
+    // x9c skew class all over again
+    val p = plan("a9_winsorize")
+    assert(p.contains("BroadcastHashJoin"), "bounds not broadcast")
+    assert(!p.contains("Window"), s"clip path plans a window:\n$p")
+  }
+
+  test("w10 gap fill: the calendar grid is a row-local explode, never a product") {
+    val p = plan("w10_gap_fill")
+    assert(p.contains("Generate"), "no explode in the grid build")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "grid built via a product against a calendar table")
+  }
+
+  test("x32 funnel: one user-keyed data exchange feeds both windows and the fold") {
+    // stacked running-min windows + the per-user fold all share the
+    // user_id partitioning: exactly ONE hash exchange carries event rows
+    // (the final roll-up exchange is a single-partition fold of 3 longs
+    // per task)
+    val p = plan("x32_funnel").linesIterator.toSeq
+    val hashEx = p.filter(_.contains("Exchange hashpartitioning"))
+    assert(hashEx.size == 1, s"expected one hash exchange, got:\n${hashEx.mkString("\n")}")
+    assert(hashEx.head.contains("user_id"))
+  }
+
+  test("x34 bloom dedup: the sketch table broadcasts; probe is map-side") {
+    val p = plan("x34_bloom_dedup")
+    assert(p.contains("BroadcastHashJoin"), "bloom sketch table not broadcast")
+  }
+
+  test("x35 clustered semdedup assigns buckets row-locally (no window exchange)") {
+    // multi-probe top-nProbe is computed from the per-row scores array —
+    // a row_number window here would shuffle the whole corpus to rank
+    // k<=64 numbers
+    val p = plan("x35_semdedup_cluster")
+    assert(!p.contains("Window"), s"assignment plans a window:\n$p")
+  }
+
+  test("x37 incremental near-dup probes the PERSISTED index, not a re-derived one") {
+    // the corpus-side band keys must come from the lsh_index artifact
+    // table on disk — if the plan re-shingles the corpus for candidates,
+    // the O(batch) incremental claim is broken
+    val p = plan("x37_incremental_neardup")
+    assert(p.contains("lsh_index"), s"no persisted-index scan in the plan:\n$p")
+  }
 }
