@@ -31,6 +31,26 @@ object SparkEntryR6 {
     s"${System.getProperty("java.io.tmpdir")}/graft_r6/$leaf/$name"
   }
 
+  // Chain-planted corpus (same construction as SparkEntryExt's
+  // x2_dedup_cc fixture): A ~ B=A+" qq" ~ C=A+" qq rr" forms a true
+  // near-dup chain for mid-length docs, with C the LONGEST member — so
+  // the keep-best policy provably diverges from min-id (keeps C, not A).
+  private def docsWithChain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"), lit(" qq")).as("text")))
+      .unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" qq rr")).as("text")))
+  }
+
+  private val docsWithChainSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' qq' FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' qq rr' FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- X32: staged conversion funnel (signup → click → purchase) ----
@@ -227,6 +247,49 @@ object SparkEntryR6 {
         SimSearch.fitCentroids(e, 8, iters = 3)
       }
       SimSearch.semDedupClustered(e, 0.35, cents, nProbe = 2).select("vec_id")
+    }),
+
+    // ---- X38: near-dup dedup keeping the BEST doc per cluster ----
+    //
+    // Survivor POLICY as a first-class knob: x2_dedup_cc keeps the
+    // min-id doc per duplicate cluster (stable, arbitrary); real
+    // curation keeps the best one — here the LONGEST (ties → min id),
+    // the usual most-complete-recrawl heuristic. Same LSH pairs + label
+    // propagation; the pick is one partial-aggregable argmax
+    // (max(struct(len, −id)) per label) — no window, no extra corpus
+    // scan. On the chain fixture this provably diverges from min-id:
+    // cluster {A, B, C} keeps C (the longest), not A.
+    "x38_dedup_keep_best" -> ((s, d) =>
+      graft.text.TextOps.dedupCorpusKeepBest(docsWithChain(s, d), 0.8)
+        .select(col("doc_id"), length(col("text")).as("n_len"))),
+
+    // ---- X39: quantile feature binning ----
+    //
+    // The discretization stage of a feature pipeline: per-group quartile
+    // cuts (from the scale-safe rank-selection percentiles, rounded-6 —
+    // the a3b/a9-proven shared boundary), broadcast back, and the bucket
+    // id derived as 1 + Σ(v > cut_i) — integer adds of comparisons
+    // against identical doubles, so the binning is engine-exact. One
+    // corpus scan for cuts (two passes over the sorted form), one
+    // map-side scan for binning; never a per-group sort or ntile window
+    // (ntile would shuffle the corpus AND tie-break differently across
+    // engines).
+    "x39_quantile_binning" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      val cuts = graft.stats.Percentiles
+        .exactQuantiles(li, "flag", "v", Seq(0.25, 0.5, 0.75),
+          Seq("c1", "c2", "c3"))
+        .select(col("flag"), round(col("c1"), 6).as("c1"),
+          round(col("c2"), 6).as("c2"), round(col("c3"), 6).as("c3"))
+      li.join(broadcast(cuts), Seq("flag"))
+        .withColumn("bucket",
+          lit(1) + (col("v") > col("c1")).cast("int")
+            + (col("v") > col("c2")).cast("int")
+            + (col("v") > col("c3")).cast("int"))
+        .groupBy("flag", "bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(v * 100) AS BIGINT)")).as("sum_cents"))
     }),
 
     // ---- W9: window-frame suite (RANGE frame + distribution funcs) ----
@@ -490,6 +553,65 @@ object SparkEntryR6 {
         |), lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id)
         |SELECT vec_id FROM e
         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE label <> id)""".stripMargin,
+
+    // Same recursive-CTE components as x2_dedup_cc's oracle; only the
+    // survivor pick differs: longest (then min id) per label, singletons
+    // (vertices outside the pair relation) survive untouched.
+    "x38_dedup_keep_best" ->
+      s"""WITH RECURSIVE all_docs AS ($docsWithChainSql),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(range(1, len(tk)-1),
+         |                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [] END) AS s
+         |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+         |          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+         |        FROM all_docs)
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)) >= 0.8
+         |),
+         |e AS (SELECT id_a AS s, id_b AS t FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |cc(id, r) AS (
+         |  SELECT DISTINCT s, s FROM e
+         |  UNION
+         |  SELECT e.t, cc.r FROM cc JOIN e ON e.s = cc.id
+         |),
+         |lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id),
+         |win AS (
+         |  SELECT id FROM (
+         |    SELECT l.id,
+         |           row_number() OVER (PARTITION BY l.label
+         |             ORDER BY length(d.text) DESC, l.id ASC) AS rn
+         |    FROM lab l JOIN all_docs d ON d.doc_id = l.id)
+         |  WHERE rn = 1
+         |)
+         |SELECT doc_id, CAST(length(text) AS INT) AS n_len FROM all_docs
+         |WHERE doc_id NOT IN (SELECT id FROM lab)
+         |   OR doc_id IN (SELECT id FROM win)""".stripMargin,
+
+    "x39_quantile_binning" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |         ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS c1,
+        |         ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS c2,
+        |         ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS c3
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT flag,
+        |       1 + CAST(l_extendedprice > c1 AS INT)
+        |         + CAST(l_extendedprice > c2 AS INT)
+        |         + CAST(l_extendedprice > c3 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM lineitem JOIN c ON l_returnflag = c.flag
+        |GROUP BY 1, 2""".stripMargin,
 
     "w9_window_frames" ->
       """WITH e AS (

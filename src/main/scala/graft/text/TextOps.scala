@@ -331,6 +331,36 @@ object TextOps {
     docs.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Connected-component near-dup dedup with a QUALITY survivor policy:
+    * per duplicate cluster keep the LONGEST document (ties → smallest
+    * id), not the smallest id — the curation-grade rule (the longest
+    * variant of a re-crawled page is usually the most complete one).
+    * Same LSH pair generation and label propagation as
+    * `dedupCorpusConnected`; only the pick differs: one extra aggregate
+    * over the (small) labeled set — `max(struct(len, −id))` per label is
+    * a partial-aggregable argmax, no window, no second corpus scan.
+    * Swapping `length` for a model quality score is a one-column change
+    * (the policy is any totally-ordered (quality, −id) struct).
+    */
+  def dedupCorpusKeepBest(docs: DataFrame, threshold: Double,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          shingleN: Int = 3, numHashes: Int = 24,
+                          bands: Int = 12, rowsPerBand: Int = 2,
+                          maxIters: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold, idCol, textCol, shingleN,
+      numHashes, bands, rowsPerBand)
+    val labels = minLabelComponents(pairs.select("id_a", "id_b"), maxIters)
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.join(labels, Seq(idCol), "left")
+    val picked = labeled.filter(col("label").isNotNull)
+      .groupBy(col("label"))
+      .agg(max(struct(length(col(textCol)).as("l"),
+        (-col(idCol)).as("ni"))).as("__m"))
+      .select((-col("__m.ni")).as(idCol))
+    labeled.filter(col("label").isNull).drop("label")
+      .unionByName(docs.join(picked, Seq(idCol), "left_semi"))
+  }
+
   /** Portable 31-bit polynomial rolling hash of a string column:
     * fold(acc*31 + codepoint) mod (2^31-1). Stays within int64 at every
     * step and starts from the first char (0*31+c == c), so any engine with
