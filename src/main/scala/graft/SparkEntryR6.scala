@@ -249,6 +249,53 @@ object SparkEntryR6 {
       SimSearch.semDedupClustered(e, 0.35, cents, nProbe = 2).select("vec_id")
     }),
 
+    // ---- X40: top user paths (ordered event sequences) ----
+    //
+    // "What do users do first?" — each user's first three event types in
+    // timeline order, counted by distinct path. The ordered pick rides
+    // ONE user-keyed sort (row_number ≤ 3 under the same total
+    // (ts, event_id) order every event entry uses); the path columns
+    // fold via conditional max per user (partition-preserving — no
+    // second data shuffle), and the path count aggregates a #users-sized
+    // frame. The naive formulation is a per-user collect_list + UDF —
+    // unordered, unpooled, and driver-hostile; this one never
+    // materializes a list at all.
+    "x40_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val first3 = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      first3.groupBy("user_id").agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- X41: rolling active users (trailing 7-day distinct) ----
+    //
+    // The DAU/WAU family: for each day D, how many distinct users were
+    // active in [D−6, D]. COUNT DISTINCT OVER a running window doesn't
+    // exist (and a per-day self-join over the range re-reads the
+    // activity table 7×); the scale shape is the sliding-window
+    // replication trick (W6): dedup to (user, day) once, explode each
+    // activity day into the ≤7 window ends it serves — row-local, 7×
+    // a #user-days frame, NOT 7× the event log — and countDistinct per
+    // window end. All-integer day arithmetic.
+    "x41_rolling_active_users" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("win_end"))
+        .groupBy("win_end")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // ---- X38: near-dup dedup keeping the BEST doc per cluster ----
     //
     // Survivor POLICY as a first-class knob: x2_dedup_cc keeps the
@@ -553,6 +600,37 @@ object SparkEntryR6 {
         |), lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id)
         |SELECT vec_id FROM e
         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE label <> id)""".stripMargin,
+
+    "x40_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |         max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |         max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |  FROM r WHERE rn <= 3 GROUP BY user_id
+        |)
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1, 2, 3""".stripMargin,
+
+    "x41_rolling_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events
+        |)
+        |SELECT win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM (SELECT user_id,
+        |             unnest(generate_series(day, day + 6)) AS win_end
+        |      FROM ud)
+        |GROUP BY win_end""".stripMargin,
 
     // Same recursive-CTE components as x2_dedup_cc's oracle; only the
     // survivor pick differs: longest (then min id) per label, singletons
