@@ -87,6 +87,39 @@ object SparkEntryR6 {
         sum(col("c")).as("n_purchase_after"))
     }),
 
+    // ---- X32b: horizon-bounded funnel ----
+    //
+    // The funnel real dashboards run: each stage must convert WITHIN a
+    // horizon (click ≤ 7 days after signup, purchase ≤ 7 days after
+    // that click) — unbounded funnels overcount forever-later
+    // conversions. Same one-sort stacked-window shape as x32; the
+    // horizon is timestamp + INTERVAL arithmetic, exact in integer µs
+    // on both engines.
+    "x32b_funnel_horizon" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val horizon = expr("INTERVAL 7 DAYS")
+      val withSu = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("su_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+      val withQc = withSu.withColumn("qc_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("su_ts") &&
+          col("ts") <= col("su_ts") + horizon, col("ts"))).over(w))
+      val perUser = withQc.groupBy("user_id").agg(
+        max(when(col("su_ts").isNotNull, 1L).otherwise(0L)).as("a"),
+        max(when(col("qc_ts").isNotNull, 1L).otherwise(0L)).as("b"),
+        max(when(col("event_type") === "purchase" &&
+          col("ts") > col("qc_ts") &&
+          col("ts") <= col("qc_ts") + horizon, 1L).otherwise(0L)).as("c"))
+      perUser.agg(
+        sum(col("a")).as("n_signup"),
+        sum(col("b")).as("n_click_7d"),
+        sum(col("c")).as("n_purchase_7d"))
+    }),
+
     // ---- X33: weekly cohort retention ----
     //
     // cohort = epoch-week of the user's FIRST event (unordered per-user
@@ -108,6 +141,29 @@ object SparkEntryR6 {
           expr(s"us div $WeekUs - first_us div $WeekUs").as("week_off"))
         .groupBy("cohort_week", "week_off")
         .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- X33b: cohort retention, sketch form (the 100 TB twin) ----
+    //
+    // x33's exact countDistinct shuffles every distinct (cell, user)
+    // pair — at corpus scale that is user-weeks through the wire. This
+    // twin is the same single pass with a mergeable HLL per cell
+    // (KB-sized blobs through the exchange instead of id sets), the
+    // x12-profile / x3-sketch discipline applied to the retention
+    // triangle. Rows-only by design (HLL is approximate); at fixture
+    // cardinalities the sketch is in exact sparse mode, so `SketchSpec`
+    // pins estimate == exact per cell.
+    "x33b_cohort_sketch" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("first_us", min(col("us")).over(wu))
+        .select(col("user_id"),
+          expr(s"first_us div $WeekUs").as("cohort_week"),
+          expr(s"us div $WeekUs - first_us div $WeekUs").as("week_off"))
+        .groupBy("cohort_week", "week_off")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .cast("long").as("n_users_est"))
     }),
 
     // ---- X34: Bloom-pruned incremental corpus dedup ----
@@ -498,6 +554,39 @@ object SparkEntryR6 {
         |SELECT CAST(sum(a) AS BIGINT) AS n_signup,
         |       CAST(sum(b) AS BIGINT) AS n_click_after,
         |       CAST(sum(c) AS BIGINT) AS n_purchase_after
+        |FROM u""".stripMargin,
+
+    "x32b_funnel_horizon" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events
+        |), s1 AS (
+        |  SELECT *,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS su_ts
+        |  FROM e
+        |), s2 AS (
+        |  SELECT *,
+        |         min(CASE WHEN event_type = 'click' AND ts > su_ts
+        |                   AND ts <= su_ts + INTERVAL 7 DAY THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS qc_ts
+        |  FROM s1
+        |), u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN su_ts IS NOT NULL THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN qc_ts IS NOT NULL THEN 1 ELSE 0 END) AS b,
+        |         max(CASE WHEN event_type = 'purchase' AND ts > qc_ts
+        |               AND ts <= qc_ts + INTERVAL 7 DAY
+        |             THEN 1 ELSE 0 END) AS c
+        |  FROM s2 GROUP BY user_id
+        |)
+        |SELECT CAST(sum(a) AS BIGINT) AS n_signup,
+        |       CAST(sum(b) AS BIGINT) AS n_click_7d,
+        |       CAST(sum(c) AS BIGINT) AS n_purchase_7d
         |FROM u""".stripMargin,
 
     "x33_cohort_retention" ->

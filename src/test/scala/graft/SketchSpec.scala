@@ -111,4 +111,15 @@ class SketchSpec extends AnyFunSuite {
         s"$c: approx distinct $aNd vs exact $nd out of tolerance")
     }
   }
+
+  test("cohort sketch triangle equals the exact triangle at fixture cardinality") {
+    // x33b is x33 with hll_sketch_agg per cell; fixture cells hold far
+    // fewer than the sparse-mode threshold, so the estimate is EXACT —
+    // frame-for-frame equality, not just tolerance.
+    val exact = SparkEntry.queries("x33_cohort_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sk = SparkEntry.queries("x33b_cohort_sketch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sk === exact)
+  }
 }
