@@ -508,6 +508,44 @@ object SparkEntryR6 {
         .intersectAll(li.filter(col("l_returnflag") === "A").select("l_partkey"))
     }),
 
+    // ---- S11: binary-file source (the real multimodal ingestion path) ----
+    //
+    // `binaryFile` is how image/audio shards actually enter a lakehouse
+    // (S3 blobs → (path, length, content) rows, no decode on read). The
+    // fixture plants 40 real PNG headers as FILES (dimensions derived
+    // arithmetically from the file index with DIFFERENT moduli, so a
+    // width/height swap cannot hash-match); the entry reads them back
+    // through the distributed source, recovers the id from the path, and
+    // runs the same pure-JVM header parser as x7_decode_real. The oracle
+    // derives every output column arithmetically — a green row proves the
+    // file write → binaryFile scan → parse pipeline end to end.
+    "s11_binary_source" -> ((s, d) => {
+      import s.implicits._
+      import graft.media.Multimodal
+      val root = tmpBase(d, "bin_imgs")
+      val dir = new java.io.File(root)
+      dir.mkdirs()
+      (0 until 40).foreach { i =>
+        val f = new java.io.File(dir, f"img_$i%02d.png")
+        if (!f.exists()) {
+          val out = new java.io.FileOutputStream(f)
+          try out.write(Multimodal.pngHeaderBytes(i % 37 + 2, i % 23 + 3))
+          finally out.close()
+        }
+      }
+      val recs = s.read.format("binaryFile").load(root)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("media"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit("unknown").as("format"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decode(recs).toDF()
+        .select(col("media_id"), col("n_bytes").cast("bigint").as("n_bytes"),
+          col("width"), col("height"), col("format"))
+    }),
+
     // ---- S10: ORC sink + source round-trip ----
     //
     // Same schema-on-read discipline as the CSV/JSON round-trips (S8/S9):
@@ -851,6 +889,16 @@ object SparkEntryR6 {
         |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
 
     "s10_orc_roundtrip" ->
-      "SELECT p_partkey, p_name, p_retailprice FROM part"
+      "SELECT p_partkey, p_name, p_retailprice FROM part",
+
+    // Pure constructor inversion: every column is arithmetic in the file
+    // index (24 = len(sig + IHDR len/type/w/h); moduli differ so a w/h
+    // swap cannot match).
+    "s11_binary_source" ->
+      """SELECT i AS media_id, CAST(24 AS BIGINT) AS n_bytes,
+        |       CAST(i % 37 + 2 AS INT) AS width,
+        |       CAST(i % 23 + 3 AS INT) AS height,
+        |       'png' AS format
+        |FROM range(0, 40) t(i)""".stripMargin
   )
 }
