@@ -74,6 +74,29 @@ object LshIndex {
   def invalidate(spark: SparkSession, corpusKey: Seq[Any]): Unit =
     rmRf(indexDir(spark, corpusKey))
 
+  /** Append a NEW batch's band keys to an existing index — the
+    * post-commit maintenance step of incremental ingest (after x37-style
+    * dedup admits the batch, its keys join the index so the NEXT batch
+    * probes against it; the corpus is still never re-signed). One
+    * O(batch) job writing additional parquet files into the index dir.
+    *
+    * Crash/replay semantics: the append is not atomic, but it is SAFE —
+    * duplicate band keys from a replayed append only produce duplicate
+    * candidates, which `probeNearDups` collapses (dropDuplicates) before
+    * the exact verify; a half-written append loses no existing keys and
+    * is completed by the retry. Idempotent-for-correctness, like the
+    * SnapshotSink replay contract.
+    */
+  def appendToIndex(spark: SparkSession, batch: DataFrame, corpusKey: Seq[Any],
+                    shingleN: Int = 3, numHashes: Int = 24,
+                    bands: Int = 12, rowsPerBand: Int = 2): Unit = {
+    val dir = indexDir(spark, corpusKey)
+    require(new File(dir, "_SUCCESS").exists(),
+      s"no index at $dir — ensureIndex first")
+    bandKeys(batch, shingleN, numHashes, bands, rowsPerBand)
+      .write.mode(SaveMode.Append).parquet(dir.getAbsolutePath)
+  }
+
   /** Batch doc-ids that are near-duplicates (Jaccard ≥ threshold) of some
     * indexed corpus doc. Candidates come from the index equi-join; the
     * exact verify re-shingles ONLY candidate rows on both sides (fetched

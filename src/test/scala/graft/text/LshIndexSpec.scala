@@ -31,6 +31,38 @@ class LshIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "_SUCCESS").exists())
   }
 
+  test("incremental append: probe(appended index) == probe(rebuilt index)") {
+    val key = Seq("lsh-index-spec-append", "sf0.001", 3, 24, 12, 2)
+    LshIndex.invalidate(spark, key)
+    val corpusA = docs.filter(col("doc_id") % 3 === 0)
+    val batchB = docs.filter(col("doc_id") % 3 === 1)
+    val probeC = docs.filter(col("doc_id") % 3 === 2)
+      .unionByName(batchB.limit(15)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" qq")).as("text")))
+    val fullCorpus = corpusA.unionByName(batchB)
+    // lifecycle: build on A, ingest B, append B's keys
+    LshIndex.ensureIndex(spark, corpusA, key)
+    LshIndex.appendToIndex(spark, batchB, key)
+    val appended = spark.read.parquet(
+      graft.util.ArtifactStore.artifactDir(spark, "lsh_index", key).getAbsolutePath)
+    val viaAppended = LshIndex.probeNearDups(probeC, fullCorpus, appended, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val viaRebuilt = LshIndex.probeNearDups(probeC, fullCorpus,
+        LshIndex.bandKeys(fullCorpus), 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaAppended === viaRebuilt)
+    assert(viaAppended.nonEmpty, "planted near-dups of batch B must be caught")
+    // replayed append (crash-retry) changes nothing: dup candidates collapse
+    LshIndex.appendToIndex(spark, batchB, key)
+    val replayed = LshIndex.probeNearDups(probeC, fullCorpus,
+        spark.read.parquet(graft.util.ArtifactStore
+          .artifactDir(spark, "lsh_index", key).getAbsolutePath), 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed === viaRebuilt)
+    LshIndex.invalidate(spark, key)
+  }
+
   test("probing the persisted index equals probing fresh band keys") {
     LshIndex.invalidate(spark, Key)
     val corpus = docs.filter(col("doc_id") % 2 === 0)
