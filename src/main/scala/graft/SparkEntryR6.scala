@@ -352,6 +352,34 @@ object SparkEntryR6 {
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
 
+    // ---- J8: interval-overlap join (exposure × campaign attribution) ----
+    //
+    // j3 joins POINTS to intervals; this is the interval×interval form —
+    // which orders' 7-day fulfillment windows overlapped which campaign
+    // windows. Written naively it has no equi-key (a BNLJ product);
+    // bucketized, both sides replicate to their covered buckets and
+    // overlapping pairs provably meet in a shared bucket — a hash
+    // equi-join plus an exact residual, the same discipline as j3 at any
+    // scale. Campaign windows deliberately overlap each other (45-day
+    // spans every 30 days), so orders in the overlap zones attribute to
+    // BOTH campaigns — the multiset the oracle reproduces. The scalar
+    // min-date attach is a 1-row broadcast (bounded metadata).
+    "j8_interval_overlap" -> ((s, d) => {
+      val od = Tables.orders(s, d).select(col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            .as("s"))
+        .withColumn("e", col("s") + 7)
+      val base = od.agg(min(col("s")).as("b"))
+      val camp = s.range(12).select(col("id").as("promo_id"))
+        .crossJoin(broadcast(base))
+        .select(col("promo_id"), (col("b") + col("promo_id") * 30).as("cs"),
+          (col("b") + col("promo_id") * 30 + 45).as("ce"))
+      graft.joins.RangeJoin
+        .intervalOverlap(od, "s", "e", camp, "cs", "ce", bucketWidth = 16)
+        .groupBy("promo_id")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // ---- X38: near-dup dedup keeping the BEST doc per cluster ----
     //
     // Survivor POLICY as a first-class knob: x2_dedup_cc keeps the
@@ -727,6 +755,23 @@ object SparkEntryR6 {
         |), lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id)
         |SELECT vec_id FROM e
         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE label <> id)""".stripMargin,
+
+    // Plain inequality overlap join — no buckets anywhere in the oracle.
+    "j8_interval_overlap" ->
+      """WITH od AS (
+        |  SELECT o_orderkey,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS s
+        |  FROM orders
+        |), od2 AS (
+        |  SELECT o_orderkey, s, s + 7 AS e FROM od
+        |), b AS (SELECT min(s) AS b FROM od),
+        |camp AS (
+        |  SELECT i AS promo_id, b + i*30 AS cs, b + i*30 + 45 AS ce
+        |  FROM range(0, 12) t(i), b
+        |)
+        |SELECT promo_id, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM od2 JOIN camp ON od2.s < camp.ce AND camp.cs < od2.e
+        |GROUP BY promo_id""".stripMargin,
 
     "x40_top_paths" ->
       """WITH e AS (

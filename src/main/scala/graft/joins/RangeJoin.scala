@@ -40,4 +40,33 @@ object RangeJoin {
           col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__pb", "__ib")
   }
+
+  /** Interval-OVERLAP join (both sides are intervals, half-open `[s, e)`;
+    * overlap iff `a.s < b.e && b.s < a.e`) — the sessions×campaigns /
+    * exposure×outcome join shape. Same bucketization discipline: both
+    * sides replicate to their covered buckets, overlapping pairs are
+    * guaranteed to share at least one bucket (their intersection is
+    * non-empty and lies in both cover sets), the exact predicate filters
+    * within the bucket, and pairs meeting in several shared buckets
+    * collapse via a full-row dedup. Shuffle volume is
+    * Σ len/bucketWidth + 1 per side. Callers needing bag semantics must
+    * carry unique keys (full-row dedup collapses identical input rows —
+    * the keyed-row contract every join here assumes).
+    */
+  def intervalOverlap(left: DataFrame, leftStart: String, leftEnd: String,
+                      right: DataFrame, rightStart: String, rightEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("__lb", explode(sequence(
+      floor(col(leftStart) / bucketWidth).cast("long"),
+      floor((col(leftEnd) - 1) / bucketWidth).cast("long"))))
+    val rb = right.withColumn("__rb", explode(sequence(
+      floor(col(rightStart) / bucketWidth).cast("long"),
+      floor((col(rightEnd) - 1) / bucketWidth).cast("long"))))
+    lb.join(rb,
+        lb("__lb") === rb("__rb") &&
+          col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .drop("__lb", "__rb")
+      .dropDuplicates()
+  }
 }

@@ -349,6 +349,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"assignment plans a window:\n$p")
   }
 
+  test("j8 interval-overlap joins on the bucket equi-key; only the 1-row scalar attaches loosely") {
+    // the interval x interval join must be a hash equi-join on the bucket
+    // (a naive overlap predicate has no equi-key and plans a product over
+    // both interval sets); the only loose join allowed is the bounded
+    // 1-row min-date broadcast attach
+    val p = plan("j8_interval_overlap")
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected loose joins ($bnlj):\n$p")
+    assert(p.contains("__lb"), "overlap join lost its bucket equi-key")
+  }
+
   test("x37 incremental near-dup probes the PERSISTED index, not a re-derived one") {
     // the corpus-side band keys must come from the lsh_index artifact
     // table on disk — if the plan re-shingles the corpus for candidates,
