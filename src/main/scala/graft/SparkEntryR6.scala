@@ -352,6 +352,32 @@ object SparkEntryR6 {
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
 
+    // ---- F5: datetime scalar-function suite ----
+    //
+    // The §2.8 calendar toolbox in one row-local pass: month truncation,
+    // end-of-month, ISO day-of-week, quarter, month arithmetic, and
+    // day diffs — every output an integer epoch-day or small int, so
+    // cross-engine equality is exact (no timezone: the fixture dates are
+    // NTZ and the session is pinned UTC). DuckDB mirrors each function
+    // with its own calendar primitives — a green row proves the two
+    // engines' calendars agree function by function.
+    "f5_date_functions" -> ((s, d) => {
+      val od = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ts"))
+        .withColumn("dt", to_date(col("ts")))
+      od.select(col("o_orderkey"),
+        datediff(col("dt"), lit("1992-01-01").cast("date")).as("epoch92_day"),
+        datediff(trunc(col("dt"), "month"), lit("1992-01-01").cast("date"))
+          .as("month_start_day"),
+        datediff(last_day(col("dt")), lit("1992-01-01").cast("date"))
+          .as("month_end_day"),
+        dayofweek(col("dt")).as("dow"),
+        quarter(col("dt")).as("qtr"),
+        datediff(add_months(col("dt"), 3), lit("1992-01-01").cast("date"))
+          .as("plus3m_day"))
+    }),
+
     // ---- J8: interval-overlap join (exposure × campaign attribution) ----
     //
     // j3 joins POINTS to intervals; this is the interval×interval form —
@@ -755,6 +781,20 @@ object SparkEntryR6 {
         |), lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id)
         |SELECT vec_id FROM e
         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE label <> id)""".stripMargin,
+
+    // Spark dayofweek is 1=Sunday; DuckDB dayofweek(=dow) is 0=Sunday.
+    "f5_date_functions" ->
+      """SELECT o_orderkey,
+        |       CAST(datediff('day', DATE '1992-01-01', dt) AS INT) AS epoch92_day,
+        |       CAST(datediff('day', DATE '1992-01-01', date_trunc('month', dt)) AS INT)
+        |         AS month_start_day,
+        |       CAST(datediff('day', DATE '1992-01-01', last_day(dt)) AS INT)
+        |         AS month_end_day,
+        |       CAST(dayofweek(dt) + 1 AS INT) AS dow,
+        |       CAST(quarter(dt) AS INT) AS qtr,
+        |       CAST(datediff('day', DATE '1992-01-01', dt + INTERVAL 3 MONTH) AS INT)
+        |         AS plus3m_day
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt FROM orders)""".stripMargin,
 
     // Plain inequality overlap join — no buckets anywhere in the oracle.
     "j8_interval_overlap" ->
