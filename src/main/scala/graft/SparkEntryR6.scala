@@ -378,6 +378,45 @@ object SparkEntryR6 {
           .as("plus3m_day"))
     }),
 
+    // ---- F6: array scalar-function suite ----
+    //
+    // The §2.8 collection toolbox over real token arrays, row-local:
+    // sort, dedup, slice, membership, size, and a fold (portable hash of
+    // the sorted prefix) — outputs are strings/ints only, so equality is
+    // exact. DuckDB mirrors each with its list_* primitives.
+    "f6_array_ops" -> ((s, d) => {
+      import graft.text.TextOps
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(array_distinct(col("tk"))).as("n_distinct"),
+          array_join(slice(sort_array(col("tk")), 1, 3), "|").as("first3_sorted"),
+          array_contains(col("tk"), "the").cast("int").as("has_the"))
+    }),
+
+    // ---- W11: cumulative distinct users (growth curve) ----
+    //
+    // "Total unique users to date" per day: each user counts once, on
+    // their FIRST active day — so the running metric is a cumulative sum
+    // over a #days-sized frame of first-day counts, never a
+    // distinct-over-growing-window (which would rescan history per day).
+    // The per-user first day is an unordered window min; everything
+    // after runs on ≤ #days rows.
+    "w11_cumulative_users" -> ((s, d) => {
+      val firstDay = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("user_id").agg(min(col("day")).as("first_day"))
+      val perDay = firstDay.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+      perDay.select(col("day"), col("n_new"),
+        sum(col("n_new")).over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("n_total"))
+    }),
+
     // ---- J8: interval-overlap join (exposure × campaign attribution) ----
     //
     // j3 joins POINTS to intervals; this is the interval×interval form —
@@ -781,6 +820,32 @@ object SparkEntryR6 {
         |), lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id)
         |SELECT vec_id FROM e
         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE label <> id)""".stripMargin,
+
+    "f6_array_ops" ->
+      """SELECT doc_id,
+        |       CAST(len(tk) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+        |       array_to_string(list_sort(tk)[1:3], '|') AS first3_sorted,
+        |       CAST(list_contains(tk, 'the') AS INT) AS has_the
+        |FROM (SELECT doc_id,
+        |             CASE WHEN trim(text) = '' THEN []
+        |                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        |      FROM documents)""".stripMargin,
+
+    "w11_cumulative_users" ->
+      """WITH fd AS (
+        |  SELECT user_id,
+        |         min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS first_day
+        |  FROM events GROUP BY user_id
+        |), pd AS (
+        |  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fd GROUP BY 1
+        |)
+        |SELECT day, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS n_total
+        |FROM pd""".stripMargin,
 
     // Spark dayofweek is 1=Sunday; DuckDB dayofweek(=dow) is 0=Sunday.
     "f5_date_functions" ->
