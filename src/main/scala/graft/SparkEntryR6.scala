@@ -352,6 +352,29 @@ object SparkEntryR6 {
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
 
+    // ---- X42: corpus report (the dataset-card query) ----
+    //
+    // The one-row summary every released dataset ships with, in ONE
+    // corpus scan + one aggregate: volume (docs, tokens), provenance
+    // spread (distinct sources), short-doc fraction, and exact-dup rate
+    // (docs minus distinct texts). All-integer outputs (per-mill
+    // fractions via integer division) — engine-exact. At 100 TB the two
+    // exact countDistincts are the only shuffled sets; their mergeable
+    // twins (x3 HLL / x29 theta) slot into the same aggregate unchanged.
+    "x42_corpus_report" -> ((s, d) => {
+      import graft.text.TextOps
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(TextOps.tokens(col("text"))).as("n_tok"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          expr("1000 * sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) div count(*)")
+            .as("short_per_mill"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+    }),
+
     // ---- F5: datetime scalar-function suite ----
     //
     // The §2.8 calendar toolbox in one row-local pass: month truncation,
@@ -820,6 +843,22 @@ object SparkEntryR6 {
         |), lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id)
         |SELECT vec_id FROM e
         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE label <> id)""".stripMargin,
+
+    "x42_corpus_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         len(CASE WHEN trim(text) = '' THEN []
+        |             ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |           AS n_tok
+        |  FROM documents
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(1000 * sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) // count(*)
+        |            AS BIGINT) AS short_per_mill,
+        |       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups
+        |FROM t""".stripMargin,
 
     "f6_array_ops" ->
       """SELECT doc_id,
