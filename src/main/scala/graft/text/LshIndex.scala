@@ -66,7 +66,7 @@ object LshIndex {
         dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       bandKeys(corpus, shingleN, numHashes, bands, rowsPerBand)
         .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-      if (!tmp.renameTo(dir)) rmRf(tmp) // lost the race: winner's is equal
+      ArtifactStore.publishDir(tmp, dir)
     }
     spark.read.parquet(dir.getAbsolutePath)
   }
