@@ -34,8 +34,17 @@ object BloomOps {
     bf.writeTo(out)
     out.toByteArray
   }
-  def deserialize(bytes: Array[Byte]): BloomFilter =
+  def deserialize(bytes: Array[Byte]): BloomFilter = {
+    nDeserialize.incrementAndGet()
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  /** Observability for the probe-side cache: lets a spec assert that N
+    * probe rows against K distinct sketches deserialize K times, not N
+    * (the ADVICE r6 identity-cache regression class).
+    */
+  private val nDeserialize = new java.util.concurrent.atomic.AtomicLong(0)
+  def deserializations: Long = nDeserialize.get()
 }
 
 /** Aggregate raw keys (BIGINT or STRING) into a serialized Bloom filter.
@@ -154,10 +163,17 @@ case class BloomUnionAgg(
 }
 
 /** `might_contain(sketch, key)` — true if the key may be in the set, false
-  * only if it is PROVEN absent. Deserialized filters are cached per blob
-  * identity: under a broadcast join the per-bucket blob is the same object
-  * for every probe row in a partition, so the cache holds one filter per
-  * bucket (bounded by the bucket count), not one per row.
+  * only if it is PROVEN absent. Deserialized filters are cached by blob
+  * CONTENT, not object identity (ADVICE r6): in real plans the sketch
+  * bytes arrive as a fresh copy per probe row (`UnsafeRow.getBinary`
+  * copies), so an identity-keyed cache never hit and re-deserialized the
+  * filter for every row while still retaining every copy. The content key
+  * hashes a strided 64-byte sample (Bloom blobs share headers, so
+  * prefix-only hashing would collide every bucket into one chain) and
+  * resolves collisions by full `Arrays.equals` — one memcmp per probe row
+  * against one allocation-heavy deserialize, and the LRU is bounded by
+  * TOTAL BYTES (64 MB), so large `expectedItems` sketches cannot pile up
+  * unbounded heap per task.
   */
 case class BloomMightContain(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -172,15 +188,28 @@ case class BloomMightContain(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
+  import BloomMightContain.BytesKey
+
+  private val MaxCacheBytes = 64L << 20
+
+  @transient private var cachedBytes = 0L
   @transient private lazy val cache =
-    new java.util.IdentityHashMap[AnyRef, BloomFilter]()
+    new java.util.LinkedHashMap[BytesKey, BloomFilter](16, 0.75f, true) {
+      override protected def removeEldestEntry(
+          eldest: java.util.Map.Entry[BytesKey, BloomFilter]): Boolean =
+        if (cachedBytes > MaxCacheBytes) {
+          cachedBytes -= eldest.getKey.bytes.length; true
+        } else false
+    }
 
   override def nullSafeEval(sketch: Any, key: Any): Any = {
     val bytes = sketch.asInstanceOf[Array[Byte]]
-    var bf = cache.get(bytes)
+    val k = new BytesKey(bytes)
+    var bf = cache.get(k)
     if (bf == null) {
       bf = BloomOps.deserialize(bytes)
-      if (cache.size < 4096) cache.put(bytes, bf)
+      cachedBytes += bytes.length
+      cache.put(k, bf)
     }
     key match {
       case l: java.lang.Long => bf.mightContainLong(l.longValue())
@@ -192,4 +221,27 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  /** Content key for serialized sketch blobs: cheap strided-sample hash,
+    * exact equality. Safe for any byte-array content.
+    */
+  private[expressions] final class BytesKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = {
+      val n = bytes.length
+      var h = 31 * n + 17
+      if (n > 0) {
+        val step = math.max(1, n / 64)
+        var i = 0
+        while (i < n) { h = h * 31 + bytes(i); i += step }
+      }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey =>
+        (k.bytes eq bytes) || java.util.Arrays.equals(k.bytes, bytes)
+      case _ => false
+    }
+  }
 }

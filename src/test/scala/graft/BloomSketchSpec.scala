@@ -75,6 +75,24 @@ class BloomSketchSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("probe-side cache is content-keyed: N probe rows deserialize K sketches, not N") {
+    // ADVICE r6: the old identity-keyed cache never hit (UnsafeRow
+    // copies the binary per row) — every probe row re-deserialized the
+    // filter. Probe 2000 rows against one sketch through a real join
+    // plan and assert the deserialization count moved by ~1, not ~2000.
+    (0L until 2000L).toDF("k").createOrReplaceTempView("bloom_probe_keys")
+    spark.sql("""SELECT graft_bloom_agg(k, 4096, 0.01) AS bf, 1 AS one
+                 FROM bloom_probe_keys""").createOrReplaceTempView("bloom_probe_sk")
+    val before = BloomOps.deserializations
+    val n = spark.sql("""
+      SELECT count(*) FROM (SELECT k, 1 AS one FROM bloom_probe_keys) p
+      JOIN bloom_probe_sk s ON p.one = s.one
+      WHERE graft_bloom_contains(s.bf, p.k)""").collect()(0).getLong(0)
+    assert(n === 2000L)
+    val used = BloomOps.deserializations - before
+    assert(used <= 32L, s"probe cache not hitting: $used deserializations for 2000 rows")
+  }
+
   test("type errors are analysis-time failures") {
     Seq(1.5).toDF("x").createOrReplaceTempView("bloom_bad")
     val e = intercept[Exception] {
