@@ -29,12 +29,14 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val ivb = intervals
+    // integer `div` bucketing: exact at any long magnitude (double
+    // division drifts past 2^53); empty intervals contain no point and
+    // would feed sequence() a descending range — drop them
+    val ivb = intervals.filter(col(endCol) > col(startCol))
       .withColumn("__ib", explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
-    val ptb = points.withColumn("__pb",
-      floor(col(pointCol) / bucketWidth).cast("long"))
+        expr(s"`$startCol` div $bucketWidth"),
+        expr(s"(`$endCol` - 1) div $bucketWidth"))))
+    val ptb = points.withColumn("__pb", expr(s"`$pointCol` div $bucketWidth"))
     ptb.join(ivb,
         ptb("__pb") === ivb("__ib") &&
           col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
@@ -44,29 +46,46 @@ object RangeJoin {
   /** Interval-OVERLAP join (both sides are intervals, half-open `[s, e)`;
     * overlap iff `a.s < b.e && b.s < a.e`) — the sessions×campaigns /
     * exposure×outcome join shape. Same bucketization discipline: both
-    * sides replicate to their covered buckets, overlapping pairs are
-    * guaranteed to share at least one bucket (their intersection is
-    * non-empty and lies in both cover sets), the exact predicate filters
-    * within the bucket, and pairs meeting in several shared buckets
-    * collapse via a full-row dedup. Shuffle volume is
-    * Σ len/bucketWidth + 1 per side. Callers needing bag semantics must
-    * carry unique keys (full-row dedup collapses identical input rows —
-    * the keyed-row contract every join here assumes).
+    * sides replicate to their covered buckets and the exact predicate
+    * filters within the bucket. A pair overlapping across several shared
+    * buckets is emitted exactly ONCE via owner-bucket emission (VERDICT
+    * r6 #5): the pair survives only in the first bucket of its overlap
+    * region, `greatest(lStart, rStart) div bucketWidth` — a bucket both
+    * sides provably cover — so there is no post-join dedup pass at all
+    * and BAG semantics are preserved (identical input rows each emit
+    * their matches; the previous full-row `dropDuplicates()` collapsed
+    * them and paid an extra full shuffle of the join output).
+    *
+    * Bucketing uses integer `div`, not double division — exact at any
+    * long magnitude (ADVICE r6: `floor(x / w)` loses precision past
+    * 2^53, e.g. unix micros × large epochs). Empty intervals
+    * (`end <= start`) contain nothing and overlap nothing; they are
+    * filtered out rather than fed to `sequence()` (whose descending
+    * range would throw). The two sides must have DISJOINT column names
+    * (validated) — the output carries both sides' columns, so shared
+    * names would make every downstream reference ambiguous.
+    *
+    * Shuffle volume is Σ len/bucketWidth + 1 per side.
     */
   def intervalOverlap(left: DataFrame, leftStart: String, leftEnd: String,
                       right: DataFrame, rightStart: String, rightEnd: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val lb = left.withColumn("__lb", explode(sequence(
-      floor(col(leftStart) / bucketWidth).cast("long"),
-      floor((col(leftEnd) - 1) / bucketWidth).cast("long"))))
-    val rb = right.withColumn("__rb", explode(sequence(
-      floor(col(rightStart) / bucketWidth).cast("long"),
-      floor((col(rightEnd) - 1) / bucketWidth).cast("long"))))
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalOverlap requires disjoint column names between sides; shared: $shared")
+    require(!left.columns.contains("__lb") && !right.columns.contains("__rb"),
+      "__lb/__rb are reserved working-column names")
+    def bkt(name: String) = expr(s"`$name` div $bucketWidth")
+    def bktLast(name: String) = expr(s"(`$name` - 1) div $bucketWidth")
+    val lb = left.filter(col(leftEnd) > col(leftStart))
+      .withColumn("__lb", explode(sequence(bkt(leftStart), bktLast(leftEnd))))
+    val rb = right.filter(col(rightEnd) > col(rightStart))
+      .withColumn("__rb", explode(sequence(bkt(rightStart), bktLast(rightEnd))))
     lb.join(rb,
-        lb("__lb") === rb("__rb") &&
-          col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+        col("__lb") === col("__rb") &&
+          col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
+          col("__lb") === expr(s"greatest(`$leftStart`, `$rightStart`) div $bucketWidth"))
       .drop("__lb", "__rb")
-      .dropDuplicates()
   }
 }
