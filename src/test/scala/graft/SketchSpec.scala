@@ -122,4 +122,16 @@ class SketchSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(sk === exact)
   }
+
+  test("rolling-active sketch equals the exact rolling counts at fixture cardinality") {
+    // x41b is x41 with an HLL per window end (and no pre-distinct —
+    // duplicate inserts cannot move the sketch); fixture windows hold
+    // far fewer users than the sparse-mode threshold, so the estimate
+    // is EXACT — frame-for-frame equality, not just tolerance.
+    val exact = SparkEntry.queries("x41_rolling_active_users")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sk = SparkEntry.queries("x41b_rolling_active_sketch")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk === exact)
+  }
 }

@@ -57,6 +57,20 @@ class DatasetDiffSpec extends AnyFunSuite {
     assert(back("lang") === "removed")
   }
 
+  test("row diff tolerates schema drift: v2's added column is ignored by the key/value diff") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a", 2), (3L, "c", 2)).toDF("doc_id", "text", "rev")
+    val key = Seq("spec", "driftrows", System.nanoTime().toString)
+    val root = DatasetDiff.ensureVersions(spark, key,
+      Seq("v1" -> v1, "v2" -> v2))
+    val r1 = spark.read.parquet(s"$root/v1")
+    val r2 = spark.read.parquet(s"$root/v2")
+    assert(DatasetDiff.schemaDiff(r1, r2).toMap.apply("rev") === "added")
+    val got = DatasetDiff.rowDiff(r1, r2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "removed", 3L -> "added"))
+  }
+
   test("null payloads: key present in both versions with null text is unchanged") {
     import org.apache.spark.sql.{Row => SRow}
     import org.apache.spark.sql.types._
