@@ -192,7 +192,7 @@ object SparkEntryR6 {
     // duplicate) carry real rows.
     "x34_bloom_dedup" -> ((s, d) => {
       import org.apache.spark.sql.graft.ColumnBridge.{column => ccol, expression => cexp}
-      import graft.expressions.{BloomFilterAgg, BloomMightContain}
+      import graft.expressions.BloomMightContain
       import graft.text.{MembershipIndex, TextOps}
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val existing = docs.filter(col("doc_id") % 5 =!= 0)
@@ -200,9 +200,11 @@ object SparkEntryR6 {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       val batch = docs.filter(col("doc_id") % 5 === 0).unionByName(recrawl)
       def fp(c: Column) = TextOps.rollingHash(c)
-      val blooms = existing
-        .groupBy(pmod(fp(col("text")), lit(16)).cast("int").as("bucket"))
-        .agg(ccol(BloomFilterAgg(cexp(fp(col("text"))), 4096L, 0.01)).as("bf"))
+      // both the per-bucket Bloom sketches AND the exact-membership
+      // index come from persisted artifacts: after the one-time build,
+      // the per-batch plan never touches the corpus parquet
+      val blooms = MembershipIndex.ensureBloomTable(s, existing,
+        Seq(d, "mod5", 16), 16)
       val idx = MembershipIndex.ensureIndex(s, existing, Seq(d, "mod5", 16), 16)
       val probed = batch
         .withColumn("fp", fp(col("text")))

@@ -168,6 +168,15 @@ object SnapshotSink {
     (df, batchId) =>
       { commitBatch(df, root, batchId, new Timestamp(System.currentTimeMillis())); () }
 
+  /** One committed batch's rows (the `b=<batchId>` delta dir). The batch
+    * must be committed — an uncommitted dir's content is undefined.
+    */
+  def readBatch(spark: SparkSession, root: String, batchId: Long): DataFrame = {
+    require(commits(spark, root).exists(_._1 == batchId),
+      s"batch $batchId is not committed at $root")
+    spark.read.parquet(batchDir(root, batchId))
+  }
+
   /** The table: union of exactly the COMMITTED delta dirs (an uncommitted
     * or half-written `b=` dir is invisible). One parquet relation over n
     * sibling dirs — partition-parallel, no per-dir driver loop.

@@ -62,8 +62,51 @@ object MembershipIndex {
     spark.read.parquet(dir.getAbsolutePath)
   }
 
-  def invalidate(spark: SparkSession, corpusKey: Seq[Any]): Unit =
+  def invalidate(spark: SparkSession, corpusKey: Seq[Any]): Unit = {
     ArtifactStore.invalidate(spark, "member_index", corpusKey)
+    ArtifactStore.invalidate(spark, "member_blooms", corpusKey)
+  }
+
+  /** Per-bucket Bloom sketches over the corpus fingerprints, persisted as
+    * a `member_blooms` artifact (bucket → serialized filter blob, KBs
+    * total): the broadcast-probe side of the x34 membership check. With
+    * both this and the exact index persisted, the per-batch dedup plan
+    * reads ONLY the batch and two tiny artifact tables — the corpus
+    * parquet is not touched at all after the one-time build.
+    *
+    * `expectedItemsPerBucket`/`fpp` size each bucket's filter; like the
+    * other index params, callers that vary them must embed them in
+    * `corpusKey` (the artifact key is exactly `corpusKey`, so
+    * `invalidate` clears it symmetrically).
+    */
+  def ensureBloomTable(spark: SparkSession, corpus: => DataFrame,
+                       corpusKey: Seq[Any], numBuckets: Int = 16,
+                       expectedItemsPerBucket: Long = 4096L,
+                       fpp: Double = 0.01,
+                       textCol: String = "text"): DataFrame = {
+    import graft.expressions.BloomFilterAgg
+    import org.apache.spark.sql.graft.ColumnBridge.{column => ccol, expression => cexp}
+    val blobs = ArtifactStore.getOrCompute(spark, "member_blooms",
+      corpusKey, ArtifactStore.BinaryMapCodec) {
+      fingerprints(corpus, numBuckets, textCol)
+        .groupBy(col("bucket"))
+        .agg(ccol(BloomFilterAgg(cexp(col("fp")),
+          expectedItemsPerBucket, fpp)).as("bf"))
+        .collect().toSeq
+        .map(r => (r.getInt(0).toString, r.getAs[Array[Byte]](1)))
+    }
+    // tiny driver-local frame (numBuckets rows of KB blobs) — exactly
+    // the broadcast build side
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        blobs.map { case (b, bytes) =>
+          org.apache.spark.sql.Row(b.toInt, bytes) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bf",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+  }
 
   /** Post-commit maintenance: append an admitted batch's fingerprints so
     * the NEXT batch probes against them. Same idempotent-for-correctness
