@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import graft.text.TextOps
+
+/** Round-7 extension queries: tokenizer-induction and per-source
+  * dataset-card shapes over the `documents` corpus. All four are
+  * partial-aggregable single-scan plans — the shapes stay map-side-
+  * combined at 100 TB; the only full-row shuffle anywhere is x46's
+  * exact per-source countDistinct, which is deliberately the
+  * fixture-scale oracle twin of the x42/x3 sketch discipline.
+  */
+object SparkEntryR7 {
+
+  // DuckDB mirror of TextOps.tokens (same as SparkEntryExt's)
+  private val toksSql =
+    """CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X44: BPE-style pair counts (the tokenizer-induction step) ----
+    //
+    // The first merge step of byte-pair/word-pair vocabulary induction:
+    // corpus-wide adjacent-token-pair frequencies, top 50. One scan →
+    // explode pairs → partial-aggregated count → TakeOrderedAndProject:
+    // only (pair, partial count) rows cross the exchange and the top-k
+    // never sorts the full pair set. Ties break on the pair text, so the
+    // cut is engine-deterministic.
+    "x44_bpe_pair_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk)-1), i -> concat(tk[i-1], ' ', tk[i]))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("pair"))
+        .limit(50)),
+
+    // ---- X45: token-length histogram (the packing-planner query) ----
+    //
+    // Fixed-width histogram of per-document token counts — what sizes
+    // the x10 sequence-packing bins. Integer `div` bucketing (the j8
+    // discipline), all-integer outputs, one partial-aggregable pass.
+    "x45_token_len_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextOps.tokens(col("text")).as("tk"))
+        .select(expr("size(tk) div 16").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))),
+
+    // ---- X46: exact-dup rate per source (dataset-card row) ----
+    //
+    // x42's corpus-wide dup rate broken down by provenance — the table
+    // that decides which crawl source needs dedup attention. The exact
+    // per-source countDistinct shuffles distinct (source, text) pairs;
+    // at corpus scale the mergeable twin (x29 theta / x3 HLL per
+    // source) slots into the same aggregate unchanged.
+    "x46_dup_rate_by_source" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_uniq"))
+        .select(col("source"), col("n_docs"), col("n_uniq"),
+          expr("(n_docs - n_uniq) * 1000 div n_docs").as("dup_per_mill"))),
+
+    // ---- X47: top-k vocabulary coverage (the vocab-size planner) ----
+    //
+    // What fraction of token OCCURRENCES a 100-entry vocabulary covers:
+    // token counts (one partial-aggregated pass), top-100 by (count,
+    // token) via TakeOrdered, and the two scalar sums joined — both
+    // sides of the final join are one-row frames, so the "join" is two
+    // driver-sized scalars, never a data shuffle. All-integer per-mill.
+    "x47_vocab_coverage" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = tc.agg(sum(col("n")).as("total_occ"))
+      val top = tc.orderBy(col("n").desc, col("tok")).limit(100)
+        .agg(sum(col("n")).as("top100_occ"))
+      total.crossJoin(top)
+        .select(col("total_occ"), col("top100_occ"),
+          expr("top100_occ * 1000 div total_occ").as("covered_per_mill"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x44_bpe_pair_counts" ->
+      s"""WITH tk AS (SELECT $toksSql AS tk FROM documents),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |                               i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |  FROM tk WHERE len(tk) >= 2
+         |)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY pair
+         |ORDER BY n_pairs DESC, pair LIMIT 50""".stripMargin,
+
+    "x45_token_len_histogram" ->
+      s"""WITH tk AS (SELECT $toksSql AS tk FROM documents)
+         |SELECT CAST(len(tk) // 16 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM tk GROUP BY 1""".stripMargin,
+
+    "x46_dup_rate_by_source" ->
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_uniq,
+        |       CAST((count(*) - count(DISTINCT text)) * 1000 // count(*)
+        |            AS BIGINT) AS dup_per_mill
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "x47_vocab_coverage" ->
+      s"""WITH tc AS (
+         |  SELECT tok, count(*) AS n
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY tok
+         |),
+         |top AS (SELECT n FROM tc ORDER BY n DESC, tok LIMIT 100)
+         |SELECT CAST((SELECT sum(n) FROM tc) AS BIGINT) AS total_occ,
+         |       CAST((SELECT sum(n) FROM top) AS BIGINT) AS top100_occ,
+         |       CAST((SELECT sum(n) FROM top) * 1000
+         |            // (SELECT sum(n) FROM tc) AS BIGINT) AS covered_per_mill""".stripMargin)
+}

@@ -394,6 +394,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("dropDuplicates"), "post-join dedup reappeared")
   }
 
+  test("x44 pair counts: top-k via TakeOrdered, never a full sort") {
+    val p = plan("x44_bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 plans a full sort:\n$p")
+  }
+
   test("x37 incremental near-dup probes the PERSISTED index, not a re-derived one") {
     // the corpus-side band keys must come from the lsh_index artifact
     // table on disk — if the plan re-shingles the corpus for candidates,
