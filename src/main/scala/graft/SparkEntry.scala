@@ -75,7 +75,8 @@ object SparkEntry {
         "trade_volume", adaptiveOn = Some(col("dt")),
         stats = Some {
           val v = graft.util.ArtifactStore.getOrCompute(s, "rolling_stats",
-            Seq(d, "ativo", "dt"), graft.util.ArtifactStore.LongsCodec) {
+            Seq(d, Tables.stamp(d, "lineitem"), "ativo", "dt"),
+            graft.util.ArtifactStore.LongsCodec) {
             val st = MarketEtl.rollingStats(bars(s, d), Seq("ativo"), col("dt"))
             Seq(st.minMonth, st.monthGroups, st.minYear, st.yearGroups, st.keys)
           }
@@ -367,7 +368,7 @@ object SparkEntry {
     // → rows-only.
     "x3_hll_artifact" -> ((s, d) => {
       val sketches = graft.util.ArtifactStore.getOrCompute(s,
-        "hll_user_sketches", Seq(d, "events", "user_id"),
+        "hll_user_sketches", Seq(d, Tables.stamp(d, "events"), "events", "user_id"),
         graft.util.ArtifactStore.BinaryMapCodec) {
         Tables.events(s, d).groupBy(col("event_type"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))

@@ -160,7 +160,8 @@ object SparkEntryExt {
     "x4_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
       val cents = graft.util.ArtifactStore.getOrCompute(s, "ivf_centroids",
-        Seq(d, 16, 3), graft.util.ArtifactStore.CentroidsCodec) {
+        Seq(d, Tables.stamp(d, "embeddings"), 16, 3),
+        graft.util.ArtifactStore.CentroidsCodec) {
         SimSearch.fitCentroids(e, 16, iters = 3)
       }
       SimSearch.ivfTopK(e, e.filter(col("vec_id") < 10), 10, cents, nProbe = 6)
@@ -204,7 +205,7 @@ object SparkEntryExt {
     // x38_dedup_keep_best's policy pick (one loop, two policies).
     "x2_dedup_cc" -> ((s, d) =>
       TextOps.dedupCorpusConnected(docsWithChain(s, d), 0.8,
-        labelsKey = Some(Seq(d, "chain_mod4")))
+        labelsKey = Some(Seq(d, Tables.stamp(d, "documents"), "chain_mod4")))
         .select(col("doc_id"), length(col("text")).as("n_len"))),
 
     // Exact n-gram-Jaccard all-pairs on a bounded subset (the brute-force

@@ -277,7 +277,8 @@ object SparkEntryR5d {
       import graft.sim.Pq
       val emb = Tables.embeddings(s, d).select(col("vec_id"),
         expr("CAST(embedding AS array<double>)").as("emb"))
-      val cb = Pq.ensureCodebooks(s, emb, s"$d/embeddings", m = 8, k = 16,
+      val cb = Pq.ensureCodebooks(s, emb,
+        s"$d/embeddings-${Tables.stamp(d, "embeddings")}", m = 8, k = 16,
         iters = 2)
       Pq.topK(emb, emb.filter(col("vec_id") < 10), cb, k = 10, rerank = 60)
         .select(col("q_id"), col("rank"), col("vec_id"),

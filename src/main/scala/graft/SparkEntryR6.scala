@@ -203,9 +203,9 @@ object SparkEntryR6 {
       // both the per-bucket Bloom sketches AND the exact-membership
       // index come from persisted artifacts: after the one-time build,
       // the per-batch plan never touches the corpus parquet
-      val blooms = MembershipIndex.ensureBloomTable(s, existing,
-        Seq(d, "mod5", 16), 16)
-      val idx = MembershipIndex.ensureIndex(s, existing, Seq(d, "mod5", 16), 16)
+      val memberKey = Seq(d, Tables.stamp(d, "documents"), "mod5", 16)
+      val blooms = MembershipIndex.ensureBloomTable(s, existing, memberKey, 16)
+      val idx = MembershipIndex.ensureIndex(s, existing, memberKey, 16)
       val probed = batch
         .withColumn("fp", fp(col("text")))
         .withColumn("bucket", pmod(col("fp"), lit(16)).cast("int"))
@@ -242,7 +242,7 @@ object SparkEntryR6 {
           concat(col("text"), lit(" qq")).as("text"))
       val batch = docs.filter(col("doc_id") % 5 === 0).unionByName(recrawl)
       val idx = LshIndex.ensureIndex(s, corpus,
-        Seq(d, "mod5", 3, 24, 12, 2))
+        Seq(d, Tables.stamp(d, "documents"), "mod5", 3, 24, 12, 2))
       val dups = LshIndex.probeNearDups(batch, corpus, idx, 0.8)
       batch.join(dups, Seq("doc_id"), "left_anti").select("doc_id")
     }),
@@ -310,7 +310,8 @@ object SparkEntryR6 {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
       val cents = graft.util.ArtifactStore.getOrCompute(s, "semdedup_centroids",
-        Seq(d, 8, 3), graft.util.ArtifactStore.CentroidsCodec) {
+        Seq(d, Tables.stamp(d, "embeddings"), 8, 3),
+        graft.util.ArtifactStore.CentroidsCodec) {
         SimSearch.fitCentroids(e, 8, iters = 3)
       }
       SimSearch.semDedupClustered(e, 0.35, cents, nProbe = 2).select("vec_id")
@@ -516,7 +517,7 @@ object SparkEntryR6 {
     // both queries when each re-ran it).
     "x38_dedup_keep_best" -> ((s, d) =>
       graft.text.TextOps.dedupCorpusKeepBest(docsWithChain(s, d), 0.8,
-        labelsKey = Some(Seq(d, "chain_mod4")))
+        labelsKey = Some(Seq(d, Tables.stamp(d, "documents"), "chain_mod4")))
         .select(col("doc_id"), length(col("text")).as("n_len"))),
 
     // ---- X39: quantile feature binning ----

@@ -66,6 +66,25 @@ object SparkEntryR7 {
         .select(col("source"), col("n_docs"), col("n_uniq"),
           expr("(n_docs - n_uniq) * 1000 div n_docs").as("dup_per_mill"))),
 
+    // ---- X46b: dup rate per source, sketch form (the 100 TB twin) ----
+    //
+    // x46's exact countDistinct shuffles distinct (source, text) pairs —
+    // full corpus text through the wire. The twin keeps the identical
+    // single-aggregate shape with a mergeable HLL per source over the
+    // text fingerprint: KB blobs cross the exchange instead of text
+    // sets. Rows-only by design; at fixture cardinalities the sketch is
+    // in exact sparse mode, so `SketchSpec` pins the frame equals x46's
+    // exact frame (fingerprint collisions would surface there too).
+    "x46b_dup_rate_sketch" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          hll_sketch_estimate(
+            hll_sketch_agg(TextOps.rollingHash(col("text"))))
+            .cast("long").as("n_uniq"))
+        .select(col("source"), col("n_docs"), col("n_uniq"),
+          expr("(n_docs - n_uniq) * 1000 div n_docs").as("dup_per_mill"))),
+
     // ---- X47: top-k vocabulary coverage (the vocab-size planner) ----
     //
     // What fraction of token OCCURRENCES a 100-entry vocabulary covers:

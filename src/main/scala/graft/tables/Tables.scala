@@ -15,6 +15,18 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Cheap content stamp (size + mtime) of a fixture table file, for use
+    * in durable-artifact keys: an artifact keyed only by PATH serves
+    * stale index data if the file is regenerated in place between
+    * sessions — the stamp makes the key change with the file. (Artifact
+    * keys must identify IMMUTABLE inputs; this makes "same path, new
+    * data" a different key rather than a silent wrong answer.)
+    */
+  def stamp(sfDir: String, name: String): String = {
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    s"${f.length()}-${f.lastModified()}"
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

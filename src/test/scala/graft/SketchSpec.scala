@@ -134,4 +134,14 @@ class SketchSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sk === exact)
   }
+
+  test("per-source dup-rate sketch equals the exact frame at fixture cardinality") {
+    // x46b replaces the exact countDistinct(text) with an HLL over the
+    // text fingerprint; fixture sources hold far fewer distinct texts
+    // than the sparse-mode threshold, so the frame must match x46's
+    // exactly (a fingerprint collision would also surface here).
+    def grab(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(grab("x46b_dup_rate_sketch") === grab("x46_dup_rate_by_source"))
+  }
 }
