@@ -49,7 +49,9 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
-        rewrite(j, left, right, cond, hint, width).getOrElse(j)
+        rewrite(j, left, right, cond, hint, width)
+          .orElse(rewriteOverlap(j, left, right, cond, hint, width))
+          .getOrElse(j)
     }
   }
 
@@ -135,6 +137,80 @@ case class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan]
         val newJoin = Join(newLeft, newRight, Inner,
           Some((conjuncts :+ (bucketEq: Expression)).reduce(And)), hint)
         Some(Project(j.output, newJoin))
+      case _ => None
+    }
+  }
+
+  /** Interval-OVERLAP rewrite (`ls < re AND rs < le`, no equi-conjunct —
+    * the j8 shape): both sides replicate to fixed-width buckets, a
+    * matched pair survives only in its OWNER bucket
+    * (`bucket(greatest(ls, rs))` — the first bucket of the overlap
+    * region), so each pair is emitted exactly once: no dedup pass, bag
+    * semantics preserved, and the original predicate still decides.
+    *
+    * PREDICATE-exact, including degenerate rows where `end <= start`
+    * (the raw inequality pair can still match for them): each side's
+    * bucket cover is clamped to `[bucket(s), bucket(greatest(e-1, s))]`,
+    * which provably contains the owner bucket whenever the predicate
+    * holds — so unlike the hand-written `RangeJoin.intervalOverlap`
+    * (whose half-open contract filters empty intervals), the rewrite
+    * changes no result whatsoever.
+    */
+  private def rewriteOverlap(j: Join, left: LogicalPlan, right: LogicalPlan,
+                             cond: Expression, hint: JoinHint,
+                             width: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def fromLeft(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def fromRight(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+    if (conjuncts.exists {
+      case EqualTo(a, b) => (fromLeft(a) && fromRight(b)) || (fromRight(a) && fromLeft(b))
+      case _ => false
+    }) return None
+    // normalize strict comparisons to a < b; orient by which side a is from
+    val lts = conjuncts.flatMap {
+      case c @ LessThan(a, b) => Seq((c: Expression, a, b))
+      case c @ GreaterThan(a, b) => Seq((c: Expression, b, a))
+      case _ => Nil
+    }
+    val lsRe = lts.collectFirst {
+      case (c, a, b) if fromLeft(a) && fromRight(b) && integral(a) && integral(b) =>
+        (c, a, b) // ls < re
+    }
+    val rsLe = lts.collectFirst {
+      case (c, a, b) if fromRight(a) && fromLeft(b) && integral(a) && integral(b) =>
+        (c, a, b) // rs < le
+    }
+    (lsRe, rsLe) match {
+      case (Some((_, ls, re)), Some((_, rs, le))) =>
+        val maxRepl = session.conf.get(MaxReplicationConf, "4096").toLong
+        val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+        def cover(start: Expression, end: Expression): Expression = {
+          val lo = bucketOf(start, width)
+          val hi = bucketOf(Greatest(Seq(
+            Subtract(Cast(end, LongType), Literal(1L)),
+            Cast(start, LongType))), width)
+          If(
+            LessThanOrEqual(Subtract(hi, lo), Literal(maxRepl - 1)),
+            Sequence(lo, hi, None, tz),
+            Cast(new RaiseError(Literal(
+              s"graft range join: an interval spans more than $maxRepl buckets at " +
+                s"$BucketWidthConf=$width — raise the width (scope the conf per " +
+                s"query) or $MaxReplicationConf")),
+              ArrayType(LongType, containsNull = false)))
+        }
+        val lb = AttributeReference("__graft_lb", LongType, nullable = false)()
+        val rb = AttributeReference("__graft_rb", LongType, nullable = false)()
+        val newLeft = Generate(Explode(cover(ls, le)), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None, generatorOutput = Seq(lb), child = left)
+        val newRight = Generate(Explode(cover(rs, re)), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None, generatorOutput = Seq(rb), child = right)
+        val owner = bucketOf(Greatest(Seq(Cast(ls, LongType), Cast(rs, LongType))), width)
+        val newCond = (conjuncts ++ Seq(
+          EqualTo(lb, rb): Expression,
+          EqualTo(lb, owner): Expression)).reduce(And)
+        Some(Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint)))
       case _ => None
     }
   }

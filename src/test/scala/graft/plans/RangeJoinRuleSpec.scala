@@ -78,6 +78,38 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrites an interval-OVERLAP inequality join; identical results incl. empty ranges") {
+    // second interval set shifted so overlaps span bucket boundaries;
+    // keeps its own empty range (e2 <= s2) — the raw predicate can still
+    // match such rows, and the rewrite must preserve exactly that
+    val others = ((0 to 80).map(i => (i.toLong, i * 13L + 5L, i * 13L + 40L))
+      :+ (998L, 70L, 60L)).toDF("ov", "s2", "e2")
+    val cond = intervals("s") < others("e2") && others("s2") < intervals("e")
+    val plain = intervals.join(others, cond)
+      .select("iv", "ov").as[(Long, Long)].collect()
+    assert(intervals.join(others, cond).queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "baseline should be a BNLJ")
+    // the baseline must exercise both degenerate rows (they CAN match
+    // the raw inequalities even though the intervals are empty)
+    assert(plain.exists(_._1 == 999L) && plain.exists(_._2 == 998L),
+      "fixture lost its degenerate-interval matches")
+
+    try {
+      spark.experimental.extraOptimizations = Seq(RangeJoinRule(spark))
+      spark.conf.set(RangeJoinRule.BucketWidthConf, "16")
+      val opt = intervals.join(others, cond)
+      val plan = opt.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"overlap rewrite did not fire:\n$plan")
+      val got = opt.select("iv", "ov").as[(Long, Long)].collect()
+      // owner-bucket emission: exact multiset equality, no dedup pass
+      assert(got.sorted.toSeq === plain.sorted.toSeq)
+    } finally {
+      spark.conf.unset(RangeJoinRule.BucketWidthConf)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("no-op when the bucket width conf is unset") {
     try {
       spark.experimental.extraOptimizations = Seq(RangeJoinRule(spark))
