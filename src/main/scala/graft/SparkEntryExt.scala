@@ -552,6 +552,23 @@ object SparkEntryExt {
         .select("event_id", "user_id", "ts_us", "purchase_id", "purchase_ts_us")
     }),
 
+    // J2c: FORWARD as-of join — every event enriched with the same
+    // user's NEXT purchase at-or-after it (exact-tie inclusive): the
+    // attribution direction (exposure → first later conversion). Same
+    // one-exchange union+window shape scanned in descending time order;
+    // DuckDB oracles it natively with ASOF LEFT JOIN on `<=`.
+    "j2c_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_id"), col("ts_us").as("purchase_ts_us"))
+      graft.joins.AsOfJoin.forward(
+          ev.select("event_id", "user_id", "ts_us"), purchases,
+          Seq("user_id"), "ts_us", "ts_us")
+        .select("event_id", "user_id", "ts_us", "purchase_id", "purchase_ts_us")
+    }),
+
     // J4/J5: semi and anti joins — existence filtering without payload
     // duplication (the scale-safe alternative to join+distinct).
     "j4_semi_join" -> ((s, d) => {
@@ -998,6 +1015,20 @@ object SparkEntryExt {
         |SELECT e.event_id, e.user_id, e.ts_us, p.purchase_id, p.purchase_ts_us
         |FROM ev e ASOF LEFT JOIN pur p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.purchase_ts_us""".stripMargin,
+
+    "j2c_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |),
+        |pur AS (
+        |  SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT e.event_id, e.user_id, e.ts_us, p.purchase_id, p.purchase_ts_us
+        |FROM ev e ASOF LEFT JOIN pur p
+        |  ON e.user_id = p.user_id AND e.ts_us <= p.purchase_ts_us""".stripMargin,
 
     "j2b_asof_tolerance" ->
       """WITH ev AS (

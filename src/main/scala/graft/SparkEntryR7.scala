@@ -18,8 +18,48 @@ object SparkEntryR7 {
   // DuckDB mirror of TextOps.tokens (same as SparkEntryExt's)
   private val toksSql =
     """CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END"""
+  private def shinglesSql(t: String) =
+    s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t)-1), " +
+      s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE [] END"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X43: incremental ingest, one batch end-to-end (oracle form) --
+    //
+    // The admitted set of ONE `IncrementalIngest.processBatch` call over
+    // a deterministic batch: new docs ∪ exact re-crawls of the corpus ∪
+    // near re-crawls ∪ internal exact dup ∪ internal near dup. The
+    // DuckDB oracle recomputes all four stages from first principles —
+    // min-id-per-text self-dedup, corpus text membership, exact
+    // all-pairs batch×corpus Jaccard (no LSH, no index), exact
+    // within-batch pair dedup — so a green row proves the persisted-
+    // index probes, the verify, the stage ordering, AND the
+    // exactly-once sink read end to end. The sink root is keyed by the
+    // fixture stamp, so a replayed Verify run takes the idempotent
+    // no-op path and reads identical rows.
+    "x43_ingest_batch" -> ((s, d) => {
+      import graft.streaming.{IncrementalIngest, SnapshotSink}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val newd = docs.filter(col("doc_id") % 5 === 0)
+      val batch = newd
+        .unionByName(corpus.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(corpus.filter(col("doc_id") % 11 === 5)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" qq")).as("text")))
+        .unionByName(newd.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+        .unionByName(newd.filter(col("doc_id") % 17 === 3)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" qq")).as("text")))
+      val leaf = new java.io.File(d).getName
+      val stamp = Tables.stamp(d, "documents")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_r7/$leaf/ingest-$stamp-v1"
+      val key = Seq(d, stamp, "ingest-mod5-v1")
+      IncrementalIngest.processBatch(batch, 0L, root, corpus, key)
+      SnapshotSink.readCommitted(s, root).select("doc_id")
+    }),
 
     // ---- X44: BPE-style pair counts (the tokenizer-induction step) ----
     //
@@ -105,6 +145,45 @@ object SparkEntryR7 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "x43_ingest_batch" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+         |), newd AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |), batch AS (
+         |  SELECT doc_id, text FROM newd
+         |  UNION ALL SELECT doc_id + 100000, text FROM corpus WHERE doc_id % 7 = 3
+         |  UNION ALL SELECT doc_id + 200000, text || ' qq' FROM corpus WHERE doc_id % 11 = 5
+         |  UNION ALL SELECT doc_id + 300000, text FROM newd WHERE doc_id % 13 = 2
+         |  UNION ALL SELECT doc_id + 400000, text || ' qq' FROM newd WHERE doc_id % 17 = 3
+         |), s1 AS ( -- exact self-dedup: min id per text
+         |  SELECT min(doc_id) AS doc_id, text FROM batch GROUP BY text
+         |), s2 AS ( -- exact corpus membership by content
+         |  SELECT * FROM s1 WHERE text NOT IN (SELECT text FROM corpus)
+         |), s2sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM s2)
+         |), csh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM corpus)
+         |), s3 AS ( -- near-dups of the corpus (exact all-pairs, no LSH)
+         |  SELECT s2.doc_id, s2.text FROM s2
+         |  WHERE s2.doc_id NOT IN (
+         |    SELECT a.doc_id FROM s2sh a JOIN csh b ON TRUE
+         |    WHERE len(a.s) > 0 AND len(b.s) > 0
+         |      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |            / len(list_distinct(a.s || b.s)) >= 0.8)
+         |), s3sh AS (
+         |  SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM s3)
+         |)
+         |SELECT doc_id FROM s3 -- within-batch pair dedup (drop larger id)
+         |WHERE doc_id NOT IN (
+         |  SELECT b.doc_id FROM s3sh a JOIN s3sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)) >= 0.8)""".stripMargin,
 
     "x44_bpe_pair_counts" ->
       s"""WITH tk AS (SELECT $toksSql AS tk FROM documents),
