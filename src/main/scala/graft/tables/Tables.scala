@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated fixture tables (`TESTDATA.md`).
   *
@@ -35,17 +35,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * unless `spark.sql.legacy.parquet.nanosAsLong=true` (set by our session
-    * builders) maps it to LongType nanos. Convert to a true TimestampType
-    * with integer truncation to microseconds — matching how DuckDB (and
-    * most micros-native engines) read the same file.
+  /** Normalize `events.ts` to TimestampType whatever the fixture vintage
+    * wrote: older driver runs produced parquet TIMESTAMP(NANOS), which
+    * Spark's reader rejects unless `spark.sql.legacy.parquet.nanosAsLong
+    * =true` (set by our session builders) maps it to LongType nanos —
+    * truncate to micros; newer runs write naive micros (`timestamp[us]`,
+    * no UTC adjustment), which Spark reads as TIMESTAMP_NTZ — cast to
+    * TimestampType, a wall-clock-preserving no-op under our fixed UTC
+    * session timezone. Either way the values match how DuckDB (a naive-
+    * micros engine) reads the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
