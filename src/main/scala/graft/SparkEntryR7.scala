@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -142,6 +143,57 @@ object SparkEntryR7 {
       total.crossJoin(top)
         .select(col("total_occ"), col("top100_occ"),
           expr("top100_occ * 1000 div total_occ").as("covered_per_mill"))
+    }),
+
+    // ---- X48: corpus-level boilerplate removal (segment dedup) --------
+    //
+    // The line-dedup pass of CCNet/C4 re-expressed for line-less
+    // documents: 3-token non-overlapping segments occurring in >= 8
+    // distinct docs are boilerplate and dropped everywhere; remainders
+    // stitch back in order. Hot set broadcasts (bounded by
+    // totalSegments/minDocs); the corpus is never reassembled through a
+    // shuffle. Oracle recomputes via explode + NOT IN + ordered
+    // string_agg.
+    "x48_boilerplate_strip" -> ((s, d) =>
+      TextOps.stripBoilerplate(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", segTokens = 3, minDocs = 8)),
+
+    // ---- X49: fractional-epoch source mixing ---------------------------
+    //
+    // DoReMi-style epoch materialization: per-source repeat factor
+    // 500‰..2000‰ (derived from the source index so the fixture covers
+    // down-sampling, identity, and >1 repeats), fractional part decided
+    // by a salted content hash — deterministic on any engine, no RNG.
+    // Row-local explode, zero shuffle.
+    "x49_epoch_mix" -> ((s, d) => {
+      val f = lit(500L) + lit(250L) *
+        pmod(substring(col("source"), 4, 8).cast("long"), lit(7L))
+      TextOps.epochMix(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+          "text", f, salt = "ep1")
+        .select(col("doc_id"), col("source"), col("copy"))
+    }),
+
+    // ---- X50: deterministic training shuffle (shard + order) ----------
+    //
+    // The global-shuffle-before-training step: each doc lands in one of
+    // 32 shards by salted content+id hash, ordered within its shard by
+    // (hash, id) — reproducible on any engine, robust to input order and
+    // partitioning. ONE hash-partitioned exchange + per-shard sort: at
+    // 100 TB this IS the shard-file writer's shape (shard = output file,
+    // pos = write order); including doc_id in the hash separates exact-
+    // duplicate texts so copies spread across the order.
+    "x50_training_shuffle" -> ((s, d) => {
+      val h = TextOps.rollingHash(concat(
+        lit("shuf1:"), col("text"), lit(":"), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("__h"))
+        .select(col("doc_id"), pmod(col("__h"), lit(32L)).as("shard"),
+          row_number().over(
+            Window.partitionBy(pmod(col("__h"), lit(32L)))
+              .orderBy(col("__h"), col("doc_id")))
+            .cast("bigint").as("pos"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -220,5 +272,59 @@ object SparkEntryR7 {
          |SELECT CAST((SELECT sum(n) FROM tc) AS BIGINT) AS total_occ,
          |       CAST((SELECT sum(n) FROM top) AS BIGINT) AS top100_occ,
          |       CAST((SELECT sum(n) FROM top) * 1000
-         |            // (SELECT sum(n) FROM tc) AS BIGINT) AS covered_per_mill""".stripMargin)
+         |            // (SELECT sum(n) FROM tc) AS BIGINT) AS covered_per_mill""".stripMargin,
+
+    "x48_boilerplate_strip" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |segs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) = 0 THEN []
+         |              ELSE list_transform(range(1, len(tk)+1, 3),
+         |                                  i -> array_to_string(tk[i:i+2], ' '))
+         |         END AS segs
+         |  FROM tk),
+         |ex AS (SELECT doc_id, unnest(segs) AS seg,
+         |              generate_subscripts(segs, 1) AS idx
+         |       FROM segs),
+         |hot AS (SELECT seg FROM ex GROUP BY seg
+         |        HAVING count(DISTINCT doc_id) >= 8),
+         |kept AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(seg, ' ' ORDER BY idx) AS text_kept
+         |  FROM ex WHERE seg NOT IN (SELECT seg FROM hot)
+         |  GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(s.segs) AS BIGINT) AS n_seg,
+         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(k.text_kept, '') AS text_kept
+         |FROM segs s LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    "x49_epoch_mix" ->
+      """WITH t AS (SELECT doc_id, source, 'ep1:' || text AS st FROM documents),
+        |h AS (
+        |  SELECT doc_id, source,
+        |         500 + 250 * (CAST(substr(source, 4) AS BIGINT) % 7) AS f,
+        |         list_reduce(list_transform(range(1, length(st)+1),
+        |                                    i -> CAST(ascii(st[i]) AS BIGINT)),
+        |                     (acc, c) -> (acc*31 + c) % 2147483647) % 1000 AS pm
+        |  FROM t),
+        |r AS (SELECT doc_id, source,
+        |             f // 1000 + CASE WHEN pm < f % 1000 THEN 1 ELSE 0 END AS reps
+        |      FROM h)
+        |SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS copy
+        |FROM r WHERE reps > 0""".stripMargin,
+
+    "x50_training_shuffle" ->
+      """WITH t AS (SELECT doc_id,
+        |                  'shuf1:' || text || ':' || CAST(doc_id AS VARCHAR) AS st
+        |           FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_transform(range(1, length(st)+1),
+        |                                    i -> CAST(ascii(st[i]) AS BIGINT)),
+        |                     (acc, c) -> (acc*31 + c) % 2147483647) AS h
+        |  FROM t)
+        |SELECT doc_id, CAST(h % 32 AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id)
+        |            AS BIGINT) AS pos
+        |FROM h""".stripMargin)
 }
