@@ -406,4 +406,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("x37_incremental_neardup")
     assert(p.contains("lsh_index"), s"no persisted-index scan in the plan:\n$p")
   }
+
+  test("x48 boilerplate strip: hot set broadcasts; the strip side never shuffles") {
+    // the corpus-side plan must be scan -> row-local strip fed by a
+    // BroadcastExchange of the one-row hot set: a SortAggregate/
+    // HashAggregate keyed on doc_id (or any Exchange between the corpus
+    // scan and the project) would mean the corpus is reassembled through
+    // a shuffle — the exact failure mode stripBoilerplate is designed out
+    // of. The only exchanges allowed are the segment-count aggregation
+    // (inside the broadcast subtree) and the broadcast itself.
+    val p = plan("x48_boilerplate_strip")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"hot set not broadcast:\n$p")
+    val corpusSide = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the strip:\n$p")
+  }
+
+  test("x50 training shuffle: ONE data exchange feeds the per-shard sort") {
+    val p = plan("x50_training_shuffle")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly one shard exchange, got $exchanges:\n$p")
+    assert(p.contains("Window"), s"per-shard positions must come from a window:\n$p")
+  }
 }
