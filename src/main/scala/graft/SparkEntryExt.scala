@@ -579,9 +579,14 @@ object SparkEntryExt {
         .select("c_custkey", "c_name", "c_nationkey")
     }),
 
+    // Customers who never placed an URGENT order (every customer has SOME
+    // order in the fixture, so the unfiltered form would be trivially
+    // empty — the priority predicate keeps the anti-join's keep AND drop
+    // sides non-empty).
     "j5_anti_join" -> ((s, d) => {
-      val anyOrders = Tables.orders(s, d).select("o_custkey")
-      Tables.customer(s, d).join(anyOrders,
+      val urgentOrders = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      Tables.customer(s, d).join(urgentOrders,
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
     }),
@@ -1000,7 +1005,9 @@ object SparkEntryExt {
 
     "j5_anti_join" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
 
     "j2_asof_join" ->
       """WITH ev AS (

@@ -461,7 +461,11 @@ object SparkEntryR6 {
     // The per-user first day is an unordered window min; everything
     // after runs on ≤ #days rows.
     "w11_cumulative_users" -> ((s, d) => {
+      // growth of PURCHASERS, not all actives: every fixture user is
+      // active within the first day or two, which would collapse the
+      // curve to two rows — first purchases spread over the month
       val firstDay = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
         .select(col("user_id"),
           expr("unix_micros(ts) div 86400000000").as("day"))
         .groupBy("user_id").agg(min(col("day")).as("first_day"))
@@ -913,7 +917,7 @@ object SparkEntryR6 {
       """WITH fd AS (
         |  SELECT user_id,
         |         min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS first_day
-        |  FROM events GROUP BY user_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
         |), pd AS (
         |  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
         |  FROM fd GROUP BY 1
