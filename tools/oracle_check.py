@@ -8,7 +8,7 @@ Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 SQL from oracle_sql.json in DuckDB over <sfDir>/*.parquet, sorts columns by
 name and rows by all columns, and reports exact / tolerant equality.
 """
-import sys, json, math
+import sys, json, math, time
 import duckdb
 import pandas as pd
 
@@ -34,6 +34,8 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir_sql}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    t_start = time.monotonic()
+    slow = []  # (seconds, name) per oracle SQL — the driver-budget watchdog
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = con.sql(
@@ -41,7 +43,9 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: no spark result ({e})"); n_bad += 1; continue
         try:
+            t0 = time.monotonic()
             ora_df = con.sql(sql).df()
+            slow.append((time.monotonic() - t0, name))
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_bad += 1; continue
         a, b = normalize(spark_df), normalize(ora_df)
@@ -78,7 +82,14 @@ def main():
         if dtype_warn:
             print(f"      dtype warn: {dtype_warn}")
         n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} failing")
+    wall = time.monotonic() - t_start
+    # Round 6 lost its driver correctness file to two recursive-CTE oracles
+    # costing 9 of an 11-minute budget — surface the cost profile so a
+    # future expensive oracle is caught here, not by an empty driver file.
+    print(f"\n{n_ok} ok, {n_bad} failing  (compare wall {wall:.0f}s)")
+    for secs, name in sorted(slow, reverse=True)[:5]:
+        if secs >= 2.0:
+            print(f"      SLOW oracle {name}: {secs:.1f}s")
     sys.exit(1 if n_bad else 0)
 
 
