@@ -159,6 +159,19 @@ object SparkEntryR7 {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text", segTokens = 3, minDocs = 8)),
 
+    // ---- X48b: boilerplate strip, sketch-counted hot set (100 TB twin) --
+    //
+    // Same operator with the hot-set detection on mergeable HLL sketches:
+    // KB blobs cross the segment-count exchange instead of distinct
+    // (segment, doc) pairs. A boilerplate THRESHOLD tolerates estimate
+    // error by nature; at fixture cardinality the sketch is exact, so
+    // `R7OpsSpec` pins frame == exact. Rows-only by design (no oracle —
+    // the estimator is engine-specific).
+    "x48b_boilerplate_sketch" -> ((s, d) =>
+      TextOps.stripBoilerplate(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", segTokens = 3, minDocs = 8, approxCounts = true)),
+
     // ---- X49: fractional-epoch source mixing ---------------------------
     //
     // DoReMi-style epoch materialization: per-source repeat factor

@@ -703,12 +703,21 @@ object TextOps {
     * Output: (idCol, n_seg, n_kept, text_kept).
     */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
-                       segTokens: Int = 3, minDocs: Long = 12): DataFrame = {
+                       segTokens: Int = 3, minDocs: Long = 12,
+                       approxCounts: Boolean = false): DataFrame = {
     val segged = docs.select(col(idCol), segments(col(textCol), segTokens).as("__segs"))
+    // Exact countDistinct shuffles distinct (segment, doc) pairs — full
+    // segment text through the wire. The approx variant is the 100 TB
+    // form (the x41b/x46b sketch discipline applied to hot-set
+    // detection): a mergeable KB sketch per segment crosses the exchange
+    // instead, and a boilerplate THRESHOLD tolerates the estimate error.
+    val docCount =
+      if (approxCounts) approx_count_distinct(col(idCol), rsd = 0.02)
+      else countDistinct(col(idCol))
     val hot = segged
       .select(col(idCol), explode(col("__segs")).as("__seg"))
       .groupBy("__seg")
-      .agg(countDistinct(col(idCol)).as("__nd"))
+      .agg(docCount.as("__nd"))
       .filter(col("__nd") >= minDocs)
       .agg(sort_array(collect_list(col("__seg"))).as("__hot"))
       .withColumn("__hotH", transform(col("__hot"), s => xxhash64(s)))

@@ -64,6 +64,16 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch-counted boilerplate strip equals the exact strip at fixture cardinality") {
+    // per-segment doc counts are tiny at sf0.001, so the HLL estimate is
+    // exact and the two hot sets — hence the two outputs — must agree
+    // bit for bit (the x41b/x46b twin discipline applied to x48)
+    val exact = q("x48_boilerplate_strip")
+    val sketch = q("x48b_boilerplate_sketch")
+    assert(exact.exceptAll(sketch).count() === 0L)
+    assert(sketch.exceptAll(exact).count() === 0L)
+  }
+
   // ---- X49 fractional-epoch mix ----
 
   test("epoch mix respects per-source expected repeat factors") {
