@@ -188,6 +188,18 @@ object SparkEntryR7 {
         .select(col("doc_id"), col("source"), col("copy"))
     }),
 
+    // ---- X51: global token-budget selection (budgeted curation) -------
+    //
+    // Keep the highest-quality docs until 40% of corpus tokens are
+    // spent (FineWeb-edu-style). All-integer per-mill quality; the
+    // cutoff comes from a <=1001-row quality-LEVEL frame, so the only
+    // per-doc ordered pass is within the single boundary level — never
+    // a global ordered window over the corpus.
+    "x51_token_budget_select" -> ((s, d) =>
+      TextOps.tokenBudgetSelect(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", budgetNum = 2L, budgetDen = 5L)),
+
     // ---- X50: deterministic training shuffle (shard + order) ----------
     //
     // The global-shuffle-before-training step: each doc lands in one of
@@ -325,6 +337,40 @@ object SparkEntryR7 {
         |      FROM h)
         |SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS copy
         |FROM r WHERE reps > 0""".stripMargin,
+
+    "x51_token_budget_select" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000
+         |           // greatest(length(text), 1) AS q,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE list_reduce(list_transform(range(1, length(text)+1),
+         |                                              i -> CAST(ascii(text[i]) AS BIGINT)),
+         |                               (acc, c) -> (acc*31 + c) % 2147483647)
+         |         END AS h
+         |  FROM documents),
+         |b AS (SELECT CAST(sum(n_tok) * 2 // 5 AS BIGINT) AS b FROM scored),
+         |lv AS (SELECT q, sum(n_tok) AS s FROM scored GROUP BY q),
+         |lw AS (SELECT q, s,
+         |              coalesce(sum(s) OVER (ORDER BY q DESC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |       FROM lv),
+         |cls AS (SELECT q,
+         |               (cb + s <= (SELECT b FROM b)) AS fullk,
+         |               (cb < (SELECT b FROM b) AND cb + s > (SELECT b FROM b)) AS bnd,
+         |               ((SELECT b FROM b) - cb) AS rem
+         |        FROM lw),
+         |tg AS (SELECT sc.doc_id, sc.q, sc.n_tok, sc.h, c.fullk, c.bnd, c.rem
+         |       FROM scored sc JOIN cls c USING (q)),
+         |bk AS (SELECT doc_id, q, n_tok FROM (
+         |         SELECT doc_id, q, n_tok, rem,
+         |                sum(n_tok) OVER (PARTITION BY q ORDER BY h, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |         FROM tg WHERE bnd)
+         |       WHERE run <= rem)
+         |SELECT doc_id, CAST(q AS BIGINT) AS q, n_tok FROM tg WHERE fullk
+         |UNION ALL SELECT doc_id, CAST(q AS BIGINT) AS q, n_tok FROM bk""".stripMargin,
 
     "x50_training_shuffle" ->
       """WITH t AS (SELECT doc_id,

@@ -738,6 +738,61 @@ object TextOps {
         col("__k.text_kept").as("text_kept"))
   }
 
+  // ---- global token-budget selection (X51) ----
+
+  /** Keep the highest-quality documents until a global token budget is
+    * spent (the FineWeb-edu-style budgeted curation step). Quality is an
+    * all-integer per-mill (alpha-character ratio here — any integer score
+    * plugs in), so the keep set is engine-exact.
+    *
+    * The scale shape is NOT a global ordered running sum (one unbounded
+    * window = one task owning the corpus). Instead:
+    *   1. per-quality-LEVEL token totals — one partial-aggregable shuffle
+    *      into a <= 1001-row frame;
+    *   2. the running total over LEVELS (descending quality) runs on that
+    *      tiny frame (its unbounded window is over <= 1001 rows, not the
+    *      corpus) and yields the cutoff level + remaining budget,
+    *      broadcast back;
+    *   3. levels strictly above the cutoff keep every doc row-locally;
+    *      only the BOUNDARY level needs an ordered prefix — a window
+    *      partitioned by that one level, ordered by (content hash, id),
+    *      cumulative tokens <= remaining budget.
+    * So the only per-document ordered pass is within the boundary quality
+    * level, never the corpus.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        budgetNum: Long, budgetDen: Long): DataFrame = {
+    val scored = docs.select(col(idCol),
+      graft.util.Expr.bind(lower(col(textCol)), t =>
+        (length(regexp_replace(t, "[^a-z]", "")) * lit(1000L) /
+          greatest(length(t), lit(1))).cast("long")).as("q"),
+      size(tokens(col(textCol))).cast("bigint").as("n_tok"),
+      rollingHash(col(textCol)).as("__h"))
+    val budget = scored.agg(
+      ((sum(col("n_tok")) * budgetNum) / budgetDen).cast("long").as("__b"))
+    val levels = scored.groupBy("q").agg(sum(col("n_tok")).as("__s"))
+      .withColumn("__cum_before",
+        coalesce(sum(col("__s")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("q").desc)
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .select(col("q"),
+        (col("__cum_before") + col("__s") <= col("__b")).as("__full"),
+        (col("__cum_before") < col("__b") &&
+          col("__cum_before") + col("__s") > col("__b")).as("__boundary"),
+        (col("__b") - col("__cum_before")).as("__remaining"))
+    val tagged = scored.join(broadcast(levels), Seq("q"))
+    val fullKeep = tagged.filter(col("__full"))
+    val boundaryKeep = tagged.filter(col("__boundary"))
+      .withColumn("__run", sum(col("n_tok")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q")
+          .orderBy(col("__h"), col(idCol))
+          .rowsBetween(Long.MinValue, 0)))
+      .filter(col("__run") <= col("__remaining"))
+    fullKeep.select(col(idCol), col("q"), col("n_tok"))
+      .unionByName(boundaryKeep.select(col(idCol), col("q"), col("n_tok")))
+  }
+
   // ---- fractional-epoch source mixing (X49) ----
 
   /** Materialize one training epoch under per-document fractional repeat

@@ -127,6 +127,37 @@ class R7OpsSpec extends AnyFunSuite {
       "different salts must disagree on some fractional pick")
   }
 
+  // ---- X51 token-budget selection ----
+
+  test("budget select: spends at most the budget, leaves no affordable better doc") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val totalTok = docs
+      .select(size(TextOps.tokens(col("text"))).cast("bigint").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val budget = totalTok * 2 / 5
+    val sel = q("x51_token_budget_select")
+    val spent = sel.agg(sum("n_tok")).head().getLong(0)
+    assert(spent <= budget, s"spent $spent over budget $budget")
+    // greedy-by-level exactness: every rejected doc is of strictly lower
+    // quality than every selected one, except ties at the boundary level
+    val qMin = sel.agg(min("q")).head().getLong(0)
+    val rejected = docs.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(graft.util.Expr.bind(lower(col("text")), t =>
+        (length(regexp_replace(t, "[^a-z]", "")) * lit(1000L) /
+          greatest(length(t), lit(1))).cast("long")).as("q"))
+    assert(rejected.filter(col("q") > qMin).count() === 0L,
+      "a higher-quality doc was rejected while lower-quality docs were kept")
+    // the boundary prefix fills the budget tightly: the next boundary doc
+    // would not have fit
+    val maxTok = docs.select(size(TextOps.tokens(col("text"))).cast("bigint").as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(spent > budget - maxTok, s"budget underfilled: $spent of $budget")
+    assert(sel.count() > 0 && sel.count() < docs.count(),
+      "fixture must select a proper subset")
+  }
+
   // ---- X50 training shuffle ----
 
   test("training shuffle: every doc exactly once, dense per-shard positions") {
