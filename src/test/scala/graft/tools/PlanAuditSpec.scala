@@ -423,6 +423,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus shuffled before the strip:\n$p")
   }
 
+  test("x51 budget select: the only per-doc window is partitioned by the boundary level") {
+    // the global-budget cutoff must come from the tiny LEVEL frame; if a
+    // corpus-wide unpartitioned running sum sneaks in, one task owns the
+    // corpus. The level window is unpartitioned BUT runs post-aggregate
+    // (over <= 1001 rows); the per-doc prefix window must carry the
+    // partition on q.
+    val p = plan("x51_token_budget_select")
+    assert(p.contains("windowspecdefinition(q"),
+      s"boundary prefix window lost its level partition:\n$p")
+    // the unpartitioned window must consume an aggregate, not a scan:
+    // every Window node over raw doc rows would mention the id column
+    val unpartitioned = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+      .filterNot(_.contains("windowspecdefinition(q"))
+    assert(unpartitioned.forall(!_.contains("doc_id")),
+      s"corpus-wide unpartitioned window:\n$p")
+  }
+
   test("x50 training shuffle: ONE data exchange feeds the per-shard sort") {
     val p = plan("x50_training_shuffle")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
