@@ -309,10 +309,18 @@ object SparkEntryR6 {
       import graft.sim.SimSearch
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
+      // cardinality-adaptive k (the W1c discipline): within-cluster pair
+      // volume is Σ|c|²/2 ≈ N²/(2k), so k must grow with the corpus for
+      // the clustered path to beat the exact form — k ≈ N/128 keeps
+      // ~128 vectors per cell at any scale (memoized per fixture via
+      // SessionCache; the centroid artifact key carries k)
+      val n = graft.util.SessionCache.getOrCompute(
+        ("semdedup_n", d, Tables.stamp(d, "embeddings")))(e.count())
+      val k = math.max(8, (n / 128).toInt)
       val cents = graft.util.ArtifactStore.getOrCompute(s, "semdedup_centroids",
-        Seq(d, Tables.stamp(d, "embeddings"), 8, 3),
+        Seq(d, Tables.stamp(d, "embeddings"), k, 3),
         graft.util.ArtifactStore.CentroidsCodec) {
-        SimSearch.fitCentroids(e, 8, iters = 3)
+        SimSearch.fitCentroids(e, k, iters = 3)
       }
       SimSearch.semDedupClustered(e, 0.35, cents, nProbe = 2).select("vec_id")
     }),
