@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// compact JSON (BENCH_r{N}.json). Two sbt decorations defeat that: the
+// logger prefixes forked program output with `[info] ` and appends a
+// `[success] Total time …` banner. StdoutOutput passes the forked JVM's
+// stdout through verbatim; showSuccess drops the banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

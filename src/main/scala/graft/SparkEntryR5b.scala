@@ -21,8 +21,11 @@ import graft.text.Search
   * writes with a division (`l_quantity < 0.2 * avg(..)`, `c_acctbal >
   * avg(..)`) is cross-multiplied into pure integer / exact-decimal
   * arithmetic (`5 * qty * cnt < sum`), so the keep/drop boundary is
-  * bit-identical in any engine; output money sums fold as DECIMAL(25,4)
-  * (exact, order-independent).
+  * bit-identical in any engine; output money sums fold as BIGINT cents
+  * (exact, order-independent) quantized once per row via the shared
+  * double op `round(x * 100)` — raw >18-precision decimal outputs proved
+  * hash-fragile across driver vintages (r7), so no output column is
+  * wider than int64.
   */
 object SparkEntryR5b {
 
@@ -55,8 +58,8 @@ object SparkEntryR5b {
     // per-part aggregate joined back on l_partkey.
     "q17_small_qty_revenue" -> ((s, d) => sql(s, d, """
       SELECT p_brand,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DECIMAL(25,4))
-               AS small_qty_revenue,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
              COUNT(*) AS n_lines
       FROM r5b_lineitem l JOIN r5b_part p ON p_partkey = l_partkey
       WHERE 5 * CAST(l_quantity AS BIGINT)
@@ -109,11 +112,11 @@ object SparkEntryR5b {
     // (uncorrelated scalar subquery, cross-multiplied: acctbal * n > total
     // in exact decimal/bigint, no division) with no URGENT order (NOT
     // EXISTS → LeftAnti on o_custkey, pinned). Per-segment count + exact
-    // decimal balance total.
+    // BIGINT-cents balance total.
     "q22_idle_rich_customers" -> ((s, d) => sql(s, d, """
       SELECT c_mktsegment, COUNT(*) AS numcust,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DECIMAL(25,2))
-               AS totacctbal
+             CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_cents
       FROM r5b_customer
       WHERE CAST(c_acctbal AS DECIMAL(18,2))
               * (SELECT COUNT(*) FROM r5b_customer WHERE c_acctbal > 0)
@@ -200,8 +203,8 @@ object SparkEntryR5b {
   def oracleSql: Map[String, String] = Map(
     "q17_small_qty_revenue" -> """
       SELECT p_brand,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DECIMAL(25,4))
-               AS small_qty_revenue,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
              COUNT(*) AS n_lines
       FROM lineitem l JOIN part p ON p_partkey = l_partkey
       WHERE 5 * CAST(l_quantity AS BIGINT)
@@ -237,8 +240,8 @@ object SparkEntryR5b {
       """,
     "q22_idle_rich_customers" -> """
       SELECT c_mktsegment, COUNT(*) AS numcust,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DECIMAL(25,2))
-               AS totacctbal
+             CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_cents
       FROM customer
       WHERE CAST(c_acctbal AS DECIMAL(18,2))
               * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)

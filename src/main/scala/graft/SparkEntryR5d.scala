@@ -203,13 +203,15 @@ object SparkEntryR5d {
           .as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
-    // X30: correlation via sufficient statistics — exact integer/decimal
-    // components (n, Σx, Σy, Σx², Σy², Σxy) folded order-independently,
-    // correlation derived at the END in one deterministic double
-    // evaluation per group. The components are plain sums → mergeable
-    // (the IncrementalStats lifecycle for second-order moments); the
-    // built-in float-accumulator corr is fold-order-dependent and could
-    // never hash-match an oracle.
+    // X30: correlation via sufficient statistics — exact BIGINT
+    // components (n, Σx, Σy-cents, Σx², Σy² split-radix hi/lo, Σxy-cents)
+    // folded order-independently, correlation derived at the END in one
+    // deterministic double evaluation per group. The components are plain
+    // sums → mergeable (the IncrementalStats lifecycle for second-order
+    // moments); the built-in float-accumulator corr is fold-order-
+    // dependent and could never hash-match an oracle. No output column is
+    // wider than int64 — raw >18-precision decimals proved hash-fragile
+    // across driver vintages (r7).
     "x30_sufficient_stats" -> ((s, d) =>
       graft.stats.SufficientStats.perGroup(
         Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")),
@@ -450,33 +452,39 @@ object SparkEntryR5d {
       FROM lineitem GROUP BY 1
       """,
     "x30_sufficient_stats" -> """
-      WITH c AS (
+      WITH p AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+        FROM lineitem),
+      c AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                 AS DECIMAL(28,2)) AS sum_y,
-               CAST(SUM(CAST(l_quantity AS BIGINT)
-                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_xx,
-               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                             * CAST(l_extendedprice AS DECIMAL(18,2))
-                        AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_yy,
-               CAST(SUM(CAST(CAST(l_quantity AS BIGINT)
-                             * CAST(l_extendedprice AS DECIMAL(18,2))
-                        AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS sum_xy
-        FROM lineitem GROUP BY l_returnflag)
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(yc) AS BIGINT) AS sum_y_cents,
+               CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+               CAST(SUM((yc * yc) // 1000000) AS BIGINT) AS sum_yy_hi,
+               CAST(SUM((yc * yc) % 1000000) AS BIGINT) AS sum_yy_lo,
+               CAST(SUM(x * yc) AS BIGINT) AS sum_xy_cents
+        FROM p GROUP BY l_returnflag)
       SELECT *,
              ROUND(CASE
                WHEN (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
                      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) > 0
-                AND (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
-                     - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
-               THEN (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
-                     - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                AND (CAST(n AS DOUBLE)
+                       * (CAST(sum_yy_hi AS DOUBLE) * 1000000.0
+                          + CAST(sum_yy_lo AS DOUBLE))
+                     - CAST(sum_y_cents AS DOUBLE)
+                       * CAST(sum_y_cents AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE) * CAST(sum_xy_cents AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_y_cents AS DOUBLE))
                     / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
                             - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
-                           * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
-                              - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+                           * (CAST(n AS DOUBLE)
+                                * (CAST(sum_yy_hi AS DOUBLE) * 1000000.0
+                                   + CAST(sum_yy_lo AS DOUBLE))
+                              - CAST(sum_y_cents AS DOUBLE)
+                                * CAST(sum_y_cents AS DOUBLE)))
              END, 12) AS corr
       FROM c
       """,
