@@ -1,0 +1,117 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The fixture CONTRACT: every invariant the 162 `SparkEntry.queries`
+  * entries lean on, asserted by name. The driver regenerates
+  * `/root/testdata` between rounds, and silent drift has cost three
+  * rounds of signal (r6: empty correctness file from a ts-vintage
+  * change; r7: two red rows + two trivialized queries when `documents`
+  * shrank and every customer gained an order). When a regeneration
+  * breaks an assumption, this spec turns it into a NAMED failure
+  * instead of a mysteriously red round. `tools/fixture_audit.py` is the
+  * same contract as a driver-side (pyarrow/DuckDB) one-shot report.
+  */
+class FixtureContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def nonIntegral(c: String) =
+    abs(col(c) * 100 - round(col(c) * 100)) > lit(1e-6)
+
+  test("every fixture table is non-empty at both test scales") {
+    for (d <- Seq("/root/testdata/sf0.001", sf)) {
+      assert(Tables.lineitem(spark, d).limit(1).count() === 1, s"lineitem $d")
+      assert(Tables.orders(spark, d).limit(1).count() === 1, s"orders $d")
+      assert(Tables.customer(spark, d).limit(1).count() === 1, s"customer $d")
+      assert(Tables.supplier(spark, d).limit(1).count() === 1, s"supplier $d")
+      assert(Tables.part(spark, d).limit(1).count() === 1, s"part $d")
+      assert(Tables.nation(spark, d).limit(1).count() === 1, s"nation $d")
+      assert(Tables.region(spark, d).limit(1).count() === 1, s"region $d")
+      assert(Tables.events(spark, d).limit(1).count() === 1, s"events $d")
+      assert(Tables.documents(spark, d).limit(1).count() === 1, s"documents $d")
+      assert(Tables.embeddings(spark, d).limit(1).count() === 1, s"embeddings $d")
+    }
+  }
+
+  test("l_quantity is integral-valued (q17/x30 cross-multiply exactness)") {
+    val li = Tables.lineitem(spark, sf)
+    assert(li.filter(col("l_quantity") =!= floor(col("l_quantity"))).count() === 0L)
+  }
+
+  test("money columns are exact cents (the round(x*100) quantization contract)") {
+    // every BIGINT-cents output (q17/q22/x30/x31 + the decimal folds)
+    // assumes stored doubles are 2-decimal values; a fixture that starts
+    // emitting sub-cent noise breaks round()-as-quantizer on BOTH engines
+    val cases = Seq(
+      Tables.lineitem(spark, sf) -> Seq("l_extendedprice", "l_discount", "l_tax"),
+      Tables.orders(spark, sf) -> Seq("o_totalprice"),
+      Tables.customer(spark, sf) -> Seq("c_acctbal"),
+      Tables.part(spark, sf) -> Seq("p_retailprice"),
+      Tables.supplier(spark, sf) -> Seq("s_acctbal"))
+    for ((df, cols) <- cases; c <- cols)
+      assert(df.filter(nonIntegral(c)).count() === 0L, s"$c carries sub-cent values")
+  }
+
+  test("events.ts vintage is readable and spans a real time range") {
+    // Tables.events normalizes both observed vintages (TIMESTAMP(NANOS)
+    // via nanosAsLong, naive micros via NTZ cast); a third vintage would
+    // fall through and surface here as a type or span failure
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType === TimestampType,
+      s"events.ts resolved to ${ev.schema("ts").dataType} — new fixture vintage?")
+    val days = ev.select(countDistinct(to_date(col("ts")))).head().getLong(0)
+    assert(days >= 5L, s"events span only $days distinct days — window suite degenerates")
+  }
+
+  test("j5_anti_join keep AND drop sides are non-empty") {
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val cust = Tables.customer(spark, sf)
+    val drop = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val keep = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(keep > 0L, "no customer lacks an URGENT order — j5 result would be the whole table")
+    assert(drop > 0L, "no customer has an URGENT order — j5 anti-join would be trivial")
+  }
+
+  test("w11_cumulative_users first-purchase days form a non-degenerate curve") {
+    val days = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("first_day"))
+      .select(countDistinct(col("first_day"))).head().getLong(0)
+    assert(days >= 3L, s"first purchases land on $days day(s) — cumulative curve collapsed")
+  }
+
+  test("x24_quality_report planted violations exist (dup line keys, ship-before-order)") {
+    val li = Tables.lineitem(spark, sf)
+    val dupKeys = li.groupBy("l_orderkey", "l_linenumber")
+      .count().filter(col("count") > 1).limit(1).count()
+    assert(dupKeys === 1L, "no duplicate (l_orderkey, l_linenumber) — unique check trivialized")
+    val shipBefore = li.join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).limit(1).count()
+    assert(shipBefore === 1L, "no ship-before-order rows — temporal check trivialized")
+  }
+
+  test("documents corpus is non-degenerate (langs, sources, x49 source-id shape)") {
+    val docs = Tables.documents(spark, sf)
+    assert(docs.select(countDistinct(col("lang"))).head().getLong(0) >= 2L)
+    assert(docs.select(countDistinct(col("source"))).head().getLong(0) >= 2L)
+    assert(docs.filter(length(col("text")) === 0).count() === 0L, "empty texts")
+    // x49 parses the numeric suffix after a 3-char prefix on both engines
+    assert(docs.filter(!col("source").rlike("^src[0-9]+$")).count() === 0L,
+      "source ids no longer match ^src<digits>$ — x49 substring parse breaks")
+  }
+
+  test("embeddings are fixed-width and non-empty (X4 family contract)") {
+    val emb = Tables.embeddings(spark, sf)
+    val dims = emb.select(countDistinct(size(col("embedding")))).head().getLong(0)
+    assert(dims === 1L, "embedding vectors are not fixed-width")
+    assert(emb.filter(size(col("embedding")) === 0).count() === 0L)
+  }
+}

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Round-start fixture audit (dev tool only; not part of the shipped Scala
+library). The driver regenerates /root/testdata between rounds; this is the
+pyarrow/DuckDB side of the contract that FixtureContractSpec asserts from
+Spark. Run it FIRST each round:
+
+    python3 tools/fixture_audit.py [sfDir ...]
+
+Exit code 0 = every invariant holds; 1 = named violations printed.
+"""
+import sys
+import glob
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+
+DEFAULT_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                "/root/testdata/sf0.1"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+CENT_COLS = [("lineitem", "l_extendedprice"), ("lineitem", "l_discount"),
+             ("lineitem", "l_tax"), ("orders", "o_totalprice"),
+             ("customer", "c_acctbal"), ("part", "p_retailprice"),
+             ("supplier", "s_acctbal")]
+
+
+def audit(d: str) -> list:
+    bad = []
+    con = duckdb.connect()
+    for t in TABLES:
+        f = f"{d}/{t}.parquet"
+        if not os.path.exists(f):
+            bad.append(f"{t}: file missing")
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{f}'")
+        if pq.read_metadata(f).num_rows == 0:
+            bad.append(f"{t}: empty")
+    if bad:
+        return bad
+
+    def one(sql):
+        return con.execute(sql).fetchone()[0]
+
+    # schema / physical-type vintage
+    ts_type = str(pq.read_schema(f"{d}/events.parquet").field("ts").type)
+    if ts_type not in ("timestamp[us]", "timestamp[ns]", "int64"):
+        bad.append(f"events.ts physical type {ts_type}: unknown vintage — "
+                   "check Tables.events normalization")
+
+    # value invariants the BIGINT-cents queries lean on
+    n = one("SELECT count(*) FROM lineitem WHERE l_quantity != floor(l_quantity)")
+    if n:
+        bad.append(f"l_quantity: {n} non-integral rows (q17/x30 exactness)")
+    for t, c in CENT_COLS:
+        n = one(f"SELECT count(*) FROM {t} WHERE abs({c}*100 - round({c}*100)) > 1e-6")
+        if n:
+            bad.append(f"{t}.{c}: {n} sub-cent rows (round(x*100) quantizer)")
+
+    # non-triviality preconditions of specific queries
+    keep = one("""SELECT count(*) FROM customer c WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT')""")
+    drop = one("SELECT count(*) FROM customer") - keep
+    if keep == 0 or drop == 0:
+        bad.append(f"j5_anti_join degenerate: keep={keep} drop={drop}")
+    days = one("""SELECT count(DISTINCT dd) FROM (SELECT min(CAST(ts AS DATE)) dd
+                  FROM events WHERE event_type = 'purchase' GROUP BY user_id)""")
+    if days < 3:
+        bad.append(f"w11 first-purchase days collapsed to {days}")
+    ev_days = one("SELECT count(DISTINCT CAST(ts AS DATE)) FROM events")
+    if ev_days < 5:
+        bad.append(f"events span only {ev_days} days (window suite)")
+    dup = one("""SELECT count(*) FROM (SELECT 1 FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)""")
+    if dup == 0:
+        bad.append("x24: no duplicate (l_orderkey, l_linenumber) violations")
+    ship = one("""SELECT count(*) FROM lineitem l JOIN orders o
+                  ON l_orderkey = o_orderkey WHERE l_shipdate < o_orderdate""")
+    if ship == 0:
+        bad.append("x24: no ship-before-order violations")
+    langs = one("SELECT count(DISTINCT lang) FROM documents")
+    srcs = one("SELECT count(DISTINCT source) FROM documents")
+    if langs < 2 or srcs < 2:
+        bad.append(f"documents degenerate: langs={langs} sources={srcs}")
+    badsrc = one("SELECT count(*) FROM documents WHERE NOT regexp_matches(source, '^src[0-9]+$')")
+    if badsrc:
+        bad.append(f"documents.source: {badsrc} ids break ^src<digits>$ (x49)")
+    widths = one("SELECT count(DISTINCT len(embedding)) FROM embeddings")
+    if widths != 1:
+        bad.append(f"embeddings: {widths} distinct vector widths")
+    return bad
+
+
+def main():
+    dirs = sys.argv[1:] or DEFAULT_DIRS
+    failed = False
+    for d in dirs:
+        print(f"== {d} ==")
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            s = pq.read_schema(f)
+            cols = ", ".join(f"{n}:{s.field(n).type}" for n in s.names)
+            print(f"  {os.path.basename(f)}: rows={pq.read_metadata(f).num_rows} | {cols}")
+        bad = audit(d)
+        for b in bad:
+            print(f"  VIOLATION: {b}")
+        failed |= bool(bad)
+        if not bad:
+            print("  contract OK")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
