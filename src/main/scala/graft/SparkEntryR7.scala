@@ -150,10 +150,11 @@ object SparkEntryR7 {
     // The line-dedup pass of CCNet/C4 re-expressed for line-less
     // documents: 3-token non-overlapping segments occurring in >= 8
     // distinct docs are boilerplate and dropped everywhere; remainders
-    // stitch back in order. Hot set broadcasts (bounded by
-    // totalSegments/minDocs); the corpus is never reassembled through a
-    // shuffle. Oracle recomputes via explode + NOT IN + ordered
-    // string_agg.
+    // stitch back in order. Hot set is hard-bounded to the maxHotSet
+    // hottest segments (top-k heap, default 100k — far above any fixture
+    // hot set, so exact here) before broadcasting; the corpus is never
+    // reassembled through a shuffle. Oracle recomputes via explode +
+    // NOT IN + ordered string_agg.
     "x48_boilerplate_strip" -> ((s, d) =>
       TextOps.stripBoilerplate(
         Tables.documents(s, d).select(col("doc_id"), col("text")),

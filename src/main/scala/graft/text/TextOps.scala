@@ -693,18 +693,30 @@ object TextOps {
     * a shuffle —
     *   1. segment counts: one explode + partial-aggregated distinct-doc
     *      count per segment (the only data shuffle, keyed on the segment);
-    *   2. the HOT set (count >= minDocs) is tiny by construction — at most
-    *      totalSegments/minDocs entries, in practice the corpus's few
-    *      thousand templated spans — collected into ONE row and broadcast;
+    *   2. the HOT set (count >= minDocs) is HARD-BOUNDED to the
+    *      `maxHotSet` hottest segments via top-k selection
+    *      (`TakeOrderedAndProject` — a bounded per-partition heap, never
+    *      a global sort or an unbounded `collect_list`), then broadcast;
     *   3. each document filters its own segment array row-locally against
     *      the broadcast set and rejoins in place. No exploded-corpus
     *      groupBy, no window, no second shuffle.
+    *
+    * Coverage bound: when the corpus has more than `maxHotSet` segments
+    * over the threshold, the strip keeps the `maxHotSet` MOST-SHARED ones
+    * (ties broken by segment text, deterministic) — the subset whose
+    * removal covers the most duplicated tokens; colder hot segments
+    * survive. Exact (identical to the unbounded form) whenever
+    * |hot| <= maxHotSet, which an oracle-checked corpus asserts by
+    * construction. The broadcast is thus <= maxHotSet entries regardless
+    * of corpus size — the 100 TB memory hazard of an unbounded hot set is
+    * structurally gone.
     *
     * Output: (idCol, n_seg, n_kept, text_kept).
     */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                        segTokens: Int = 3, minDocs: Long = 12,
-                       approxCounts: Boolean = false): DataFrame = {
+                       approxCounts: Boolean = false,
+                       maxHotSet: Int = 100000): DataFrame = {
     val segged = docs.select(col(idCol), segments(col(textCol), segTokens).as("__segs"))
     // Exact countDistinct shuffles distinct (segment, doc) pairs — full
     // segment text through the wire. The approx variant is the 100 TB
@@ -719,6 +731,11 @@ object TextOps {
       .groupBy("__seg")
       .agg(docCount.as("__nd"))
       .filter(col("__nd") >= minDocs)
+      // hottest-first top-k (bounded heap per partition); the collect_list
+      // below then aggregates AT MOST maxHotSet rows — a bounded row, not
+      // an unbounded corpus-shaped one
+      .orderBy(col("__nd").desc, col("__seg"))
+      .limit(maxHotSet)
       .agg(sort_array(collect_list(col("__seg"))).as("__hot"))
       .withColumn("__hotH", transform(col("__hot"), s => xxhash64(s)))
     // Membership is decided on the STRING (exact); the hash array is a

@@ -64,6 +64,39 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-set cap keeps the most-shared segments and bounds the broadcast") {
+    import spark.implicits._
+    // two boilerplate segments at different heat: seg A in 30 docs, seg B
+    // in 15; with maxHotSet=1 only A (the hotter) is stripped, B survives
+    val docs = (1 to 30).map { i =>
+      val b = if (i <= 15) "meta nav menu " else ""
+      (i.toLong, s"home about contact ${b}unique$i tail$i words$i")
+    }
+    val out = TextOps.stripBoilerplate(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      segTokens = 3, minDocs = 12, maxHotSet = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (1 to 15).foreach { i =>
+      assert(out(i.toLong).getString(3) === s"meta nav menu unique$i tail$i words$i",
+        s"doc $i: colder hot segment must survive a cap of 1")
+    }
+    (16 to 30).foreach { i =>
+      assert(out(i.toLong).getString(3) === s"unique$i tail$i words$i")
+    }
+  }
+
+  test("hot-set selection plans a bounded top-k, not an unbounded collect") {
+    // the only node allowed to own the hot set is TakeOrderedAndProject
+    // (bounded per-partition heap of maxHotSet rows); a plan regression to
+    // a global Sort or a straight collect_list over the filtered segment
+    // table would reintroduce the unbounded one-row broadcast
+    for (name <- Seq("x48_boilerplate_strip", "x48b_boilerplate_sketch")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: hot set no longer bounded by top-k\n$p")
+    }
+  }
+
   test("sketch-counted boilerplate strip equals the exact strip at fixture cardinality") {
     // per-segment doc counts are tiny at sf0.001, so the HLL estimate is
     // exact and the two hot sets — hence the two outputs — must agree
