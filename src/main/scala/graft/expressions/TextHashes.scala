@@ -203,6 +203,26 @@ object TextHashKernels {
     }
     score
   }
+
+  /** `hashedBagScore` with a LEARNED weight table instead of the fixed
+    * weight function: Σ_tokens w[rollingHash31(tok) mod (len-1)], plus a
+    * bias term `biasCnt · w[len-1]` (the last slot is the bias weight —
+    * the virtual always-on feature the trainer fits alongside the token
+    * buckets). Same all-integer exactness contract.
+    */
+  def hashedBagScoreWeighted(toks: ArrayData, weights: Array[Long],
+                             biasCnt: Long): Long = {
+    val buckets = weights.length - 1
+    val n = toks.numElements()
+    var score = biasCnt * weights(buckets)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) score += weights((rollingHash31(t) % buckets).toInt)
+      i += 1
+    }
+    score
+  }
 }
 
 /** Native distinct word-n-gram shingles — byte-compatible with the
@@ -326,6 +346,35 @@ case class HashedBagScore(child: Expression, buckets: Int) extends UnaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.TextHashKernels.hashedBagScore($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `HashedBagScore` with a LEARNED weight table (see
+  * `TextHashKernels.hashedBagScoreWeighted`): the serving path of the
+  * trained hashed-logit classifier. The weight array rides the plan as a
+  * codegen reference object — swapping in refreshed weights is a new
+  * literal, not a new operator — and the loop stays inside whole-stage
+  * codegen like its fixed-weight sibling.
+  */
+case class HashedBagWeightedScore(child: Expression, weights: Array[Long],
+                                  biasCnt: Long) extends UnaryExpression {
+  require(weights.length >= 3 && weights.length <= 65537,
+    "weights = buckets + 1 bias slot, buckets in [2, 65536]")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hashed_bag_weighted_score"
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.hashedBagScoreWeighted(input.asInstanceOf[ArrayData],
+      weights, biasCnt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", weights, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.hashedBagScoreWeighted($c, $wRef, ${biasCnt}L)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
