@@ -181,8 +181,10 @@ object SparkEntryR7 {
     // by a salted content hash — deterministic on any engine, no RNG.
     // Row-local explode, zero shuffle.
     "x49_epoch_mix" -> ((s, d) => {
+      // unbounded suffix parse — identical text to the oracle's
+      // substr(source, 4), so a longer future source id can't diverge
       val f = lit(500L) + lit(250L) *
-        pmod(substring(col("source"), 4, 8).cast("long"), lit(7L))
+        pmod(expr("substring(source, 4)").cast("long"), lit(7L))
       TextOps.epochMix(
           Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
           "text", f, salt = "ep1")

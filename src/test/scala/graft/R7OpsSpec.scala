@@ -123,7 +123,9 @@ class R7OpsSpec extends AnyFunSuite {
       val expected = nDocs * f / 1000.0
       // the fractional draw is a per-mill hash over 25 docs/source at
       // sf0.001 — allow binomial noise around the expectation
-      assert(math.abs(nEpoch - expected) <= math.max(6.0, 0.35 * expected),
+      // floor 8 ≈ 3.2σ for 25 docs at p=0.5 — a redrawn fixture vintage
+      // should not flake this (ADVICE r7)
+      assert(math.abs(nEpoch - expected) <= math.max(8.0, 0.35 * expected),
         s"$src: epoch rows $nEpoch vs expected ~$expected (f=$f, docs=$nDocs)")
       // integer repeat floor is a hard bound both ways
       assert(nEpoch >= nDocs * (f / 1000L), s"$src: below integer floor")

@@ -416,9 +416,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // of. The only exchanges allowed are the segment-count aggregation
     // (inside the broadcast subtree) and the broadcast itself.
     val p = plan("x48_boilerplate_strip")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"hot set not broadcast:\n$p")
-    val corpusSide = p.substring(0, p.indexOf("BroadcastExchange"))
+    // named failure, not a StringIndexOutOfBounds, if the broadcast node
+    // disappears (e.g. a BNLJ plan without a literal BroadcastExchange)
+    val idx = p.indexOf("BroadcastExchange")
+    assert(idx >= 0, s"hot set not broadcast:\n$p")
+    val corpusSide = p.substring(0, idx)
     assert(!corpusSide.contains("Exchange hashpartitioning"),
       s"corpus shuffled before the strip:\n$p")
   }
