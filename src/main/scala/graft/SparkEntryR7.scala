@@ -158,7 +158,8 @@ object SparkEntryR7 {
     "x48_boilerplate_strip" -> ((s, d) =>
       TextOps.stripBoilerplate(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", "text", segTokens = 3, minDocs = 8)),
+        "doc_id", "text", segTokens = 3, minDocs = 8,
+        hotSetKey = Some(Seq(d, Tables.stamp(d, "documents"))))),
 
     // ---- X48b: boilerplate strip, sketch-counted hot set (100 TB twin) --
     //
@@ -171,7 +172,8 @@ object SparkEntryR7 {
     "x48b_boilerplate_sketch" -> ((s, d) =>
       TextOps.stripBoilerplate(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", "text", segTokens = 3, minDocs = 8, approxCounts = true)),
+        "doc_id", "text", segTokens = 3, minDocs = 8, approxCounts = true,
+        hotSetKey = Some(Seq(d, Tables.stamp(d, "documents"))))),
 
     // ---- X49: fractional-epoch source mixing ---------------------------
     //

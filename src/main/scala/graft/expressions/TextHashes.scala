@@ -1,7 +1,8 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XxHash64Function, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -204,6 +205,33 @@ object TextHashKernels {
     score
   }
 
+  /** Segment strip against a bounded hash set: keep the elements of
+    * `segs` NOT in `hot`, returning (n_seg, n_kept, " "-joined kept
+    * text) in one pass. O(1) per segment — the declarative
+    * `filter(array_contains(...))` twin is O(|hot|) per segment, which
+    * dominates once the hot set grows past a few hundred entries.
+    */
+  def stripSegments(segs: ArrayData,
+                    hot: java.util.HashSet[UTF8String]): InternalRow = {
+    val n = segs.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = segs.getUTF8String(i)
+      if (s != null && !hot.contains(s)) kept.add(s)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < kept.size()) {
+      if (j > 0) sb.append(' ')
+      sb.append(kept.get(j).toString)
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, kept.size().toLong,
+      UTF8String.fromString(sb.toString)))
+  }
+
   /** `hashedBagScore` with a LEARNED weight table instead of the fixed
     * weight function: Σ_tokens w[rollingHash31(tok) mod (len-1)], plus a
     * bias term `biasCnt · w[len-1]` (the last slot is the bias weight —
@@ -346,6 +374,37 @@ case class HashedBagScore(child: Expression, buckets: Int) extends UnaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expressions.TextHashKernels.hashedBagScore($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass segment strip against a BOUNDED hot set riding the plan as a
+  * codegen reference object (a `java.util.HashSet[UTF8String]`): per
+  * segment one hash lookup, versus the declarative broadcast form's
+  * linear `array_contains` scan. The set is bounded by the caller
+  * (`TextOps.stripBoilerplate` maxHotSet) — the same bound the broadcast
+  * row form carries, materialized once driver-side instead of per task.
+  * Output: struct(n_seg BIGINT, n_kept BIGINT, text_kept STRING).
+  */
+case class StripSegments(child: Expression,
+                         hotSet: java.util.HashSet[UTF8String])
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_seg", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("text_kept", StringType, nullable = false)))
+  override def prettyName: String = "graft_strip_segments"
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.stripSegments(input.asInstanceOf[ArrayData], hotSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("hotSet", hotSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.stripSegments($c, $setRef)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

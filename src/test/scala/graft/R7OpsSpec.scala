@@ -86,15 +86,27 @@ class R7OpsSpec extends AnyFunSuite {
   }
 
   test("hot-set selection plans a bounded top-k, not an unbounded collect") {
-    // the only node allowed to own the hot set is TakeOrderedAndProject
-    // (bounded per-partition heap of maxHotSet rows); a plan regression to
-    // a global Sort or a straight collect_list over the filtered segment
-    // table would reintroduce the unbounded one-row broadcast
+    // two acceptable shapes, both bounded: a fresh unkeyed build owns the
+    // hot set through TakeOrderedAndProject (bounded per-partition heap
+    // of maxHotSet rows); the keyed entries compile the persisted
+    // (<= maxHotSet rows) hot set into the graft_strip_segments kernel.
+    // A plan regression to a global Sort or a straight collect_list over
+    // the filtered segment table would reintroduce the unbounded one-row
+    // broadcast.
     for (name <- Seq("x48_boilerplate_strip", "x48b_boilerplate_sketch")) {
       val p = q(name).queryExecution.executedPlan.toString
-      assert(p.contains("TakeOrderedAndProject"),
-        s"$name: hot set no longer bounded by top-k\n$p")
+      assert(p.contains("TakeOrderedAndProject") ||
+        p.contains("graft_strip_segments"),
+        s"$name: hot set neither bounded top-k nor compiled kernel set\n$p")
     }
+    // the unkeyed (no-artifact) form must plan the bounded top-k itself
+    import spark.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, s"home about contact tail$i"))
+      .toDF("doc_id", "text")
+    val fresh = TextOps.stripBoilerplate(docs, "doc_id", "text",
+      segTokens = 3, minDocs = 12).queryExecution.executedPlan.toString
+    assert(fresh.contains("TakeOrderedAndProject"),
+      s"unkeyed strip lost its bounded top-k\n$fresh")
   }
 
   test("sketch-counted boilerplate strip equals the exact strip at fixture cardinality") {

@@ -407,22 +407,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("lsh_index"), s"no persisted-index scan in the plan:\n$p")
   }
 
-  test("x48 boilerplate strip: hot set broadcasts; the strip side never shuffles") {
-    // the corpus-side plan must be scan -> row-local strip fed by a
-    // BroadcastExchange of the one-row hot set: a SortAggregate/
-    // HashAggregate keyed on doc_id (or any Exchange between the corpus
-    // scan and the project) would mean the corpus is reassembled through
-    // a shuffle — the exact failure mode stripBoilerplate is designed out
-    // of. The only exchanges allowed are the segment-count aggregation
-    // (inside the broadcast subtree) and the broadcast itself.
+  test("x48 boilerplate strip: row-local strip; the corpus never shuffles") {
+    // the keyed entry compiles the persisted hot set into the
+    // graft_strip_segments kernel, so the whole plan is scan -> project:
+    // ANY exchange (a SortAggregate/HashAggregate keyed on doc_id, a
+    // hash-partitioning shuffle between the corpus scan and the project)
+    // would mean the corpus is reassembled through a shuffle — the exact
+    // failure mode stripBoilerplate is designed out of.
     val p = plan("x48_boilerplate_strip")
+    assert(p.contains("graft_strip_segments"),
+      s"keyed strip lost its compiled kernel:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the strip:\n$p")
+    // the unkeyed declarative twin keeps the broadcast shape: hot set as
+    // one BroadcastExchange row, corpus side shuffle-free before it
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val up = graft.text.TextOps.stripBoilerplate(docs, "doc_id", "text",
+      segTokens = 3, minDocs = 8).queryExecution.executedPlan.toString
     // named failure, not a StringIndexOutOfBounds, if the broadcast node
     // disappears (e.g. a BNLJ plan without a literal BroadcastExchange)
-    val idx = p.indexOf("BroadcastExchange")
-    assert(idx >= 0, s"hot set not broadcast:\n$p")
-    val corpusSide = p.substring(0, idx)
+    val idx = up.indexOf("BroadcastExchange")
+    assert(idx >= 0, s"unkeyed hot set not broadcast:\n$up")
+    val corpusSide = up.substring(0, idx)
     assert(!corpusSide.contains("Exchange hashpartitioning"),
-      s"corpus shuffled before the strip:\n$p")
+      s"unkeyed corpus shuffled before the strip:\n$up")
   }
 
   test("x51 budget select: the only per-doc window is partitioned by the boundary level") {
