@@ -79,7 +79,7 @@ object SparkEntryExt {
     * correctness budget; the quarter keeps >100 true chains and the
     * oracle at ~10 s. Engine input and oracle use the SAME filter.
     */
-  private def docsWithChain(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docsWithChain(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .filter(pmod(col("doc_id"), lit(4L)) === 1)
     docs
@@ -89,7 +89,7 @@ object SparkEntryExt {
         concat(col("text"), lit(" qq rr")).as("text")))
   }
 
-  private val docsWithChainSql =
+  private[graft] val docsWithChainSql =
     """SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
       |  UNION ALL
       |  SELECT doc_id + 2000000, text || ' qq' FROM documents WHERE doc_id % 4 = 1
@@ -97,9 +97,9 @@ object SparkEntryExt {
       |  SELECT doc_id + 1000000, text || ' qq rr' FROM documents WHERE doc_id % 4 = 1""".stripMargin
 
   // DuckDB mirrors of TextOps.tokens / TextOps.shingles(_, 3)
-  private val toksSql =
+  private[graft] val toksSql =
     """CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END"""
-  private def shinglesSql(t: String) =
+  private[graft] def shinglesSql(t: String) =
     s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t)-1), " +
       s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE [] END"
 

@@ -16,7 +16,111 @@ object SparkEntryR8 {
   private val EtaDen = 20000L
   private val BiasCnt = 10L
 
+  // x52 hyperparameter: merge rounds. Shared by the Spark fit and the
+  // generated DuckDB oracle so both engines replay identical rounds.
+  private val BpeRounds = 12
+
+  private def bpeMerges(s: SparkSession, d: String): Seq[graft.ml.Bpe.Merge] =
+    graft.ml.Bpe.ensureMerges(s,
+      graft.ml.Bpe.wordCounts(Tables.documents(s, d), "text"),
+      BpeRounds, Seq(d, Tables.stamp(d, "documents")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X52: BPE tokenizer training (oracle-checked merge learning) ----
+    //
+    // Learns the first `BpeRounds` byte-pair merges from the corpus word
+    // frequency table (graft.ml.Bpe) — the tokenizer-fit stage x44's pair
+    // counts led up to. Every round is integer counting + deterministic
+    // argmax + a literal rewrite, so the DuckDB oracle replays the whole
+    // loop as an unrolled CTE chain and matches exactly: an oracle-checked
+    // TRAINING loop over the vocabulary, not a scorer. Merges persist via
+    // ArtifactStore keyed by the corpus fixture stamp.
+    "x52_bpe_train" -> ((s, d) => {
+      val m = bpeMerges(s, d)
+      import s.implicits._
+      m.map(x => (x.round, x.pair, x.merged, x.cnt))
+        .toDF("round", "pair", "merged", "cnt")
+    }),
+
+    // ---- X52b: tokenize with the learned merges ----
+    //
+    // Serving path: the R learned rewrites applied over the DISTINCT word
+    // table only (vocabulary-keyed compute — at 100 TB the vocabulary is
+    // millions of rows where the corpus is billions), then per-word
+    // sub-token counts broadcast-joined back to the exploded corpus and
+    // summed per document. Non-alphabetic words are outside the BPE
+    // alphabet and excluded on both sides.
+    "x52b_bpe_tokenize" -> ((s, d) => {
+      import graft.ml.Bpe
+      val m = bpeMerges(s, d)
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+      val wtoks = words.select(col("word")).distinct()
+        .select(col("word"),
+          Bpe.seqLen(Bpe.applyMerges(Bpe.charSeq(col("word")), m)).as("n"))
+      val perDoc = words
+        .join(broadcast(wtoks), "word")
+        .groupBy("doc_id").agg(sum("n").as("n"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast("bigint").as("n_bpe_tokens"))
+    }),
+
+    // ---- X53: mixture rebalancing by deterministic rejection sampling ----
+    //
+    // Corpus-curation step: downsample every language stratum to (about)
+    // the smallest stratum's size so the training mixture is balanced —
+    // per-stratum keep rate `max(1, 1000·min_cnt div cnt)` per-mill, and
+    // each doc's keep/drop decided by a salted portable rolling hash of
+    // its id (no RNG: same corpus → same sample on any engine; a
+    // different salt draws an independent sample). Scale shape: one
+    // partial-aggregable stratum count (|langs| rows), broadcast back,
+    // then a row-local hash draw — the corpus is never shuffled.
+    "x53_mixture_rebalance" -> ((s, d) => {
+      import graft.text.TextOps
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val keep = counts
+        .crossJoin(broadcast(counts.agg(min(col("cnt")).as("mc"))))
+        .select(col("lang"), greatest(lit(1L), expr("1000 * mc div cnt")).as("keep_pm"))
+      docs.join(broadcast(keep), "lang")
+        .where(TextOps.saltedDraw(col("doc_id").cast("string"), "x53", 1000L)
+          < col("keep_pm"))
+        .select(col("doc_id"), col("lang"), col("keep_pm"))
+    }),
+
+    // ---- X54: leakage-safe train/val/test split ----
+    //
+    // A hash split keyed by doc_id (x9_hash_split) leaks NEAR-DUPLICATES
+    // across splits: two re-crawls of one page land in train and test and
+    // the eval is contaminated. The curation-grade split keys the hash by
+    // the near-dup CONNECTED COMPONENT instead — every member of a dup
+    // cluster (including transitive chains A~B~C) lands in the same
+    // split; isolated docs key by their own id. Reuses the PERSISTED
+    // x2_dedup_cc label artifact (same corpus, same key → the propagation
+    // loop never re-runs), so the marginal cost is one broadcast-ish
+    // label join + a row-local hash. The DuckDB oracle recomputes true
+    // components with WITH RECURSIVE over exact Jaccard — a green row
+    // proves LSH recall, the fixpoint, AND the component-keyed split.
+    "x54_leakage_safe_split" -> ((s, d) => {
+      import graft.text.TextOps
+      val docs = SparkEntryExt.docsWithChain(s, d)
+      val labels = TextOps.ensureCcLabels(
+        TextOps.nearDupPairs(docs, 0.8).select("id_a", "id_b"),
+        Seq(d, Tables.stamp(d, "documents"), "chain_mod4", 0.8, 3, 24, 12, 2))
+        .withColumnRenamed("id", "doc_id")
+      val h = TextOps.saltedDraw(col("grp").cast("string"), "x54", 10L)
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("grp"))
+        .select(col("doc_id"), col("grp"),
+          when(h < 7, "train").when(h < 9, "val").otherwise("test").as("split"))
+    }),
 
     // ---- X36b: TRAINED hashed linear quality classifier ----
     //
@@ -47,5 +151,48 @@ object SparkEntryR8 {
 
   def oracleSql: Map[String, String] = Map(
     "x36b_trained_classifier" ->
-      graft.ml.HashedLogit.oracleSql(Buckets, Thresh, Rounds, EtaDen, BiasCnt))
+      graft.ml.HashedLogit.oracleSql(Buckets, Thresh, Rounds, EtaDen, BiasCnt),
+    "x53_mixture_rebalance" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM documents GROUP BY 1),
+         |m AS (SELECT min(cnt) AS mc FROM c),
+         |k AS (SELECT lang, GREATEST(1, 1000 * m.mc // c.cnt) AS keep_pm FROM c, m)
+         |SELECT doc_id, lang, keep_pm
+         |FROM (SELECT d.doc_id, d.lang, k.keep_pm,
+         |             'x53:' || CAST(d.doc_id AS VARCHAR) AS t
+         |      FROM documents d JOIN k USING (lang))
+         |WHERE ${graft.text.TextOps.saltedDrawSql("t", 1000L)} < keep_pm""".stripMargin,
+    "x54_leakage_safe_split" -> {
+      s"""WITH RECURSIVE all_docs AS (${SparkEntryExt.docsWithChainSql}),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(${SparkEntryExt.shinglesSql("tk")}) AS s
+         |  FROM (SELECT doc_id, ${SparkEntryExt.toksSql} AS tk FROM all_docs)
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / len(list_distinct(a.s || b.s)) >= 0.8
+         |),
+         |e AS (SELECT id_a AS s, id_b AS t FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |cc(id, r) AS (
+         |  SELECT DISTINCT s, s FROM e
+         |  UNION
+         |  SELECT e.t, cc.r FROM cc JOIN e ON e.s = cc.id
+         |),
+         |lab AS (SELECT id, MIN(r) AS label FROM cc GROUP BY id),
+         |g AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS grp
+         |      FROM all_docs d LEFT JOIN lab l ON l.id = d.doc_id)
+         |SELECT doc_id, grp,
+         |       CASE WHEN h < 7 THEN 'train' WHEN h < 9 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, grp,
+         |             ${graft.text.TextOps.saltedDrawSql(
+                          "'x54:' || CAST(grp AS VARCHAR)", 10L)} AS h
+         |      FROM g)""".stripMargin
+    },
+    "x52_bpe_train" -> graft.ml.Bpe.trainOracleSql(BpeRounds),
+    "x52b_bpe_tokenize" -> graft.ml.Bpe.tokenizeOracleSql(BpeRounds))
 }

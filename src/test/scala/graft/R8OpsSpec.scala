@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-entry semantic invariants for the round-8 curation surface
+  * (mixture rebalancing, leakage-safe splitting) — properties the
+  * per-query DuckDB oracle proves by agreement but cannot NAME.
+  */
+class R8OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- X53 mixture rebalance ----
+
+  test("x53: every stratum lands within binomial noise of the smallest") {
+    val out = q("x53_mixture_rebalance")
+    val kept = out.groupBy("lang").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.tables.Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = totals.values.min.toDouble
+    assert(totals.size >= 3, "fixture must have several strata")
+    // expected kept per stratum = n * keep_pm/1000 ≈ m; binomial noise
+    // bound uses sigma = sqrt(m)·~3 with a floor (corpus-wide redraws —
+    // the ADVICE r7 discipline: wide floor, never flaky)
+    totals.foreach { case (lang, n) =>
+      val pm = math.max(1L, 1000L * m.toLong / n)
+      val expected = n * pm / 1000.0
+      val bound = math.max(10.0, 3.5 * math.sqrt(expected))
+      assert(math.abs(kept.getOrElse(lang, 0L) - expected) <= bound,
+        s"$lang kept=${kept.getOrElse(lang, 0L)} expected=$expected±$bound")
+    }
+    // the smallest stratum keeps everything (keep_pm = 1000)
+    val smallest = totals.minBy(_._2)._1
+    assert(kept(smallest) === totals(smallest))
+  }
+
+  test("x53: corpus is never shuffled — stratum table broadcasts back") {
+    val plan = q("x53_mixture_rebalance").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"keep-rate join must broadcast:\n$plan")
+  }
+
+  test("x53: deterministic — two runs produce the identical sample") {
+    val a = q("x53_mixture_rebalance").collect().map(_.getLong(0)).sorted
+    val b = q("x53_mixture_rebalance").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  // ---- X54 leakage-safe split ----
+
+  test("x54: every near-dup component lands in ONE split (no leakage)") {
+    val out = q("x54_leakage_safe_split").persist()
+    try {
+      // grp → exactly one split value
+      val bad = out.groupBy("grp")
+        .agg(countDistinct(col("split")).as("ns"))
+        .where(col("ns") > 1).count()
+      assert(bad === 0L, "a component straddles splits")
+      // the planted chain A~B~C (ids n, n+2e6, n+1e6) must share a split
+      val chains = out
+        .withColumn("base", pmod(col("doc_id"), lit(1000000L)))
+        .groupBy("base")
+        .agg(countDistinct(col("split")).as("ns"), count(lit(1)).as("n"))
+        .where(col("n") === 3 && col("ns") > 1)
+      assert(chains.count() === 0L, "a planted chain straddles splits")
+      // all three split values occur and train dominates (7/2/1 hash split)
+      val bySplit = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySplit.keySet === Set("train", "val", "test"))
+      assert(bySplit("train") > bySplit("val") && bySplit("val") > bySplit("test"))
+    } finally { out.unpersist(); () }
+  }
+
+  test("x54: reuses the persisted x2 component labels — no second propagation") {
+    // prime: x2_dedup_cc materializes the cc_labels artifact for this
+    // (corpus, params) key; x54 must then load it, not refit
+    q("x2_dedup_cc").collect()
+    val loads0 = countCcLabelDirs()
+    q("x54_leakage_safe_split").collect()
+    assert(countCcLabelDirs() === loads0,
+      "x54 created a NEW cc_labels artifact — key mismatch with x2_dedup_cc")
+  }
+
+  private def countCcLabelDirs(): Int = {
+    val base = graft.util.ArtifactStore.baseDir(spark)
+    Option(base.listFiles()).map(_.count(f =>
+      f.getName.startsWith("cc_labels-") && !f.getName.contains(".tmp-")))
+      .getOrElse(0)
+  }
+}
