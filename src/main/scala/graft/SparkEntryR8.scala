@@ -122,6 +122,26 @@ object SparkEntryR8 {
           when(h < 7, "train").when(h < 9, "val").otherwise("test").as("split"))
     }),
 
+    // ---- X55: transition-graph authority (integer PageRank) ----
+    //
+    // Markov-chain importance of event types from the user navigation
+    // graph — the authority-scoring machinery a crawl-frontier /
+    // domain-quality prior needs, at product-analytics scale here. One
+    // corpus-scale stage (user-keyed lag window → transition counts),
+    // then 10 power-iteration rounds over the node²-bounded edge
+    // aggregate as a single lazy plan (no driver collects — the round
+    // count is fixed). All-integer ppm arithmetic: the DuckDB oracle
+    // replays the identical rounds unrolled and matches bit-for-bit.
+    "x55_event_pagerank" -> ((s, d) => {
+      import graft.ml.PageRank
+      val ev = Tables.events(s, d)
+      val ranks = PageRank.ranks(
+        ev.select(col("event_type")).distinct(), "event_type",
+        PageRank.transitions(ev, "user_id", "event_type", "ts", "event_id"),
+        rounds = 10)
+      ranks.select(col("node").as("event_type"), col("pr"))
+    }),
+
     // ---- X36b: TRAINED hashed linear quality classifier ----
     //
     // x36's serving path with LEARNED weights: integer batch GD over the
@@ -193,6 +213,7 @@ object SparkEntryR8 {
                           "'x54:' || CAST(grp AS VARCHAR)", 10L)} AS h
          |      FROM g)""".stripMargin
     },
+    "x55_event_pagerank" -> graft.ml.PageRank.oracleSql(10),
     "x52_bpe_train" -> graft.ml.Bpe.trainOracleSql(BpeRounds),
     "x52b_bpe_tokenize" -> graft.ml.Bpe.tokenizeOracleSql(BpeRounds))
 }

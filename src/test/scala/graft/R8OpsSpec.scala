@@ -86,6 +86,34 @@ class R8OpsSpec extends AnyFunSuite {
       "x54 created a NEW cc_labels artifact — key mismatch with x2_dedup_cc")
   }
 
+  // ---- X55 transition-graph PageRank ----
+
+  test("x55: matches a local fixed-point replay exactly; mass is bounded") {
+    val out = q("x55_event_pagerank").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // local replay from the same transition counts (tiny graph)
+    val ev = graft.tables.Tables.events(spark, sf)
+    val edges = graft.ml.PageRank
+      .transitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = ev.select("event_type").distinct().collect()
+      .map(_.getString(0)).sorted
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var pr = nodes.map(_ -> 1000000L / nodes.length).toMap
+    for (_ <- 1 to 10) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, c) => pr(s) * c / outDeg(s) }.sum
+      }
+      pr = nodes.map(v =>
+        v -> (150000L / nodes.length + 850L * contrib.getOrElse(v, 0L) / 1000L)).toMap
+    }
+    assert(out === pr, s"engine $out != replay $pr")
+    // every node keeps at least the teleport floor; total mass can only
+    // leak down (truncation + dangling), never up
+    out.values.foreach(v => assert(v >= 150000L / nodes.length))
+    assert(out.values.sum <= 1000000L)
+  }
+
   private def countCcLabelDirs(): Int = {
     val base = graft.util.ArtifactStore.baseDir(spark)
     Option(base.listFiles()).map(_.count(f =>

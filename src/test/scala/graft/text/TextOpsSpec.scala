@@ -158,6 +158,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df.select(TextOps.rollingHash(col("s"))).head().getLong(0) === 96354L)
   }
 
+  test("saltedDraw is near-uniform on short sequential ids; raw hash is not") {
+    // the defect saltedDraw exists to fix (x53's first cut kept 8 of 193
+    // 'en' docs at keep_pm=367): pmod(rollingHash, 1000) over short
+    // sequential keys lands in a narrow band. Pin BOTH facts so a future
+    // 'simplification' back to the raw form fails loudly.
+    val ids = (0L until 5000L).toDF("id").select(col("id").cast("string").as("s"))
+    val draws = ids.select(TextOps.saltedDraw(col("s"), "x53", 1000L).as("d"))
+    val deciles = draws.groupBy((col("d") / 100).cast("int").as("dec"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(deciles.keySet === (0 to 9).toSet, s"missing deciles: $deciles")
+    deciles.values.foreach(c => assert(math.abs(c - 500L) <= 120L,
+      s"decile skew: $deciles"))
+    // bounds check: every draw in [0, 1000)
+    val mm = draws.agg(min("d"), max("d")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) < 1000L)
+    // the RAW hash mod 1000 at fixture id-scale (500 sequential ids, the
+    // x53 regression's shape) misses whole deciles entirely
+    val rawDeciles = (0L until 500L).toDF("id")
+      .select(pmod(TextOps.rollingHash(
+        concat(lit("x53:"), col("id").cast("string"))), lit(1000L)).as("d"))
+      .groupBy((col("d") / 100).cast("int")).count().count()
+    assert(rawDeciles < 10, "raw hash became uniform — revisit the finalizer note")
+  }
+
   test("native allShingles equals the non-distinct expression chain, order and multiplicity") {
     val docs = graft.tables.Tables.documents(spark, graft.TestSpark.Sf0001)
       .limit(200)
