@@ -122,6 +122,37 @@ object SparkEntryR8 {
           when(h < 7, "train").when(h < 9, "val").otherwise("test").as("split"))
     }),
 
+    // ---- X56: HTML → text extraction ----
+    //
+    // The web-ingest front step (trafilatura-class, regex tier): strip
+    // tags, decode the five standard entities, collapse whitespace,
+    // pull the <title>. Row-local regex/replace chains — codegen'd, zero
+    // shuffle, trivially partition-parallel at any scale. The fixture
+    // has no HTML, so the page is PLANTED deterministically around each
+    // doc's text (title from the id, a nav div with entities) and the
+    // op must recover exactly the original text + the planted title —
+    // the oracle proves extraction fired, not that text passed through
+    // (the x5_redact_pii discipline). Both engines build the identical
+    // page, so the comparison is engine-exact.
+    "x56_html_extract" -> ((s, d) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><p>"), col("text"),
+        lit("</p><div class=\"nav\">home &amp; about &lt;here&gt;</div></body></html>"))
+      val tagless = regexp_replace(page, "<[^>]*>", " ")
+      // decode order matters: &amp; LAST, so '&amp;lt;' never double-decodes
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+        .foldLeft(tagless) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+      val clean = trim(regexp_replace(decoded, " +", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(page, "<title>([^<]*)</title>", 1).as("title"),
+        clean.as("clean_text"),
+        when(length(clean) === 0, lit(0L))
+          .otherwise(size(split(clean, " ")).cast("bigint")).as("n_tokens"))
+    }),
+
     // ---- X55: transition-graph authority (integer PageRank) ----
     //
     // Markov-chain importance of event types from the user navigation
@@ -213,6 +244,30 @@ object SparkEntryR8 {
                           "'x54:' || CAST(grp AS VARCHAR)", 10L)} AS h
          |      FROM g)""".stripMargin
     },
+    "x56_html_extract" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |         '</title></head><body><p>' || text ||
+        |         '</p><div class="nav">home &amp; about &lt;here&gt;</div></body></html>'
+        |           AS page
+        |  FROM documents),
+        |cl AS (
+        |  SELECT doc_id, page,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(
+        |             regexp_replace(page, '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&#39;', ''''), '&amp;', '&'),
+        |           ' +', ' ', 'g')) AS clean_text
+        |  FROM pg)
+        |SELECT doc_id,
+        |       regexp_extract(page, '<title>([^<]*)</title>', 1) AS title,
+        |       clean_text,
+        |       CASE WHEN length(clean_text) = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(len(string_split(clean_text, ' ')) AS BIGINT)
+        |       END AS n_tokens
+        |FROM cl""".stripMargin,
     "x55_event_pagerank" -> graft.ml.PageRank.oracleSql(10),
     "x52_bpe_train" -> graft.ml.Bpe.trainOracleSql(BpeRounds),
     "x52b_bpe_tokenize" -> graft.ml.Bpe.tokenizeOracleSql(BpeRounds))

@@ -112,6 +112,14 @@ class R8OpsSpec extends AnyFunSuite {
     // leak down (truncation + dangling), never up
     out.values.foreach(v => assert(v >= 150000L / nodes.length))
     assert(out.values.sum <= 1000000L)
+    // the adaptive small-graph (driver) and distributed paths compute
+    // the identical fixed point: force the distributed fold and compare
+    val dist = graft.ml.PageRank.ranks(
+      ev.select("event_type").distinct(), "event_type",
+      graft.ml.PageRank.transitions(ev, "user_id", "event_type", "ts", "event_id"),
+      rounds = 10, smallGraphEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist === out, s"distributed $dist != adaptive $out")
   }
 
   private def countCcLabelDirs(): Int = {
