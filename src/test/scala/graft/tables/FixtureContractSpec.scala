@@ -114,4 +114,25 @@ class FixtureContractSpec extends AnyFunSuite {
     assert(dims === 1L, "embedding vectors are not fixed-width")
     assert(emb.filter(size(col("embedding")) === 0).count() === 0L)
   }
+
+  test("lang mixture is imbalanced (x53 must actually downsample something)") {
+    val counts = Tables.documents(spark, sf).groupBy("lang")
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    assert(counts.min < counts.max,
+      "all langs equal-sized — x53's keep_pm is 1000 everywhere (trivialized)")
+  }
+
+  test("documents contain alphabetic words (x52 BPE vocabulary is non-empty)") {
+    val words = graft.ml.Bpe.wordCounts(Tables.documents(spark, sf), "text")
+    assert(words.limit(1).count() === 1L, "no ^[a-z]+$ words — BPE has no vocabulary")
+  }
+
+  test("events form transitions (x55's edge table is non-empty, several types)") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.select(countDistinct(col("event_type"))).head().getLong(0) >= 2L)
+    val edges = graft.ml.PageRank
+      .transitions(ev, "user_id", "event_type", "ts", "event_id")
+    assert(edges.limit(1).count() === 1L,
+      "no user has two ordered events — the transition graph is empty")
+  }
 }

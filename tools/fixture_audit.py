@@ -89,6 +89,22 @@ def audit(d: str) -> list:
     widths = one("SELECT count(DISTINCT len(embedding)) FROM embeddings")
     if widths != 1:
         bad.append(f"embeddings: {widths} distinct vector widths")
+    # round-8 preconditions
+    balanced = one("""SELECT max(n) = min(n) FROM
+                      (SELECT count(*) n FROM documents GROUP BY lang)""")
+    if balanced:
+        bad.append("langs equal-sized: x53 rebalance trivialized (keep_pm=1000)")
+    alpha = one("""SELECT count(*) FROM (SELECT unnest(string_split_regex(
+                   trim(lower(text)), '\\s+')) w FROM documents)
+                   WHERE regexp_matches(w, '^[a-z]+$')""")
+    if alpha == 0:
+        bad.append("no ^[a-z]+$ words: x52 BPE vocabulary empty")
+    trans = one("""SELECT count(*) FROM (SELECT user_id, count(*) n
+                   FROM events GROUP BY user_id HAVING count(*) >= 2)""")
+    etypes = one("SELECT count(DISTINCT event_type) FROM events")
+    if trans == 0 or etypes < 2:
+        bad.append(f"x55 transition graph degenerate: multi-event users={trans} "
+                   f"event types={etypes}")
     return bad
 
 
