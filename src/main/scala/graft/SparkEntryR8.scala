@@ -153,6 +153,36 @@ object SparkEntryR8 {
           .otherwise(size(split(clean, " ")).cast("bigint")).as("n_tokens"))
     }),
 
+    // ---- X57: distinctive keywords per source (c-TF-IDF class) ----
+    //
+    // Dataset-card keyword extraction: treat each source as one mega-doc
+    // (Grootendorst's c-TF-IDF framing), weight each term by frequency ×
+    // rarity across sources, keep the top 5 per source. All-integer
+    // weight `tf · 1000000 div df` (df = number of sources carrying the
+    // term) so the ranking is engine-exact — a float idf's last-ulp
+    // would flip tie-adjacent ranks between engines. Scale shape: one
+    // corpus-scale token shuffle collapses to the (source, term) table;
+    // df is a second agg of that REDUCED table; the top-5 window
+    // partitions by source — never a corpus-owning sort.
+    "x57_source_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .where(col("term").rlike("^[a-z]+$"))
+        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, "term")
+        .select(col("source"), col("term"),
+          expr("tf * 1000000 div df").as("score"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("term"), col("score"))
+    }),
+
     // ---- X55: transition-graph authority (integer PageRank) ----
     //
     // Markov-chain importance of event types from the user navigation
@@ -268,6 +298,22 @@ object SparkEntryR8 {
         |            ELSE CAST(len(string_split(clean_text, ' ')) AS BIGINT)
         |       END AS n_tokens
         |FROM cl""".stripMargin,
+    "x57_source_keywords" ->
+      """WITH tf AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE trim(text) <> '')
+        |  WHERE regexp_matches(term, '^[a-z]+$')
+        |  GROUP BY source, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT source, term, tf * 1000000 // df AS score
+        |       FROM tf JOIN df USING (term))
+        |SELECT source, rank, term, score FROM (
+        |  SELECT source, term, score,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY score DESC, term ASC) AS INT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5""".stripMargin,
     "x55_event_pagerank" -> graft.ml.PageRank.oracleSql(10),
     "x52_bpe_train" -> graft.ml.Bpe.trainOracleSql(BpeRounds),
     "x52b_bpe_tokenize" -> graft.ml.Bpe.tokenizeOracleSql(BpeRounds))
