@@ -426,7 +426,11 @@ object SparkEntryR5d {
       FROM zed
       """,
     "w7_ewma" -> """
-      WITH RECURSIVE daily AS (
+      -- MATERIALIZED is load-bearing: the recursive step joins `daily`
+      -- once per iteration, and an inlined CTE re-runs its GROUP BY +
+      -- window every time (measured 29.5 s -> 2.7 s at sf0.01,
+      -- bit-identical output)
+      WITH RECURSIVE daily AS MATERIALIZED (
         SELECT l_returnflag AS ativo, l_shipdate AS dt,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS x,
