@@ -153,6 +153,31 @@ object SparkEntryR8 {
           .otherwise(size(split(clean, " ")).cast("bigint")).as("n_tokens"))
     }),
 
+    // ---- X58: mixture recipe planner ----
+    //
+    // The PLANNER whose output x49's epoch executor consumes: given the
+    // per-source token census, emit the per-mill repeat factor that
+    // equalizes every source's token share at (total div n_sources) —
+    // factors > 1000 upsample small sources, < 1000 downsample large
+    // ones (the SlimPajama/DoReMi recipe shape). One corpus-scale token
+    // count collapsing to a |sources|-row frame; the division is
+    // all-integer so the recipe is engine-exact. factor floor 1 keeps
+    // every source represented.
+    "x58_mix_plan" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"),
+          when(length(trim(col("text"))) === 0, lit(0L))
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+            .as("n"))
+        .groupBy("source").agg(sum("n").as("tokens"))
+      tok
+        .crossJoin(broadcast(tok.agg(
+          sum(col("tokens")).as("total"), count(lit(1)).as("ns"))))
+        .select(col("source"), col("tokens"),
+          greatest(lit(1L),
+            expr("(1000 * (total div ns)) div tokens")).as("factor_pm"))
+    }),
+
     // ---- X57: distinctive keywords per source (c-TF-IDF class) ----
     //
     // Dataset-card keyword extraction: treat each source as one mega-doc
@@ -298,6 +323,16 @@ object SparkEntryR8 {
         |            ELSE CAST(len(string_split(clean_text, ' ')) AS BIGINT)
         |       END AS n_tokens
         |FROM cl""".stripMargin,
+    "x58_mix_plan" ->
+      """WITH tok AS (
+        |  SELECT source, SUM(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(tokens) AS total, CAST(count(*) AS BIGINT) AS ns FROM tok)
+        |SELECT source, CAST(tokens AS BIGINT) AS tokens,
+        |       CAST(GREATEST(1, (1000 * (total // ns)) // tokens) AS BIGINT)
+        |         AS factor_pm
+        |FROM tok, tot""".stripMargin,
     "x57_source_keywords" ->
       """WITH tf AS (
         |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM (

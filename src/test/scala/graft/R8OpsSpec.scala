@@ -86,6 +86,42 @@ class R8OpsSpec extends AnyFunSuite {
       "x54 created a NEW cc_labels artifact — key mismatch with x2_dedup_cc")
   }
 
+  // ---- X58 mixture recipe planner ----
+
+  test("x58: factors really up- AND down-sample, and x49's executor hits the plan") {
+    val plan = q("x58_mix_plan").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(plan.exists(_._3 > 1000L), "no source upsampled — plan trivialized")
+    assert(plan.exists(_._3 < 1000L), "no source downsampled — plan trivialized")
+    // planned post-mix tokens land near the equal share (floor effects only)
+    val share = plan.map(_._2).sum / plan.length
+    plan.foreach { case (src, tokens, f) =>
+      val planned = tokens * f / 1000.0
+      assert(math.abs(planned - share) <= math.max(0.05 * share, tokens / 1000.0 + 1),
+        s"$src planned=$planned share=$share")
+    }
+    // EXECUTE the plan: epochMix with the planned factors; realized
+    // per-source token counts approach the share (fractional-draw noise —
+    // wide floor per the ADVICE discipline)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val factors = q("x58_mix_plan").select(col("source"), col("factor_pm"))
+    val mixed = graft.text.TextOps.epochMix(
+      docs.join(broadcast(factors), "source"), "text", col("factor_pm"), "r8test")
+    val realized = mixed
+      .select(col("source"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint")).as("n"))
+      .groupBy("source").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (src, tokens, _) =>
+      val got = realized.getOrElse(src, 0L).toDouble
+      // one fractional doc-draw can move up to the source's mean doc
+      // length; bound by 25% of share with a wide absolute floor
+      assert(math.abs(got - share) <= math.max(200.0, 0.25 * share),
+        s"$src realized=$got share=$share")
+    }
+  }
+
   // ---- X55 transition-graph PageRank ----
 
   test("x55: matches a local fixed-point replay exactly; mass is bounded") {
