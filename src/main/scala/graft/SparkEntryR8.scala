@@ -153,6 +153,32 @@ object SparkEntryR8 {
           .otherwise(size(split(clean, " ")).cast("bigint")).as("n_tokens"))
     }),
 
+    // ---- X59: ANN via the PERSISTED incremental vector index ----
+    //
+    // x4_ivf_topk's serving twin for a continuously-ingested corpus:
+    // the postings table is a durable artifact built once and extended
+    // by O(batch) appends under the frozen quantizer; queries probe the
+    // persisted postings only (a partition-pruned nProbe/nCells read at
+    // scale — the corpus parquet is never rescanned). Approximate by
+    // design → no SQL oracle; `VectorIndexSpec` pins append==rebuild and
+    // exact agreement with the direct ivfTopK on every (q, id, rank).
+    "x59_vector_index_topk" -> ((s, d) => {
+      import graft.sim.{SimSearch, VectorIndex}
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
+      val cents = graft.util.ArtifactStore.getOrCompute(s, "ivf_centroids",
+        Seq(d, Tables.stamp(d, "embeddings"), 16, 3),
+        graft.util.ArtifactStore.CentroidsCodec) {
+        SimSearch.fitCentroids(e, 16, iters = 3)
+      }
+      val idx = VectorIndex.ensureIndex(s, e,
+        Seq(d, Tables.stamp(d, "embeddings"), 16, 3), cents)
+      VectorIndex.queryTopK(idx, e.filter(col("vec_id") < 10), 10, cents,
+        nProbe = 6)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim6"))
+    }),
+
     // ---- X58: mixture recipe planner ----
     //
     // The PLANNER whose output x49's epoch executor consumes: given the

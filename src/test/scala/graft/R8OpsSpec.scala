@@ -122,6 +122,17 @@ class R8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- X57 source keywords ----
+
+  test("x57: every ranking window is source-partitioned, never corpus-global") {
+    val p = q("x57_source_keywords").queryExecution.executedPlan.toString
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windows.nonEmpty, s"top-5 ranking lost its window:\n$p")
+    windows.foreach(w => assert(w.contains("windowspecdefinition(source"),
+      s"unpartitioned ranking window (one task would own the term table):\n$w"))
+  }
+
   // ---- X55 transition-graph PageRank ----
 
   test("x55: matches a local fixed-point replay exactly; mass is bounded") {
