@@ -53,7 +53,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ extQueries ++ pipelineQueries ++ SparkEntryR5.queries ++
       SparkEntryR5b.queries ++ SparkEntryR5c.queries ++ SparkEntryR5d.queries ++
-      SparkEntryR6.queries ++ SparkEntryR7.queries ++ SparkEntryR8.queries
+      SparkEntryR6.queries ++ SparkEntryR7.queries ++ SparkEntryR8.queries ++
+      SparkEntryR8b.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -768,5 +769,6 @@ object SparkEntry {
         |FROM part""".stripMargin
   ) ++ extOracleSql ++ pipelineOracleSql ++ SparkEntryR5.oracleSql ++
     SparkEntryR5b.oracleSql ++ SparkEntryR5c.oracleSql ++ SparkEntryR5d.oracleSql ++
-    SparkEntryR6.oracleSql ++ SparkEntryR7.oracleSql ++ SparkEntryR8.oracleSql
+    SparkEntryR6.oracleSql ++ SparkEntryR7.oracleSql ++ SparkEntryR8.oracleSql ++
+    SparkEntryR8b.oracleSql
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.stats.Drift
+import graft.tables.Tables
+
+/** Round-8 (continued) query entries: pipeline-health diagnostics — the
+  * monitoring surface a production training-data pipeline runs on every
+  * ingested batch: distribution drift, join-key skew, volume anomalies.
+  * The reference has no counterpart (its ETL re-reads blindly,
+  * `etl_job.py`); these are §2.12 extension operators.
+  */
+object SparkEntryR8b {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X60: two-sample KS drift (events.value by event_type) ----
+    //
+    // "Does each event type's value distribution match the baseline
+    // type's?" — per-mill binned Kolmogorov–Smirnov, all-integer (see
+    // graft.stats.Drift for the scale + exactness rationale). One
+    // corpus-scale partial-agg shuffle; every later stage is bin-bounded.
+    "x60_ks_drift" -> ((s, d) => {
+      Drift.ksDrift(Tables.events(s, d), "event_type",
+          expr("CAST(floor(value * 10) AS BIGINT)"), "view")
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // ---- X61: total-variation drift (documents.n_chars by lang) ----
+    //
+    // The per-source / per-language length-profile check run when a new
+    // crawl slice lands: per-mill binned total-variation distance of each
+    // language's doc-length histogram against the English baseline.
+    "x61_tv_drift" -> ((s, d) => {
+      Drift.tvDrift(Tables.documents(s, d), "lang",
+          expr("n_chars div 50"), "en")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")
+    }),
+
+    // ---- X62: join-key skew report ----
+    //
+    // The pre-join diagnostic that decides whether a key needs salting
+    // (graft.joins.SkewJoin) before a corpus-scale join: per-key counts
+    // (one partial-agg shuffle), top-5 heaviest keys via distributed
+    // TakeOrderedAndProject (never a global window over the key table),
+    // per-mill skew vs the uniform expectation and the salt factor that
+    // would level the heaviest key. All integer arithmetic.
+    "x62_skew_report" -> ((s, d) => {
+      val perKey = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      val summary = perKey.agg(sum("cnt").as("total_rows"),
+        count(lit(1)).as("distinct_keys"))
+      // top-k first (distributed), THEN rank the 5 survivors row-locally.
+      val top = perKey.orderBy(desc("cnt"), asc("o_custkey")).limit(5)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("cnt"), asc("o_custkey"))))
+        .crossJoin(broadcast(summary))
+        .select(col("rank"), col("o_custkey"), col("cnt"),
+          col("total_rows"), col("distinct_keys"),
+          expr("cnt * 1000 div (total_rows div distinct_keys)")
+            .as("skew_permill"),
+          expr("""greatest(CAST(1 AS BIGINT),
+                 (cnt + (total_rows div distinct_keys) - 1)
+                   div (total_rows div distinct_keys))""").as("rec_salt"))
+    }),
+
+    // ---- X63: ingest-volume anomaly detection (robust MAD) ----
+    //
+    // Daily event-volume anomaly flags via median absolute deviation —
+    // the alarm that catches a dropped or doubled ingest partition.
+    // Median/MAD are the LOWER medians picked by row_number at position
+    // (n+1) div 2 with a total (value, day) order, so both engines select
+    // the identical element; anomaly rule |cnt − med|·10 > 35·mad is the
+    // integer form of robust-z > 3.5. Corpus-scale work is one partial-
+    // agg day-count shuffle; the unpartitioned windows run on the
+    // day-bounded frame only.
+    "x63_volume_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+      val nDays = daily.agg(count(lit(1)).as("n_days"))
+      val med = daily
+        .withColumn("rn", row_number().over(Window.orderBy("cnt", "day")))
+        .crossJoin(broadcast(nDays))
+        .where(col("rn") === expr("(n_days + 1) div 2"))
+        .select(col("cnt").as("med"))
+      val dv = daily.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val mad = dv
+        .withColumn("rn", row_number().over(Window.orderBy("dev", "day")))
+        .crossJoin(broadcast(nDays))
+        .where(col("rn") === expr("(n_days + 1) div 2"))
+        .select(col("dev").as("mad"))
+      dv.crossJoin(broadcast(mad))
+        .select(col("day"), col("cnt"), col("med"), col("mad"),
+          when(abs(col("cnt") - col("med")) * 10 > col("mad") * 35, 1)
+            .otherwise(0).as("is_anomaly"))
+        .orderBy("day")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "x60_ks_drift" ->
+      s"""SELECT grp AS event_type, n_a, n_b, ks_permill FROM (
+         |${Drift.ksDriftSql("events", "event_type",
+                             "CAST(floor(value * 10) AS BIGINT)", "view")}
+         |) ORDER BY event_type""".stripMargin,
+    "x61_tv_drift" ->
+      s"""SELECT grp AS lang, n_a, n_b, tv_permill FROM (
+         |${Drift.tvDriftSql("documents", "lang", "n_chars // 50", "en")}
+         |) ORDER BY lang""".stripMargin,
+    "x62_skew_report" ->
+      """WITH pk AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |             CAST(count(*) AS BIGINT) AS distinct_keys FROM pk),
+        |t AS (SELECT o_custkey, cnt,
+        |             CAST(row_number() OVER (ORDER BY cnt DESC, o_custkey)
+        |                  AS INT) AS rank
+        |      FROM pk)
+        |SELECT rank, o_custkey, cnt, total_rows, distinct_keys,
+        |       cnt * 1000 // (total_rows // distinct_keys) AS skew_permill,
+        |       GREATEST(CAST(1 AS BIGINT),
+        |         (cnt + (total_rows // distinct_keys) - 1)
+        |           // (total_rows // distinct_keys)) AS rec_salt
+        |FROM t, s WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "x63_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |r AS (SELECT day, cnt,
+        |             row_number() OVER (ORDER BY cnt, day) AS rn FROM daily),
+        |m AS (SELECT cnt AS med FROM r, t WHERE rn = (n_days + 1) // 2),
+        |dv AS (SELECT day, cnt, med, abs(cnt - med) AS dev FROM daily, m),
+        |r2 AS (SELECT day, dev,
+        |              row_number() OVER (ORDER BY dev, day) AS rn FROM dv),
+        |md AS (SELECT dev AS mad FROM r2, t WHERE rn = (n_days + 1) // 2)
+        |SELECT day, cnt, med, mad,
+        |       CAST(CASE WHEN abs(cnt - med) * 10 > mad * 35
+        |                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        |FROM dv, md ORDER BY day""".stripMargin)
+}

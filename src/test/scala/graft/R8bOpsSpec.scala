@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stats.Drift
+
+/** Semantic invariants for the round-8 pipeline-health diagnostics
+  * (x60 KS drift, x61 TV drift, x62 skew report, x63 volume anomaly) —
+  * properties the DuckDB oracle proves by agreement but cannot NAME.
+  */
+class R8bOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- Drift kernels: metric axioms on constructed distributions ----
+
+  test("drift: identical distributions measure zero, shifted measure large") {
+    import spark.implicits._
+    // 'same' duplicates the baseline exactly; 'shift' is disjoint support.
+    val base = (1 to 200).map(i => ("base", i % 10))
+    val same = base.map { case (_, v) => ("same", v) }
+    val shift = base.map { case (_, v) => ("shift", v + 100) }
+    val df = (base ++ same ++ shift).toDF("grp", "v")
+    val ks = Drift.ksDrift(df, "grp", col("v").cast("long"), "base")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ks("same") === 0L)
+    assert(ks("shift") === 1000L, "disjoint support = maximal ECDF gap")
+    val tv = Drift.tvDrift(df, "grp", col("v").cast("long"), "base")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tv("same") === 0L)
+    assert(tv("shift") === 1000L, "disjoint support = maximal TV distance")
+  }
+
+  test("drift: per-mill statistics stay within [0, 1000] on the fixture") {
+    val ks = q("x60_ks_drift").collect()
+    assert(ks.nonEmpty)
+    ks.foreach { r =>
+      val v = r.getLong(3)
+      assert(v >= 0 && v <= 1000, s"ks_permill $v out of range in $r")
+    }
+    val tv = q("x61_tv_drift").collect()
+    assert(tv.nonEmpty)
+    tv.foreach { r =>
+      val v = r.getLong(3)
+      assert(v >= 0 && v <= 1000, s"tv_permill $v out of range in $r")
+    }
+  }
+
+  test("x60: one row per non-baseline event_type, baseline excluded") {
+    val rows = q("x60_ks_drift").collect()
+    val types = rows.map(_.getString(0)).toSet
+    assert(!types.contains("view"), "baseline must not compare to itself")
+    val all = graft.tables.Tables.events(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types === all - "view")
+  }
+
+  // ---- X62 skew report ----
+
+  test("x62: ranked by count desc, salt >= 1, uniform key ~ 1000 permill") {
+    val rows = q("x62_skew_report").orderBy("rank").collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.sameElements(cnts.sorted(Ordering[Long].reverse)),
+      "top keys must be in descending count order")
+    rows.foreach { r =>
+      assert(r.getLong(7 - 1) >= 1L, s"rec_salt must be >= 1 in $r")
+      // skew_permill = cnt / avg in per-mill: >= 1000 for the heaviest
+      // keys of any distribution (the max is never below the mean)
+      assert(r.getLong(5) >= 1000L, s"heaviest keys sit at/above the mean: $r")
+    }
+    // recommended salt levels the heaviest key: cnt / salt <= avg
+    val r0 = rows.head
+    val avg = r0.getLong(3) / r0.getLong(4)
+    assert(r0.getLong(2) <= r0.getLong(6) * avg,
+      "salt factor must level the heaviest key to at most the uniform share")
+  }
+
+  // ---- X63 volume anomaly ----
+
+  test("x63: one row per day; flags agree with the stated MAD rule") {
+    val rows = q("x63_volume_anomaly").collect()
+    val days = rows.map(_.getLong(0))
+    assert(days.distinct.length === days.length)
+    assert(rows.map(_.getLong(2)).distinct.length === 1, "med is global")
+    assert(rows.map(_.getLong(3)).distinct.length === 1, "mad is global")
+    rows.foreach { r =>
+      val (cnt, med, mad, flag) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      val expected = if (math.abs(cnt - med) * 10 > mad * 35) 1 else 0
+      assert(flag === expected, s"flag mismatch in $r")
+    }
+    // a planted 10x day would flag: verify rule sensitivity on a copy
+    val med = rows.head.getLong(2); val mad = rows.head.getLong(3)
+    assert(math.abs(med * 10 - med) * 10 > mad * 35,
+      "a 10x-volume day must trip the rule on this fixture")
+  }
+
+  // ---- plan shape: the corpus-scale stage is ONE partial aggregation ----
+
+  test("x60/x61: corpus scan feeds a partial-agg count, windows are binned") {
+    val p = q("x60_ks_drift").queryExecution.executedPlan.toString
+    // partial-then-final hash aggregation on the scan side
+    assert(p.contains("HashAggregate"), p.take(2000))
+    // the grid cross join must be broadcast, never a shuffle product
+    assert(!p.contains("CartesianProduct"),
+      "grid expansion must broadcast the tiny sides")
+  }
+}
