@@ -70,6 +70,50 @@ object SparkEntryR8b {
                    div (total_rows div distinct_keys))""").as("rec_salt"))
     }),
 
+    // ---- X64: drift gate against a PERSISTED baseline ----
+    //
+    // The ingest-gate form of x61: the validated corpus's length
+    // histogram is built ONCE into a durable `drift_baseline` artifact
+    // (same first-writer-wins lifecycle as the membership/LSH/IVF
+    // indexes), and each arriving source slice compares against that
+    // artifact — at 100 TB the gate reads the batch plus a KB-sized
+    // histogram, never the corpus. Verdict: quarantine a slice whose
+    // per-mill TV distance from the baseline exceeds 250.
+    "x64_drift_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bin = expr("n_chars div 50")
+      val baseline = Drift.ensureBaseline(s, docs, bin,
+        Seq(d, Tables.stamp(d, "documents"), "n_chars_div50"))
+      Drift.tvVsBaseline(docs, "source", bin, baseline)
+        .withColumnRenamed("grp", "source")
+        .select(col("source"), col("n_a"), col("n_b"), col("tv_permill"),
+          when(col("tv_permill") <= 250, lit("keep"))
+            .otherwise(lit("quarantine")).as("verdict"))
+        .orderBy("source")
+    }),
+
+    // ---- X66: k-anonymity / l-diversity audit ----
+    //
+    // The privacy-risk sibling of the PII redaction (x5_redact_pii):
+    // group sizes over the quasi-identifier pair (nation, market
+    // segment) and the sensitive-value diversity inside each group —
+    // groups smaller than k=5 or with a single sensitive value are
+    // re-identification risks. One partial-aggregable groupBy (count
+    // distinct is Spark's two-phase partial_count_distinct); the QI
+    // group frame is dimension-bounded, never row-bounded.
+    "x66_k_anonymity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+            .as("distinct_sensitive"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("distinct_sensitive"),
+          when(col("n") < 5 || col("distinct_sensitive") < 2, 1)
+            .otherwise(0).as("is_risky"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // ---- X63: ingest-volume anomaly detection (robust MAD) ----
     //
     // Daily event-volume anomaly flags via median absolute deviation —
@@ -114,6 +158,47 @@ object SparkEntryR8b {
       s"""SELECT grp AS lang, n_a, n_b, tv_permill FROM (
          |${Drift.tvDriftSql("documents", "lang", "n_chars // 50", "en")}
          |) ORDER BY lang""".stripMargin,
+    "x64_drift_gate" ->
+      """WITH c AS (
+        |  SELECT source AS grp, n_chars // 50 AS bin,
+        |         CAST(count(*) AS BIGINT) AS cnt_a
+        |  FROM documents GROUP BY 1, 2),
+        |b AS (
+        |  SELECT n_chars // 50 AS bin, CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM documents GROUP BY 1),
+        |bins AS (SELECT bin FROM c UNION SELECT bin FROM b),
+        |grid AS (SELECT g.grp, bins.bin
+        |         FROM (SELECT DISTINCT grp FROM c) g CROSS JOIN bins),
+        |al AS (
+        |  SELECT grid.grp, grid.bin,
+        |         COALESCE(c.cnt_a, 0) AS cnt_a, COALESCE(b.cnt_b, 0) AS cnt_b
+        |  FROM grid
+        |  LEFT JOIN c ON c.grp = grid.grp AND c.bin = grid.bin
+        |  LEFT JOIN b ON b.bin = grid.bin),
+        |tot AS (SELECT grp, CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        |               CAST(SUM(cnt_b) AS BIGINT) AS n_b
+        |        FROM al GROUP BY grp),
+        |tv AS (
+        |  SELECT al.grp, tot.n_a, tot.n_b,
+        |         CAST(SUM(abs(cnt_a * 1000 // n_a - cnt_b * 1000 // n_b)) // 2
+        |              AS BIGINT) AS tv_permill
+        |  FROM al JOIN tot ON al.grp = tot.grp
+        |  GROUP BY al.grp, tot.n_a, tot.n_b)
+        |SELECT grp AS source, n_a, n_b, tv_permill,
+        |       CASE WHEN tv_permill <= 250 THEN 'keep'
+        |            ELSE 'quarantine' END AS verdict
+        |FROM tv ORDER BY source""".stripMargin,
+    "x66_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, n, distinct_sensitive,
+        |       CAST(CASE WHEN n < 5 OR distinct_sensitive < 2
+        |                 THEN 1 ELSE 0 END AS INT) AS is_risky
+        |FROM (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT))
+        |              AS BIGINT) AS distinct_sensitive
+        |  FROM customer GROUP BY 1, 2)
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "x62_skew_report" ->
       """WITH pk AS (
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt

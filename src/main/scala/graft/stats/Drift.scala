@@ -131,6 +131,55 @@ object Drift {
         expr("sum(d) div 2").as("tv_permill"))
   }
 
+  /** Total-variation drift of each group against a PRECOMPUTED baseline
+    * histogram `(bin, cnt)` — the ingest-gate form: the baseline is built
+    * once from the validated corpus (see [[ensureBaseline]]) and every
+    * new slice compares against that durable artifact without touching
+    * the corpus again. Output: (grp, n_a, n_b, tv_permill). */
+  def tvVsBaseline(df: DataFrame, groupCol: String, bin: Column,
+                   baseline: DataFrame): DataFrame = {
+    val cnts = df.select(col(groupCol).as("grp"), bin.as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt_a"))
+    val base = baseline.select(col("bin"), col("cnt").as("cnt_b"))
+    // pooled support: bins observed in the slices OR the baseline
+    val bins = cnts.select("bin").union(base.select("bin")).distinct()
+    val grid = cnts.select("grp").distinct().crossJoin(bins)
+    val aligned = grid
+      .join(cnts, Seq("grp", "bin"), "left")
+      .join(broadcast(base), Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+    val totals = aligned.groupBy("grp")
+      .agg(sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"))
+    aligned
+      .join(broadcast(totals), "grp")
+      .select(col("grp"), col("n_a"), col("n_b"),
+        expr("abs(cnt_a * 1000 div n_a - cnt_b * 1000 div n_b)").as("d"))
+      .groupBy("grp")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        expr("sum(d) div 2").as("tv_permill"))
+  }
+
+  /** Build-once durable baseline histogram `(bin, cnt)` for the drift
+    * gate — same artifact lifecycle as the membership / LSH / IVF
+    * indexes: first-writer-wins tmp+rename, survives a fresh JVM,
+    * keyed by the immutable corpus + binning spec. */
+  def ensureBaseline(spark: org.apache.spark.sql.SparkSession,
+                     corpus: => DataFrame, bin: Column,
+                     key: Seq[Any]): DataFrame = {
+    import graft.util.ArtifactStore
+    val dir = ArtifactStore.artifactDir(spark, "drift_baseline", key)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      corpus.select(bin.as("bin")).groupBy("bin")
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.getAbsolutePath)
+      ArtifactStore.publishDir(tmp, dir)
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
   /** SQL (DuckDB) twin of [[tvDrift]]. */
   def tvDriftSql(table: String, groupCol: String, binSql: String,
                  baseline: String): String =

@@ -99,6 +99,39 @@ class R8bOpsSpec extends AnyFunSuite {
       "a 10x-volume day must trip the rule on this fixture")
   }
 
+  // ---- X64 drift gate ----
+
+  test("x64: verdict agrees with the threshold; baseline is durable") {
+    val rows = q("x64_drift_gate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = if (r.getLong(3) <= 250) "keep" else "quarantine"
+      assert(r.getString(4) === expected, s"verdict mismatch in $r")
+    }
+    // the baseline histogram must persist as an artifact (the gate must
+    // not recompute the corpus histogram per run)
+    val dir = graft.util.ArtifactStore.artifactDir(spark, "drift_baseline",
+      Seq(sf, graft.tables.Tables.stamp(sf, "documents"), "n_chars_div50"))
+    assert(new java.io.File(dir, "_SUCCESS").exists(), s"missing $dir")
+    val before = dir.lastModified()
+    q("x64_drift_gate").collect()
+    assert(dir.lastModified() === before, "re-run must reuse, not rebuild")
+  }
+
+  // ---- X66 k-anonymity ----
+
+  test("x66: risk flags agree with the k/l rule; QI partition is complete") {
+    val rows = q("x66_k_anonymity").collect()
+    rows.foreach { r =>
+      val expected =
+        if (r.getLong(2) < 5 || r.getLong(3) < 2) 1 else 0
+      assert(r.getInt(4) === expected, s"risk flag mismatch in $r")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.tables.Tables.customer(spark, sf).count(),
+      "QI groups must partition the table")
+  }
+
   // ---- plan shape: the corpus-scale stage is ONE partial aggregation ----
 
   test("x60/x61: corpus scan feeds a partial-agg count, windows are binned") {
