@@ -114,6 +114,33 @@ object SparkEntryR8b {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // ---- X67: unigram-style subword segmentation (Viterbi DP) ----
+    //
+    // The SentencePiece-family sibling of the x52 BPE trainer: a piece
+    // vocabulary with data-derived integer costs is fit from the word
+    // FREQUENCY table (bounded model state, persisted artifact), and
+    // each DISTINCT word is segmented by a compiled row-local Viterbi
+    // DP with the vocabulary riding the plan as a codegen reference —
+    // vocabulary-keyed compute, corpus never rescanned (see
+    // graft.ml.Unigram for the integer-cost / tie-free packing). The
+    // DuckDB oracle replays the fit AND unrolls the DP as Bellman-Ford
+    // rounds — an oracle-checked train+serve loop like x52/x36b.
+    "x67_unigram_segment" -> ((s, d) => {
+      import graft.ml.{Bpe, Unigram}
+      val words = Unigram.boundedWords(
+        Bpe.wordCounts(Tables.documents(s, d), "text"))
+      val ps = Unigram.ensurePieces(s, words,
+        Seq(d, Tables.stamp(d, "documents")))
+      words
+        .select(col("word"), col("cnt"),
+          Unigram.combCostCol(col("word"), ps).as("comb"))
+        .where(col("comb") >= 0)
+        .select(col("word"), col("cnt"),
+          expr("comb div 128").as("cost"),
+          expr("CAST(comb % 128 AS BIGINT)").as("n_pieces"))
+        .orderBy("word")
+    }),
+
     // ---- X63: ingest-volume anomaly detection (robust MAD) ----
     //
     // Daily event-volume anomaly flags via median absolute deviation —
@@ -149,6 +176,7 @@ object SparkEntryR8b {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "x67_unigram_segment" -> graft.ml.Unigram.oracleSql,
     "x60_ks_drift" ->
       s"""SELECT grp AS event_type, n_a, n_b, ks_permill FROM (
          |${Drift.ksDriftSql("events", "event_type",
