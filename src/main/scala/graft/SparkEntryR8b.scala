@@ -15,7 +15,70 @@ import graft.tables.Tables
   */
 object SparkEntryR8b {
 
+  /** Deterministic re-crawl plant for the cross-source duplication ops:
+    * the raw fixture has zero cross-source exact duplicates, so two
+    * synthetic re-crawl sources copy deterministic doc slices
+    * (`recrawl_a` ⊃ `recrawl_b`) — every source then shares texts with
+    * both re-crawls, and the re-crawls share texts with each other. The
+    * SAME plant feeds the oracle (the docsWithChain discipline).
+    */
+  private def plantedRecrawl(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    docs
+      .unionByName(docs.where(pmod(col("doc_id"), lit(5L)) === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          lit("recrawl_a").as("source"), col("text")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(10L)) === 2)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          lit("recrawl_b").as("source"), col("text")))
+  }
+
+  private val plantedRecrawlSql =
+    """SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'recrawl_a', text FROM documents
+      |  WHERE doc_id % 5 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, 'recrawl_b', text FROM documents
+      |  WHERE doc_id % 10 = 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X68: cross-source duplication matrix ----
+    //
+    // The dataset-card stat x46's per-source dup rate cannot see: WHICH
+    // source pairs share content (a re-crawl, a mirror, a licensing
+    // overlap). Shape: fingerprint once (row-local rolling hash), one
+    // distinct on (fp, source), one self-equi-join on fp — pair fan-out
+    // is bounded by sources-per-fingerprint, and the result frame by
+    // sources², never by corpus rows.
+    "x68_source_overlap" -> ((s, d) => {
+      import graft.text.TextOps
+      val fpSrc = plantedRecrawl(s, d)
+        .select(TextOps.rollingHash(col("text")).as("fp"), col("source"))
+        .distinct()
+      fpSrc.as("a").join(fpSrc.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ---- X69: duplicate-cluster size profile ----
+    //
+    // The dedup report's shape statistic: how big are the exact-dup
+    // clusters (how much of the corpus is 2x, 3x, Nx replicated)? One
+    // partial-agg fingerprint count, one count-of-counts — the x31
+    // histogram shape applied to cluster sizes.
+    "x69_dup_cluster_profile" -> ((s, d) => {
+      import graft.text.TextOps
+      plantedRecrawl(s, d)
+        .groupBy(TextOps.rollingHash(col("text")).as("fp"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
 
     // ---- X60: two-sample KS drift (events.value by event_type) ----
     //
@@ -177,6 +240,23 @@ object SparkEntryR8b {
 
   def oracleSql: Map[String, String] = Map(
     "x67_unigram_segment" -> graft.ml.Unigram.oracleSql,
+    "x68_source_overlap" ->
+      s"""WITH pl AS ($plantedRecrawlSql),
+         |f AS (SELECT DISTINCT
+         |        ${graft.text.TextOps.rollingHashDuckSql("text")} AS fp,
+         |        source
+         |      FROM pl)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS shared
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x69_dup_cluster_profile" ->
+      s"""WITH pl AS ($plantedRecrawlSql),
+         |c AS (SELECT ${graft.text.TextOps.rollingHashDuckSql("text")} AS fp,
+         |             CAST(count(*) AS BIGINT) AS sz
+         |      FROM pl GROUP BY 1)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "x60_ks_drift" ->
       s"""SELECT grp AS event_type, n_a, n_b, ks_permill FROM (
          |${Drift.ksDriftSql("events", "event_type",

@@ -132,6 +132,36 @@ class R8bOpsSpec extends AnyFunSuite {
       "QI groups must partition the table")
   }
 
+  // ---- X68 / X69 cross-source duplication ----
+
+  test("x68: every source pairs with the planted re-crawl; ordering strict") {
+    val rows = q("x68_source_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) < r.getString(1),
+      s"pair must be strictly ordered: $r"))
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    // the %5 slice hits SOME sources at any fixture size; every matrix
+    // row must involve a planted re-crawl (the raw fixture shares nothing)
+    assert(pairs.count(p => p._1.startsWith("recrawl") ||
+      p._2.startsWith("recrawl")) === pairs.size,
+      s"raw fixture sources must not pair with each other: $pairs")
+    assert(pairs.exists(p => p._2 == "recrawl_a" || p._1 == "recrawl_a"))
+    assert(pairs.contains(("recrawl_a", "recrawl_b")),
+      "nested re-crawls must share their intersection")
+  }
+
+  test("x69: cluster sizes partition the planted corpus; sizes are {1,2,3}") {
+    val rows = q("x69_dup_cluster_profile").collect()
+    val profile = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(profile.keySet === Set(1L, 2L, 3L),
+      s"plant yields exactly singletons, pairs, triples: $profile")
+    val total = profile.map { case (sz, n) => sz * n }.sum
+    val base = graft.tables.Tables.documents(spark, sf).count()
+    val expected = base + base / 5 + base / 10 // plant slices (ids 0-based)
+    assert(math.abs(total - expected) <= 2,
+      s"cluster mass $total must equal planted corpus size ~$expected")
+  }
+
   // ---- plan shape: the corpus-scale stage is ONE partial aggregation ----
 
   test("x60/x61: corpus scan feeds a partial-agg count, windows are binned") {
