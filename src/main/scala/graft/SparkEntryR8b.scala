@@ -177,6 +177,44 @@ object SparkEntryR8b {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // ---- X70: embedding-space drift (centroid cosine vs global) ----
+    //
+    // The vector-side drift alarm x60/x61/x64 can't see: has a label's
+    // (or source's / batch's) embedding centroid moved away from the
+    // corpus centroid? Engine-exact via two tricks: (1) per-dim values
+    // quantized to integer per-mill, summed as BIGINT (associative — no
+    // float-order nondeterminism); (2) cosine is scale-invariant, so
+    // cos(mean_a, mean_g) = cos(sum_a, sum_g) and NO division by counts
+    // ever happens — the only float math is the final sqrt/divide on
+    // identical small integers, identical in both engines. Integer dot
+    // products bound: |s| <= rows·1000, so products stay in BIGINT up to
+    // ~3e6 rows per dim-sum pair; past that, drop quantization to
+    // floor(v·100) or mean-first (the x60 overflow discipline).
+    // Shape: one posexplode partial-agg shuffle into a (labels × dims)
+    // frame; everything after is dimension-bounded.
+    "x70_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val perLabel = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          expr("CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+        .groupBy("label", "pos").agg(sum("q").as("s"))
+      val glob = perLabel.groupBy("pos").agg(sum("s").as("g"))
+      val gg = glob.agg(sum(expr("g * g")).as("ngg"))
+      val cnts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      perLabel.join(broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(sum(expr("s * g")).as("dot"), sum(expr("s * s")).as("naa"))
+        .join(broadcast(cnts), "label")
+        .crossJoin(broadcast(gg))
+        .select(col("label"), col("n"),
+          expr("""CAST(CASE WHEN naa = 0 OR ngg = 0 THEN 0
+                 ELSE floor(1000.0 * CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(naa AS DOUBLE)) * sqrt(CAST(ngg AS DOUBLE))))
+                 END AS BIGINT)""").as("cos_permill"))
+        .orderBy("label")
+    }),
+
     // ---- X67: unigram-style subword segmentation (Viterbi DP) ----
     //
     // The SentencePiece-family sibling of the x52 BPE trainer: a piece
@@ -240,6 +278,29 @@ object SparkEntryR8b {
 
   def oracleSql: Map[String, String] = Map(
     "x67_unigram_segment" -> graft.ml.Unigram.oracleSql,
+    "x70_embedding_drift" ->
+      """WITH e AS (SELECT label, embedding FROM embeddings),
+        |ex AS (SELECT label, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS pos
+        |       FROM e),
+        |q AS (SELECT label, pos,
+        |             CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000)
+        |                  AS BIGINT) AS q
+        |      FROM ex),
+        |pl AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s
+        |       FROM q GROUP BY 1, 2),
+        |g AS (SELECT pos, CAST(SUM(s) AS BIGINT) AS g FROM pl GROUP BY 1),
+        |gg AS (SELECT CAST(SUM(g * g) AS BIGINT) AS ngg FROM g),
+        |d AS (SELECT label, CAST(SUM(s * g) AS BIGINT) AS dot,
+        |             CAST(SUM(s * s) AS BIGINT) AS naa
+        |      FROM pl JOIN g USING (pos) GROUP BY 1),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+        |SELECT d.label, n.n,
+        |       CAST(CASE WHEN naa = 0 OR ngg = 0 THEN 0
+        |            ELSE floor(1000.0 * CAST(dot AS DOUBLE) /
+        |                 (sqrt(CAST(naa AS DOUBLE)) * sqrt(CAST(ngg AS DOUBLE))))
+        |            END AS BIGINT) AS cos_permill
+        |FROM d JOIN n USING (label) CROSS JOIN gg ORDER BY d.label""".stripMargin,
     "x68_source_overlap" ->
       s"""WITH pl AS ($plantedRecrawlSql),
          |f AS (SELECT DISTINCT

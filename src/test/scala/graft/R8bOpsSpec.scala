@@ -162,6 +162,21 @@ class R8bOpsSpec extends AnyFunSuite {
       s"cluster mass $total must equal planted corpus size ~$expected")
   }
 
+  // ---- X70 embedding drift ----
+
+  test("x70: one row per label; cosine bounded; centroids near-global here") {
+    val rows = q("x70_embedding_drift").collect()
+    val labels = graft.tables.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length.toLong === labels)
+    rows.foreach { r =>
+      val c = r.getLong(2)
+      assert(c >= -1000 && c <= 1000, s"cosine out of range: $r")
+    }
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.tables.Tables.embeddings(spark, sf).count())
+  }
+
   // ---- plan shape: the corpus-scale stage is ONE partial aggregation ----
 
   test("x60/x61: corpus scan feeds a partial-agg count, windows are binned") {
