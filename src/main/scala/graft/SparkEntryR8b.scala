@@ -177,6 +177,36 @@ object SparkEntryR8b {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // ---- X60b: KS drift, sketch form (the 100 TB twin) ----
+    //
+    // x60's exact form keeps a per-(group, bin) histogram; the twin
+    // replaces it with one mergeable KLL sketch per group (O(k·log n)
+    // map-side-merged blobs — the x46b/x48b/x12b discipline) and takes
+    // the KS distance between sketch CDFs (Datasketches
+    // KolmogorovSmirnov). KLL compaction randomizes → rows-only by
+    // design; R8bOpsSpec pins agreement with the exact x60 within the
+    // sketch's rank-error tolerance.
+    "x60b_ks_drift_sketch" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      import graft.expressions.{KllKsDelta, KllSketchAgg}
+      val sks = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(ColumnBridge.column(
+            KllSketchAgg(ColumnBridge.expression(col("value")), 200)
+              .toAggregateExpression()).as("__sk"),
+          count(lit(1)).as("n"))
+      val base = sks.where(col("event_type") === "view")
+        .select(col("__sk").as("__bsk"), col("n").as("n_b"))
+      sks.where(col("event_type") =!= "view")
+        .crossJoin(broadcast(base))
+        .select(col("event_type"), col("n").as("n_a"), col("n_b"),
+          floor(lit(1000.0) * ColumnBridge.column(KllKsDelta(
+            ColumnBridge.expression(col("__sk")),
+            ColumnBridge.expression(col("__bsk")))))
+            .cast("long").as("ks_permill_est"))
+        .orderBy("event_type")
+    }),
+
     // ---- X70: embedding-space drift (centroid cosine vs global) ----
     //
     // The vector-side drift alarm x60/x61/x64 can't see: has a label's

@@ -155,3 +155,39 @@ case class KllQuantile(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): KllQuantile =
     copy(left = newLeft, right = newRight)
 }
+
+/** Kolmogorov–Smirnov distance between two serialized KLL sketches
+  * (Datasketches' `KolmogorovSmirnov.computeKSDelta` over the sketches'
+  * retained-item CDFs) — the 100 TB twin of the exact binned KS in
+  * `graft.stats.Drift`: per-slice sketches are O(k·log n), merge
+  * map-side, persist as artifacts, and the pairwise drift check runs on
+  * KB blobs instead of histograms. Approximate by construction (KLL
+  * compaction randomizes), so queries on this are rows-only with the
+  * tolerance vs the exact form pinned in `SketchSpec`/`R8bOpsSpec`.
+  * Runs on aggregate-output rows — CodegenFallback is fine.
+  */
+case class KllKsDelta(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_ks_delta requires (BINARY, BINARY), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ska = KllDoublesSketch.heapify(Memory.wrap(a.asInstanceOf[Array[Byte]]))
+    val skb = KllDoublesSketch.heapify(Memory.wrap(b.asInstanceOf[Array[Byte]]))
+    if (ska.isEmpty || skb.isEmpty) null
+    else org.apache.datasketches.quantilescommon.KolmogorovSmirnov
+      .computeKSDelta(ska, skb)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllKsDelta =
+    copy(left = newLeft, right = newRight)
+}

@@ -162,6 +162,22 @@ class R8bOpsSpec extends AnyFunSuite {
       s"cluster mass $total must equal planted corpus size ~$expected")
   }
 
+  // ---- X60b sketch KS twin ----
+
+  test("x60b: sketch KS tracks exact KS within the rank-error tolerance") {
+    val exact = q("x60_ks_drift").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = q("x60b_ks_drift_sketch").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (t, ks) =>
+      // KLL k=200: ±1.65% rank error per side, plus x60's 2permill
+      // binning; 60permill is a comfortable envelope at any redraw
+      assert(math.abs(ks - exact(t)) <= 60,
+        s"sketch KS $ks vs exact ${exact(t)} for $t")
+    }
+  }
+
   // ---- X70 embedding drift ----
 
   test("x70: one row per label; cosine bounded; centroids near-global here") {
