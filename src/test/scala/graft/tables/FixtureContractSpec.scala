@@ -135,4 +135,52 @@ class FixtureContractSpec extends AnyFunSuite {
     assert(edges.limit(1).count() === 1L,
       "no user has two ordered events — the transition graph is empty")
   }
+
+  // ---- round-8 diagnostics preconditions (x60-x70) ----
+
+  test("events.value is positive-bounded (x60's floor(value*10) binning)") {
+    val mm = Tables.events(spark, sf)
+      .agg(min(col("value")), max(col("value"))).head()
+    assert(mm.getDouble(0) >= 0.0, "negative values change the bin floor")
+    assert(mm.getDouble(1) <= 1e6,
+      "value range exploded — x60's bin count is no longer bounded")
+  }
+
+  test("x60's baseline event_type and a non-baseline type both exist") {
+    val types = Tables.events(spark, sf).select("event_type")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(types.contains("view"), "x60/x60b baseline 'view' vanished")
+    assert((types - "view").nonEmpty)
+  }
+
+  test("x61/x64's 'en' baseline exists and n_chars spans several bins") {
+    val docs = Tables.documents(spark, sf)
+    assert(docs.filter(col("lang") === "en").limit(1).count() === 1L,
+      "x61's baseline language vanished")
+    val bins = docs.select(countDistinct(expr("n_chars div 50"))).head().getLong(0)
+    assert(bins >= 2L, "all docs in one length bin — drift trivially zero")
+  }
+
+  test("x68's re-crawl plant slices are non-empty (doc_id % 5 == 2 docs exist)") {
+    val docs = Tables.documents(spark, sf)
+    assert(docs.filter(pmod(col("doc_id"), lit(10L)) === 2).limit(1).count() === 1L,
+      "x68's nested plant is empty — the overlap matrix trivializes")
+  }
+
+  test("x63 has multiple event days; x66 has multiple QI groups") {
+    val days = Tables.events(spark, sf)
+      .select(countDistinct(expr("unix_micros(ts) div 86400000000")))
+      .head().getLong(0)
+    assert(days >= 5L, "too few days for a median/MAD to mean anything")
+    val qi = Tables.customer(spark, sf)
+      .select(countDistinct(col("c_nationkey"), col("c_mktsegment")))
+      .head().getLong(0)
+    assert(qi >= 2L, "a single QI group trivializes x66")
+  }
+
+  test("embeddings carry several labels (x70's per-label centroids)") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(countDistinct(col("label"))).head().getLong(0)
+    assert(labels >= 2L, "one label collapses x70 to cos=1000 only")
+  }
 }
