@@ -459,4 +459,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected exactly one shard exchange, got $exchanges:\n$p")
     assert(p.contains("Window"), s"per-shard positions must come from a window:\n$p")
   }
+
+  // ---- round-8 diagnostics: corpus touches bounded, grids broadcast ----
+
+  test("x60/x61/x64 drift: partial-agg counts, broadcast grids, no products") {
+    Seq("x60_ks_drift", "x61_tv_drift", "x64_drift_gate").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: grid expansion must broadcast, not product:\n${p.take(1500)}")
+      // the corpus aggregation must be two-phase (map-side partials)
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"$q: missing partial aggregation")
+    }
+  }
+
+  test("x62 skew report: top-k is TakeOrderedAndProject, never a global window") {
+    val p = plan("x62_skew_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"per-key top-5 must be a distributed top-k:\n${p.take(1500)}")
+  }
+
+  test("x70 embedding drift: dims join is broadcast; one corpus exchange") {
+    val p = plan("x70_embedding_drift")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"labels x dims frames must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x67 unigram serving stays row-local after the word-table aggregation") {
+    val p = plan("x67_unigram_segment")
+    assert(p.contains("graft_unigram_comb_cost"),
+      s"serving must use the compiled DP expression:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "serving must not join the corpus - the vocab rides the plan")
+  }
 }
