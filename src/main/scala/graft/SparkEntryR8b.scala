@@ -155,6 +155,26 @@ object SparkEntryR8b {
         .orderBy("source")
     }),
 
+    // ---- X64b: incremental baseline absorption (absorb == rebuild) ----
+    //
+    // The maintenance step x64's gate needs when a validated batch is
+    // ADMITTED: fold the batch's histogram into the persisted baseline
+    // as a new artifact version — O(batch) + O(bins), the corpus behind
+    // the old baseline is never rescanned. Histogram addition is exact,
+    // so the oracle checks absorb == full-corpus rebuild bit-for-bit
+    // (the x59 append==rebuild discipline for the drift gate).
+    "x64b_baseline_absorb" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bin = expr("n_chars div 50")
+      val stamp = Tables.stamp(d, "documents")
+      val even = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      val odd = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      Drift.ensureBaseline(s, even, bin, Seq(d, stamp, "absorb_even"))
+      Drift.absorbBaseline(s, odd, bin,
+          Seq(d, stamp, "absorb_even"), Seq(d, stamp, "absorb_full"))
+        .orderBy("bin")
+    }),
+
     // ---- X66: k-anonymity / l-diversity audit ----
     //
     // The privacy-risk sibling of the PII redaction (x5_redact_pii):
@@ -387,6 +407,9 @@ object SparkEntryR8b {
         |       CASE WHEN tv_permill <= 250 THEN 'keep'
         |            ELSE 'quarantine' END AS verdict
         |FROM tv ORDER BY source""".stripMargin,
+    "x64b_baseline_absorb" ->
+      """SELECT n_chars // 50 AS bin, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "x66_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, n, distinct_sensitive,
         |       CAST(CASE WHEN n < 5 OR distinct_sensitive < 2

@@ -180,6 +180,35 @@ object Drift {
     spark.read.parquet(dir.getAbsolutePath)
   }
 
+  /** Absorb a new batch into a persisted baseline WITHOUT rescanning the
+    * corpus the baseline summarizes: merged = stored histogram + batch
+    * histogram, published as a NEW artifact version under `newKey`
+    * (same first-writer-wins lifecycle; the old version stays readable —
+    * refreshing consumers is a key roll, the x59/IncrementalStats
+    * discipline). Cost is O(batch) + O(bins). Returns the merged
+    * histogram. Histogram addition is exact, so absorb == full rebuild
+    * bit-for-bit (pinned in `R8bOpsSpec` and the x64b oracle). */
+  def absorbBaseline(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, bin: Column,
+                     baseKey: Seq[Any], newKey: Seq[Any]): DataFrame = {
+    import graft.util.ArtifactStore
+    val dir = ArtifactStore.artifactDir(spark, "drift_baseline", newKey)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val base = spark.read.parquet(
+        ArtifactStore.artifactDir(spark, "drift_baseline", baseKey)
+          .getAbsolutePath)
+      val delta = batch.select(bin.as("bin")).groupBy("bin")
+        .agg(count(lit(1)).as("cnt"))
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      base.unionByName(delta).groupBy("bin").agg(sum("cnt").as("cnt"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.getAbsolutePath)
+      ArtifactStore.publishDir(tmp, dir)
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
   /** SQL (DuckDB) twin of [[tvDrift]]. */
   def tvDriftSql(table: String, groupCol: String, binSql: String,
                  baseline: String): String =

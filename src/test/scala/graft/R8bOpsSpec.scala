@@ -118,6 +118,23 @@ class R8bOpsSpec extends AnyFunSuite {
     assert(dir.lastModified() === before, "re-run must reuse, not rebuild")
   }
 
+  test("x64b: absorb == full rebuild bit-for-bit; versions are durable") {
+    import graft.stats.Drift
+    import org.apache.spark.sql.functions.expr
+    val full = Drift.ensureBaseline(spark,
+      graft.tables.Tables.documents(spark, sf), expr("n_chars div 50"),
+      Seq(sf, graft.tables.Tables.stamp(sf, "documents"), "n_chars_div50"))
+      .collect().map(_.toSeq).toSet
+    val absorbed = q("x64b_baseline_absorb").collect().map(_.toSeq).toSet
+    assert(absorbed === full, "absorbed baseline must equal the rebuild")
+    // both versions coexist on disk (consumers roll keys, never lose one)
+    Seq("absorb_even", "absorb_full").foreach { v =>
+      val dir = graft.util.ArtifactStore.artifactDir(spark, "drift_baseline",
+        Seq(sf, graft.tables.Tables.stamp(sf, "documents"), v))
+      assert(new java.io.File(dir, "_SUCCESS").exists(), s"missing $v")
+    }
+  }
+
   // ---- X66 k-anonymity ----
 
   test("x66: risk flags agree with the k/l rule; QI partition is complete") {
