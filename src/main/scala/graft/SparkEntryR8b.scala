@@ -175,6 +175,44 @@ object SparkEntryR8b {
         .orderBy("bin")
     }),
 
+    // ---- X72: corpus-release pipeline (round-8 composition flagship) ----
+    //
+    // The per-release report a curation pipeline publishes, composing the
+    // round-8 pieces as ONE lazy plan (the x17/x43 composition
+    // discipline): drift gate against the persisted baseline (x64) →
+    // exact dedup by fingerprint min-id (x1) → deterministic admission
+    // sampling (the x53 salted draw) → per-source funnel counts. Every
+    // stage is a partial-aggregable shuffle or a row-local filter; the
+    // gate verdicts and baseline are KB-sized broadcasts.
+    "x72_release_pipeline" -> ((s, d) => {
+      import graft.text.TextOps
+      val docs = Tables.documents(s, d)
+      val bin = expr("n_chars div 50")
+      val baseline = Drift.ensureBaseline(s, docs, bin,
+        Seq(d, Tables.stamp(d, "documents"), "n_chars_div50"))
+      val verdicts = Drift.tvVsBaseline(docs, "source", bin, baseline)
+        .select(col("grp").as("source"), col("tv_permill"))
+      val gated = docs.join(broadcast(verdicts), "source")
+        .where(col("tv_permill") <= 250)
+      val keptIds = gated
+        .groupBy(TextOps.rollingHash(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = gated.join(keptIds, Seq("doc_id"), "left_semi")
+      val released = deduped.where(
+        TextOps.saltedDraw(col("doc_id").cast("string"), "x72", 1000L) < 800)
+      docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        .join(deduped.groupBy("source").agg(count(lit(1)).as("n_dedup")),
+          Seq("source"), "left")
+        .join(released.groupBy("source").agg(count(lit(1)).as("n_released")),
+          Seq("source"), "left")
+        .join(broadcast(verdicts), "source")
+        .na.fill(0L, Seq("n_dedup", "n_released"))
+        .select(col("source"), col("n_raw"), col("n_dedup"),
+          col("n_released"), col("tv_permill"))
+        .orderBy("source")
+    }),
+
     // ---- X66: k-anonymity / l-diversity audit ----
     //
     // The privacy-risk sibling of the PII redaction (x5_redact_pii):
@@ -410,6 +448,59 @@ object SparkEntryR8b {
     "x64b_baseline_absorb" ->
       """SELECT n_chars // 50 AS bin, CAST(count(*) AS BIGINT) AS cnt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x72_release_pipeline" -> {
+      val fp = graft.text.TextOps.rollingHashDuckSql("text")
+      val draw = graft.text.TextOps.saltedDrawSql(
+        "'x72:' || CAST(doc_id AS VARCHAR)", 1000L)
+      s"""WITH c AS (
+         |  SELECT source AS grp, n_chars // 50 AS bin,
+         |         CAST(count(*) AS BIGINT) AS cnt_a
+         |  FROM documents GROUP BY 1, 2),
+         |b AS (
+         |  SELECT n_chars // 50 AS bin, CAST(count(*) AS BIGINT) AS cnt_b
+         |  FROM documents GROUP BY 1),
+         |bins AS (SELECT bin FROM c UNION SELECT bin FROM b),
+         |grid AS (SELECT g.grp, bins.bin
+         |         FROM (SELECT DISTINCT grp FROM c) g CROSS JOIN bins),
+         |al AS (
+         |  SELECT grid.grp, grid.bin,
+         |         COALESCE(c.cnt_a, 0) AS cnt_a, COALESCE(b.cnt_b, 0) AS cnt_b
+         |  FROM grid
+         |  LEFT JOIN c ON c.grp = grid.grp AND c.bin = grid.bin
+         |  LEFT JOIN b ON b.bin = grid.bin),
+         |tot AS (SELECT grp, CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         |               CAST(SUM(cnt_b) AS BIGINT) AS n_b
+         |        FROM al GROUP BY grp),
+         |tv AS (
+         |  SELECT al.grp AS source, tot.n_a, tot.n_b,
+         |         CAST(SUM(abs(cnt_a * 1000 // n_a - cnt_b * 1000 // n_b)) // 2
+         |              AS BIGINT) AS tv_permill
+         |  FROM al JOIN tot ON al.grp = tot.grp
+         |  GROUP BY al.grp, tot.n_a, tot.n_b),
+         |gated AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN tv ON tv.source = d.source
+         |  WHERE tv.tv_permill <= 250),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, $fp AS fp FROM gated) GROUP BY fp),
+         |dd AS (SELECT g.doc_id, g.source FROM gated g
+         |       JOIN keep ON keep.doc_id = g.doc_id),
+         |rel AS (SELECT doc_id, source FROM dd WHERE ($draw) < 800),
+         |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+         |        FROM documents GROUP BY 1)
+         |SELECT raw.source, raw.n_raw,
+         |       CAST(COALESCE(ddn.n, 0) AS BIGINT) AS n_dedup,
+         |       CAST(COALESCE(reln.n, 0) AS BIGINT) AS n_released,
+         |       tv.tv_permill
+         |FROM raw
+         |LEFT JOIN (SELECT source, count(*) AS n FROM dd GROUP BY 1) ddn
+         |  ON ddn.source = raw.source
+         |LEFT JOIN (SELECT source, count(*) AS n FROM rel GROUP BY 1) reln
+         |  ON reln.source = raw.source
+         |JOIN tv ON tv.source = raw.source
+         |ORDER BY raw.source""".stripMargin
+    },
     "x66_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, n, distinct_sensitive,
         |       CAST(CASE WHEN n < 5 OR distinct_sensitive < 2

@@ -135,6 +135,21 @@ class R8bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x72: funnel counts are monotone and consistent with the stages") {
+    val rows = q("x72_release_pipeline").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, dd, rel) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(raw >= dd && dd >= rel, s"funnel must be monotone: $r")
+      assert(rel >= 0)
+    }
+    // ~80% admission overall (salted draw < 800), wide noise floor
+    val dd = rows.map(_.getLong(2)).sum
+    val rel = rows.map(_.getLong(3)).sum
+    assert(rel * 1000 >= dd * 650 && rel * 1000 <= dd * 950,
+      s"released $rel of $dd deduped is far from the 80% draw")
+  }
+
   // ---- X66 k-anonymity ----
 
   test("x66: risk flags agree with the k/l rule; QI partition is complete") {
