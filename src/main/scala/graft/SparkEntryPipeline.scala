@@ -159,17 +159,37 @@ object SparkEntryPipeline {
         |  ('ativo', 'string'), ('data', 'date')
         |) AS t(col_name, data_type)""".stripMargin,
 
-    "s1_synthetic_source" -> {
-      def gen(ticker: String): String = {
-        val h = graft.sources.SyntheticBars.tickerHash(ticker)
-        val ativo = ticker.split("\\.", -1)(0)
-        s"""SELECT '$ativo' AS ativo,
-           |       CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS TIMESTAMP) AS date,
-           |       100.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS close,
-           |       CAST(1000 + ((CAST($h AS BIGINT) * (i + 1)) % 9973) AS BIGINT) AS volume
-           |FROM (SELECT unnest(range(120)) AS i)""".stripMargin
-      }
-      s"${gen("VALE3.SA")}\nUNION ALL\n${gen("PETR4.SA")}"
-    }
+    "s1_synthetic_source" ->
+      s"${barsGenSql("VALE3.SA")}\nUNION ALL\n${barsGenSql("PETR4.SA")}"
   )
+
+  /** DuckDB replay of `SyntheticBars.bars(ticker, "2024-01-01", 120)`
+    * (close/volume columns; Open/High/Low derive from the same integer
+    * draws — see `fullBarsGenSql`). Shared by the s1 roundtrip and the
+    * x73/x74 market-analytics oracles.
+    */
+  private[graft] def barsGenSql(ticker: String): String = {
+    val h = graft.sources.SyntheticBars.tickerHash(ticker)
+    val ativo = ticker.split("\\.", -1)(0)
+    s"""SELECT '$ativo' AS ativo,
+       |       CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS TIMESTAMP) AS date,
+       |       100.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS close,
+       |       CAST(1000 + ((CAST($h AS BIGINT) * (i + 1)) % 9973) AS BIGINT) AS volume
+       |FROM (SELECT unnest(range(120)) AS i)""".stripMargin
+  }
+
+  /** Full OHLCV replay (all five price/volume columns of
+    * `SyntheticBars.bars` — `SyntheticBars.scala:34-45`). */
+  private[graft] def fullBarsGenSql(ticker: String): String = {
+    val h = graft.sources.SyntheticBars.tickerHash(ticker)
+    val ativo = ticker.split("\\.", -1)(0)
+    s"""SELECT '$ativo' AS ativo,
+       |       CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS TIMESTAMP) AS date,
+       |       100.0 + ((CAST($h AS BIGINT) * i) % 997) / 10.0 AS open,
+       |       101.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS high,
+       |       99.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS low,
+       |       100.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS close,
+       |       CAST(1000 + ((CAST($h AS BIGINT) * (i + 1)) % 9973) AS BIGINT) AS volume
+       |FROM (SELECT unnest(range(120)) AS i)""".stripMargin
+  }
 }

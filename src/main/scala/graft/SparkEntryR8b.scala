@@ -175,6 +175,56 @@ object SparkEntryR8b {
         .orderBy("bin")
     }),
 
+    // ---- X73: VWAP (volume-weighted average price) ----
+    //
+    // The market-analytics aggregate the reference's per-asset mean
+    // never had: monthly VWAP per asset, in the integer-cents discipline
+    // (price·100 is exact by fixture construction; the weighted mean is
+    // one integer floor-division). One partial-aggregable shuffle on
+    // (asset, month).
+    "x73_vwap" -> ((s, d) => {
+      import graft.sources.SyntheticBars
+      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
+        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
+      bars.select(col("ativo"),
+          date_trunc("month", col("Date")).cast("date").as("month"),
+          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"),
+          col("Volume").as("vol"))
+        .groupBy("ativo", "month")
+        .agg(count(lit(1)).as("n_days"), sum("vol").as("tot_vol"),
+          expr("sum(cents * vol) div sum(vol)").as("vwap_cents"))
+        .orderBy("ativo", "month")
+    }),
+
+    // ---- X74: OHLC calendar resampling (daily → weekly candles) ----
+    //
+    // The bar-coarsening op every market pipeline needs: weekly candles
+    // from daily bars — open = first by date (min_by), close = last
+    // (max_by), high/low = extrema, volume summed; all prices emitted as
+    // exact integer cents. min_by/max_by are single-pass partial-
+    // aggregable argmin/argmax — never a per-group sort or window.
+    "x74_ohlc_resample" -> ((s, d) => {
+      import graft.sources.SyntheticBars
+      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
+        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
+      bars.select(col("ativo"),
+          date_trunc("week", col("Date")).cast("date").as("week"),
+          col("Date").as("dt"),
+          expr("CAST(round(Open * 100) AS BIGINT)").as("o"),
+          expr("CAST(round(High * 100) AS BIGINT)").as("h"),
+          expr("CAST(round(Low * 100) AS BIGINT)").as("l"),
+          expr("CAST(round(Close * 100) AS BIGINT)").as("c"),
+          col("Volume").as("vol"))
+        .groupBy("ativo", "week")
+        .agg(min_by(col("o"), col("dt")).as("open_cents"),
+          max(col("h")).as("high_cents"),
+          min(col("l")).as("low_cents"),
+          max_by(col("c"), col("dt")).as("close_cents"),
+          sum(col("vol")).as("tot_vol"),
+          count(lit(1)).as("n_days"))
+        .orderBy("ativo", "week")
+    }),
+
     // ---- X72: corpus-release pipeline (round-8 composition flagship) ----
     //
     // The per-release report a curation pipeline publishes, composing the
@@ -448,6 +498,30 @@ object SparkEntryR8b {
     "x64b_baseline_absorb" ->
       """SELECT n_chars // 50 AS bin, CAST(count(*) AS BIGINT) AS cnt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x73_vwap" ->
+      s"""WITH bars AS (
+         |${SparkEntryPipeline.barsGenSql("VALE3.SA")}
+         |UNION ALL
+         |${SparkEntryPipeline.barsGenSql("PETR4.SA")})
+         |SELECT ativo, CAST(date_trunc('month', date) AS DATE) AS month,
+         |       CAST(count(*) AS BIGINT) AS n_days,
+         |       CAST(SUM(volume) AS BIGINT) AS tot_vol,
+         |       CAST(SUM(CAST(round(close * 100) AS BIGINT) * volume)
+         |              // SUM(volume) AS BIGINT) AS vwap_cents
+         |FROM bars GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x74_ohlc_resample" ->
+      s"""WITH bars AS (
+         |${SparkEntryPipeline.fullBarsGenSql("VALE3.SA")}
+         |UNION ALL
+         |${SparkEntryPipeline.fullBarsGenSql("PETR4.SA")})
+         |SELECT ativo, CAST(date_trunc('week', date) AS DATE) AS week,
+         |       arg_min(CAST(round(open * 100) AS BIGINT), date) AS open_cents,
+         |       CAST(MAX(CAST(round(high * 100) AS BIGINT)) AS BIGINT) AS high_cents,
+         |       CAST(MIN(CAST(round(low * 100) AS BIGINT)) AS BIGINT) AS low_cents,
+         |       arg_max(CAST(round(close * 100) AS BIGINT), date) AS close_cents,
+         |       CAST(SUM(volume) AS BIGINT) AS tot_vol,
+         |       CAST(count(*) AS BIGINT) AS n_days
+         |FROM bars GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x72_release_pipeline" -> {
       val fp = graft.text.TextOps.rollingHashDuckSql("text")
       val draw = graft.text.TextOps.saltedDrawSql(

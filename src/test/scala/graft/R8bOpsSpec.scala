@@ -150,6 +150,35 @@ class R8bOpsSpec extends AnyFunSuite {
       s"released $rel of $dd deduped is far from the 80% draw")
   }
 
+  // ---- X73 / X74 market analytics ----
+
+  test("x73: VWAP lies within each month's price range; volumes positive") {
+    val rows = q("x73_vwap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vwap = r.getLong(4)
+      // fixture closes are 100.0..199.7 -> cents in [9900, 20100]
+      assert(vwap >= 9900 && vwap <= 20100, s"VWAP outside price band: $r")
+      assert(r.getLong(3) > 0)
+    }
+  }
+
+  test("x74: candle invariants hold (low <= open,close <= high)") {
+    val rows = q("x74_ohlc_resample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(l <= h, s"low above high: $r")
+      // fixture construction: High = Low + 200 cents, Close between
+      assert(c <= h && c >= l, s"close outside candle: $r")
+      assert(o >= 9900 && o <= 20100, s"open outside price band: $r")
+    }
+    // weekly resample of 120 daily bars per asset: 17-19 weeks each
+    val byAsset = rows.groupBy(_.getString(0)).map(_._2.length)
+    byAsset.foreach(n => assert(n >= 17 && n <= 19, s"week count $n"))
+  }
+
   // ---- X66 k-anonymity ----
 
   test("x66: risk flags agree with the k/l rule; QI partition is complete") {
