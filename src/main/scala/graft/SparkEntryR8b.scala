@@ -225,6 +225,56 @@ object SparkEntryR8b {
         .orderBy("ativo", "week")
     }),
 
+    // ---- X75: maximum drawdown ----
+    //
+    // The risk statistic on every market dashboard: worst peak-to-trough
+    // loss per asset, as per-mill of the running peak — integer cents in,
+    // integer per-mill out (running max is order-exact; the division is
+    // one floor-div per day). Per-asset ordered window: one exchange on
+    // the asset key, the same shape as the W-family.
+    "x75_max_drawdown" -> ((s, d) => {
+      import graft.sources.SyntheticBars
+      import org.apache.spark.sql.expressions.Window
+      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
+        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
+        .select(col("ativo"), col("Date").as("dt"),
+          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("ativo").orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bars.withColumn("runmax", max(col("cents")).over(w))
+        .select(col("ativo"),
+          expr("(runmax - cents) * 1000 div runmax").as("dd"))
+        .groupBy("ativo")
+        .agg(max("dd").as("max_drawdown_permill"),
+          count(lit(1)).as("n_days"))
+        .orderBy("ativo")
+    }),
+
+    // ---- X76: daily-return sufficient statistics ----
+    //
+    // Volatility inputs without float aggregation-order hazards (the x30
+    // discipline): daily simple returns in integer basis points
+    // (`(c - lag) * 10000 div lag`), then the mergeable integer moments
+    // (n, Σ, Σ², min, max) any variance/Sharpe consumer derives from.
+    "x76_return_stats" -> ((s, d) => {
+      import graft.sources.SyntheticBars
+      import org.apache.spark.sql.expressions.Window
+      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
+        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
+        .select(col("ativo"), col("Date").as("dt"),
+          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("ativo").orderBy("dt")
+      bars.withColumn("lagc", lag(col("cents"), 1).over(w))
+        .where(col("lagc").isNotNull)
+        .select(col("ativo"),
+          expr("(cents - lagc) * 10000 div lagc").as("ret_bp"))
+        .groupBy("ativo")
+        .agg(count(lit(1)).as("n"), sum("ret_bp").as("sum_bp"),
+          sum(expr("ret_bp * ret_bp")).as("sum_sq_bp"),
+          min("ret_bp").as("min_bp"), max("ret_bp").as("max_bp"))
+        .orderBy("ativo")
+    }),
+
     // ---- X72: corpus-release pipeline (round-8 composition flagship) ----
     //
     // The per-release report a curation pipeline publishes, composing the
@@ -498,6 +548,45 @@ object SparkEntryR8b {
     "x64b_baseline_absorb" ->
       """SELECT n_chars // 50 AS bin, CAST(count(*) AS BIGINT) AS cnt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x75_max_drawdown" ->
+      s"""WITH bars AS (
+         |${SparkEntryPipeline.barsGenSql("VALE3.SA")}
+         |UNION ALL
+         |${SparkEntryPipeline.barsGenSql("PETR4.SA")}),
+         |c AS (SELECT ativo, date,
+         |             CAST(round(close * 100) AS BIGINT) AS cents
+         |      FROM bars),
+         |r AS (SELECT ativo,
+         |             MAX(cents) OVER (PARTITION BY ativo ORDER BY date
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS runmax,
+         |             cents
+         |      FROM c)
+         |SELECT ativo,
+         |       CAST(MAX((runmax - cents) * 1000 // runmax) AS BIGINT)
+         |         AS max_drawdown_permill,
+         |       CAST(count(*) AS BIGINT) AS n_days
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x76_return_stats" ->
+      s"""WITH bars AS (
+         |${SparkEntryPipeline.barsGenSql("VALE3.SA")}
+         |UNION ALL
+         |${SparkEntryPipeline.barsGenSql("PETR4.SA")}),
+         |c AS (SELECT ativo, date,
+         |             CAST(round(close * 100) AS BIGINT) AS cents
+         |      FROM bars),
+         |r AS (SELECT ativo, cents,
+         |             lag(cents) OVER (PARTITION BY ativo ORDER BY date)
+         |               AS lagc
+         |      FROM c),
+         |rb AS (SELECT ativo, (cents - lagc) * 10000 // lagc AS ret_bp
+         |       FROM r WHERE lagc IS NOT NULL)
+         |SELECT ativo, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(ret_bp) AS BIGINT) AS sum_bp,
+         |       CAST(SUM(ret_bp * ret_bp) AS BIGINT) AS sum_sq_bp,
+         |       CAST(MIN(ret_bp) AS BIGINT) AS min_bp,
+         |       CAST(MAX(ret_bp) AS BIGINT) AS max_bp
+         |FROM rb GROUP BY 1 ORDER BY 1""".stripMargin,
     "x73_vwap" ->
       s"""WITH bars AS (
          |${SparkEntryPipeline.barsGenSql("VALE3.SA")}

@@ -179,6 +179,25 @@ class R8bOpsSpec extends AnyFunSuite {
     byAsset.foreach(n => assert(n >= 17 && n <= 19, s"week count $n"))
   }
 
+  test("x75: drawdown in [0, 1000); x76 moments satisfy Cauchy-Schwarz") {
+    val dd = q("x75_max_drawdown").collect()
+    assert(dd.nonEmpty)
+    dd.foreach { r =>
+      val v = r.getLong(1)
+      assert(v >= 0 && v < 1000, s"drawdown out of range: $r")
+    }
+    val rs = q("x76_return_stats").collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      val (n, s1, s2, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(n === 119L, "120 bars -> 119 returns per asset")
+      assert(mn <= mx)
+      // E[x]^2 <= E[x^2] in integer moments: s1*s1 <= n*s2
+      assert(s1 * s1 <= n * s2, s"moment inequality violated: $r")
+    }
+  }
+
   // ---- X66 k-anonymity ----
 
   test("x66: risk flags agree with the k/l rule; QI partition is complete") {
