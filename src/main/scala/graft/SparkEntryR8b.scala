@@ -275,6 +275,38 @@ object SparkEntryR8b {
         .orderBy("ativo")
     }),
 
+    // ---- X77: pairwise return-correlation components ----
+    //
+    // The risk-matrix input: for each asset pair, the exact mergeable
+    // integer sufficient statistics of their date-aligned daily returns
+    // (n, Σa, Σb, Σab, Σa², Σb²) — the x30 correlation-components
+    // discipline applied across assets. The date-aligned join is an
+    // equi-join on the date key; every aggregate is partial-aggregable;
+    // a float corr() could never hash across engines, the components
+    // always do (consumers finish with one row-local division).
+    "x77_pair_correlation" -> ((s, d) => {
+      import graft.sources.SyntheticBars
+      import org.apache.spark.sql.expressions.Window
+      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
+        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
+        .select(col("ativo"), col("Date").as("dt"),
+          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("ativo").orderBy("dt")
+      val rets = bars.withColumn("lagc", lag(col("cents"), 1).over(w))
+        .where(col("lagc").isNotNull)
+        .select(col("ativo"), col("dt"),
+          expr("(cents - lagc) * 10000 div lagc").as("r"))
+      rets.as("a").join(rets.as("b"),
+          col("a.dt") === col("b.dt") && col("a.ativo") < col("b.ativo"))
+        .groupBy(col("a.ativo").as("asset_a"), col("b.ativo").as("asset_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a.r")).as("sum_a"), sum(col("b.r")).as("sum_b"),
+          sum(col("a.r") * col("b.r")).as("sum_ab"),
+          sum(col("a.r") * col("a.r")).as("sum_aa"),
+          sum(col("b.r") * col("b.r")).as("sum_bb"))
+        .orderBy("asset_a", "asset_b")
+    }),
+
     // ---- X72: corpus-release pipeline (round-8 composition flagship) ----
     //
     // The per-release report a curation pipeline publishes, composing the
@@ -548,6 +580,30 @@ object SparkEntryR8b {
     "x64b_baseline_absorb" ->
       """SELECT n_chars // 50 AS bin, CAST(count(*) AS BIGINT) AS cnt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x77_pair_correlation" ->
+      s"""WITH bars AS (
+         |${SparkEntryPipeline.barsGenSql("VALE3.SA")}
+         |UNION ALL
+         |${SparkEntryPipeline.barsGenSql("PETR4.SA")}),
+         |c AS (SELECT ativo, date,
+         |             CAST(round(close * 100) AS BIGINT) AS cents
+         |      FROM bars),
+         |r AS (SELECT ativo, date, cents,
+         |             lag(cents) OVER (PARTITION BY ativo ORDER BY date)
+         |               AS lagc
+         |      FROM c),
+         |rb AS (SELECT ativo, date,
+         |              (cents - lagc) * 10000 // lagc AS r
+         |       FROM r WHERE lagc IS NOT NULL)
+         |SELECT a.ativo AS asset_a, b.ativo AS asset_b,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(a.r) AS BIGINT) AS sum_a,
+         |       CAST(SUM(b.r) AS BIGINT) AS sum_b,
+         |       CAST(SUM(a.r * b.r) AS BIGINT) AS sum_ab,
+         |       CAST(SUM(a.r * a.r) AS BIGINT) AS sum_aa,
+         |       CAST(SUM(b.r * b.r) AS BIGINT) AS sum_bb
+         |FROM rb a JOIN rb b ON a.date = b.date AND a.ativo < b.ativo
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x75_max_drawdown" ->
       s"""WITH bars AS (
          |${SparkEntryPipeline.barsGenSql("VALE3.SA")}

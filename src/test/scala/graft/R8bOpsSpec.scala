@@ -198,6 +198,27 @@ class R8bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x77: components yield |corr| <= 1 and agree with x76's moments") {
+    val rows = q("x77_pair_correlation").collect()
+    assert(rows.nonEmpty)
+    val x76 = q("x76_return_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    rows.foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      val (sa, sb, sab, saa, sbb) = (r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))
+      // the pairwise marginals must equal the per-asset x76 moments
+      assert((n, sa, saa) === x76(a), s"marginals of $a drifted: $r")
+      assert((n, sb, sbb) === x76(b), s"marginals of $b drifted: $r")
+      val cov = n.toDouble * sab - sa.toDouble * sb
+      val va = n.toDouble * saa - sa.toDouble * sa
+      val vb = n.toDouble * sbb - sb.toDouble * sb
+      val corr = cov / math.sqrt(va * vb)
+      assert(corr >= -1.0001 && corr <= 1.0001, s"corr $corr out of range")
+    }
+  }
+
   // ---- X66 k-anonymity ----
 
   test("x66: risk flags agree with the k/l rule; QI partition is complete") {
