@@ -105,6 +105,30 @@ def audit(d: str) -> list:
     if trans == 0 or etypes < 2:
         bad.append(f"x55 transition graph degenerate: multi-event users={trans} "
                    f"event types={etypes}")
+    # round-8 diagnostics preconditions (x60-x70; FixtureContractSpec twin)
+    vmin, vmax = con.execute(
+        "SELECT min(value), max(value) FROM events").fetchone()
+    if vmin < 0 or vmax > 1e6:
+        bad.append(f"events.value range [{vmin}, {vmax}]: x60 bin bound broken")
+    has_view = one("SELECT count(*) FROM events WHERE event_type = 'view'")
+    if has_view == 0:
+        bad.append("x60/x60b baseline event_type 'view' vanished")
+    has_en = one("SELECT count(*) FROM documents WHERE lang = 'en'")
+    if has_en == 0:
+        bad.append("x61/x64 baseline lang 'en' vanished")
+    nbins = one("SELECT count(DISTINCT n_chars // 50) FROM documents")
+    if nbins < 2:
+        bad.append("all docs in one length bin: drift trivially zero")
+    plant = one("SELECT count(*) FROM documents WHERE doc_id % 10 = 2")
+    if plant == 0:
+        bad.append("x68 re-crawl plant slice empty (doc_id % 10 = 2)")
+    qi = one("SELECT count(*) FROM (SELECT 1 FROM customer "
+             "GROUP BY c_nationkey, c_mktsegment)")
+    if qi < 2:
+        bad.append(f"x66: only {qi} QI group(s)")
+    emb_labels = one("SELECT count(DISTINCT label) FROM embeddings")
+    if emb_labels < 2:
+        bad.append(f"x70: only {emb_labels} embedding label(s)")
     return bad
 
 
