@@ -54,7 +54,7 @@ object SparkEntry {
     coreQueries ++ extQueries ++ pipelineQueries ++ SparkEntryR5.queries ++
       SparkEntryR5b.queries ++ SparkEntryR5c.queries ++ SparkEntryR5d.queries ++
       SparkEntryR6.queries ++ SparkEntryR7.queries ++ SparkEntryR8.queries ++
-      SparkEntryR8b.queries ++ SparkEntryR8c.queries
+      SparkEntryR8b.queries ++ SparkEntryR8c.queries ++ SparkEntryR8d.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -770,5 +770,6 @@ object SparkEntry {
   ) ++ extOracleSql ++ pipelineOracleSql ++ SparkEntryR5.oracleSql ++
     SparkEntryR5b.oracleSql ++ SparkEntryR5c.oracleSql ++ SparkEntryR5d.oracleSql ++
     SparkEntryR6.oracleSql ++ SparkEntryR7.oracleSql ++ SparkEntryR8.oracleSql ++
-    SparkEntryR8b.oracleSql ++ SparkEntryR8c.oracleSql
+    SparkEntryR8b.oracleSql ++ SparkEntryR8c.oracleSql ++
+    SparkEntryR8d.oracleSql
 }
