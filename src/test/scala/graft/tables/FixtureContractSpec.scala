@@ -183,4 +183,47 @@ class FixtureContractSpec extends AnyFunSuite {
       .select(countDistinct(col("label"))).head().getLong(0)
     assert(labels >= 2L, "one label collapses x70 to cos=1000 only")
   }
+
+  test("x84's purchase signal is sparse and multi-day (churn is non-trivial)") {
+    // x84 defines activity as "purchased that day": if every user
+    // purchases every day the matrix saturates to retained-only; if
+    // purchases vanish it goes empty. Require several active days and a
+    // per-user-day activity rate comfortably inside (0, 1).
+    val act = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val days = act.select(countDistinct(col("day"))).head().getLong(0)
+    assert(days >= 5L, "too few purchase days for day-over-day churn")
+    val users = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    val rate = act.count().toDouble / (days * users)
+    assert(rate > 0.02 && rate < 0.98,
+      f"purchase activity rate $rate%.3f saturates/empties the churn matrix")
+  }
+
+  test("x86 has converting users (view followed by a later purchase)") {
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val conv = e.join(v, "user_id")
+      .where(col("event_type") === "purchase" && col("us") > col("v_us"))
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(conv >= 2L,
+      "fewer than two view→purchase converters trivializes the percentiles")
+  }
+
+  test("x81's orphan plant drops a non-empty parent slice on every edge") {
+    // keys ≡ 3 (mod 97) must exist among each parent's REFERENCED keys,
+    // or an edge of the referential-integrity audit reports zero orphans
+    // and the anti-join is never exercised.
+    def referenced(child: org.apache.spark.sql.DataFrame, key: String) =
+      child.where(pmod(col(key), lit(97L)) === 3).limit(1).count()
+    assert(referenced(Tables.lineitem(spark, sf), "l_orderkey") === 1L)
+    assert(referenced(Tables.lineitem(spark, sf), "l_partkey") === 1L)
+    assert(referenced(Tables.lineitem(spark, sf), "l_suppkey") === 1L)
+    assert(referenced(Tables.orders(spark, sf), "o_custkey") === 1L)
+  }
 }

@@ -493,4 +493,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "serving must not join the corpus - the vocab rides the plan")
   }
+
+  test("x78 market beta: the per-date index frame attaches by broadcast") {
+    val p = plan("x78_market_beta")
+    assert(p.contains("BroadcastHashJoin"),
+      s"index join must broadcast the |dates| frame:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the return panel must never shuffle for the index join")
+  }
+
+  test("x81 referential audit: every edge is an anti-join, no products") {
+    val p = plan("x81_ref_integrity")
+    assert("LeftAnti".r.findAllIn(p).length >= 4,
+      s"four FK edges must each plan an anti-join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "orphan detection must stay an equi-anti-join")
+  }
+
+  test("x84 churn: activity sets meet in ONE equi-join, no products") {
+    val p = plan("x84_churn_matrix")
+    assert(p.contains("FullOuter"),
+      s"day-boundary alignment must be a full-outer equi-join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // The event log is reduced by a partial-aggregable distinct BEFORE
+    // any join: HashAggregate pairs appear below the join in the plan.
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("x86 latency percentiles: rank windows run on the per-user frame only") {
+    val p = plan("x86_stage_latency")
+    // The only Window is the row_number rank selection over |users| rows;
+    // the corpus itself is consumed by aggregates, never by a window.
+    assert("Window".r.findAllIn(p).length <= 2,
+      s"unexpected window over the event log:\n${p.take(1500)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the 1-row count frame must attach by broadcast")
+  }
 }

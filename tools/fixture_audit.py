@@ -129,6 +129,30 @@ def audit(d: str) -> list:
     emb_labels = one("SELECT count(DISTINCT label) FROM embeddings")
     if emb_labels < 2:
         bad.append(f"x70: only {emb_labels} embedding label(s)")
+    # round-8c/8d preconditions (x81/x84/x86; FixtureContractSpec twin)
+    for child, key in [("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+                       ("lineitem", "l_suppkey"), ("orders", "o_custkey")]:
+        if one(f"SELECT count(*) FROM {child} WHERE {key} % 97 = 3") == 0:
+            bad.append(f"x81 plant empty: no {child}.{key} ≡ 3 (mod 97)")
+    pdays, pcells = con.execute(
+        """SELECT count(DISTINCT CAST(ts AS DATE)), count(*)
+           FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ts
+                 FROM events WHERE event_type = 'purchase')""").fetchone()
+    users = one("SELECT count(DISTINCT user_id) FROM events")
+    if pdays < 5:
+        bad.append(f"x84: only {pdays} purchase day(s)")
+    elif not (0.02 < pcells / (pdays * users) < 0.98):
+        bad.append(f"x84 purchase activity rate {pcells/(pdays*users):.3f} "
+                   "saturates/empties the churn matrix")
+    conv = one("""SELECT count(*) FROM (
+                    SELECT e.user_id FROM events e
+                    JOIN (SELECT user_id, min(ts) v_ts FROM events
+                          WHERE event_type = 'view' GROUP BY 1) v
+                      ON e.user_id = v.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+                    GROUP BY e.user_id)""")
+    if conv < 2:
+        bad.append(f"x86: only {conv} view→purchase converter(s)")
     return bad
 
 
