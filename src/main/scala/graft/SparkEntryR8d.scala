@@ -138,6 +138,42 @@ object SparkEntryR8d {
         .where(col("rn") === expr("(9 * n_conv + 9) div 10"))
         .select(col("lat_s").as("p90_latency_s"))
       n.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+    }),
+
+    // ---- X87: shard manifest (the x50 writer's verification artifact) --
+    //
+    // The manifest an exactly-once shard writer publishes beside its
+    // files so any later reader can verify them without trusting the
+    // writer: per x50 shard (SAME salt, SAME hash — the manifest must
+    // describe exactly the shards x50 produces), doc count, whitespace
+    // token mass, and an order-independent content checksum (bit-XOR of
+    // the per-doc portable hash — XOR commutes and never overflows, so
+    // the checksum is reproducible from any partitioning at any scale).
+    // One partial-aggregable shuffle on the shard key; 32-row output.
+    "x87_shard_manifest" -> ((s, d) =>
+      graft.text.ShardManifest.manifest(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .orderBy("shard")),
+
+    // ---- X87b: incremental manifest absorption (absorb == rebuild) ----
+    //
+    // The maintenance step the manifest needs when a new batch is
+    // admitted: fold the batch's per-shard deltas into the PERSISTED
+    // manifest as a new artifact version — counts add, checksums XOR —
+    // O(batch) + O(32 shards), the corpus behind the old manifest never
+    // rescanned. XOR merge is exact, so the oracle checks absorb
+    // against a full-corpus rebuild bit-for-bit (the x64b discipline;
+    // same x43 corpus/batch split).
+    "x87b_manifest_absorb" -> ((s, d) => {
+      import graft.text.ShardManifest
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val stamp = Tables.stamp(d, "documents")
+      ShardManifest.ensure(s, docs.where(pmod(col("doc_id"), lit(5L)) =!= 0),
+        Seq(d, stamp, "x87b_base"))
+      ShardManifest.absorb(s,
+          docs.where(pmod(col("doc_id"), lit(5L)) === 0),
+          Seq(d, stamp, "x87b_base"), Seq(d, stamp, "x87b_full"))
+        .orderBy("shard")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -214,5 +250,41 @@ object SparkEntryR8d {
         |        WHERE rn = (n_conv + 1) // 2) AS p50_latency_s,
         |       (SELECT lat_s FROM rk CROSS JOIN n
         |        WHERE rn = (9 * n_conv + 9) // 10) AS p90_latency_s
-        |FROM n""".stripMargin)
+        |FROM n""".stripMargin,
+    "x87_shard_manifest" -> {
+      val shardHash = graft.text.TextOps.rollingHashDuckSql(
+        "'shuf1:' || text || ':' || CAST(doc_id AS VARCHAR)")
+      val fp = graft.text.TextOps.rollingHashDuckSql("text")
+      s"""WITH t AS (SELECT ($shardHash) % 32 AS shard,
+         |                  CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+         |                       ELSE CAST(length(string_split_regex(
+         |                              trim(text), '\\s+')) AS BIGINT)
+         |                  END AS toks,
+         |                  ($fp) AS fp
+         |           FROM documents)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |       CAST(bit_xor(fp) AS BIGINT) AS checksum
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // absorb == rebuild exactly, so the incremental result must match a
+    // from-scratch full-corpus manifest (same SQL as x87).
+    "x87b_manifest_absorb" -> {
+      val shardHash = graft.text.TextOps.rollingHashDuckSql(
+        "'shuf1:' || text || ':' || CAST(doc_id AS VARCHAR)")
+      val fp = graft.text.TextOps.rollingHashDuckSql("text")
+      s"""WITH t AS (SELECT ($shardHash) % 32 AS shard,
+         |                  CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+         |                       ELSE CAST(length(string_split_regex(
+         |                              trim(text), '\\s+')) AS BIGINT)
+         |                  END AS toks,
+         |                  ($fp) AS fp
+         |           FROM documents)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |       CAST(bit_xor(fp) AS BIGINT) AS checksum
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 }

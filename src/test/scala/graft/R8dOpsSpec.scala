@@ -69,6 +69,38 @@ class R8dOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- X87/X87b: shard manifest lifecycle ----
+
+  test("x87: manifest covers the corpus and is partitioning-invariant") {
+    import graft.text.ShardManifest
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val m = q("x87_shard_manifest").collect()
+    assert(m.map(_.getLong(1)).sum === docs.count(),
+      "every doc lands in exactly one shard")
+    assert(m.length <= 32 && m.map(_.getLong(0)).distinct.length === m.length)
+    // XOR checksum and sums are order/partitioning independent: a
+    // repartitioned recompute must be bit-identical.
+    val re = ShardManifest.manifest(docs.repartition(7))
+      .orderBy("shard").collect()
+    assert(re.toSeq === m.toSeq, "manifest depends on partitioning")
+  }
+
+  test("x87b: absorbing the batch equals a full rebuild bit-for-bit") {
+    import graft.text.ShardManifest
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val absorbed = q("x87b_manifest_absorb").collect()
+    val rebuilt = ShardManifest.manifest(docs).orderBy("shard").collect()
+    assert(absorbed.toSeq === rebuilt.toSeq)
+    // the absorb path persisted both artifact versions
+    import graft.util.ArtifactStore
+    val stamp = graft.tables.Tables.stamp(sf, "documents")
+    for (v <- Seq("x87b_base", "x87b_full"))
+      assert(new java.io.File(ArtifactStore.artifactDir(spark,
+        "shard_manifest", Seq(sf, stamp, v)), "_SUCCESS").exists(), v)
+  }
+
   // ---- X86: stage latency ----
 
   test("x86: single-row report with ordered exact percentiles") {
