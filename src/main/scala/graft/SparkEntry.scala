@@ -54,7 +54,8 @@ object SparkEntry {
     coreQueries ++ extQueries ++ pipelineQueries ++ SparkEntryR5.queries ++
       SparkEntryR5b.queries ++ SparkEntryR5c.queries ++ SparkEntryR5d.queries ++
       SparkEntryR6.queries ++ SparkEntryR7.queries ++ SparkEntryR8.queries ++
-      SparkEntryR8b.queries ++ SparkEntryR8c.queries ++ SparkEntryR8d.queries
+      SparkEntryR8b.queries ++ SparkEntryR8c.queries ++
+      SparkEntryR8d.queries ++ SparkEntryR8e.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -771,5 +772,5 @@ object SparkEntry {
     SparkEntryR5b.oracleSql ++ SparkEntryR5c.oracleSql ++ SparkEntryR5d.oracleSql ++
     SparkEntryR6.oracleSql ++ SparkEntryR7.oracleSql ++ SparkEntryR8.oracleSql ++
     SparkEntryR8b.oracleSql ++ SparkEntryR8c.oracleSql ++
-    SparkEntryR8d.oracleSql
+    SparkEntryR8d.oracleSql ++ SparkEntryR8e.oracleSql
 }

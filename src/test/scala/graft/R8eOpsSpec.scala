@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-8e suite (x88 weekday seasonality,
+  * x89 small-cell suppression, x90 risk-report composition) — properties
+  * the DuckDB oracle proves by agreement but cannot NAME.
+  */
+class R8eOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- X88: weekday seasonality ----
+
+  test("x88: seven weekdays, mass conservation, floor-bounded deviations") {
+    val rows = q("x88_weekday_seasonality").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 7L))
+    val events = graft.tables.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === events)
+    // Σ(n_d·7 − total) = 6·total − ... cancels to 0 exactly, so the
+    // floored per-mill deviations can only lose < 1 per row: the sum
+    // sits in (−7, 0].
+    val devSum = rows.map(_.getLong(2)).sum
+    assert(devSum <= 0L && devSum > -7L, s"dev sum $devSum out of band")
+  }
+
+  // ---- X89: small-cell suppression ----
+
+  test("x89: no small named cell survives; per-nation mass is conserved") {
+    // sf0.01: the (nation × segment) cells span both sides of k=10
+    // (FixtureContractSpec pins this precondition).
+    val d = TestSpark.Sf001
+    val rows = SparkEntry.queries("x89_small_cell_suppress")(spark, d)
+      .collect()
+    val named = rows.filter(_.getString(1) != "__other")
+    val other = rows.filter(_.getString(1) == "__other")
+    assert(named.nonEmpty && other.nonEmpty,
+      "suppression must be exercised from both sides")
+    named.foreach(r => assert(r.getLong(2) >= 10L,
+      s"published cell below k: ${r.getString(0)}/${r.getString(1)}"))
+    // every customer is still accounted for, nation by nation
+    val published = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val raw = graft.tables.Tables.customer(spark, d)
+      .join(graft.tables.Tables.nation(spark, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(published === raw, "suppression must conserve per-nation mass")
+  }
+
+  // ---- X90: risk-report composition ----
+
+  test("x90: composition agrees with each standalone component") {
+    val report = q("x90_risk_report").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(report.size === 2)
+    // x75 drawdown, x76 moments, x85 impact run the SAME 2-ticker panel.
+    q("x75_max_drawdown").collect().foreach { r =>
+      assert(report(r.getString(0)).getLong(9) === r.getLong(1),
+        s"max_drawdown(${r.getString(0)})")
+    }
+    q("x76_return_stats").collect().foreach { r =>
+      val g = report(r.getString(0))
+      assert(g.getLong(3) === r.getLong(1), "n_ret == x76.n")
+      assert(g.getLong(4) === r.getLong(2), "sum_bp")
+      assert(g.getLong(5) === r.getLong(3), "sum_sq_bp")
+    }
+    q("x85_amihud_illiq").collect().foreach { r =>
+      assert(report(r.getString(0)).getLong(10) === r.getLong(2),
+        s"sum_impact(${r.getString(0)})")
+    }
+    // beta components: Σm and Σm² identical across assets (both assets
+    // see the same 2-asset index on every return date).
+    val vals = report.values.toSeq
+    assert(vals.map(_.getLong(6)).nonEmpty)
+    assert(vals.map(_.getLong(7)).distinct.length === 1, "sum_m shared")
+    assert(vals.map(_.getLong(8)).distinct.length === 1, "sum_mm shared")
+  }
+}

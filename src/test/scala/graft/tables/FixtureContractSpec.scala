@@ -215,6 +215,18 @@ class FixtureContractSpec extends AnyFunSuite {
       "fewer than two view→purchase converters trivializes the percentiles")
   }
 
+  test("x89's (nation x segment) cells span both sides of the k=10 threshold") {
+    val cells = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    assert(cells.where(col("n") >= 10).limit(1).count() === 1L,
+      "no cell reaches k=10 — suppression folds everything")
+    assert(cells.where(col("n") < 10).limit(1).count() === 1L,
+      "no cell below k=10 — suppression never fires")
+  }
+
   test("x81's orphan plant drops a non-empty parent slice on every edge") {
     // keys ≡ 3 (mod 97) must exist among each parent's REFERENCED keys,
     // or an edge of the referential-integrity audit reports zero orphans

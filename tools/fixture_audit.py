@@ -153,6 +153,16 @@ def audit(d: str) -> list:
                     GROUP BY e.user_id)""")
     if conv < 2:
         bad.append(f"x86: only {conv} view→purchase converter(s)")
+    if d.rstrip("/").endswith("sf0.01"):
+        # x89 suppression must be exercised from both sides at the
+        # correctness scale (cells straddle k=10)
+        lo, hi = con.execute(
+            """SELECT min(n), max(n) FROM (
+                 SELECT count(*) AS n FROM customer c
+                 JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+                 GROUP BY nn.n_name, c.c_mktsegment)""").fetchone()
+        if not (lo < 10 <= hi):
+            bad.append(f"x89 cells [{lo}, {hi}] no longer straddle k=10")
     return bad
 
 
