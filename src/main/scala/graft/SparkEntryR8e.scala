@@ -105,6 +105,30 @@ object SparkEntryR8e {
             .as("max_drawdown_permill"),
           sum(expr("abs(r) * 1000000 div vol")).as("sum_impact"))
         .orderBy("ativo")
+    }),
+
+    // ---- X91: time-decayed trending score (integer half-life) --------
+    //
+    // The "what is hot NOW" ranking every product dashboard runs —
+    // without the float exp() that could never hash across engines:
+    // the decay is a POWER-OF-TWO half-life per day, weight =
+    // 1 << (14 − age_days) inside a 14-day horizon, 0 outside. Bit
+    // shifts of integers are exact everywhere; the anchor day is the
+    // corpus max (1-row broadcast), and the rollup is one
+    // partial-aggregable shuffle on the trend key.
+    "x91_decayed_trending" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+      val anchor = ev.agg(max("day").as("anchor"))
+      ev.crossJoin(broadcast(anchor))
+        .select(col("event_type"),
+          datediff(col("anchor"), col("day")).as("age"))
+        .where(col("age") <= 14)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_recent"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(14 - age AS INT))"))
+            .as("score"))
+        .orderBy("event_type")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -160,5 +184,16 @@ object SparkEntryR8e {
          |         AS max_drawdown_permill,
          |       CAST(SUM(abs(r) * 1000000 // vol) AS BIGINT) AS sum_impact
          |FROM er LEFT JOIN mkt USING (dt)
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x91_decayed_trending" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |a AS (SELECT MAX(day) AS anchor FROM e),
+        |ag AS (SELECT event_type,
+        |              date_diff('day', day, anchor) AS age
+        |       FROM e CROSS JOIN a)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_recent,
+        |       CAST(SUM(CAST(1 AS BIGINT) << (14 - age)) AS BIGINT)
+        |         AS score
+        |FROM ag WHERE age <= 14
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

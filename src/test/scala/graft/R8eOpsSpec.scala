@@ -52,6 +52,23 @@ class R8eOpsSpec extends AnyFunSuite {
     assert(published === raw, "suppression must conserve per-nation mass")
   }
 
+  // ---- X91: decayed trending ----
+
+  test("x91: score bounds follow the power-of-two decay envelope") {
+    val rows = q("x91_decayed_trending").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, score) = (r.getLong(1), r.getLong(2))
+      // every in-horizon event contributes between 1 (age 14) and 2^14
+      // (age 0): the sum must sit inside that envelope
+      assert(score >= n && score <= n * (1L << 14),
+        s"score $score outside [$n, ${n * (1L << 14)}] for ${r.getString(0)}")
+    }
+    // the anchor day itself always has events, so at least one type's
+    // score includes a full-weight 2^14 term
+    assert(rows.map(_.getLong(2)).max >= (1L << 14))
+  }
+
   // ---- X90: risk-report composition ----
 
   test("x90: composition agrees with each standalone component") {
