@@ -522,6 +522,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("x90 risk report: windows fuse, index broadcasts, no products") {
+    val p = plan("x90_risk_report")
+    // lag and running-max share the (ativo, dt) window spec, so Catalyst
+    // must FUSE them into single Window nodes — one per plan branch (the
+    // report branch and the index-derivation branch re-plan the same
+    // panel, the x78 shape), never one node per function.
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.length <= 2,
+      s"window functions did not fuse (${windows.length} Window nodes):\n${p.take(2000)}")
+    windows.foreach(l => assert(l.contains("lag("), s"windowless lag?\n$l"))
+    // the report branch fuses lag+runmax into ONE node; the index branch
+    // must have PRUNED the unused runmax, not recompute it
+    assert(windows.count(_.contains("max(")) === 1,
+      s"column pruning should drop runmax from the index branch:\n${windows.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-date index frame must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x86 latency percentiles: rank windows run on the per-user frame only") {
     val p = plan("x86_stage_latency")
     // The only Window is the row_number rank selection over |users| rows;
