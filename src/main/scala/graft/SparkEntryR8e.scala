@@ -129,6 +129,68 @@ object SparkEntryR8e {
           sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(14 - age AS INT))"))
             .as("score"))
         .orderBy("event_type")
+    }),
+
+    // ---- X92: revenue-LTV cohort curves ----
+    //
+    // The money sibling of x33's user-count retention: customers
+    // cohorted by first-order year, revenue accumulated by cohort age —
+    // the lifetime-value curve every growth dashboard plots. Revenue
+    // stays integer cents end to end (the q17/x30 discipline); the
+    // cumulative window runs over the ≤\|years\|² cohort frame, never
+    // the order log, and the first-order frame is one partial-agg
+    // min per customer.
+    "x92_ltv_cohorts" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cohort = orders.groupBy("o_custkey")
+        .agg(min("yr").as("cohort_year"))
+      val curve = orders.join(cohort, "o_custkey")
+        .groupBy(col("cohort_year"), (col("yr") - col("cohort_year"))
+          .cast("long").as("age_years"))
+        .agg(count_distinct(col("o_custkey")).as("n_active"),
+          sum("cents").as("revenue_cents"))
+      val w = Window.partitionBy("cohort_year").orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      curve
+        .withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
+        .select(col("cohort_year").cast("long").as("cohort_year"),
+          col("age_years"), col("n_active"), col("revenue_cents"),
+          col("cum_revenue_cents"))
+        .orderBy("cohort_year", "age_years")
+    }),
+
+    // ---- X93: market-basket pair lift ----
+    //
+    // Co-occurrence affinity over order baskets: for part pairs seen in
+    // ≥3 baskets, exact integer lift in per-mill —
+    // 1000·n_ab·N div (n_a·n_b). Shape: one distinct on (order, part),
+    // a self equi-join on the order key (fan-out bounded by basket
+    // size², ~16 per order — never a cross of the catalog), two
+    // broadcastable marginal frames. The ≥3 support filter prunes the
+    // pair table before the marginals attach.
+    "x93_basket_lift" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 3)
+      val freq = items.groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"))
+      val total = items.select(count_distinct(col("ok")).as("n_orders"))
+      pairs
+        .join(broadcast(freq.select(col("pk").as("part_a"),
+          col("n").as("n_a"))), "part_a")
+        .join(broadcast(freq.select(col("pk").as("part_b"),
+          col("n").as("n_b"))), "part_b")
+        .crossJoin(broadcast(total))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          expr("n_ab * n_orders * 1000 div (n_a * n_b)").as("lift_permill"))
+        .orderBy("part_a", "part_b")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -195,5 +257,45 @@ object SparkEntryR8e {
         |       CAST(SUM(CAST(1 AS BIGINT) << (14 - age)) AS BIGINT)
         |         AS score
         |FROM ag WHERE age <= 14
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x92_ltv_cohorts" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |c AS (SELECT o_custkey, MIN(yr) AS cohort_year FROM o GROUP BY 1),
+        |cur AS (SELECT c.cohort_year,
+        |               CAST(o.yr - c.cohort_year AS BIGINT) AS age_years,
+        |               CAST(count(DISTINCT o.o_custkey) AS BIGINT)
+        |                 AS n_active,
+        |               CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+        |        FROM o JOIN c USING (o_custkey)
+        |        GROUP BY 1, 2)
+        |SELECT CAST(cohort_year AS BIGINT) AS cohort_year, age_years,
+        |       n_active, revenue_cents,
+        |       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_year
+        |              ORDER BY age_years
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_revenue_cents
+        |FROM cur ORDER BY cohort_year, age_years""".stripMargin,
+    "x93_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS n
+        |         FROM items GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+        |        FROM items)
+        |SELECT p.part_a, p.part_b, p.n_ab,
+        |       CAST(p.n_ab * t.n_orders * 1000 // (fa.n * fb.n) AS BIGINT)
+        |         AS lift_permill
+        |FROM pairs p
+        |JOIN freq fa ON fa.pk = p.part_a
+        |JOIN freq fb ON fb.pk = p.part_b
+        |CROSS JOIN tot t
+        |ORDER BY part_a, part_b""".stripMargin)
 }

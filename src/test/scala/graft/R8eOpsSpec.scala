@@ -69,6 +69,41 @@ class R8eOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).max >= (1L << 14))
   }
 
+  // ---- X92: revenue-LTV cohorts ----
+
+  test("x92: cumulative curves are monotone and total revenue is conserved") {
+    val rows = q("x92_ltv_cohorts").collect()
+    assert(rows.nonEmpty)
+    // within each cohort the cumulative curve strictly accumulates
+    rows.groupBy(_.getLong(0)).foreach { case (cohort, rs) =>
+      val byAge = rs.sortBy(_.getLong(1))
+      assert(byAge.head.getLong(1) === 0L,
+        s"cohort $cohort must start at age 0 (its defining first order)")
+      val cum = byAge.map(_.getLong(4))
+      assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
+      assert(cum.last === byAge.map(_.getLong(3)).sum)
+    }
+    // every order cent lands in exactly one (cohort, age) cell
+    val total = graft.tables.Tables.orders(spark, sf)
+      .select(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))"))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum === total,
+      "cohorting must conserve total revenue")
+  }
+
+  // ---- X93: basket lift ----
+
+  test("x93: support threshold, symmetry-free pairs, plausible lift") {
+    val d = TestSpark.Sf001 // sf0.001 baskets are too sparse for n>=3
+    val rows = SparkEntry.queries("x93_basket_lift")(spark, d).collect()
+    assert(rows.nonEmpty, "no pair reaches support 3 — op trivialized")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be canonical a<b")
+      assert(r.getLong(2) >= 3L)
+      assert(r.getLong(3) > 0L)
+    }
+  }
+
   // ---- X90: risk-report composition ----
 
   test("x90: composition agrees with each standalone component") {
