@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Round-8 (continued, part f) query entries: customer-value and
+  * fulfillment analytics — RFM segmentation and per-supplier exact
+  * latency percentiles. Integer-exact discipline throughout (epoch
+  * days, cents, rank arithmetic — no float enters an aggregate).
+  * §2.12 extension operators.
+  */
+object SparkEntryR8f {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- X94: RFM customer segmentation ----
+    //
+    // The classic recency/frequency/monetary triage, engine-exact: each
+    // customer's (days since last order, order count, lifetime cents)
+    // is quartiled by RANK arithmetic — q = (rank−1)·4 div n over the
+    // (metric, key) total order — not by any float percentile, so every
+    // engine buckets identically, ties broken by customer key. The
+    // per-customer frame is \|customers\| rows; the three quartile
+    // windows run over that frame, never the order log (the x51
+    // boundary discipline). Output: the 64-cell segment census.
+    "x94_rfm_segments" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderdate").cast("date").as("day"))
+      val anchor = orders.agg(max("day").as("anchor"))
+      val rfm = orders.crossJoin(broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(min(datediff(col("anchor"), col("day"))).cast("long")
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum("cents").as("monetary_cents"))
+      // lower recency is BETTER (most-recent ranks first, ascending);
+      // higher frequency/monetary are better (descending)
+      val scored = rfm
+        .withColumn("r_q", expr(
+          "(row_number() OVER (ORDER BY recency_days, o_custkey) - 1) * 4"))
+        .withColumn("f_q", expr(
+          "(row_number() OVER (ORDER BY frequency DESC, o_custkey) - 1) * 4"))
+        .withColumn("m_q", expr(
+          "(row_number() OVER (ORDER BY monetary_cents DESC, o_custkey) - 1) * 4"))
+        .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
+        .select(expr("1 + r_q div n").as("r"),
+          expr("1 + f_q div n").as("f"),
+          expr("1 + m_q div n").as("m"))
+      scored.groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"))
+        .select(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+          col("m").cast("long").as("m"), col("n_customers"))
+        .orderBy("r", "f", "m")
+    }),
+
+    // ---- X95: per-supplier fulfillment-latency percentiles ----
+    //
+    // The a3 exact-rank-selection discipline taken PER GROUP: for each
+    // supplier, exact p50/p90 of ship latency in whole days
+    // (l_shipdate − o_orderdate). One equi-join to attach order dates,
+    // then a single per-supplier ordered window computing rank and
+    // group size in one pass — the selection predicate is rank
+    // arithmetic, no approximate percentile. Groups scale out on the
+    // supplier key; no global order anywhere.
+    "x95_ship_latency" -> ((s, d) => {
+      val lat = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+          "l_orderkey")
+        .select(col("l_suppkey"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lat_days"),
+          col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("lat_days"), col("l_orderkey"), col("l_linenumber"))
+      val wAll = Window.partitionBy("l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      lat
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("l_suppkey")
+        .agg(max("n").as("n_shipments"),
+          max(when(col("rk") === expr("(n + 1) div 2"), col("lat_days")))
+            .as("p50_days"),
+          max(when(col("rk") === expr("(9 * n + 9) div 10"), col("lat_days")))
+            .as("p90_days"))
+        .orderBy("l_suppkey")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "x94_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |                  CAST(o_orderdate AS DATE) AS day
+        |           FROM orders),
+        |a AS (SELECT MAX(day) AS anchor FROM o),
+        |rfm AS (SELECT o_custkey,
+        |               CAST(MIN(date_diff('day', day, anchor)) AS BIGINT)
+        |                 AS recency_days,
+        |               CAST(count(*) AS BIGINT) AS frequency,
+        |               CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |        FROM o CROSS JOIN a GROUP BY 1),
+        |sc AS (SELECT
+        |         1 + (row_number() OVER (ORDER BY recency_days, o_custkey)
+        |              - 1) * 4 // (SELECT count(*) FROM rfm) AS r,
+        |         1 + (row_number() OVER (ORDER BY frequency DESC, o_custkey)
+        |              - 1) * 4 // (SELECT count(*) FROM rfm) AS f,
+        |         1 + (row_number() OVER (ORDER BY monetary_cents DESC,
+        |                                 o_custkey)
+        |              - 1) * 4 // (SELECT count(*) FROM rfm) AS m
+        |       FROM rfm)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |       CAST(m AS BIGINT) AS m,
+        |       CAST(count(*) AS BIGINT) AS n_customers
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "x95_ship_latency" ->
+      """WITH lat AS (
+        |  SELECT l.l_suppkey,
+        |         CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+        |              AS BIGINT) AS lat_days,
+        |         l.l_orderkey, l.l_linenumber
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |rk AS (SELECT l_suppkey, lat_days,
+        |              row_number() OVER (PARTITION BY l_suppkey
+        |                ORDER BY lat_days, l_orderkey, l_linenumber) AS rk,
+        |              count(*) OVER (PARTITION BY l_suppkey) AS n
+        |       FROM lat)
+        |SELECT l_suppkey, CAST(MAX(n) AS BIGINT) AS n_shipments,
+        |       CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN lat_days END)
+        |            AS BIGINT) AS p50_days,
+        |       CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lat_days END)
+        |            AS BIGINT) AS p90_days
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)
+}
