@@ -92,6 +92,31 @@ object SparkEntryR8f {
           max(when(col("rk") === expr("(9 * n + 9) div 10"), col("lat_days")))
             .as("p90_days"))
         .orderBy("l_suppkey")
+    }),
+
+    // ---- X96: weekday-adjusted volume anomaly ----
+    //
+    // Closes the x63/x88 loop: x63 flags days against a FLAT baseline,
+    // x88 measures the weekday effect — this op flags days against
+    // their OWN weekday's expectation, so a naturally quiet Sunday
+    // stops alerting and a quiet Tuesday starts. Residual is exact
+    // per-mill: (n_day·days_of_that_weekday − weekday_total)·1000 div
+    // weekday_total; flag when |residual| > 500. Two partial-agg
+    // shuffles to day and weekday frames, the 7-row profile broadcast.
+    "x96_seasonal_anomaly" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek(col("day")))
+      val profile = byDay.groupBy("dow")
+        .agg(sum("n").as("w_total"), count(lit(1)).as("w_days"))
+      byDay.join(broadcast(profile), "dow")
+        .select(col("day"), col("n"),
+          expr("(n * w_days - w_total) * 1000 div w_total")
+            .as("residual_permill"))
+        .withColumn("is_anomaly",
+          when(abs(col("residual_permill")) > 500, 1L).otherwise(0L))
+        .orderBy("day")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -137,5 +162,20 @@ object SparkEntryR8f {
         |            AS BIGINT) AS p50_days,
         |       CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN lat_days END)
         |            AS BIGINT) AS p90_days
-        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x96_seasonal_anomaly" ->
+      """WITH byday AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |dw AS (SELECT day, n, dayofweek(day) + 1 AS dow FROM byday),
+        |prof AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS w_total,
+        |                CAST(count(*) AS BIGINT) AS w_days
+        |         FROM dw GROUP BY 1)
+        |SELECT dw.day, dw.n,
+        |       CAST((dw.n * p.w_days - p.w_total) * 1000 // p.w_total
+        |            AS BIGINT) AS residual_permill,
+        |       CAST(CASE WHEN abs((dw.n * p.w_days - p.w_total) * 1000
+        |                          // p.w_total) > 500
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM dw JOIN prof p USING (dow) ORDER BY dw.day""".stripMargin)
 }

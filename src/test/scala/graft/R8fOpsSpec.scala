@@ -38,6 +38,27 @@ class R8fOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- X96: seasonal anomaly ----
+
+  test("x96: residuals cancel within each weekday; flags follow the rule") {
+    val rows = q("x96_seasonal_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (res, flag) = (r.getLong(2), r.getLong(3))
+      assert(flag === (if (math.abs(res) > 500) 1L else 0L))
+    }
+    // Σ over a weekday of (n·w_days − w_total) is exactly 0; `div`
+    // truncates toward zero (positive rows lose <1, negative rows gain
+    // <1), so the per-weekday residual sum stays within ±w_days
+    val byDow = rows.groupBy(r =>
+      ((r.getDate(0).toLocalDate.getDayOfWeek.getValue % 7) + 1))
+    byDow.foreach { case (dow, rs) =>
+      val s = rs.map(_.getLong(2)).sum
+      assert(math.abs(s) < rs.length.toLong,
+        s"weekday $dow residual sum $s outside ±${rs.length}")
+    }
+  }
+
   // ---- X95: ship-latency percentiles ----
 
   test("x95: every supplier reports ordered percentiles; p50 recomputed") {

@@ -227,6 +227,20 @@ class FixtureContractSpec extends AnyFunSuite {
       "no cell below k=10 — suppression never fires")
   }
 
+  test("x92 orders span several years; x93 has pairs at support 3") {
+    val years = Tables.orders(spark, sf)
+      .select(countDistinct(expr("year(o_orderdate)"))).head().getLong(0)
+    assert(years >= 2L, "single-year orders collapse every LTV cohort to age 0")
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val supported = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk"), col("b.pk")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 3).limit(1).count()
+    assert(supported === 1L, "no part pair reaches support 3 — x93 empty")
+  }
+
   test("x81's orphan plant drops a non-empty parent slice on every edge") {
     // keys ≡ 3 (mod 97) must exist among each parent's REFERENCED keys,
     // or an edge of the referential-integrity audit reports zero orphans

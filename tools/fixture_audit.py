@@ -153,6 +153,9 @@ def audit(d: str) -> list:
                     GROUP BY e.user_id)""")
     if conv < 2:
         bad.append(f"x86: only {conv} view→purchase converter(s)")
+    years = one("SELECT count(DISTINCT year(o_orderdate)) FROM orders")
+    if years < 2:
+        bad.append(f"x92: orders span only {years} year(s) — LTV cohorts trivial")
     if d.rstrip("/").endswith("sf0.01"):
         # x89 suppression must be exercised from both sides at the
         # correctness scale (cells straddle k=10)
