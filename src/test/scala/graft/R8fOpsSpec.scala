@@ -59,6 +59,34 @@ class R8fOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- X97: quantile normalization ----
+
+  test("x97: normalized ranks are per-source uniform and order-preserving") {
+    val rows = q("x97_quantile_normalize").collect()
+    val docs = graft.tables.Tables.documents(spark, sf).count()
+    assert(rows.length === docs, "every doc gets a normalized rank")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) < 1000L,
+        s"strictly-below rank must live in [0, 1000): ${r.getLong(2)}")
+    }
+    // order preservation within a source: higher raw q ⇒ ≥ normalized
+    // rank (recheck one source end-to-end)
+    val src = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val one = src.values.head
+    val inSrc = rows.filter(r => src(r.getLong(0)) == one)
+      .sortBy(_.getLong(1))
+    inSrc.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) <= b.getLong(2),
+          "normalization must preserve the raw-quality order")
+      case _ =>
+    }
+    // the lowest level of every source normalizes to exactly 0
+    assert(inSrc.head.getLong(2) === 0L)
+  }
+
   // ---- X95: ship-latency percentiles ----
 
   test("x95: every supplier reports ordered percentiles; p50 recomputed") {
