@@ -58,6 +58,31 @@ class StreamingManifestSpec extends AnyFunSuite {
       ShardManifest.manifest(all1).orderBy("shard").collect().toSeq)
   }
 
+  test("compaction preserves the manifest (physical rewrite, same content)") {
+    // the point of the XOR checksum: ANY physical re-layout of the same
+    // rows — here a small-files compaction of a shard-partitioned tree —
+    // must reproduce the manifest bit-for-bit
+    val docs = (0L until 200L).map(i => ManifestDoc(i, txt(i))).toDF()
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_manifest_compact-${System.nanoTime()}")
+      .getAbsolutePath
+    docs.withColumn("shard",
+        graft.text.ShardManifest.shardOf(org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.col("doc_id")))
+      .repartition(16) // force many small files per partition
+      .write.partitionBy("shard").parquet(dir)
+    def manifestOf = {
+      val back = spark.read.parquet(dir).select("doc_id", "text")
+      ShardManifest.manifest(back).orderBy("shard").collect().toSeq
+    }
+    val before = manifestOf
+    val (nBefore, nAfter) = graft.pipeline.Compaction.compact(
+      spark, dir, targetBytes = 1L << 30, partitionCols = Seq("shard"))
+    assert(nAfter < nBefore, "compaction must actually merge files")
+    assert(manifestOf === before,
+      "physical rewrite changed the content manifest")
+  }
+
   test("drives from a real streaming query via foreachBatch") {
     val key = freshChain("stream")
     val base = (0L until 10L).map(i => ManifestDoc(i, txt(i))).toDF()
