@@ -183,13 +183,10 @@ object SparkEntryR8b {
     // one integer floor-division). One partial-aggregable shuffle on
     // (asset, month).
     "x73_vwap" -> ((s, d) => {
-      import graft.sources.SyntheticBars
-      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
-        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
-      bars.select(col("ativo"),
-          date_trunc("month", col("Date")).cast("date").as("month"),
-          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"),
-          col("Volume").as("vol"))
+      MarketPanel.barsPanel(s, MarketPanel.tickers2)
+        .select(col("ativo"),
+          date_trunc("month", col("dt")).cast("date").as("month"),
+          col("cents"), col("vol"))
         .groupBy("ativo", "month")
         .agg(count(lit(1)).as("n_days"), sum("vol").as("tot_vol"),
           expr("sum(cents * vol) div sum(vol)").as("vwap_cents"))
@@ -233,12 +230,8 @@ object SparkEntryR8b {
     // one floor-div per day). Per-asset ordered window: one exchange on
     // the asset key, the same shape as the W-family.
     "x75_max_drawdown" -> ((s, d) => {
-      import graft.sources.SyntheticBars
       import org.apache.spark.sql.expressions.Window
-      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
-        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
-        .select(col("ativo"), col("Date").as("dt"),
-          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"))
+      val bars = MarketPanel.centsPanel(s, MarketPanel.tickers2)
       val w = Window.partitionBy("ativo").orderBy("dt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       bars.withColumn("runmax", max(col("cents")).over(w))
@@ -257,12 +250,8 @@ object SparkEntryR8b {
     // (`(c - lag) * 10000 div lag`), then the mergeable integer moments
     // (n, Σ, Σ², min, max) any variance/Sharpe consumer derives from.
     "x76_return_stats" -> ((s, d) => {
-      import graft.sources.SyntheticBars
       import org.apache.spark.sql.expressions.Window
-      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
-        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
-        .select(col("ativo"), col("Date").as("dt"),
-          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"))
+      val bars = MarketPanel.centsPanel(s, MarketPanel.tickers2)
       val w = Window.partitionBy("ativo").orderBy("dt")
       bars.withColumn("lagc", lag(col("cents"), 1).over(w))
         .where(col("lagc").isNotNull)
@@ -285,12 +274,8 @@ object SparkEntryR8b {
     // a float corr() could never hash across engines, the components
     // always do (consumers finish with one row-local division).
     "x77_pair_correlation" -> ((s, d) => {
-      import graft.sources.SyntheticBars
       import org.apache.spark.sql.expressions.Window
-      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
-        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
-        .select(col("ativo"), col("Date").as("dt"),
-          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"))
+      val bars = MarketPanel.centsPanel(s, MarketPanel.tickers2)
       val w = Window.partitionBy("ativo").orderBy("dt")
       val rets = bars.withColumn("lagc", lag(col("cents"), 1).over(w))
         .where(col("lagc").isNotNull)

@@ -19,14 +19,11 @@ import graft.tables.Tables
 object SparkEntryR8c {
 
   /** Three-asset daily close panel in integer cents — the x76/x77 shape
-    * widened to a cross-section big enough for an equal-weight index.
+    * widened to a cross-section big enough for an equal-weight index
+    * (the shared [[MarketPanel]]).
     */
   private def centsPanel(s: SparkSession): DataFrame =
-    Seq("VALE3.SA", "PETR4.SA", "ITUB4.SA")
-      .map(t => SyntheticBars.bars(s, t, "2024-01-01", 120))
-      .reduce(_ unionByName _)
-      .select(col("ativo"), col("Date").as("dt"),
-        expr("CAST(round(Close * 100) AS BIGINT)").as("cents"))
+    MarketPanel.centsPanel(s, MarketPanel.tickers3)
 
   /** Integer basis-point daily returns over [[centsPanel]] (the x76
     * lag-div shape; one per-asset ordered window).
@@ -39,10 +36,8 @@ object SparkEntryR8c {
         expr("(cents - lagc) * 10000 div lagc").as("r"))
   }
 
-  private val tickers3 = Seq("VALE3.SA", "PETR4.SA", "ITUB4.SA")
-
   private def barsGen3Sql: String =
-    tickers3.map(SparkEntryPipeline.barsGenSql).mkString("\nUNION ALL\n")
+    MarketPanel.barsGenSql(MarketPanel.tickers3)
 
   /** DuckDB replay of [[retsPanel]]. */
   private def retsPanelSql: String =

@@ -16,10 +16,8 @@ import graft.tables.Tables
   */
 object SparkEntryR8d {
 
-  private val tickers2 = Seq("VALE3.SA", "PETR4.SA")
-
   private def barsGen2Sql: String =
-    tickers2.map(SparkEntryPipeline.barsGenSql).mkString("\nUNION ALL\n")
+    MarketPanel.barsGenSql(MarketPanel.tickers2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -33,12 +31,10 @@ object SparkEntryR8d {
     // SAME plant feeds the oracle and the audit exercises real gaps.
     // Shape: one per-asset ordered window (lag), partial-agg rollup.
     "x83_calendar_gaps" -> ((s, d) => {
-      val bars = tickers2
-        .map(t => SyntheticBars.bars(s, t, "2024-01-01", 120))
-        .reduce(_ unionByName _)
-        .select(col("ativo"), col("Date").cast("date").as(("day")))
-        .where(pmod(datediff(col("day"), lit("2024-01-01").cast("date")),
-          lit(13)) =!= 5)
+      val bars = MarketPanel.centsPanel(s, MarketPanel.tickers2)
+        .select(col("ativo"), col("dt").cast("date").as("day"))
+        .where(pmod(datediff(col("day"),
+          lit(MarketPanel.StartDate).cast("date")), lit(13)) =!= 5)
       val w = Window.partitionBy("ativo").orderBy("day")
       bars.withColumn("gap",
           datediff(col("day"), lag(col("day"), 1).over(w)) - 1)
@@ -91,11 +87,7 @@ object SparkEntryR8d {
     // window, one partial-agg shuffle.
     "x85_amihud_illiq" -> ((s, d) => {
       val w = Window.partitionBy("ativo").orderBy("dt")
-      tickers2.map(t => SyntheticBars.bars(s, t, "2024-01-01", 120))
-        .reduce(_ unionByName _)
-        .select(col("ativo"), col("Date").as("dt"),
-          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"),
-          col("Volume").as("vol"))
+      MarketPanel.barsPanel(s, MarketPanel.tickers2)
         .withColumn("lagc", lag(col("cents"), 1).over(w))
         .where(col("lagc").isNotNull)
         .select(col("ativo"), col("vol"),
@@ -131,13 +123,15 @@ object SparkEntryR8d {
       val n = conv.agg(count(lit(1)).as("n_conv"))
       val ranked = conv.withColumn("rn",
         row_number().over(Window.orderBy("lat_s", "user_id")))
-      val p50 = ranked.crossJoin(broadcast(n))
-        .where(col("rn") === expr("(n_conv + 1) div 2"))
-        .select(col("lat_s").as("p50_latency_s"))
-      val p90 = ranked.crossJoin(broadcast(n))
-        .where(col("rn") === expr("(9 * n_conv + 9) div 10"))
-        .select(col("lat_s").as("p90_latency_s"))
-      n.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+      // global agg over the (possibly empty) ranked frame: exactly one
+      // row comes out even with zero converters (NULL percentiles) —
+      // the same shape the oracle's scalar subqueries produce
+      val sel = ranked.crossJoin(broadcast(n)).agg(
+        max(when(col("rn") === expr("(n_conv + 1) div 2"), col("lat_s")))
+          .as("p50_latency_s"),
+        max(when(col("rn") === expr("(9 * n_conv + 9) div 10"),
+          col("lat_s"))).as("p90_latency_s"))
+      n.crossJoin(broadcast(sel))
     }),
 
     // ---- X87: shard manifest (the x50 writer's verification artifact) --

@@ -14,10 +14,8 @@ import graft.tables.Tables
   */
 object SparkEntryR8e {
 
-  private val tickers2 = Seq("VALE3.SA", "PETR4.SA")
-
   private def barsGen2Sql: String =
-    tickers2.map(SparkEntryPipeline.barsGenSql).mkString("\nUNION ALL\n")
+    MarketPanel.barsGenSql(MarketPanel.tickers2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -75,12 +73,7 @@ object SparkEntryR8e {
     // and one broadcast index join — no extra shuffles appear because
     // the pieces share the SAME panel scan and asset-keyed exchange.
     "x90_risk_report" -> ((s, d) => {
-      val panel = tickers2
-        .map(t => SyntheticBars.bars(s, t, "2024-01-01", 120))
-        .reduce(_ unionByName _)
-        .select(col("ativo"), col("Date").as("dt"),
-          expr("CAST(round(Close * 100) AS BIGINT)").as("cents"),
-          col("Volume").as("vol"))
+      val panel = MarketPanel.barsPanel(s, MarketPanel.tickers2)
       val w = Window.partitionBy("ativo").orderBy("dt")
       val enriched = panel
         .withColumn("lagc", lag(col("cents"), 1).over(w))

@@ -13,8 +13,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch recompute drops them), and the score is the ring folded with
   * integer bit-shift weights. No float ever enters the state, so the
   * streaming head equals the batch x91 recompute bit-for-bit at every
-  * trigger (`StreamingTrendingSpec` pins this against the real fixture
-  * AND across multi-batch arrivals).
+  * trigger — PROVIDED the key has events on the anchor day: x91 anchors
+  * every key at the corpus max day, while this state anchors per key,
+  * so a key whose latest event predates the global anchor reports its
+  * per-key-anchored score instead (weights relative to its own newest
+  * day). `StreamingTrendingSpec` asserts that precondition before
+  * pinning fixture bit-equality, and pins multi-batch == one-shot
+  * unconditionally.
   *
   * Late data: an event older than the horizon contributes nothing in
   * the batch form and is likewise ignored here; an event late but
@@ -73,8 +78,11 @@ object StreamingTrending {
           if (st.anchor == Long.MinValue) Iterator.empty
           else {
             val (n, sc) = score(st)
+            // Date.valueOf(LocalDate) is timezone-free; a raw
+            // new Date(millis) would shift the day on non-UTC JVMs
             Iterator.single(Out(key,
-              new Date(st.anchor * 86400000L), n, sc))
+              Date.valueOf(java.time.LocalDate.ofEpochDay(st.anchor)),
+              n, sc))
           }
       }
   }

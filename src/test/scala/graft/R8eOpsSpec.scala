@@ -20,11 +20,11 @@ class R8eOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 7L))
     val events = graft.tables.Tables.events(spark, sf).count()
     assert(rows.map(_.getLong(1)).sum === events)
-    // Σ(n_d·7 − total) = 6·total − ... cancels to 0 exactly, so the
-    // floored per-mill deviations can only lose < 1 per row: the sum
-    // sits in (−7, 0].
+    // Σ(n_d·7 − total) cancels to 0 exactly; `div` truncates toward
+    // zero (positive cells lose <1, negative cells GAIN <1), so the
+    // truncated per-mill deviations sum within ±7
     val devSum = rows.map(_.getLong(2)).sum
-    assert(devSum <= 0L && devSum > -7L, s"dev sum $devSum out of band")
+    assert(math.abs(devSum) < 7L, s"dev sum $devSum out of band")
   }
 
   // ---- X89: small-cell suppression ----
@@ -126,10 +126,26 @@ class R8eOpsSpec extends AnyFunSuite {
         s"sum_impact(${r.getString(0)})")
     }
     // beta components: Σm and Σm² identical across assets (both assets
-    // see the same 2-asset index on every return date).
+    // see the same 2-asset index on every return date); Σrm recomputed
+    // independently from the collected panel
     val vals = report.values.toSeq
-    assert(vals.map(_.getLong(6)).nonEmpty)
     assert(vals.map(_.getLong(7)).distinct.length === 1, "sum_m shared")
     assert(vals.map(_.getLong(8)).distinct.length === 1, "sum_mm shared")
+    val panel = MarketPanel.centsPanel(spark, MarketPanel.tickers2)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2)))
+    val rets = panel.groupBy(_._1).flatMap { case (a, rows) =>
+      rows.sortBy(_._2).sliding(2).collect {
+        case Array((_, _, c0), (_, t1, c1)) =>
+          (a, t1, (c1 - c0) * 10000L / c0)
+      }
+    }.toSeq
+    val m = rets.groupBy(_._2).view
+      .mapValues(rs => rs.map(_._3).sum / rs.length).toMap
+    val expRm = rets.groupBy(_._1).view
+      .mapValues(_.map { case (_, t, r) => r * m(t) }.sum).toMap
+    expRm.foreach { case (a, e) =>
+      assert(report(a).getLong(6) === e, s"sum_rm($a) recompute")
+    }
   }
 }

@@ -184,35 +184,43 @@ class FixtureContractSpec extends AnyFunSuite {
     assert(labels >= 2L, "one label collapses x70 to cos=1000 only")
   }
 
+  // the op specs exercise x84/x86/x92 at sf0.001 while the oracle gate
+  // runs sf0.01 — so these preconditions are asserted at BOTH scales
+  private val bothScales = Seq("/root/testdata/sf0.001", sf)
+
   test("x84's purchase signal is sparse and multi-day (churn is non-trivial)") {
     // x84 defines activity as "purchased that day": if every user
     // purchases every day the matrix saturates to retained-only; if
     // purchases vanish it goes empty. Require several active days and a
     // per-user-day activity rate comfortably inside (0, 1).
-    val act = Tables.events(spark, sf)
-      .where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").cast("date").as("day"))
-      .distinct()
-    val days = act.select(countDistinct(col("day"))).head().getLong(0)
-    assert(days >= 5L, "too few purchase days for day-over-day churn")
-    val users = Tables.events(spark, sf)
-      .select(countDistinct(col("user_id"))).head().getLong(0)
-    val rate = act.count().toDouble / (days * users)
-    assert(rate > 0.02 && rate < 0.98,
-      f"purchase activity rate $rate%.3f saturates/empties the churn matrix")
+    for (d <- bothScales) {
+      val act = Tables.events(spark, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val days = act.select(countDistinct(col("day"))).head().getLong(0)
+      assert(days >= 5L, s"too few purchase days for churn at $d")
+      val users = Tables.events(spark, d)
+        .select(countDistinct(col("user_id"))).head().getLong(0)
+      val rate = act.count().toDouble / (days * users)
+      assert(rate > 0.02 && rate < 0.98,
+        f"purchase activity rate $rate%.3f saturates/empties churn at $d")
+    }
   }
 
   test("x86 has converting users (view followed by a later purchase)") {
-    val e = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_type"),
-        expr("unix_micros(ts)").as("us"))
-    val v = e.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("v_us"))
-    val conv = e.join(v, "user_id")
-      .where(col("event_type") === "purchase" && col("us") > col("v_us"))
-      .select(countDistinct(col("user_id"))).head().getLong(0)
-    assert(conv >= 2L,
-      "fewer than two view→purchase converters trivializes the percentiles")
+    for (d <- bothScales) {
+      val e = Tables.events(spark, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val conv = e.join(v, "user_id")
+        .where(col("event_type") === "purchase" && col("us") > col("v_us"))
+        .select(countDistinct(col("user_id"))).head().getLong(0)
+      assert(conv >= 2L,
+        s"fewer than two view→purchase converters at $d")
+    }
   }
 
   test("x89's (nation x segment) cells span both sides of the k=10 threshold") {
@@ -228,9 +236,11 @@ class FixtureContractSpec extends AnyFunSuite {
   }
 
   test("x92 orders span several years; x93 has pairs at support 3") {
-    val years = Tables.orders(spark, sf)
-      .select(countDistinct(expr("year(o_orderdate)"))).head().getLong(0)
-    assert(years >= 2L, "single-year orders collapse every LTV cohort to age 0")
+    for (d <- bothScales) {
+      val years = Tables.orders(spark, d)
+        .select(countDistinct(expr("year(o_orderdate)"))).head().getLong(0)
+      assert(years >= 2L, s"single-year orders collapse LTV cohorts at $d")
+    }
     val items = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
