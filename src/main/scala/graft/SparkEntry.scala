@@ -55,7 +55,8 @@ object SparkEntry {
       SparkEntryR5b.queries ++ SparkEntryR5c.queries ++ SparkEntryR5d.queries ++
       SparkEntryR6.queries ++ SparkEntryR7.queries ++ SparkEntryR8.queries ++
       SparkEntryR8b.queries ++ SparkEntryR8c.queries ++
-      SparkEntryR8d.queries ++ SparkEntryR8e.queries ++ SparkEntryR8f.queries
+      SparkEntryR8d.queries ++ SparkEntryR8e.queries ++
+      SparkEntryR8f.queries ++ SparkEntryR8g.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -773,5 +774,5 @@ object SparkEntry {
     SparkEntryR6.oracleSql ++ SparkEntryR7.oracleSql ++ SparkEntryR8.oracleSql ++
     SparkEntryR8b.oracleSql ++ SparkEntryR8c.oracleSql ++
     SparkEntryR8d.oracleSql ++ SparkEntryR8e.oracleSql ++
-    SparkEntryR8f.oracleSql
+    SparkEntryR8f.oracleSql ++ SparkEntryR8g.oracleSql
 }

@@ -112,9 +112,9 @@ object SparkEntryExt {
       |                      (acc, c) -> (acc*31 + c) % 2147483647)
       |END""".stripMargin
 
-  private val enStopSql = TextOps.EnStop.map(w => s"'$w'").mkString(", ")
-  private val esStopSql = TextOps.EsStop.map(w => s"'$w'").mkString(", ")
-  private val deStopSql = TextOps.DeStop.map(w => s"'$w'").mkString(", ")
+  private[graft] val enStopSql = TextOps.EnStop.map(w => s"'$w'").mkString(", ")
+  private[graft] val esStopSql = TextOps.EsStop.map(w => s"'$w'").mkString(", ")
+  private[graft] val deStopSql = TextOps.DeStop.map(w => s"'$w'").mkString(", ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
