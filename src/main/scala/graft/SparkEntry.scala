@@ -56,7 +56,7 @@ object SparkEntry {
       SparkEntryR6.queries ++ SparkEntryR7.queries ++ SparkEntryR8.queries ++
       SparkEntryR8b.queries ++ SparkEntryR8c.queries ++
       SparkEntryR8d.queries ++ SparkEntryR8e.queries ++
-      SparkEntryR8f.queries ++ SparkEntryR8g.queries
+      SparkEntryR8f.queries ++ SparkEntryR8g.queries ++ SparkEntryR8h.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -774,5 +774,6 @@ object SparkEntry {
     SparkEntryR6.oracleSql ++ SparkEntryR7.oracleSql ++ SparkEntryR8.oracleSql ++
     SparkEntryR8b.oracleSql ++ SparkEntryR8c.oracleSql ++
     SparkEntryR8d.oracleSql ++ SparkEntryR8e.oracleSql ++
-    SparkEntryR8f.oracleSql ++ SparkEntryR8g.oracleSql
+    SparkEntryR8f.oracleSql ++ SparkEntryR8g.oracleSql ++
+    SparkEntryR8h.oracleSql
 }
