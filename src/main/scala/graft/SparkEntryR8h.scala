@@ -73,6 +73,63 @@ object SparkEntryR8h {
       ShardManifest.manifest(
           fullDocs.unionByName(boundaryDocs).select("doc_id", "text"))
         .orderBy("shard")
+    }),
+
+    // ---- X101: overnight gap analysis ----
+    //
+    // The open-auction statistic the close-to-close return suite
+    // (x76) cannot see: per asset, the distribution of overnight gaps —
+    // today's Open vs yesterday's Close, in integer basis points —
+    // summarized as mergeable counts (n, gap-ups, gap-downs, Σ|gap|,
+    // max |gap|). Uses the full OHLC panel's Open column; one per-asset
+    // lag window + partial-agg rollup.
+    "x101_overnight_gaps" -> ((s, d) => {
+      import graft.sources.SyntheticBars
+      val bars = MarketPanel.tickers2
+        .map(t => SyntheticBars.bars(s, t, MarketPanel.StartDate,
+          MarketPanel.Days))
+        .reduce(_ unionByName _)
+        .select(col("ativo"), col("Date").as("dt"),
+          expr("CAST(round(Open * 100) AS BIGINT)").as("o_cents"),
+          expr("CAST(round(Close * 100) AS BIGINT)").as("c_cents"))
+      val w = Window.partitionBy("ativo").orderBy("dt")
+      bars.withColumn("prev_close", lag(col("c_cents"), 1).over(w))
+        .where(col("prev_close").isNotNull)
+        .select(col("ativo"),
+          expr("(o_cents - prev_close) * 10000 div prev_close").as("gap"))
+        .groupBy("ativo")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gap_up"),
+          sum(when(col("gap") < 0, 1L).otherwise(0L)).as("n_gap_down"),
+          sum(abs(col("gap"))).as("sum_abs_gap_bp"),
+          max(abs(col("gap"))).as("max_abs_gap_bp"))
+        .orderBy("ativo")
+    }),
+
+    // ---- X102: drawdown duration (gaps-and-islands) ----
+    //
+    // x75 gives the DEPTH of the worst drawdown; this gives its
+    // LENGTH: the longest underwater spell per asset (consecutive days
+    // below the running peak), via the rank-difference islands
+    // technique — two per-asset ordered windows (running max + the two
+    // row_numbers whose difference labels each island), then a
+    // partial-agg island rollup. No iteration, no self-join.
+    "x102_underwater_spells" -> ((s, d) => {
+      val w = Window.partitionBy("ativo").orderBy("dt")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = MarketPanel.centsPanel(s, MarketPanel.tickers2)
+        .withColumn("runmax", max(col("cents")).over(wRun))
+        .withColumn("under", (col("cents") < col("runmax")).cast("int"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rn_under", sum(col("under")).over(wRun))
+      flagged.where(col("under") === 1)
+        .groupBy(col("ativo"), (col("rn") - col("rn_under")).as("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("ativo")
+        .agg(count(lit(1)).as("n_spells"),
+          max("len").as("max_spell_days"),
+          sum("len").as("days_underwater"))
+        .orderBy("ativo")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -140,5 +197,58 @@ object SparkEntryR8h {
          |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
          |       CAST(bit_xor(fp) AS BIGINT) AS checksum
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "x101_overnight_gaps" -> {
+      val full = MarketPanel.tickers2
+        .map(SparkEntryPipeline.fullBarsGenSql).mkString("\nUNION ALL\n")
+      s"""WITH bars AS (
+         |$full),
+         |c AS (SELECT ativo, date AS dt,
+         |             CAST(round(open * 100) AS BIGINT) AS o_cents,
+         |             CAST(round(close * 100) AS BIGINT) AS c_cents
+         |      FROM bars),
+         |g AS (SELECT ativo,
+         |             (o_cents - lag(c_cents) OVER (PARTITION BY ativo
+         |               ORDER BY dt)) * 10000
+         |               // lag(c_cents) OVER (PARTITION BY ativo
+         |                    ORDER BY dt) AS gap
+         |      FROM c)
+         |SELECT ativo, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_gap_up,
+         |       CAST(SUM(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_gap_down,
+         |       CAST(SUM(abs(gap)) AS BIGINT) AS sum_abs_gap_bp,
+         |       CAST(MAX(abs(gap)) AS BIGINT) AS max_abs_gap_bp
+         |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "x102_underwater_spells" -> {
+      val bars2 = MarketPanel.barsGenSql(MarketPanel.tickers2)
+      s"""WITH bars AS (
+         |$bars2),
+         |c AS (SELECT ativo, date AS dt,
+         |             CAST(round(close * 100) AS BIGINT) AS cents
+         |      FROM bars),
+         |f AS (SELECT ativo, dt, cents,
+         |             MAX(cents) OVER w_run AS runmax,
+         |             row_number() OVER w_ord AS rn
+         |      FROM c
+         |      WINDOW w_run AS (PARTITION BY ativo ORDER BY dt
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             w_ord AS (PARTITION BY ativo ORDER BY dt)),
+         |u AS (SELECT ativo, rn,
+         |             CASE WHEN cents < runmax THEN 1 ELSE 0 END AS under,
+         |             SUM(CASE WHEN cents < runmax THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY ativo ORDER BY rn
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS rn_under
+         |      FROM f),
+         |isl AS (SELECT ativo, rn - rn_under AS island,
+         |               CAST(count(*) AS BIGINT) AS len
+         |        FROM u WHERE under = 1 GROUP BY 1, 2)
+         |SELECT ativo, CAST(count(*) AS BIGINT) AS n_spells,
+         |       CAST(MAX(len) AS BIGINT) AS max_spell_days,
+         |       CAST(SUM(len) AS BIGINT) AS days_underwater
+         |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin
     })
 }

@@ -56,4 +56,37 @@ class R8hOpsSpec extends AnyFunSuite {
     assert(budget - relToks < toks.values.max,
       s"release underfills: $relToks of $budget")
   }
+
+  test("x101: gap counts partition the panel; up/down/flat accounted") {
+    val rows = SparkEntry.queries("x101_overnight_gaps")(spark, sf)
+      .collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val (n, up, down) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === 119L, "120 bars - 1 lag row")
+      assert(up + down <= n, "flat gaps are neither up nor down")
+      assert(r.getLong(5) <= r.getLong(4),
+        "max |gap| cannot exceed the |gap| sum")
+    }
+  }
+
+  test("x102: spell structure is consistent with x75's drawdown depth") {
+    val spells = SparkEntry.queries("x102_underwater_spells")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(spells.size === 2)
+    spells.values.foreach { case (nSpells, maxLen, total) =>
+      assert(nSpells > 0L, "the synthetic walk must dip below its peak")
+      assert(maxLen >= 1L && maxLen <= total)
+      assert(total <= 119L, "day 1 can never be underwater")
+      assert(nSpells <= total)
+    }
+    // depth and duration must agree on WHETHER drawdown happened
+    SparkEntry.queries("x75_max_drawdown")(spark, sf).collect()
+      .foreach { r =>
+        val dd = r.getLong(1)
+        assert((dd > 0L) === (spells(r.getString(0))._3 > 0L),
+          "x75 depth and x102 duration disagree on drawdown existence")
+      }
+  }
 }

@@ -541,6 +541,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x93 basket lift: equi-joins only, marginals broadcast") {
+    val p = plan("x93_basket_lift")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must stay an order-keyed equi-join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"part-frequency marginals must broadcast:\n${p.take(1500)}")
+  }
+
+  test("x97 quantile normalization: mapping broadcasts, no corpus merge-join") {
+    val p = plan("x97_quantile_normalize")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (source, level) mapping must attach by broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the mapping join")
+  }
+
+  test("x100 capstone: broadcast attaches only; bounded window count") {
+    val p = plan("x100_calibrated_release")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"every bounded frame must attach by broadcast:\n${p.take(1500)}")
+    // windows: branch re-planning repeats the x97 CDF pair, the
+    // budget-cutoff cumulative, and the boundary prefix — all legal,
+    // but EVERY window spec must run over a bounded level frame
+    // (source-partitioned, norm-level-ordered, or norm-partitioned);
+    // a window specced on raw corpus order would be a scale-killer
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty)
+    windows.foreach { l =>
+      assert(l.contains("source#") || l.contains("norm#"),
+        s"window over a non-level frame:\n$l")
+    }
+  }
+
   test("x86 latency percentiles: rank windows run on the per-user frame only") {
     val p = plan("x86_stage_latency")
     // The only Window is the row_number rank selection over |users| rows;
