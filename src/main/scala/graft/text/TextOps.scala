@@ -261,12 +261,18 @@ object TextOps {
     * the fixpoint — no change-join needed.
     *
     * @return (id, label) for every vertex appearing in `pairs`; label =
-    *         smallest id in the vertex's connected component (if
-    *         `maxIters` is hit first, labels are an upper bound — callers
-    *         keeping one survivor per label may then keep extras, never
-    *         lose docs)
+    *         smallest id in the vertex's connected component. Min-label
+    *         propagation needs one round per hop of the worst
+    *         min-node eccentricity, so `maxIters` is a SAFETY VALVE,
+    *         not a budget: hitting it THROWS instead of returning
+    *         silently-wrong labels (a regenerated fixture once pushed a
+    *         component's diameter past a 10-round cap and the one extra
+    *         survivor surfaced as an oracle mismatch, not an error —
+    *         never again). The 64 default covers any plausible near-dup
+    *         cluster; genuinely deeper graphs should move to
+    *         large-star/small-star rounds, not a bigger cap.
     */
-  def minLabelComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def minLabelComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -308,6 +314,11 @@ object TextOps {
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"min-label propagation did not converge in $maxIters rounds — " +
+          "component diameter exceeds the cap; raise maxIters or switch " +
+          "this graph to large-star/small-star rounds")
     labels
   }
 
@@ -322,9 +333,12 @@ object TextOps {
     * + pair parameters; mutable corpora must skip the cache.
     */
   def ensureCcLabels(pairs: => DataFrame, labelsKey: Seq[Any],
-                     maxIters: Int = 10): DataFrame = {
+                     maxIters: Int = 64): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val dir = graft.util.ArtifactStore.artifactDir(spark, "cc_labels", labelsKey)
+    // kind is VERSIONED: v2 = converge-or-throw propagation (a v1 label
+    // table built under the old silent 10-round cap may be wrong and
+    // must not be reused even for an unchanged corpus stamp)
+    val dir = graft.util.ArtifactStore.artifactDir(spark, "cc_labels_v2", labelsKey)
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -352,7 +366,7 @@ object TextOps {
                            idCol: String = "doc_id", textCol: String = "text",
                            shingleN: Int = 3, numHashes: Int = 24,
                            bands: Int = 12, rowsPerBand: Int = 2,
-                           maxIters: Int = 10,
+                           maxIters: Int = 64,
                            labelsKey: Option[Seq[Any]] = None): DataFrame = {
     def pairs = nearDupPairs(docs, threshold, idCol, textCol, shingleN,
       numHashes, bands, rowsPerBand).select("id_a", "id_b")
@@ -389,7 +403,7 @@ object TextOps {
                           idCol: String = "doc_id", textCol: String = "text",
                           shingleN: Int = 3, numHashes: Int = 24,
                           bands: Int = 12, rowsPerBand: Int = 2,
-                          maxIters: Int = 10,
+                          maxIters: Int = 64,
                           labelsKey: Option[Seq[Any]] = None): DataFrame = {
     def pairs = nearDupPairs(docs, threshold, idCol, textCol, shingleN,
       numHashes, bands, rowsPerBand).select("id_a", "id_b")

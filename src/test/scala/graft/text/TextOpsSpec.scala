@@ -123,6 +123,21 @@ class TextOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("minLabelComponents: deep chains converge; hitting the cap THROWS") {
+    // a 20-hop path — deeper than the old silent 10-round cap that cost
+    // x35 one wrong survivor on a regenerated sf0.001 fixture (diameter
+    // 16); the default cap must converge it exactly
+    val chain = (1L until 21L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = TextOps.minLabelComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet === Set(1L), "whole chain labels to its min")
+    // and an insufficient cap must be an ERROR, never silently-wrong labels
+    val e = intercept[IllegalStateException] {
+      TextOps.minLabelComponents(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val df = Seq(
       "the cat is in the hat", // en
