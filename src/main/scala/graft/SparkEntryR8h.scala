@@ -106,6 +106,41 @@ object SparkEntryR8h {
         .orderBy("ativo")
     }),
 
+    // ---- X103: piggy-backed audit metrics (Observation API) ----
+    //
+    // The audit stats every ingest job should publish — row count,
+    // null rate, event-time range — collected DURING another pass via
+    // Spark's `Dataset.observe`, not by a second scan: the metrics ride
+    // the same physical plan as the consuming action (here a count of
+    // qualifying rows, standing in for the real write), so at 100 TB
+    // the audit is FREE. The observed values are then surfaced as a
+    // 1-row DataFrame; the oracle recomputes the identical aggregates
+    // the boring way, proving the piggy-backed pass loses nothing.
+    "x103_observed_audit" -> ((s, d) => {
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      val ev = Tables.events(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+        expr("CAST(min(unix_micros(ts)) div 86400000000 AS BIGINT)")
+          .as("min_day"),
+        expr("CAST(max(unix_micros(ts)) div 86400000000 AS BIGINT)")
+          .as("max_day"))
+      // the consuming action the metrics piggy-back on
+      val nPurchases = ev.where(col("event_type") === "purchase").count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_null_value").asInstanceOf[Long],
+        m("n_null_props").asInstanceOf[Long],
+        m("min_day").asInstanceOf[Long],
+        m("max_day").asInstanceOf[Long],
+        nPurchases))
+        .toDF("n_rows", "n_null_value", "n_null_props", "min_day",
+          "max_day", "n_purchases")
+    }),
+
     // ---- X102: drawdown duration (gaps-and-islands) ----
     //
     // x75 gives the DEPTH of the worst drawdown; this gives its
@@ -222,6 +257,19 @@ object SparkEntryR8h {
          |       CAST(MAX(abs(gap)) AS BIGINT) AS max_abs_gap_bp
          |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "x103_observed_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null_value,
+        |       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null_props,
+        |       CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |            AS BIGINT) AS min_day,
+        |       CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |            AS BIGINT) AS max_day,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_purchases
+        |FROM events""".stripMargin,
     "x102_underwater_spells" -> {
       val bars2 = MarketPanel.barsGenSql(MarketPanel.tickers2)
       s"""WITH bars AS (

@@ -57,6 +57,19 @@ class R8hOpsSpec extends AnyFunSuite {
       s"release underfills: $relToks of $budget")
   }
 
+  test("x103: observed metrics ride the consuming action's single pass") {
+    // the observe() metrics must agree with a direct recompute, and the
+    // piggy-backed action's own result must be carried through
+    val r = SparkEntry.queries("x103_observed_audit")(spark, sf).head()
+    val ev = graft.tables.Tables.events(spark, sf)
+    assert(r.getLong(0) === ev.count())
+    assert(r.getLong(5) ===
+      ev.where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .count())
+    assert(r.getLong(3) <= r.getLong(4), "day range ordered")
+    assert(r.getLong(1) >= 0L && r.getLong(2) >= 0L)
+  }
+
   test("x101: gap counts partition the panel; up/down/flat accounted") {
     val rows = SparkEntry.queries("x101_overnight_gaps")(spark, sf)
       .collect()
