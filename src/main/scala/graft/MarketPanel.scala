@@ -36,6 +36,18 @@ private[graft] object MarketPanel {
   def centsPanel(s: SparkSession, tickers: Seq[String]): DataFrame =
     barsPanel(s, tickers).drop("vol")
 
+  /** Full OHLC panel in exact integer cents
+    * (ativo, dt, o/h/l/c_cents, vol). */
+  def fullBarsPanel(s: SparkSession, tickers: Seq[String]): DataFrame =
+    tickers.map(t => SyntheticBars.bars(s, t, StartDate, Days))
+      .reduce(_ unionByName _)
+      .select(col("ativo"), col("Date").as("dt"),
+        expr("CAST(round(Open * 100) AS BIGINT)").as("o_cents"),
+        expr("CAST(round(High * 100) AS BIGINT)").as("h_cents"),
+        expr("CAST(round(Low * 100) AS BIGINT)").as("l_cents"),
+        expr("CAST(round(Close * 100) AS BIGINT)").as("c_cents"),
+        col("Volume").as("vol"))
+
   /** DuckDB replay of the union'd raw bars for `tickers`. */
   def barsGenSql(tickers: Seq[String]): String =
     tickers.map(SparkEntryPipeline.barsGenSql).mkString("\nUNION ALL\n")

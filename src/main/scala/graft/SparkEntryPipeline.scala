@@ -132,8 +132,8 @@ object SparkEntryPipeline {
     // regenerates the identical bars from the same integer arithmetic.
     "s1_synthetic_source" -> ((s, d) => {
       val rawDir = s"${base(d, "s1")}/raw"
-      val b1 = graft.sources.SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
-      val b2 = graft.sources.SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120)
+      val b1 = graft.sources.SyntheticBars.bars(s, "VALE3.SA", MarketPanel.StartDate, MarketPanel.Days)
+      val b2 = graft.sources.SyntheticBars.bars(s, "PETR4.SA", MarketPanel.StartDate, MarketPanel.Days)
       BatchPipeline.writeRaw(b1.unionByName(b2), rawDir, SaveMode.Overwrite)
       BatchPipeline.readRaw(s, rawDir)
         .select(col("ativo"), col("Date").as("date"), col("Close").as("close"),
@@ -163,19 +163,21 @@ object SparkEntryPipeline {
       s"${barsGenSql("VALE3.SA")}\nUNION ALL\n${barsGenSql("PETR4.SA")}"
   )
 
-  /** DuckDB replay of `SyntheticBars.bars(ticker, "2024-01-01", 120)`
-    * (close/volume columns; Open/High/Low derive from the same integer
-    * draws — see `fullBarsGenSql`). Shared by the s1 roundtrip and the
-    * x73/x74 market-analytics oracles.
+  /** DuckDB replay of `SyntheticBars.bars(ticker, MarketPanel.StartDate,
+    * MarketPanel.Days)` (close/volume columns; Open/High/Low derive from
+    * the same integer draws — see `fullBarsGenSql`). Shared by the s1
+    * roundtrip and the x73/x74 market-analytics oracles. Start date and
+    * bar count come from [[MarketPanel]] so a panel change moves the
+    * Spark queries AND their oracles together.
     */
   private[graft] def barsGenSql(ticker: String): String = {
     val h = graft.sources.SyntheticBars.tickerHash(ticker)
     val ativo = ticker.split("\\.", -1)(0)
     s"""SELECT '$ativo' AS ativo,
-       |       CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS TIMESTAMP) AS date,
+       |       CAST(DATE '${MarketPanel.StartDate}' + i * INTERVAL 1 DAY AS TIMESTAMP) AS date,
        |       100.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS close,
        |       CAST(1000 + ((CAST($h AS BIGINT) * (i + 1)) % 9973) AS BIGINT) AS volume
-       |FROM (SELECT unnest(range(120)) AS i)""".stripMargin
+       |FROM (SELECT unnest(range(${MarketPanel.Days})) AS i)""".stripMargin
   }
 
   /** Full OHLCV replay (all five price/volume columns of
@@ -184,12 +186,12 @@ object SparkEntryPipeline {
     val h = graft.sources.SyntheticBars.tickerHash(ticker)
     val ativo = ticker.split("\\.", -1)(0)
     s"""SELECT '$ativo' AS ativo,
-       |       CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS TIMESTAMP) AS date,
+       |       CAST(DATE '${MarketPanel.StartDate}' + i * INTERVAL 1 DAY AS TIMESTAMP) AS date,
        |       100.0 + ((CAST($h AS BIGINT) * i) % 997) / 10.0 AS open,
        |       101.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS high,
        |       99.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS low,
        |       100.0 + ((CAST($h AS BIGINT) * (i + 1)) % 997) / 10.0 AS close,
        |       CAST(1000 + ((CAST($h AS BIGINT) * (i + 1)) % 9973) AS BIGINT) AS volume
-       |FROM (SELECT unnest(range(120)) AS i)""".stripMargin
+       |FROM (SELECT unnest(range(${MarketPanel.Days})) AS i)""".stripMargin
   }
 }

@@ -201,17 +201,12 @@ object SparkEntryR8b {
     // exact integer cents. min_by/max_by are single-pass partial-
     // aggregable argmin/argmax — never a per-group sort or window.
     "x74_ohlc_resample" -> ((s, d) => {
-      import graft.sources.SyntheticBars
-      val bars = SyntheticBars.bars(s, "VALE3.SA", "2024-01-01", 120)
-        .unionByName(SyntheticBars.bars(s, "PETR4.SA", "2024-01-01", 120))
-      bars.select(col("ativo"),
-          date_trunc("week", col("Date")).cast("date").as("week"),
-          col("Date").as("dt"),
-          expr("CAST(round(Open * 100) AS BIGINT)").as("o"),
-          expr("CAST(round(High * 100) AS BIGINT)").as("h"),
-          expr("CAST(round(Low * 100) AS BIGINT)").as("l"),
-          expr("CAST(round(Close * 100) AS BIGINT)").as("c"),
-          col("Volume").as("vol"))
+      MarketPanel.fullBarsPanel(s, MarketPanel.tickers2)
+        .select(col("ativo"),
+          date_trunc("week", col("dt")).cast("date").as("week"),
+          col("dt"),
+          col("o_cents").as("o"), col("h_cents").as("h"),
+          col("l_cents").as("l"), col("c_cents").as("c"), col("vol"))
         .groupBy("ativo", "week")
         .agg(min_by(col("o"), col("dt")).as("open_cents"),
           max(col("h")).as("high_cents"),

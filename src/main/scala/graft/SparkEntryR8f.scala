@@ -130,24 +130,12 @@ object SparkEntryR8f {
     // that bounded frame and the mapping re-attaches by broadcast; the
     // corpus itself never sees a window (the x51 boundary discipline).
     "x97_quantile_normalize" -> ((s, d) => {
+      import graft.text.QuantileNorm
       val scored = Tables.documents(s, d).select(col("doc_id"),
-        col("source"),
-        graft.util.Expr.bind(lower(col("text")), t =>
-          (length(regexp_replace(t, "[^a-z]", "")) * lit(1000L) /
-            greatest(length(t), lit(1))).cast("long")).as("q"))
-      val levels = scored.groupBy("source", "q")
-        .agg(count(lit(1)).as("c"))
-      val wBelow = Window.partitionBy("source").orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy("source")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val mapping = levels
-        .withColumn("below", coalesce(sum("c").over(wBelow), lit(0L)))
-        .withColumn("n_src", sum("c").over(wAll))
-        .select(col("source"), col("q"),
-          expr("below * 1000 div n_src").as("norm_permill"))
-      scored.join(broadcast(mapping), Seq("source", "q"))
-        .select(col("doc_id"), col("q"), col("norm_permill"))
+        col("source"), QuantileNorm.rawQuality(col("text")).as("q"))
+      scored.join(broadcast(QuantileNorm.mapping(scored, "source")),
+          Seq("source", "q"))
+        .select(col("doc_id"), col("q"), col("norm").as("norm_permill"))
         .orderBy("doc_id")
     }))
 
@@ -211,22 +199,14 @@ object SparkEntryR8f {
         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM dw JOIN prof p USING (dow) ORDER BY dw.day""".stripMargin,
     "x97_quantile_normalize" ->
-      """WITH scored AS (
-        |  SELECT doc_id, source,
-        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000
-        |           // greatest(length(text), 1) AS q
-        |  FROM documents),
-        |lv AS (SELECT source, q, CAST(count(*) AS BIGINT) AS c
-        |       FROM scored GROUP BY 1, 2),
-        |cdf AS (SELECT source, q,
-        |               COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY q
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |                 0) AS below,
-        |               SUM(c) OVER (PARTITION BY source) AS n_src
-        |        FROM lv)
-        |SELECT s.doc_id, CAST(s.q AS BIGINT) AS q,
-        |       CAST(cdf.below * 1000 // cdf.n_src AS BIGINT)
-        |         AS norm_permill
-        |FROM scored s JOIN cdf ON cdf.source = s.source AND cdf.q = s.q
-        |ORDER BY s.doc_id""".stripMargin)
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |         ${graft.text.QuantileNorm.rawQualitySql} AS q
+         |  FROM documents),
+         |${graft.text.QuantileNorm.mappingSql("source")}
+         |SELECT s.doc_id, CAST(s.q AS BIGINT) AS q,
+         |       CAST(cdf.below * 1000 // cdf.n_grp AS BIGINT)
+         |         AS norm_permill
+         |FROM scored s JOIN cdf ON cdf.source = s.source AND cdf.q = s.q
+         |ORDER BY s.doc_id""".stripMargin)
 }

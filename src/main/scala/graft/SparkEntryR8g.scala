@@ -46,9 +46,8 @@ object SparkEntryR8g {
       val scored = docs.select(col("doc_id"),
         ccol(HashedBagWeightedScore(cexp(TextOps.tokens(col("text"))), w,
           BiasCnt)).as("score"),
-        when(when(length(trim(col("text"))) === 0, lit(0L))
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
-          >= Thresh, 1L).otherwise(0L).as("y"))
+        when(TextOps.tokenCount(col("text")) >= Thresh, 1L).otherwise(0L)
+          .as("y"))
       scored
         .withColumn("rn", expr(
           "row_number() OVER (ORDER BY score DESC, doc_id)"))

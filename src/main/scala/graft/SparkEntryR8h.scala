@@ -27,28 +27,16 @@ object SparkEntryR8h {
     // is a partial-agg shuffle, a broadcast of a bounded frame, or a
     // row-local filter; the corpus is never globally ordered.
     "x100_calibrated_release" -> ((s, d) => {
+      import graft.text.QuantileNorm
       val docs = Tables.documents(s, d).select(col("doc_id"),
         col("source"), col("text"))
       val scored = docs.select(col("doc_id"), col("source"), col("text"),
-        graft.util.Expr.bind(lower(col("text")), t =>
-          (length(regexp_replace(t, "[^a-z]", "")) * lit(1000L) /
-            greatest(length(t), lit(1))).cast("long")).as("q"),
-        when(length(trim(col("text"))) === 0, lit(0L))
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
-          .as("toks"))
-      // x97: per-source quantile rank on the bounded level frame
-      val srcLevels = scored.groupBy("source", "q")
-        .agg(count(lit(1)).as("c"))
-      val wBelow = Window.partitionBy("source").orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wSrc = Window.partitionBy("source")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val mapping = srcLevels
-        .withColumn("below", coalesce(sum("c").over(wBelow), lit(0L)))
-        .withColumn("n_src", sum("c").over(wSrc))
-        .select(col("source"), col("q"),
-          expr("below * 1000 div n_src").as("norm"))
-      val normed = scored.join(broadcast(mapping), Seq("source", "q"))
+        QuantileNorm.rawQuality(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).as("toks"))
+      // x97: per-source quantile rank on the bounded level frame — the
+      // SHARED QuantileNorm implementation (R8hOpsSpec pins x100==x97)
+      val normed = scored.join(
+        broadcast(QuantileNorm.mapping(scored, "source")), Seq("source", "q"))
       // x51: token budget on the ≤1001-row NORM level frame
       val budget = normed.agg((sum("toks") / 2).cast("long").as("b"))
       val levels = normed.groupBy("norm").agg(sum("toks").as("s"))
@@ -84,14 +72,8 @@ object SparkEntryR8h {
     // max |gap|). Uses the full OHLC panel's Open column; one per-asset
     // lag window + partial-agg rollup.
     "x101_overnight_gaps" -> ((s, d) => {
-      import graft.sources.SyntheticBars
-      val bars = MarketPanel.tickers2
-        .map(t => SyntheticBars.bars(s, t, MarketPanel.StartDate,
-          MarketPanel.Days))
-        .reduce(_ unionByName _)
-        .select(col("ativo"), col("Date").as("dt"),
-          expr("CAST(round(Open * 100) AS BIGINT)").as("o_cents"),
-          expr("CAST(round(Close * 100) AS BIGINT)").as("c_cents"))
+      val bars = MarketPanel.fullBarsPanel(s, MarketPanel.tickers2)
+        .select("ativo", "dt", "o_cents", "c_cents")
       val w = Window.partitionBy("ativo").orderBy("dt")
       bars.withColumn("prev_close", lag(col("c_cents"), 1).over(w))
         .where(col("prev_close").isNotNull)
@@ -127,9 +109,19 @@ object SparkEntryR8h {
           .as("min_day"),
         expr("CAST(max(unix_micros(ts)) div 86400000000 AS BIGINT)")
           .as("max_day"))
-      // the consuming action the metrics piggy-back on
+      // the consuming action the metrics piggy-back on. NOTE: this
+      // entry runs its action at BUILD time by the nature of the
+      // Observation API (obs.get blocks on the action), so explain-only
+      // tooling sees a LocalTableScan of the finished metrics, not the
+      // CollectMetrics node — the plan-shape evidence for observe()
+      // lives in this query's oracle agreement, not in ExplainAudit.
       val nPurchases = ev.where(col("event_type") === "purchase").count()
       val m = obs.get
+      // an empty fixture would surface as NULL min/max metrics and a
+      // silent 0 after unboxing — fail loudly instead (the fixture
+      // contract guarantees non-empty events)
+      require(m("n_rows").asInstanceOf[Long] > 0L,
+        "x103 requires a non-empty events table")
       import s.implicits._
       Seq((m("n_rows").asInstanceOf[Long],
         m("n_null_value").asInstanceOf[Long],
@@ -174,23 +166,15 @@ object SparkEntryR8h {
       val fp = TextOps.rollingHashDuckSql("text")
       s"""WITH scored AS (
          |  SELECT doc_id, source, text,
-         |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000
-         |           // greatest(length(text), 1) AS q,
+         |         ${graft.text.QuantileNorm.rawQualitySql} AS q,
          |         CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
          |              ELSE CAST(len(string_split_regex(trim(text),
          |                     '\\s+')) AS BIGINT)
          |         END AS toks
          |  FROM documents),
-         |lv AS (SELECT source, q, CAST(count(*) AS BIGINT) AS c
-         |       FROM scored GROUP BY 1, 2),
-         |cdf AS (SELECT source, q,
-         |               COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY q
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |                 0) AS below,
-         |               SUM(c) OVER (PARTITION BY source) AS n_src
-         |        FROM lv),
+         |${graft.text.QuantileNorm.mappingSql("source")},
          |normed AS (SELECT s.doc_id, s.text, s.toks,
-         |                  cdf.below * 1000 // cdf.n_src AS norm
+         |                  cdf.below * 1000 // cdf.n_grp AS norm
          |           FROM scored s
          |           JOIN cdf ON cdf.source = s.source AND cdf.q = s.q),
          |bud AS (SELECT CAST(SUM(toks) // 2 AS BIGINT) AS b FROM normed),

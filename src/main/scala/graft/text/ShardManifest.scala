@@ -32,9 +32,7 @@ object ShardManifest {
   def manifest(docs: DataFrame): DataFrame =
     docs
       .select(shardOf(col("text"), col("doc_id")).as("shard"),
-        when(length(trim(col("text"))) === 0, lit(0L))
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
-          .as("toks"),
+        TextOps.tokenCount(col("text")).as("toks"),
         TextOps.rollingHash(col("text")).as("fp"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),

@@ -30,6 +30,14 @@ object TextOps {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(lower(text)), "\\s+"))
 
+  /** Whitespace token count as BIGINT (0 for empty/whitespace-only text)
+    * — THE corpus token measure: the x36b teacher, the x87 manifest
+    * mass, and the x100 budget all count with this one expression, so
+    * they can never drift apart.
+    */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("bigint")
+
   /** Word n-gram shingles, space-joined; fewer than n tokens → empty. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

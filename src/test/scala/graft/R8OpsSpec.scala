@@ -81,6 +81,8 @@ class R8OpsSpec extends AnyFunSuite {
     // (corpus, params) key; x54 must then load it, not refit
     q("x2_dedup_cc").collect()
     val loads0 = countCcLabelDirs()
+    assert(loads0 > 0, "priming x2_dedup_cc must materialize a label dir " +
+      "— if this is 0 the prefix below no longer matches the artifact kind")
     q("x54_leakage_safe_split").collect()
     assert(countCcLabelDirs() === loads0,
       "x54 created a NEW cc_labels artifact — key mismatch with x2_dedup_cc")
@@ -172,7 +174,7 @@ class R8OpsSpec extends AnyFunSuite {
   private def countCcLabelDirs(): Int = {
     val base = graft.util.ArtifactStore.baseDir(spark)
     Option(base.listFiles()).map(_.count(f =>
-      f.getName.startsWith("cc_labels-") && !f.getName.contains(".tmp-")))
+      f.getName.startsWith("cc_labels_v2-") && !f.getName.contains(".tmp-")))
       .getOrElse(0)
   }
 }

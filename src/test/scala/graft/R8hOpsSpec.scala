@@ -34,7 +34,7 @@ class R8hOpsSpec extends AnyFunSuite {
       val levelToks = ids.map(toks).sum
       if (spent + levelToks <= budget) {
         spent += levelToks; nKept += ids.length
-      } else {
+      } else if (spent < budget) {
         var cum = 0L
         val it = ids.iterator
         var go = true
@@ -45,6 +45,11 @@ class R8hOpsSpec extends AnyFunSuite {
           } else go = false
         }
         spent += cum
+        boundaryDone = true
+      } else {
+        // spent == budget exactly: the query marks this level neither
+        // full nor boundary, so ALL its docs (even zero-token ones)
+        // are dropped — admit nothing
         boundaryDone = true
       }
     }
