@@ -88,6 +88,27 @@ object SparkEntryR8h {
         .orderBy("ativo")
     }),
 
+    // ---- X104: lexical diversity per source (type-token ratio) ----
+    //
+    // The corpus-linguistics quality signal the dataset card's raw
+    // counts miss: a source whose token mass is huge but whose
+    // VOCABULARY is tiny (template spam, boilerplate farms) shows a
+    // collapsed type-token ratio. Exact integer per-mill —
+    // 1000·distinct div total — via one explode into (source, token)
+    // and Spark's two-phase distinct; both counts are
+    // partial-aggregable and the output frame is \|sources\| rows.
+    "x104_source_ttr" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("tok")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("n_types * 1000 div n_tokens").as("ttr_permill"))
+        .orderBy("source")
+    }),
+
     // ---- X103: piggy-backed audit metrics (Observation API) ----
     //
     // The audit stats every ingest job should publish — row count,
@@ -241,6 +262,16 @@ object SparkEntryR8h {
          |       CAST(MAX(abs(gap)) AS BIGINT) AS max_abs_gap_bp
          |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "x104_source_ttr" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+        |       CAST(count(DISTINCT tok) * 1000 // count(*) AS BIGINT)
+        |         AS ttr_permill
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "x103_observed_audit" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)

@@ -62,6 +62,28 @@ class R8hOpsSpec extends AnyFunSuite {
       s"release underfills: $relToks of $budget")
   }
 
+  test("x104: TTR bounds and token-mass consistency with x5") {
+    val rows = SparkEntry.queries("x104_source_ttr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (toks, types, ttr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(types >= 1L && types <= toks, "types bounded by tokens")
+      assert(ttr >= 0L && ttr <= 1000L)
+      assert(ttr === types * 1000 / toks)
+    }
+    // token mass agrees with the per-doc x5 counts aggregated by source
+    val x5 = SparkEntry.queries("x5_token_count")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = graft.tables.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val massBySrc = srcOf.groupBy(_._2).view
+      .mapValues(_.map(p => x5(p._1)).sum).toMap
+    rows.foreach(r => assert(r.getLong(1) === massBySrc(r.getString(0)),
+      s"token mass(${r.getString(0)})"))
+  }
+
   test("x103: observed metrics ride the consuming action's single pass") {
     // the observe() metrics must agree with a direct recompute, and the
     // piggy-backed action's own result must be carried through
