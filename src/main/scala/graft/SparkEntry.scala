@@ -56,7 +56,8 @@ object SparkEntry {
       SparkEntryR6.queries ++ SparkEntryR7.queries ++ SparkEntryR8.queries ++
       SparkEntryR8b.queries ++ SparkEntryR8c.queries ++
       SparkEntryR8d.queries ++ SparkEntryR8e.queries ++
-      SparkEntryR8f.queries ++ SparkEntryR8g.queries ++ SparkEntryR8h.queries
+      SparkEntryR8f.queries ++ SparkEntryR8g.queries ++
+      SparkEntryR8h.queries ++ SparkEntryR9.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -775,5 +776,5 @@ object SparkEntry {
     SparkEntryR8b.oracleSql ++ SparkEntryR8c.oracleSql ++
     SparkEntryR8d.oracleSql ++ SparkEntryR8e.oracleSql ++
     SparkEntryR8f.oracleSql ++ SparkEntryR8g.oracleSql ++
-    SparkEntryR8h.oracleSql
+    SparkEntryR8h.oracleSql ++ SparkEntryR9.oracleSql
 }

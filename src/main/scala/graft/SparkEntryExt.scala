@@ -285,11 +285,15 @@ object SparkEntryExt {
     // X11: benchmark decontamination — corpus (originals + planted
     // near-dup copies) vs an "eval suite" (every 50th doc): exact copies
     // AND near-dup copies of eval docs are dropped via >= 5 shared
-    // distinct shingles; the oracle recomputes the same join.
+    // distinct shingles; the oracle recomputes the same join. The eval
+    // shingle table is a persisted `decontam_index` artifact (VERDICT
+    // r8 #6): built once per (fixture, eval suite), probed per batch —
+    // the x37 O(batch) incremental discipline (plan + reload pinned).
     "x11_decontaminate" -> ((s, d) => {
       val evalSet = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(50L)) === 0)
-      TextOps.decontaminate(docsWithPlanted(s, d), evalSet, minOverlap = 5)
+      TextOps.decontaminate(docsWithPlanted(s, d), evalSet, minOverlap = 5,
+        indexKey = Some(Seq(d, Tables.stamp(d, "documents"), "eval-mod50")))
         .select(col("doc_id"), length(col("text")).as("n_len"))
     }),
 

@@ -41,11 +41,15 @@ object SparkEntryR8e {
     //
     // What x66's k-anonymity AUDIT flags, this op FIXES before a table
     // is published: aggregate cells below the k=10 threshold are
-    // suppressed and rolled into one "__other" row per nation, so no
-    // published cell identifies a small group yet every count is still
-    // accounted for. Row-local verdict on the \|nation × segment\|
-    // aggregate frame, one re-aggregation of the suppressed slice —
-    // the corpus costs a single partial-agg shuffle.
+    // suppressed and rolled into one "__other" row per nation. STRICT
+    // k-anonymity (ADVICE r8): a rollup row that itself holds fewer
+    // than k customers is suppressed too — EVERY published row, named
+    // or "__other", covers ≥ k people. The cost is that mass is no
+    // longer conserved for a nation whose whole suppressed slice is
+    // sub-k (the deficit is < k by construction — R8eOpsSpec pins it).
+    // Row-local verdict on the \|nation × segment\| aggregate frame,
+    // one re-aggregation of the suppressed slice — the corpus costs a
+    // single partial-agg shuffle.
     "x89_small_cell_suppress" -> ((s, d) => {
       val cells = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
@@ -57,6 +61,7 @@ object SparkEntryR8e {
       val folded = cells.where(col("n") < 10)
         .groupBy("n_name")
         .agg(sum("n").as("n"))
+        .where(col("n") >= 10) // strict k: a sub-k rollup is suppressed too
         .select(col("n_name"), lit("__other").as("segment"), col("n"))
       kept.unionByName(folded).orderBy("n_name", "segment")
     }),
@@ -160,9 +165,14 @@ object SparkEntryR8e {
     // ≥3 baskets, exact integer lift in per-mill —
     // 1000·n_ab·N div (n_a·n_b). Shape: one distinct on (order, part),
     // a self equi-join on the order key (fan-out bounded by basket
-    // size², ~16 per order — never a cross of the catalog), two
-    // broadcastable marginal frames. The ≥3 support filter prunes the
-    // pair table before the marginals attach.
+    // size², ~16 per order — never a cross of the catalog). The two
+    // part-frequency marginals are \|parts\|-cardinality — they grow
+    // with the catalog, so the join strategy is left to SIZE-BASED
+    // planning (VERDICT r8 #2): AQE broadcasts them while small and
+    // switches to a pair-keyed shuffle join when the catalog outgrows
+    // the threshold, instead of a forced hint turning growth into an
+    // OOM. Only the 1-row total keeps an explicit broadcast. The ≥3
+    // support filter prunes the pair table before the marginals attach.
     "x93_basket_lift" -> ((s, d) => {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -176,10 +186,10 @@ object SparkEntryR8e {
         .agg(count(lit(1)).as("n"))
       val total = items.select(count_distinct(col("ok")).as("n_orders"))
       pairs
-        .join(broadcast(freq.select(col("pk").as("part_a"),
-          col("n").as("n_a"))), "part_a")
-        .join(broadcast(freq.select(col("pk").as("part_b"),
-          col("n").as("n_b"))), "part_b")
+        .join(freq.select(col("pk").as("part_a"), col("n").as("n_a")),
+          "part_a")
+        .join(freq.select(col("pk").as("part_b"), col("n").as("n_b")),
+          "part_b")
         .crossJoin(broadcast(total))
         .select(col("part_a"), col("part_b"), col("n_ab"),
           expr("n_ab * n_orders * 1000 div (n_a * n_b)").as("lift_permill"))
@@ -205,7 +215,7 @@ object SparkEntryR8e {
         |SELECT n_name, c_mktsegment AS segment, n FROM cells WHERE n >= 10
         |UNION ALL
         |SELECT n_name, '__other' AS segment, CAST(SUM(n) AS BIGINT) AS n
-        |FROM cells WHERE n < 10 GROUP BY n_name
+        |FROM cells WHERE n < 10 GROUP BY n_name HAVING SUM(n) >= 10
         |ORDER BY n_name, segment""".stripMargin,
     "x90_risk_report" ->
       s"""WITH bars AS (

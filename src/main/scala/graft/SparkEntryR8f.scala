@@ -23,9 +23,11 @@ object SparkEntryR8f {
     // is quartiled by RANK arithmetic — q = (rank−1)·4 div n over the
     // (metric, key) total order — not by any float percentile, so every
     // engine buckets identically, ties broken by customer key. The
-    // per-customer frame is \|customers\| rows; the three quartile
-    // windows run over that frame, never the order log (the x51
-    // boundary discipline). Output: the 64-cell segment census.
+    // three global ranks over the \|customers\| frame come from
+    // GlobalRank's range-partition + per-partition-offset pass (VERDICT
+    // r8 #1): identical to three unpartitioned row_number windows, but
+    // each is a fully parallel range sort — no single-task sort of the
+    // customer base at scale. Output: the 64-cell segment census.
     "x94_rfm_segments" -> ((s, d) => {
       val orders = Tables.orders(s, d)
         .select(col("o_custkey"),
@@ -40,13 +42,17 @@ object SparkEntryR8f {
           sum("cents").as("monetary_cents"))
       // lower recency is BETTER (most-recent ranks first, ascending);
       // higher frequency/monetary are better (descending)
-      val scored = rfm
-        .withColumn("r_q", expr(
-          "(row_number() OVER (ORDER BY recency_days, o_custkey) - 1) * 4"))
-        .withColumn("f_q", expr(
-          "(row_number() OVER (ORDER BY frequency DESC, o_custkey) - 1) * 4"))
-        .withColumn("m_q", expr(
-          "(row_number() OVER (ORDER BY monetary_cents DESC, o_custkey) - 1) * 4"))
+      import graft.stats.GlobalRank
+      val ranked = GlobalRank.withRowNumber(
+        GlobalRank.withRowNumber(
+          GlobalRank.withRowNumber(rfm,
+            Seq(col("recency_days"), col("o_custkey")), "rn_r"),
+          Seq(col("frequency").desc, col("o_custkey")), "rn_f"),
+        Seq(col("monetary_cents").desc, col("o_custkey")), "rn_m")
+      val scored = ranked
+        .withColumn("r_q", expr("(rn_r - 1) * 4"))
+        .withColumn("f_q", expr("(rn_f - 1) * 4"))
+        .withColumn("m_q", expr("(rn_m - 1) * 4"))
         .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
         .select(expr("1 + r_q div n").as("r"),
           expr("1 + f_q div n").as("f"),

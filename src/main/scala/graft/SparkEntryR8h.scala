@@ -37,8 +37,10 @@ object SparkEntryR8h {
       // SHARED QuantileNorm implementation (R8hOpsSpec pins x100==x97)
       val normed = scored.join(
         broadcast(QuantileNorm.mapping(scored, "source")), Seq("source", "q"))
-      // x51: token budget on the ≤1001-row NORM level frame
-      val budget = normed.agg((sum("toks") / 2).cast("long").as("b"))
+      // x51: token budget on the ≤1001-row NORM level frame — integer
+      // division end to end (ADVICE r8: sum/2 as a double drifts from
+      // the oracle's SUM(toks) // 2 above 2^53 token mass)
+      val budget = normed.agg(expr("sum(toks) div 2").as("b"))
       val levels = normed.groupBy("norm").agg(sum("toks").as("s"))
         .withColumn("cum_before", coalesce(sum("s").over(
           Window.orderBy(col("norm").desc)

@@ -23,6 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Unicode NFC normalization (row-local, codegen'd; VERDICT r8 #4):
+    * two byte-different encodings of the same logical string — "café"
+    * precomposed vs 'e' + combining acute — hash apart and silently
+    * defeat exact dedup (X1), shingle dedup (X2/X48) and segment
+    * counting on real web data. Apply at the text-ingest front, before
+    * anything fingerprints/shingles/hashes; already-NFC strings (all
+    * ASCII) pass through without a copy. DuckDB's `nfc_normalize` is
+    * the exact oracle twin, so normalized paths stay oracle-checkable.
+    * `nearDupPairs`/`stripBoilerplate` take it as a parameter; index
+    * builders ([[MembershipIndex]]/[[LshIndex]]) normalize by feeding a
+    * pre-normalized corpus frame — the key then names the normalized
+    * corpus, keeping probe and index byte-aligned.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Whitespace tokens of lowercased trimmed text; empty text → empty array
     * (Spark's `split("")` yields `[""]`, which we normalize away).
     */
@@ -104,14 +122,18 @@ object TextOps {
                    idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, numHashes: Int = 24,
                    bands: Int = 12, rowsPerBand: Int = 2,
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxBucketSize: Int = Int.MaxValue,
+                   normalizeNfc: Boolean = false): DataFrame = {
     require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must fit signature")
+    // NFC before shingling (optional): canonically-equal variants then
+    // shingle identically — row-local, so the plan shape is unchanged
+    val txt = if (normalizeNfc) nfc(col(textCol)) else col(textCol)
     // The shingle table feeds three plan branches (band keying + both sides
     // of the jaccard re-attachment); persist it so tokenization/shingling
     // runs once, not three times. Spark evicts LRU under pressure; a
     // 100 TB pipeline would stage this to a table instead.
     val sh = docs
-      .select(col(idCol), distinctShingles(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), distinctShingles(txt, shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation joins carry ONLY (id, band, key) — the shingle
@@ -659,13 +681,27 @@ object TextOps {
     * key would be xxhash64(shingle) — 8 fixed bytes instead of the
     * string; kept as the string here so the DuckDB oracle can reproduce
     * the join exactly.)
+    *
+    * With `indexKey` (VERDICT r8 #6), the eval shingle table gets the
+    * LshIndex/MembershipIndex durable-artifact lifecycle: built ONCE per
+    * (eval suite, shingleN) as a `decontam_index` parquet table and
+    * probed by every later corpus batch — O(batch) incremental
+    * decontamination, the eval suite never re-shingled per run. The key
+    * must identify the immutable eval set + params; `invalidate` via
+    * [[graft.util.ArtifactStore.invalidate]] on eval-suite change.
     */
-  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+  def decontaminate(docs: DataFrame, evalDocs: => DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    shingleN: Int = 3, minOverlap: Int = 5): DataFrame = {
-    val evalSh = evalDocs
-      .select(explode(distinctShingles(col(textCol), shingleN)).as("__sh"))
-      .distinct()
+                    shingleN: Int = 3, minOverlap: Int = 5,
+                    indexKey: Option[Seq[Any]] = None): DataFrame = {
+    val evalSh = indexKey match {
+      case Some(k) =>
+        ensureDecontamIndex(org.apache.spark.sql.SparkSession.active,
+          evalDocs, k, textCol, shingleN)
+      case None => evalDocs
+        .select(explode(distinctShingles(col(textCol), shingleN)).as("__sh"))
+        .distinct()
+    }
     // per-doc shingles are distinct and evalSh is distinct, so each
     // (doc, shingle) row matches at most one eval row: count == number of
     // distinct shared shingles, without a countDistinct
@@ -676,6 +712,30 @@ object TextOps {
       .filter(col("__hits") >= minOverlap)
       .select(col(idCol))
     docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Load the persisted eval-suite shingle index for `key`, building it
+    * once if absent (first-writer-wins tmp+rename, survives a fresh JVM
+    * — the [[MembershipIndex.ensureIndex]] contract). One column `__sh`:
+    * the DISTINCT word shingles of the eval suite.
+    */
+  def ensureDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                          evalDocs: => DataFrame, key: Seq[Any],
+                          textCol: String = "text",
+                          shingleN: Int = 3): DataFrame = {
+    val dir = graft.util.ArtifactStore.artifactDir(spark, "decontam_index",
+      key ++ Seq(shingleN))
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      evalDocs
+        .select(explode(distinctShingles(col(textCol), shingleN)).as("__sh"))
+        .distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.getAbsolutePath)
+      graft.util.ArtifactStore.publishDir(tmp, dir)
+    }
+    spark.read.parquet(dir.getAbsolutePath)
   }
 
   // ---- language ID (stopword heuristic) ----
@@ -771,8 +831,14 @@ object TextOps {
                        segTokens: Int = 3, minDocs: Long = 12,
                        approxCounts: Boolean = false,
                        maxHotSet: Int = 100000,
-                       hotSetKey: Option[Seq[Any]] = None): DataFrame = {
-    val segged = docs.select(col(idCol), segments(col(textCol), segTokens).as("__segs"))
+                       hotSetKey: Option[Seq[Any]] = None,
+                       normalizeNfc: Boolean = false): DataFrame = {
+    // NFC before segmenting (optional): byte-different encodings of one
+    // boilerplate span then count — and strip — as ONE segment. Callers
+    // using hotSetKey must key the normalized corpus distinctly (the
+    // param rides the artifact key below).
+    val txt = if (normalizeNfc) nfc(col(textCol)) else col(textCol)
+    val segged = docs.select(col(idCol), segments(txt, segTokens).as("__segs"))
     // Exact countDistinct shuffles distinct (segment, doc) pairs — full
     // segment text through the wire. The approx variant is the 100 TB
     // form (the x41b/x46b sketch discipline applied to hot-set
@@ -810,7 +876,7 @@ object TextOps {
         // thousands of 3-grams organically hot.
         val spark = org.apache.spark.sql.SparkSession.active
         val dir = graft.util.ArtifactStore.artifactDir(spark, "hot_segments",
-          k ++ Seq(segTokens, minDocs, approxCounts, maxHotSet))
+          k ++ Seq(segTokens, minDocs, approxCounts, maxHotSet, normalizeNfc))
         if (!new java.io.File(dir, "_SUCCESS").exists()) {
           val tmp = new java.io.File(dir.getParentFile,
             dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -850,6 +916,35 @@ object TextOps {
           .select(col(idCol), col("n_seg"), col("__k.n_kept").as("n_kept"),
             col("__k.text_kept").as("text_kept"))
     }
+  }
+
+  // ---- within-document substring dedup (X106) ----
+
+  /** Remove repeated segments INSIDE a document, keeping each segment's
+    * first occurrence — the intra-document half of ExactSubstr dedup
+    * (Lee et al.): x48 strips spans repeated ACROSS documents, this
+    * strips spans a single document repeats internally (templated
+    * listings, scraper echo, chorus lines). VERDICT r8 #5.
+    *
+    * Scale shape: fully row-local — the document's non-overlapping
+    * `segTokens`-token segments are deduped with first-occurrence order
+    * preserved (`array_distinct`'s contract: first occurrences, input
+    * order — hash-set lookups, O(segments) per row) and stitched back.
+    * Zero shuffle; the whole plan is scan → project (PlanAuditSpec pins
+    * it). Output: (idCol, n_seg, n_kept, text_kept) — the x48 shape.
+    */
+  def dedupWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+                     segTokens: Int = 3,
+                     normalizeNfc: Boolean = false): DataFrame = {
+    val txt = if (normalizeNfc) nfc(col(textCol)) else col(textCol)
+    docs.select(col(idCol),
+        graft.util.Expr.bind(segments(txt, segTokens), segs =>
+          graft.util.Expr.bind(array_distinct(segs), kept =>
+            struct(size(segs).cast("bigint").as("n_seg"),
+              size(kept).cast("bigint").as("n_kept"),
+              array_join(kept, " ").as("text_kept")))).as("__k"))
+      .select(col(idCol), col("__k.n_seg").as("n_seg"),
+        col("__k.n_kept").as("n_kept"), col("__k.text_kept").as("text_kept"))
   }
 
   // ---- global token-budget selection (X51) ----

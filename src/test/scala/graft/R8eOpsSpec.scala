@@ -29,19 +29,21 @@ class R8eOpsSpec extends AnyFunSuite {
 
   // ---- X89: small-cell suppression ----
 
-  test("x89: no small named cell survives; per-nation mass is conserved") {
+  test("x89: EVERY published row covers >= k people; deficit only from sub-k rollups") {
     // sf0.01: the (nation × segment) cells span both sides of k=10
-    // (FixtureContractSpec pins this precondition).
+    // (FixtureContractSpec pins this precondition). Strict k-anonymity
+    // (ADVICE r8): the "__other" rollup is held to the same k bar as the
+    // named cells, so mass is conserved EXCEPT for nations whose whole
+    // suppressed slice is sub-k — and that deficit is < k by
+    // construction (it IS the suppressed rollup's count).
     val d = TestSpark.Sf001
     val rows = SparkEntry.queries("x89_small_cell_suppress")(spark, d)
       .collect()
     val named = rows.filter(_.getString(1) != "__other")
     val other = rows.filter(_.getString(1) == "__other")
-    assert(named.nonEmpty && other.nonEmpty,
-      "suppression must be exercised from both sides")
-    named.foreach(r => assert(r.getLong(2) >= 10L,
-      s"published cell below k: ${r.getString(0)}/${r.getString(1)}"))
-    // every customer is still accounted for, nation by nation
+    assert(named.nonEmpty, "named cells must survive")
+    rows.foreach(r => assert(r.getLong(2) >= 10L,
+      s"published row below k: ${r.getString(0)}/${r.getString(1)}"))
     val published = rows.groupBy(_.getString(0))
       .view.mapValues(_.map(_.getLong(2)).sum).toMap
     val raw = graft.tables.Tables.customer(spark, d)
@@ -49,7 +51,16 @@ class R8eOpsSpec extends AnyFunSuite {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(published === raw, "suppression must conserve per-nation mass")
+    val deficits = raw.map { case (nation, n) =>
+      nation -> (n - published.getOrElse(nation, 0L))
+    }
+    deficits.foreach { case (nation, deficit) =>
+      assert(deficit >= 0L && deficit < 10L,
+        s"$nation: deficit $deficit outside [0, k) — only a sub-k rollup may vanish")
+    }
+    // both suppression modes exercised: a surviving rollup or a deficit
+    assert(other.nonEmpty || deficits.values.exists(_ > 0L),
+      "suppression must be exercised on the rollup side too")
   }
 
   // ---- X91: decayed trending ----
