@@ -74,14 +74,35 @@ object SparkEntryPipeline {
        |       a.avg_close_price, a.total_volume
        |FROM win w LEFT JOIN agg a USING (ativo)""".stripMargin
 
-  private def runPipeline(s: SparkSession, d: String, name: String,
-                          table: Option[String]): DataFrame = {
-    val root = base(d, name)
-    val rawDir = s"$root/raw"
-    val refinedDir = s"$root/refined"
-    BatchPipeline.writeRaw(dailyBars(s, d), rawDir, SaveMode.Overwrite)
-    BatchPipeline.run(s, PipelineConfig(rawDir, refinedDir, ProcessingDate,
-      refinedTable = table))
+  /** ONE write→refine→register cycle per (fixture, stamp), shared by the
+    * three round-trip entries (VERDICT r8 #7): the cycle is a
+    * deterministic function of the immutable fixture, so running it once
+    * per JVM — the SessionCache memoization pattern, keyed by the
+    * fixture stamp — and letting each entry READ the landed artifacts
+    * afresh weakens nothing each asserts: s2_s5 still reads the refined
+    * tree from disk, catalog_roundtrip still reads THROUGH the pruned
+    * catalog table, s6 still describes the registered schema. Only the
+    * redundant re-writes are gone (~7.3 s of the r8 bench head was three
+    * copies of the same write). Registration stays PER INVOCATION
+    * (drop + create + recover over ~3 partition dirs — cheap): the
+    * table must follow the CALLER's fixture and session even when a
+    * different fixture's cycle populated the write cache earlier in
+    * this JVM.
+    */
+  private def sharedRoundtrip(s: SparkSession, d: String): String = {
+    val stamp = Tables.stamp(d, "lineitem")
+    val refinedDir = graft.util.SessionCache.getOrCompute(
+      ("pipeline_roundtrip", d, stamp)) {
+      val root = base(d, "shared")
+      val rawDir = s"$root/raw"
+      val refined = s"$root/refined"
+      BatchPipeline.writeRaw(dailyBars(s, d), rawDir, SaveMode.Overwrite)
+      BatchPipeline.run(s, PipelineConfig(rawDir, refined, ProcessingDate))
+      refined
+    }
+    Seq("graft_refined_rt", "graft_refined_desc").foreach(t =>
+      BatchPipeline.registerRefined(s, t, refinedDir))
+    refinedDir
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -94,7 +115,7 @@ object SparkEntryPipeline {
     // accumulates in different order in Spark's partial aggregation vs
     // DuckDB (observed |diff| ~1e-11 at sf0.01).
     "s2_s5_roundtrip" -> ((s, d) =>
-      runPipeline(s, d, "s2s5", table = None)
+      s.read.parquet(sharedRoundtrip(s, d))
         .select(col("ativo"), col("date"), col("close_price"),
           col("trade_volume"), col("mm_7d"),
           round(col("avg_close_price"), 6).as("avg_close_price"),
@@ -104,7 +125,7 @@ object SparkEntryPipeline {
     // reads THROUGH the catalog table with a partition-pruning filter on
     // the ativo partition key (README.md:288's Athena query shape).
     "catalog_roundtrip" -> ((s, d) => {
-      runPipeline(s, d, "catalog", table = Some("graft_refined_rt"))
+      sharedRoundtrip(s, d)
       s.sql("""SELECT ativo, date, close_price, mm_7d
               |FROM graft_refined_rt WHERE ativo = 'R'""".stripMargin)
     }),
@@ -119,7 +140,7 @@ object SparkEntryPipeline {
     // PARTITIONS are pinned in CatalogIntrospectSpec (not SQL-expressible
     // for DuckDB).
     "s6_describe_table" -> ((s, d) => {
-      runPipeline(s, d, "describe", table = Some("graft_refined_desc"))
+      sharedRoundtrip(s, d)
       s.sql("DESCRIBE TABLE graft_refined_desc")
         .filter(!col("col_name").startsWith("#") &&
           length(trim(col("col_name"))) > 0)
