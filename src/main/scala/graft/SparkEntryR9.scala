@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.text.TextOps
 
-/** Round-9 query entries: the text-ingest hygiene pair the r8 verdict
+/** Round-9 query entries: the text-ingest hygiene suite the r8 verdict
   * named as the remaining pretraining-pipeline gaps — Unicode NFC
-  * normalization ahead of content hashing (x105) and within-document
-  * substring dedup, the intra-doc half of ExactSubstr (x106). Both are
-  * row-local ops; plants are deterministic and replayed identically by
-  * the DuckDB oracles. §2.11 extension operators.
+  * normalization ahead of content hashing (x105), within-document
+  * substring dedup, the intra-doc half of ExactSubstr (x106), the
+  * charset audit that tells an operator WHERE normalization matters
+  * (x107), and the two strip halves composed as one release pass
+  * (x108). All row-local except bounded-frame aggregations; plants are
+  * deterministic and replayed identically by the DuckDB oracles.
+  * §2.11 extension operators.
   */
 object SparkEntryR9 {
 
@@ -60,6 +63,56 @@ object SparkEntryR9 {
           .otherwise(col("text")).as("text"))
       TextOps.dedupWithinDoc(docs, "doc_id", "text", segTokens = 3)
         .orderBy("doc_id")
+    }),
+
+    // ---- X107: charset-hygiene audit (the ingest report beside x105) --
+    //
+    // The dataset-card row a web-scale ingest publishes before anyone
+    // trusts exact-match dedup: per source, how many docs carry
+    // non-ASCII bytes at all, and how many are NOT NFC-normalized (the
+    // rows x105's normalization actually changes). Non-ASCII is
+    // byte-vs-char length — `octet_length != length` in both engines;
+    // non-NFC is `nfc(text) != text`. Plants: every 13th doc gets an
+    // NFD tail (non-NFC), every 13th+1 a precomposed tail (non-ASCII
+    // but already NFC). One partial-agg shuffle to a |sources| frame.
+    "x107_charset_audit" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        when(pmod(col("doc_id"), lit(13L)) === 0,
+          concat(col("text"), lit(" cafe\u0301")))
+          .when(pmod(col("doc_id"), lit(13L)) === 1,
+            concat(col("text"), lit(" caf\u00e9")))
+          .otherwise(col("text")).as("text"))
+      planted.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(octet_length(col("text")) =!= length(col("text")), 1L)
+            .otherwise(0L)).as("n_nonascii"),
+          sum(when(TextOps.nfc(col("text")) =!= col("text"), 1L)
+            .otherwise(0L)).as("n_nonnfc"))
+        .orderBy("source")
+    }),
+
+    // ---- X108: full ExactSubstr release (both halves composed) ----
+    //
+    // The pass a real pretraining pipeline runs (Lee et al.): FIRST
+    // strip spans a document repeats internally (x106), THEN strip
+    // spans repeated across documents (x48's hot-set discipline,
+    // minDocs=8) — composed as ONE lazy plan. The intra half is
+    // row-local; the cross half's only data shuffle is the segment-
+    // count partial agg, with the bounded hot set attaching by
+    // broadcast (PlanAuditSpec pins no merge join and no product).
+    // Same doubled-doc plant as x106 so the intra half provably fires.
+    "x108_exactsubstr_release" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val intra = TextOps.dedupWithinDoc(docs, "doc_id", "text",
+          segTokens = 3)
+        .select(col("doc_id"), col("text_kept").as("text"))
+      TextOps.stripBoilerplate(intra, "doc_id", "text",
+          segTokens = 3, minDocs = 8)
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -105,5 +158,68 @@ object SparkEntryR9 {
          |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          |       coalesce(k.text_kept, '') AS text_kept
          |FROM segs s LEFT JOIN kept k USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
+    "x107_charset_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' cafe' || chr(769)
+        |              WHEN doc_id % 13 = 1 THEN text || ' caf' || chr(233)
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN strlen(text) <> length(text)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii,
+        |       CAST(SUM(CASE WHEN nfc_normalize(text) <> text
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnfc
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the two strip halves composed: intra-doc first-occurrence dedup
+    // (the x106 chain), then the x48 cross-doc hot-set strip (minDocs=8)
+    // over the intra-deduped text
+    "x108_exactsubstr_release" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 11 = 0 THEN text || ' ' || text
+         |              ELSE text END AS text
+         |  FROM documents),
+         |tk1 AS (SELECT doc_id, $toksSql AS tk FROM docs),
+         |segs1 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) = 0 THEN []
+         |              ELSE list_transform(range(1, len(tk)+1, 3),
+         |                                  i -> array_to_string(tk[i:i+2], ' '))
+         |         END AS segs
+         |  FROM tk1),
+         |ex1 AS (SELECT doc_id, unnest(segs) AS seg,
+         |               generate_subscripts(segs, 1) AS idx
+         |        FROM segs1),
+         |firsts AS (SELECT doc_id, seg, MIN(idx) AS fidx
+         |           FROM ex1 GROUP BY 1, 2),
+         |kept1 AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY fidx)
+         |                  AS text
+         |          FROM firsts GROUP BY doc_id),
+         |intra AS (SELECT s.doc_id, coalesce(k.text, '') AS text
+         |          FROM segs1 s LEFT JOIN kept1 k USING (doc_id)),
+         |tk2 AS (SELECT doc_id, $toksSql AS tk FROM intra),
+         |segs2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) = 0 THEN []
+         |              ELSE list_transform(range(1, len(tk)+1, 3),
+         |                                  i -> array_to_string(tk[i:i+2], ' '))
+         |         END AS segs
+         |  FROM tk2),
+         |ex2 AS (SELECT doc_id, unnest(segs) AS seg,
+         |               generate_subscripts(segs, 1) AS idx
+         |        FROM segs2),
+         |hot AS (SELECT seg FROM ex2 GROUP BY seg
+         |        HAVING count(DISTINCT doc_id) >= 8),
+         |kept2 AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(seg, ' ' ORDER BY idx) AS text_kept
+         |  FROM ex2 WHERE seg NOT IN (SELECT seg FROM hot)
+         |  GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(s.segs) AS BIGINT) AS n_seg,
+         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(k.text_kept, '') AS text_kept
+         |FROM segs2 s LEFT JOIN kept2 k USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin)
 }

@@ -420,6 +420,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"strip kernel missing:\n${p.take(1000)}")
   }
 
+  test("x108 composed ExactSubstr: hot set broadcasts; no merge join, no product") {
+    // intra half is row-local; the cross half's bounded hot set must
+    // attach as ONE broadcast row — a merge join or product here would
+    // mean the corpus re-shuffled between the two halves
+    val p = plan("x108_exactsubstr_release")
+    assert(p.contains("BroadcastExchange"),
+      s"hot set not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled between the strip halves:\n${p.take(2000)}")
+  }
+
   test("x37 incremental near-dup probes the PERSISTED index, not a re-derived one") {
     // the corpus-side band keys must come from the lsh_index artifact
     // table on disk — if the plan re-shingles the corpus for candidates,
