@@ -44,6 +44,8 @@ object GlobalRank {
   def withRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
                     numPartitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "order columns required")
+    require(!df.columns.contains(outCol), s"output column $outCol already exists")
+    require(!df.columns.contains("__pid"), "__pid is reserved by GlobalRank")
     val spark = df.sparkSession
     val ranged =
       if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
