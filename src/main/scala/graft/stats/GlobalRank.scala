@@ -32,6 +32,10 @@ import org.apache.spark.storage.StorageLevel
   * The sorted frame is persisted so the count pass and the rank pass see
   * the SAME partitioning (the [[Percentiles]] discipline); Spark evicts
   * LRU under pressure — a 100 TB pipeline would stage it to a table.
+  * Unlike [[Percentiles]] (whose consumer is driver-eager, so it
+  * destroys its broadcasts in a finally), the offsets broadcast here
+  * must OUTLIVE this call: it rides the returned lazy plan and is
+  * reclaimed by the ContextCleaner once the frame is unreferenced.
   */
 object GlobalRank {
 

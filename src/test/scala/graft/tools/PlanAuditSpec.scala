@@ -420,15 +420,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"strip kernel missing:\n${p.take(1000)}")
   }
 
-  test("x108 composed ExactSubstr: hot set broadcasts; no merge join, no product") {
-    // intra half is row-local; the cross half's bounded hot set must
-    // attach as ONE broadcast row — a merge join or product here would
-    // mean the corpus re-shuffled between the two halves
+  test("x108 composed ExactSubstr: both halves row-local; the corpus never shuffles") {
+    // intra half is a pure projection and the cross half's persisted
+    // hot set rides the plan as the compiled StripSegments kernel (the
+    // x48 keyed shape) — so between scan and the final sort there must
+    // be NO join and NO hash exchange at all; any would mean the corpus
+    // reassembled through a shuffle between the two halves
     val p = plan("x108_exactsubstr_release")
-    assert(p.contains("BroadcastExchange"),
-      s"hot set not broadcast:\n${p.take(1500)}")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+    assert(p.contains("graft_strip_segments"),
+      s"keyed strip lost its compiled kernel:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning"),
       s"corpus shuffled between the strip halves:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
   test("x37 incremental near-dup probes the PERSISTED index, not a re-derived one") {
@@ -663,6 +666,18 @@ class PlanAuditSpec extends AnyFunSuite {
     def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
+    }
+    // detector self-check: a hand-built unpartitioned window MUST be
+    // seen, or the sweep below is vacuously green
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val probe = unwrap(spark.range(100)
+        .withColumn("rn", row_number().over(Window.orderBy("id")))
+        .queryExecution.executedPlan)
+      assert(probe.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.nonEmpty, "sweep detector failed to see a known unpartitioned window")
     }
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip).filterNot(allowed).flatMap { q =>
