@@ -658,11 +658,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "w11_cumulative_users",    // |days| aggregate frame
       "x100_calibrated_release"  // <=1001-row norm-level frame (x51 shape)
     )
-    // Excluded: entries whose BUILD runs the full write->catalog->read
-    // harness or a blocking observed action — their plan shapes are
-    // pinned in PipelineSpec / their own entries; none window anything.
-    val skip = Set("s1_synthetic_source", "s2_s5_roundtrip",
-      "catalog_roundtrip", "s6_describe_table", "x103_observed_audit")
+    // No exclusions: every entry is swept. The pipeline round-trips'
+    // landing writes are JVM-memoized (round 9) and x103's observed
+    // action is one sf0.001 count, so even the eager-build entries are
+    // cheap enough to audit universally.
+    val skip = Set.empty[String]
     def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
