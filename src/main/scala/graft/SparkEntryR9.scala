@@ -116,6 +116,27 @@ object SparkEntryR9 {
           segTokens = 3, minDocs = 8,
           hotSetKey = Some(Seq(d, Tables.stamp(d, "documents"), "x108")))
         .orderBy("doc_id")
+    }),
+
+    // ---- X109: deep pagination (exact global rank range) ----
+    //
+    // "Page 6 of the leaderboard": rows ranked 101–120 under a total
+    // order. The naive forms both die at 100 TB — a row_number window
+    // is a one-task sort, and offset+limit materializes offset+limit
+    // rows through the driver. GlobalRank.rowsInRankRange instead
+    // range-partitions once, finds from the P-row count table WHICH
+    // partitions hold ranks [101, 120], reads only those (early-
+    // aborting past rank 120), and skips every other partition without
+    // scanning it. Exact, deterministic (cents + order-key tiebreak),
+    // ≤20 rows out.
+    "x109_deep_page" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.stats.GlobalRank.rowsInRankRange(o,
+          Seq(col("cents").desc, col("o_orderkey")), 101L, 120L, "rank")
+        .select(col("rank"), col("o_orderkey"), col("o_custkey"),
+          col("cents"))
+        .orderBy("rank")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -224,5 +245,15 @@ object SparkEntryR9 {
          |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          |       coalesce(k.text_kept, '') AS text_kept
          |FROM segs2 s LEFT JOIN kept2 k USING (doc_id)
-         |ORDER BY s.doc_id""".stripMargin)
+         |ORDER BY s.doc_id""".stripMargin,
+    "x109_deep_page" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY cents DESC, o_orderkey)
+        |                 AS rank
+        |       FROM o)
+        |SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, o_custkey, cents
+        |FROM rk WHERE rank BETWEEN 101 AND 120
+        |ORDER BY rank""".stripMargin)
 }

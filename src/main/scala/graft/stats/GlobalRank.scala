@@ -46,7 +46,30 @@ object GlobalRank {
     *        leaves it to the shuffle conf + AQE
     */
   def withRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
-                    numPartitions: Int = 0): DataFrame = {
+                    numPartitions: Int = 0): DataFrame =
+    build(df, order, outCol, numPartitions, loHi = None)
+
+  /** Rows whose exact global rank under `order` falls in [lo, hi]
+    * (1-based, inclusive) — DEEP PAGINATION without a global sort, a
+    * full rank materialization, or the driver collecting `hi` rows the
+    * way `offset+limit` does: after the count pass, only partitions
+    * whose rank span intersects [lo, hi] are read in the pick pass (a
+    * non-intersecting partition's task opens its iterator and returns
+    * without scanning), and an intersecting partition stops early once
+    * past `hi`. Rank-targeted partition pruning — the [[Percentiles]]
+    * pick trick generalized from point ranks to a range. Output: the
+    * input columns + `outCol` = the global rank, `hi-lo+1` rows at most.
+    */
+  def rowsInRankRange(df: DataFrame, order: Seq[Column],
+                      lo: Long, hi: Long, outCol: String,
+                      numPartitions: Int = 0): DataFrame = {
+    require(1L <= lo && lo <= hi, s"need 1 <= lo <= hi, got [$lo, $hi]")
+    build(df, order, outCol, numPartitions, loHi = Some((lo, hi)))
+  }
+
+  private def build(df: DataFrame, order: Seq[Column], outCol: String,
+                    numPartitions: Int,
+                    loHi: Option[(Long, Long)]): DataFrame = {
     require(order.nonEmpty, "order columns required")
     require(!df.columns.contains(outCol), s"output column $outCol already exists")
     require(!df.columns.contains("__pid"), "__pid is reserved by GlobalRank")
@@ -64,7 +87,15 @@ object GlobalRank {
       var acc = 0L
       counts.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
     }
+    // partitions whose [offset+1, offset+count] span intersects [lo, hi]
+    val wanted: Option[Set[Int]] = loHi.map { case (lo, hi) =>
+      counts.collect {
+        case (pid, n) if offsets(pid) + 1 <= hi && offsets(pid) + n >= lo =>
+          pid
+      }.toSet
+    }
     val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val bcWanted = spark.sparkContext.broadcast(wanted)
     // pass 2: per-partition scan adds offset + local position. The pid
     // column rides each row (constant within a partition) because
     // Dataset.mapPartitions carries no partition index.
@@ -73,11 +104,28 @@ object GlobalRank {
     val outSchema = df.schema.add(outCol, LongType, nullable = false)
     withPid.mapPartitions { it =>
       val offs = bcOffsets.value
-      var local = 0L
-      it.map { r =>
-        local += 1L
-        val off = offs.getOrElse(r.getInt(pidIdx), 0L)
-        Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ (off + local))
+      val buffered = it.buffered
+      if (!buffered.hasNext) Iterator.empty
+      else {
+        val pid = buffered.head.getInt(pidIdx)
+        val off = offs.getOrElse(pid, 0L)
+        var local = 0L
+        loHi match {
+          case Some(_) if !bcWanted.value.exists(_.contains(pid)) =>
+            Iterator.empty // pruned: no scan, no rank bookkeeping
+          case Some((lo, hi)) =>
+            buffered
+              .map { r => local += 1L; (r, off + local) }
+              .takeWhile { case (_, rk) => rk <= hi } // early abort past hi
+              .filter { case (_, rk) => rk >= lo }
+              .map { case (r, rk) =>
+                Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ rk) }
+          case None =>
+            buffered.map { r =>
+              local += 1L
+              Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ (off + local))
+            }
+        }
       }
     }(Encoders.row(outSchema))
   }

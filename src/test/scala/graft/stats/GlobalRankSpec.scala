@@ -50,6 +50,28 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(out.count() === 0L)
   }
 
+  test("rowsInRankRange equals the filtered window and prunes cleanly at the edges") {
+    val viaWindow = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .where(col("rn") >= 101 && col("rn") <= 120)
+      .orderBy("rn").collect().toSeq
+    val viaRange = GlobalRank.rowsInRankRange(df,
+        Seq(col("v").desc, col("id")), 101L, 120L, "rn", numPartitions = 7)
+      .orderBy("rn").collect().toSeq
+    assert(viaRange === viaWindow)
+    // hi beyond n: clipped, not an error
+    assert(GlobalRank.rowsInRankRange(df, Seq(col("v"), col("id")),
+      995L, 2000L, "rn", numPartitions = 7).count() === 6L)
+    // lo beyond n: empty
+    assert(GlobalRank.rowsInRankRange(df, Seq(col("v"), col("id")),
+      1001L, 2000L, "rn").count() === 0L)
+    // full range: identical to withRowNumber
+    assert(GlobalRank.rowsInRankRange(df, Seq(col("v"), col("id")),
+      1L, 1000L, "rn", numPartitions = 7).orderBy("rn").collect().toSeq ===
+      GlobalRank.withRowNumber(df, Seq(col("v"), col("id")), "rn",
+        numPartitions = 7).orderBy("rn").collect().toSeq)
+  }
+
   test("the plan carries no Window node and no single-partition sort") {
     val p = GlobalRank
       .withRowNumber(df, Seq(col("v"), col("id")), "rn", numPartitions = 7)

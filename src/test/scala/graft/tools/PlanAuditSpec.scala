@@ -434,6 +434,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("x109 deep page: no window, no single-partition sort; rank via the pruned pass") {
+    val p = plan("x109_deep_page")
+    assert(!p.contains("Window ["),
+      s"deep pagination planned as a global window:\n${p.take(1500)}")
+    assert(p.contains("MapPartitions"),
+      s"rank-range pick pass missing:\n${p.take(1500)}")
+  }
+
   test("x37 incremental near-dup probes the PERSISTED index, not a re-derived one") {
     // the corpus-side band keys must come from the lsh_index artifact
     // table on disk — if the plan re-shingles the corpus for candidates,
