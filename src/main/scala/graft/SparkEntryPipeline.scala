@@ -91,14 +91,25 @@ object SparkEntryPipeline {
     */
   private def sharedRoundtrip(s: SparkSession, d: String): String = {
     val stamp = Tables.stamp(d, "lineitem")
-    val refinedDir = graft.util.SessionCache.getOrCompute(
-      ("pipeline_roundtrip", d, stamp)) {
-      val root = base(d, "shared")
-      val rawDir = s"$root/raw"
-      val refined = s"$root/refined"
-      BatchPipeline.writeRaw(dailyBars(s, d), rawDir, SaveMode.Overwrite)
-      BatchPipeline.run(s, PipelineConfig(rawDir, refined, ProcessingDate))
-      refined
+    // Concurrent first callers (test suites share the JVM) build in
+    // private tmp roots and publish by atomic rename, first writer wins
+    // — the ArtifactStore discipline; nobody ever overwrites a
+    // published tree a concurrent reader may be scanning.
+    // v1: bump when dailyBars/refine logic changes — the published tree
+    // outlives the JVM, and the stamp only tracks the FIXTURE's vintage
+    val root = new java.io.File(s"${base(d, "shared")}-v1-$stamp")
+    val refinedDir = new java.io.File(root, "refined").getAbsolutePath
+    graft.util.SessionCache.getOrCompute(("pipeline_roundtrip", d, stamp)) {
+      if (!new java.io.File(root, "_SUCCESS").exists()) {
+        val tmp = new java.io.File(root.getParentFile,
+          root.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+        BatchPipeline.writeRaw(dailyBars(s, d), s"$tmp/raw", SaveMode.Overwrite)
+        BatchPipeline.run(s,
+          PipelineConfig(s"$tmp/raw", s"$tmp/refined", ProcessingDate))
+        new java.io.File(tmp, "_SUCCESS").createNewFile()
+        graft.util.ArtifactStore.publishDir(tmp, root)
+      }
+      refinedDir
     }
     Seq("graft_refined_rt", "graft_refined_desc").foreach(t =>
       BatchPipeline.registerRefined(s, t, refinedDir))
@@ -152,15 +163,24 @@ object SparkEntryPipeline {
     // raw/ tree; read back through partition discovery. The oracle
     // regenerates the identical bars from the same integer arithmetic.
     // The landing write is memoized per JVM like the refined round trip
-    // above (the bars are a pure function of MarketPanel constants);
-    // every invocation still exercises the partition-discovering read.
+    // above (the bars are a pure function of MarketPanel constants) and
+    // published by first-writer-wins tmp+rename so a concurrent reader
+    // never sees a half-written tree; every invocation still exercises
+    // the partition-discovering read.
     "s1_synthetic_source" -> ((s, d) => {
-      val rawDir = graft.util.SessionCache.getOrCompute(("s1_raw", d)) {
-        val dir = s"${base(d, "s1")}/raw"
-        val b1 = graft.sources.SyntheticBars.bars(s, "VALE3.SA", MarketPanel.StartDate, MarketPanel.Days)
-        val b2 = graft.sources.SyntheticBars.bars(s, "PETR4.SA", MarketPanel.StartDate, MarketPanel.Days)
-        BatchPipeline.writeRaw(b1.unionByName(b2), dir, SaveMode.Overwrite)
-        dir
+      val root = new java.io.File(s"${base(d, "s1")}-v2")
+      val rawDir = new java.io.File(root, "raw").getAbsolutePath
+      graft.util.SessionCache.getOrCompute(("s1_raw", d)) {
+        if (!new java.io.File(root, "_SUCCESS").exists()) {
+          val tmp = new java.io.File(root.getParentFile,
+            root.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+          val b1 = graft.sources.SyntheticBars.bars(s, "VALE3.SA", MarketPanel.StartDate, MarketPanel.Days)
+          val b2 = graft.sources.SyntheticBars.bars(s, "PETR4.SA", MarketPanel.StartDate, MarketPanel.Days)
+          BatchPipeline.writeRaw(b1.unionByName(b2), s"$tmp/raw", SaveMode.Overwrite)
+          new java.io.File(tmp, "_SUCCESS").createNewFile()
+          graft.util.ArtifactStore.publishDir(tmp, root)
+        }
+        rawDir
       }
       BatchPipeline.readRaw(s, rawDir)
         .select(col("ativo"), col("Date").as("date"), col("Close").as("close"),
