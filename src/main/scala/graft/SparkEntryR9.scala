@@ -30,10 +30,14 @@ object SparkEntryR9 {
     // every 7th doc, two variant copies append the same logical word in
     // two byte-different encodings — precomposed U+00E9 vs 'e' +
     // combining U+0301. Raw grouping counts them apart; NFC grouping
-    // merges exactly the planted pairs. Both counts are two-phase
-    // partial-aggregable distincts over one scan; the normalize is
-    // row-local codegen (graft_nfc_normalize), so the plan shape is the
-    // x1 dedup shape unchanged.
+    // merges exactly the planted pairs. NOT two count_distincts in one
+    // agg \u2014 two different DISTINCT columns plan an Expand that
+    // replicates every corpus row \u00d73 through the shuffle with the full
+    // text (the x12 anti-pattern this repo pins against). Instead: one
+    // xxhash64-led groupBy on the NFC form (the x1 shuffle discipline;
+    // every distinct raw text belongs to exactly ONE NFC group, so the
+    // per-group distinct-raw counts SUM to the global one), then a
+    // bounded rollup. Plan pinned Expand-free.
     "x105_nfc_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val planted = docs.where(pmod(col("doc_id"), lit(7L)) === 0)
@@ -41,10 +45,14 @@ object SparkEntryR9 {
         concat(col("text"), lit(" caf\u00e9")).as("text"))
       val v2 = planted.select((col("doc_id") + 3000000L).as("doc_id"),
         concat(col("text"), lit(" cafe\u0301")).as("text"))
-      docs.unionByName(v1).unionByName(v2)
-        .agg(count(lit(1)).as("n_docs"),
-          count_distinct(col("text")).as("n_raw_groups"),
-          count_distinct(TextOps.nfc(col("text"))).as("n_nfc_groups"))
+      val perNfc = docs.unionByName(v1).unionByName(v2)
+        .select(col("text"), TextOps.nfc(col("text")).as("__nfc"))
+        .groupBy(xxhash64(col("__nfc")).as("__hn"), col("__nfc"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("text")).as("raw_groups"))
+      perNfc.agg(sum("n").as("n_docs"),
+        sum("raw_groups").as("n_raw_groups"),
+        count(lit(1)).as("n_nfc_groups"))
     }),
 
     // ---- X106: within-document substring dedup (intra-doc ExactSubstr) --

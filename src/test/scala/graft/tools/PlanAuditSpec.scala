@@ -409,6 +409,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no persisted-index scan in the plan:\n${p.take(2000)}")
   }
 
+  test("x105 NFC dedup: no Expand — the corpus is never replicated per distinct") {
+    // two count_distincts in one agg would Expand every row x3 with the
+    // full text through the wire (the x12 anti-pattern); the nested
+    // hash-led formulation must plan plain two-phase aggregates
+    val p = plan("x105_nfc_dedup")
+    assert(!p.contains("Expand"),
+      s"x105 replicates the corpus via Expand:\n${p.take(1500)}")
+    assert(p.contains("xxhash64"), "NFC group shuffle not hash-led")
+  }
+
   test("x106 intra-doc dedup: row-local strip, the corpus never hash-shuffles") {
     // the only exchange allowed is the final orderBy's range partition;
     // any hashpartitioning exchange would mean the corpus reassembled
