@@ -162,6 +162,46 @@ object SparkEntryPipeline {
     // made deterministic and expression-generated) lands two tickers in a
     // raw/ tree; read back through partition discovery. The oracle
     // regenerates the identical bars from the same integer arithmetic.
+    // S12: schema evolution across file vintages — the operational
+    // reality of any long-lived landing zone: an old writer landed
+    // (ativo, date, close), a newer vintage added `volume`. The reader
+    // must present the UNION schema with NULLs where the old files
+    // carry no column (`mergeSchema` — per-file parquet footers are
+    // reconciled at planning; the data files are untouched, no
+    // rewrite). Vintages derive deterministically from lineitem so the
+    // DuckDB oracle reconstructs the merged read exactly; the landing
+    // write shares the memoized first-writer-wins publication.
+    "s12_schema_evolution" -> ((s, d) => {
+      val stamp = Tables.stamp(d, "lineitem")
+      val root = new java.io.File(s"${base(d, "s12")}-v1-$stamp")
+      graft.util.SessionCache.getOrCompute(("s12_schema_evo", d, stamp)) {
+        if (!new java.io.File(root, "_SUCCESS").exists()) {
+          val tmp = new java.io.File(root.getParentFile,
+            root.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+          val bars = Tables.lineitem(s, d)
+            .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1995-03-01").cast("timestamp"))
+            .groupBy(col("l_returnflag").as("ativo"),
+              col("l_shipdate").as("date"))
+            .agg(max(col("l_extendedprice")).as("close"),
+              sum(col("l_quantity")).cast("long").as("volume"))
+          val feb = col("date") >= lit("1995-02-01").cast("timestamp")
+          bars.where(!feb).select("ativo", "date", "close")
+            .write.parquet(s"$tmp/vintage1")
+          bars.where(feb).select("ativo", "date", "close", "volume")
+            .write.parquet(s"$tmp/vintage2")
+          new java.io.File(tmp, "_SUCCESS").createNewFile()
+          graft.util.ArtifactStore.publishDir(tmp, root)
+        }
+        root.getAbsolutePath
+      }
+      s.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root.getAbsolutePath)
+        .select(col("ativo"), col("date"), col("close"), col("volume"))
+        .orderBy("ativo", "date")
+    }),
+
     // The landing write is memoized per JVM like the refined round trip
     // above (the bars are a pure function of MarketPanel constants) and
     // published by first-writer-wins tmp+rename so a concurrent reader
@@ -207,7 +247,23 @@ object SparkEntryPipeline {
         |) AS t(col_name, data_type)""".stripMargin,
 
     "s1_synthetic_source" ->
-      s"${barsGenSql("VALE3.SA")}\nUNION ALL\n${barsGenSql("PETR4.SA")}"
+      s"${barsGenSql("VALE3.SA")}\nUNION ALL\n${barsGenSql("PETR4.SA")}",
+
+    // reconstruct the merged read: v1 (January) rows carry no volume
+    // column, so the union schema fills them with NULL
+    "s12_schema_evolution" ->
+      """WITH bars AS (
+        |  SELECT l_returnflag AS ativo, l_shipdate AS date,
+        |         MAX(l_extendedprice) AS close,
+        |         CAST(SUM(l_quantity) AS BIGINT) AS volume
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-03-01'
+        |  GROUP BY 1, 2)
+        |SELECT ativo, date, close,
+        |       CASE WHEN date >= TIMESTAMP '1995-02-01' THEN volume
+        |       END AS volume
+        |FROM bars ORDER BY ativo, date""".stripMargin
   )
 
   /** DuckDB replay of `SyntheticBars.bars(ticker, MarketPanel.StartDate,
