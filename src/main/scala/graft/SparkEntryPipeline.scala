@@ -111,10 +111,18 @@ object SparkEntryPipeline {
       }
       refinedDir
     }
-    Seq("graft_refined_rt", "graft_refined_desc").foreach(t =>
-      BatchPipeline.registerRefined(s, t, refinedDir))
+    // registration is DROP+CREATE per name — serialize it JVM-wide so
+    // two suites first-touching the entries concurrently can't race the
+    // drop/create window of the same table name (sessions share the
+    // external catalog)
+    registerLock.synchronized {
+      Seq("graft_refined_rt", "graft_refined_desc").foreach(t =>
+        BatchPipeline.registerRefined(s, t, refinedDir))
+    }
     refinedDir
   }
+
+  private val registerLock = new Object
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -19,7 +19,8 @@ class DecontamIndexSpec extends AnyFunSuite {
     val key = Seq("decontam-spec", TestSpark.Sf0001,
       System.nanoTime().toString) // fresh key per run: exercise the build
     val evalSet = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
-    val first = TextOps.ensureDecontamIndex(spark, evalSet, key)
+    try {
+      val first = TextOps.ensureDecontamIndex(spark, evalSet, key)
     val dir = graft.util.ArtifactStore.artifactDir(spark, "decontam_index",
       key ++ Seq(3))
     assert(new java.io.File(dir, "_SUCCESS").exists(), "artifact not published")
@@ -38,6 +39,7 @@ class DecontamIndexSpec extends AnyFunSuite {
       .select("doc_id")
     assert(keyed.exceptAll(inline).count() === 0L)
     assert(inline.exceptAll(keyed).count() === 0L)
-    graft.util.ArtifactStore.invalidate(spark, "decontam_index", key ++ Seq(3))
+    } finally // the per-run key must not leak artifacts on a failure
+      graft.util.ArtifactStore.invalidate(spark, "decontam_index", key ++ Seq(3))
   }
 }
