@@ -1,0 +1,354 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sim.SimSearch
+import graft.tables.Tables
+import graft.text.TextOps
+
+/** Round-9 extension block two: the remaining join direction the as-of
+  * family lacked (nearest), embedding-level benchmark decontamination,
+  * GPT-style concat-then-split sequence construction, corpus-wide
+  * keep-first sentence dedup, per-document importance sampling, and two
+  * market tail-risk/serial-dependence diagnostics (VaR/CVaR,
+  * autocorrelation) — each with an exact DuckDB oracle. §2.12 extension
+  * operators.
+  */
+object SparkEntryR9b {
+
+  /** Shared events prelude (the j2 family shape). */
+  private def evPurchases(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_id"), col("ts_us").as("purchase_ts_us"))
+    (ev, purchases)
+  }
+
+  /** Per-asset integer-bp daily returns over the shared 3-asset panel
+    * (the MarketPanel cents discipline). */
+  private def retsBp(s: SparkSession): DataFrame = {
+    val w = Window.partitionBy("ativo").orderBy("dt")
+    MarketPanel.centsPanel(s, MarketPanel.tickers3)
+      .withColumn("lagc", lag(col("cents"), 1).over(w))
+      .where(col("lagc").isNotNull)
+      .select(col("ativo"), col("dt"),
+        expr("(cents - lagc) * 10000 div lagc").as("ret_bp"))
+  }
+
+  private val panel3Sql =
+    s"""${SparkEntryPipeline.barsGenSql("VALE3.SA")}
+       |UNION ALL
+       |${SparkEntryPipeline.barsGenSql("PETR4.SA")}
+       |UNION ALL
+       |${SparkEntryPipeline.barsGenSql("ITUB4.SA")}""".stripMargin
+
+  private val retsBpSql =
+    s"""bars AS (
+       |$panel3Sql),
+       |c AS (SELECT ativo, date,
+       |             CAST(round(close * 100) AS BIGINT) AS cents
+       |      FROM bars),
+       |lg AS (SELECT ativo, date, cents,
+       |              lag(cents) OVER (PARTITION BY ativo ORDER BY date)
+       |                AS lagc
+       |       FROM c),
+       |rets AS (SELECT ativo, date,
+       |                (cents - lagc) * 10000 // lagc AS ret_bp
+       |         FROM lg WHERE lagc IS NOT NULL)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- J2d: NEAREST as-of join ----
+    //
+    // The remaining merge_asof direction: each event matched to the same
+    // user's purchase closest in time in EITHER direction (exact
+    // equidistant tie → the backward candidate, so (user, ts)-unique
+    // input stays deterministic). One hash exchange, both running
+    // candidates carried over it as per-direction structs, winner chosen
+    // row-locally — see AsOfJoin.nearest. Oracle: both DuckDB ASOF
+    // directions + the same age comparison.
+    "j2d_asof_nearest" -> ((s, d) => {
+      val (ev, purchases) = evPurchases(s, d)
+      graft.joins.AsOfJoin.nearest(
+          ev.select("event_id", "user_id", "ts_us"), purchases,
+          Seq("user_id"), "ts_us", "ts_us")
+        .select("event_id", "user_id", "ts_us", "purchase_id", "purchase_ts_us")
+    }),
+
+    // ---- X110: semantic (embedding-level) decontamination ----
+    //
+    // The modern complement of x11's n-gram decontamination: flag corpus
+    // documents whose embedding is too close to ANY eval-suite embedding
+    // (cos >= 0.95) — paraphrased contamination that shares no shingles.
+    // Eval suites are small by nature (KB–MB), so the suite BROADCASTS
+    // and the corpus is scanned once — per-row work is |eval| fused
+    // codegen cosines, no shuffle of the corpus at all (the brute-force
+    // exact form; an LSH/IVF prefilter would trade exactness for less
+    // per-row work). Contamination is PLANTED (eval vectors re-inserted
+    // under shifted ids) so hits provably exist; the max-cosine per
+    // corpus row is order-independent, so the threshold compares
+    // identically cross-engine (the x4 double-fold discipline).
+    "x110_semantic_decontam" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val evalQ = e.filter(pmod(col("vec_id"), lit(97L)) === 0)
+        .select(col("vec_id").as("q_id"),
+          SimSearch.castD(col("embedding")).as("q_emb"))
+      val corpus = e.filter(pmod(col("vec_id"), lit(97L)) =!= 0)
+        .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
+        .unionByName(evalQ.select((col("q_id") + 1000000L).as("vec_id"),
+          col("q_emb").as("emb")))
+      corpus.crossJoin(broadcast(evalQ))
+        .select(col("vec_id"), SimSearch.cosine(col("emb"), col("q_emb")).as("sim"))
+        .groupBy("vec_id").agg(max(col("sim")).as("max_sim"))
+        .where(col("max_sim") >= 0.95)
+        .select(col("vec_id"), round(col("max_sim"), 6).as("sim6"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- X111: concat-then-split sequence construction ----
+    //
+    // The GPT-style batching counterpart of x10 (which bins whole
+    // documents): the corpus token stream is laid out deterministically
+    // and cut into fixed 512-token windows, documents crossing window
+    // boundaries. One per-shard prefix-sum exchange; the spans are
+    // row-local integer division — no token stream ever materializes
+    // (TextOps.packConcat). Published here as the per-shard layout
+    // report: docs, tokens, windows, boundary-crossing docs.
+    "x111_concat_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+          .as("n_tok"))
+      TextOps.packConcat(docs, "doc_id", "n_tok", windowTokens = 512L, shards = 8)
+        .groupBy(col("__shard").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          expr("(sum(n_tok) + 511) div 512").as("n_windows"),
+          sum(when(col("first_win") =!= col("last_win"), 1L).otherwise(0L))
+            .as("n_crossing"))
+        .orderBy("shard")
+    }),
+
+    // ---- X112: historical VaR / CVaR (expected shortfall) ----
+    //
+    // Tail risk over the shared 3-asset panel, all-integer: k = the
+    // 5%-tail count ceil(n/20) = (5n+99) div 100; VaR = the k-th
+    // smallest basis-point return; CVaR as exact sufficient stats (sum
+    // of the k tail returns + k — consumers finish with one division).
+    // Tail membership is decided by row_number over (ret_bp, dt), so
+    // boundary ties resolve identically cross-engine. Per-asset windows
+    // partition on the asset; the |assets| count frame attaches back by
+    // broadcast.
+    "x112_var_cvar" -> ((s, d) => {
+      val rets = retsBp(s)
+      val ranked = rets.withColumn("rn",
+        row_number().over(Window.partitionBy("ativo")
+          .orderBy(col("ret_bp"), col("dt"))).cast("bigint"))
+      val sizes = rets.groupBy("ativo").agg(count(lit(1)).as("n"))
+        .withColumn("k", expr("(5 * n + 99) div 100"))
+      ranked.join(broadcast(sizes), "ativo")
+        .where(col("rn") <= col("k"))
+        .groupBy("ativo", "n", "k")
+        .agg(max(col("ret_bp")).as("var_bp"),
+          sum(col("ret_bp")).as("cvar_sum_bp"))
+        .orderBy("ativo")
+    }),
+
+    // ---- X113: importance sampling by per-document weight ----
+    //
+    // Quality-weighted subsampling (the DCLM/FineWeb admission shape):
+    // each document is kept with probability proportional to its OWN
+    // weight — here min(1, n_chars/2000) per-mill — not a per-group rate
+    // (x9/x53 sample per stratum/source). Deterministic: the salted
+    // portable-hash draw replaces RNG, so the same corpus always admits
+    // the same set, on any engine, at any partitioning. Row-local
+    // filter, zero shuffle, pushdown-friendly.
+    "x113_importance_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("permill", least(lit(1000L), expr("n_chars div 2")))
+      docs.where(TextOps.saltedDraw(col("doc_id").cast("string"), "x113",
+          1000L) < col("permill"))
+        .select(col("doc_id"), col("permill"))
+    }),
+
+    // ---- X114: corpus-wide sentence dedup, keep-first ----
+    //
+    // The MassiveText/C4 repeated-passage pass: a sentence seen earlier
+    // in the corpus survives only at its FIRST (doc, position)
+    // occurrence; later instances are stripped in place. Distinct from
+    // x48 (frequency-gated boilerplate: drops EVERY instance past
+    // minDocs) and x106 (within one document only). The fixture has no
+    // sentence structure, so shared legal-boilerplate tails are PLANTED
+    // on two doc classes; base texts are one sentence each, so genuine
+    // whole-text dups dedup too. Shape: explode → one sentence-keyed
+    // partial-agg shuffle (global first = min(struct(doc, idx))) → one
+    // equi-join back → per-doc hash-agg reassembly. Never all-pairs, no
+    // windows (TextOps.dedupSentences).
+    "x114_sentence_dedup" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(col("text"), lit(". all rights reserved. visit example dot com")))
+          .when(pmod(col("doc_id"), lit(5L)) === 1,
+            concat(col("text"), lit(". all rights reserved")))
+          .otherwise(col("text")).as("text"))
+      TextOps.dedupSentences(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- X115: return autocorrelation (serial dependence) ----
+    //
+    // Lag-1 autocorrelation of daily returns per asset as exact integer
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² over consecutive
+    // return pairs) — the x77 correlation-components discipline turned
+    // inward: the momentum/mean-reversion diagnostic. Two chained lags
+    // share the per-asset window partition; one partial-agg shuffle to
+    // an |assets| frame.
+    "x115_autocorr" -> ((s, d) => {
+      val w = Window.partitionBy("ativo").orderBy("dt")
+      retsBp(s).withColumn("lr", lag(col("ret_bp"), 1).over(w))
+        .where(col("lr").isNotNull)
+        .groupBy("ativo")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ret_bp")).as("sum_x"), sum(col("lr")).as("sum_y"),
+          sum(expr("ret_bp * lr")).as("sum_xy"),
+          sum(expr("ret_bp * ret_bp")).as("sum_xx"),
+          sum(expr("lr * lr")).as("sum_yy"))
+        .orderBy("ativo")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "j2d_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |),
+        |pur AS (
+        |  SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us
+        |  FROM ev WHERE event_type = 'purchase'
+        |),
+        |b AS (
+        |  SELECT e.event_id, e.user_id, e.ts_us,
+        |         p.purchase_id AS b_id, p.purchase_ts_us AS b_ts
+        |  FROM ev e ASOF LEFT JOIN pur p
+        |    ON e.user_id = p.user_id AND e.ts_us >= p.purchase_ts_us
+        |),
+        |f AS (
+        |  SELECT e.event_id, p.purchase_id AS f_id, p.purchase_ts_us AS f_ts
+        |  FROM ev e ASOF LEFT JOIN pur p
+        |    ON e.user_id = p.user_id AND e.ts_us <= p.purchase_ts_us
+        |)
+        |SELECT b.event_id, b.user_id, b.ts_us,
+        |       CASE WHEN b_ts IS NOT NULL
+        |                  AND (f_ts IS NULL OR b.ts_us - b_ts <= f_ts - b.ts_us)
+        |            THEN b_id ELSE f_id END AS purchase_id,
+        |       CASE WHEN b_ts IS NOT NULL
+        |                  AND (f_ts IS NULL OR b.ts_us - b_ts <= f_ts - b.ts_us)
+        |            THEN b_ts ELSE f_ts END AS purchase_ts_us
+        |FROM b JOIN f USING (event_id)""".stripMargin,
+    "x110_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 97 = 0),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM e WHERE vec_id % 97 <> 0
+        |  UNION ALL SELECT q_id + 1000000, q_emb FROM q),
+        |m AS (SELECT c.vec_id,
+        |             MAX(list_cosine_similarity(c.emb, q.q_emb)) AS max_sim
+        |      FROM corpus c CROSS JOIN q GROUP BY c.vec_id)
+        |SELECT vec_id, ROUND(max_sim, 6) AS sim6
+        |FROM m WHERE max_sim >= 0.95 ORDER BY vec_id""".stripMargin,
+    "x111_concat_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END
+        |           AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+        |  FROM d)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST((SUM(n_tok) + 511) // 512 AS BIGINT) AS n_windows,
+        |       CAST(SUM(CASE WHEN n_tok > 0
+        |                      AND start_tok // 512
+        |                          <> (start_tok + n_tok - 1) // 512
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    "x112_var_cvar" ->
+      s"""WITH $retsBpSql,
+         |rk AS (SELECT ativo, ret_bp,
+         |              row_number() OVER (PARTITION BY ativo
+         |                ORDER BY ret_bp, date) AS rn
+         |       FROM rets),
+         |sz AS (SELECT ativo, CAST(count(*) AS BIGINT) AS n,
+         |              CAST((5 * count(*) + 99) // 100 AS BIGINT) AS k
+         |       FROM rets GROUP BY ativo)
+         |SELECT rk.ativo, sz.n, sz.k,
+         |       CAST(MAX(ret_bp) AS BIGINT) AS var_bp,
+         |       CAST(SUM(ret_bp) AS BIGINT) AS cvar_sum_bp
+         |FROM rk JOIN sz ON rk.ativo = sz.ativo
+         |WHERE rk.rn <= sz.k
+         |GROUP BY rk.ativo, sz.n, sz.k ORDER BY rk.ativo""".stripMargin,
+    "x113_importance_sample" -> {
+      val draw = TextOps.saltedDrawSql(
+        "'x113:' || CAST(doc_id AS VARCHAR)", 1000L)
+      s"""SELECT doc_id,
+         |       CAST(least(1000, n_chars // 2) AS BIGINT) AS permill
+         |FROM documents
+         |WHERE ($draw) < least(1000, n_chars // 2)""".stripMargin
+    },
+    "x114_sentence_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || '. all rights reserved. visit example dot com'
+        |              WHEN doc_id % 5 = 1
+        |              THEN text || '. all rights reserved'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, '. ') AS parts FROM docs),
+        |ex AS (SELECT doc_id, unnest(parts) AS sent,
+        |              generate_subscripts(parts, 1) AS idx
+        |       FROM sp),
+        |firsts AS (
+        |  SELECT sent, doc_id AS fdoc, idx AS fidx FROM (
+        |    SELECT sent, doc_id, idx,
+        |           row_number() OVER (PARTITION BY sent
+        |             ORDER BY doc_id, idx) AS rn
+        |    FROM ex)
+        |  WHERE rn = 1),
+        |kept AS (
+        |  SELECT e.doc_id, e.idx, e.sent
+        |  FROM ex e JOIN firsts f
+        |    ON e.sent = f.sent AND e.doc_id = f.fdoc AND e.idx = f.fidx),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(sent, '. ' ORDER BY idx) AS text_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(s.parts) AS BIGINT) AS n_sent,
+        |       coalesce(a.n_kept, 0) AS n_kept,
+        |       coalesce(a.text_kept, '') AS text_kept
+        |FROM sp s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+    "x115_autocorr" ->
+      s"""WITH $retsBpSql,
+         |pairs AS (
+         |  SELECT ativo, ret_bp,
+         |         lag(ret_bp) OVER (PARTITION BY ativo ORDER BY date) AS lr
+         |  FROM rets)
+         |SELECT ativo, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(ret_bp) AS BIGINT) AS sum_x,
+         |       CAST(SUM(lr) AS BIGINT) AS sum_y,
+         |       CAST(SUM(ret_bp * lr) AS BIGINT) AS sum_xy,
+         |       CAST(SUM(ret_bp * ret_bp) AS BIGINT) AS sum_xx,
+         |       CAST(SUM(lr * lr) AS BIGINT) AS sum_yy
+         |FROM pairs WHERE lr IS NOT NULL
+         |GROUP BY ativo ORDER BY ativo""".stripMargin)
+}

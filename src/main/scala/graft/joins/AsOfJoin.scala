@@ -98,4 +98,75 @@ object AsOfJoin {
     }
     tolerated.select((left.columns.toSeq ++ payload).map(col): _*)
   }
+
+  /** Nearest as-of: for each left row, the right row whose time is
+    * CLOSEST in absolute distance (either direction); an exact tie
+    * prefers the backward (at-or-before) candidate, so the result is
+    * deterministic whenever (keys, rightTime) is unique.
+    * `merge_asof(direction="nearest")` semantics.
+    *
+    * Shape: the same single union as backward/forward, but BOTH running
+    * candidates are carried over the one hash exchange — two in-partition
+    * sorts (time asc / time desc), zero extra shuffles — and the winner
+    * is a row-local comparison of the two candidate ages. Each
+    * direction's candidate rides as ONE struct (matched time + payload),
+    * so a genuinely-NULL right payload value can never mix fields across
+    * right rows the way per-column `last(ignoreNulls)` carries could.
+    *
+    * @param toleranceUs max allowed |leftTime - rightTime|; candidates
+    *        farther than this are ignored (left row kept, payload null)
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              toleranceUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val leftCols = left.columns.filterNot(keys.contains).toSeq
+    require(payload.intersect(left.columns).isEmpty,
+      s"as-of payload ${payload.mkString(",")} clashes with left columns")
+    val rightSchema = right.schema
+    val leftSchema = left.schema
+    def nullAs(c: String, from: org.apache.spark.sql.types.StructType): Column =
+      lit(null).cast(from(c).dataType).as(c)
+
+    // one candidate struct per right row: matched time first, then payload
+    val rightU = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
+        leftCols.map(nullAs(_, leftSchema)) :+
+        struct(col(rightTime).as("__rt") +: payload.map(col): _*).as("__cand"): _*)
+    val leftU = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
+        leftCols.map(col) :+
+        lit(null).cast(rightU.schema("__cand").dataType).as("__cand"): _*)
+
+    // right rows sort before left rows at equal __t in BOTH directions
+    // (__tag 0 < 1), so an exact-tie right row is visible to each frame
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightU.unionByName(leftU)
+      .withColumn("__b", last(col("__cand"), ignoreNulls = true).over(wb))
+      .withColumn("__f", last(col("__cand"), ignoreNulls = true).over(wf))
+      .filter(col("__tag") === 1)
+
+    val bAge = col("__t") - col("__b.__rt")
+    val fAge = col("__f.__rt") - col("__t")
+    def ok(rt: Column, age: Column): Column = toleranceUs match {
+      case Some(tol) => rt.isNotNull && age <= tol
+      case None => rt.isNotNull
+    }
+    val bOk = ok(col("__b.__rt"), bAge)
+    val fOk = ok(col("__f.__rt"), fAge)
+    val useB = bOk && (!fOk || bAge <= fAge)
+    val picked = payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(c,
+        when(useB, col(s"__b.$c")).when(fOk, col(s"__f.$c")))
+    }
+    picked.select((left.columns.toSeq ++ payload).map(col): _*)
+  }
 }

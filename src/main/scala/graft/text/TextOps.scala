@@ -669,6 +669,79 @@ object TextOps {
         floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / budgetTokens))
   }
 
+  /** Concat-then-split sequence construction (X111) — the OTHER standard
+    * pretraining batching: documents are concatenated in a deterministic
+    * order and the token stream is cut into fixed `windowTokens` windows,
+    * documents crossing window boundaries (GPT-style chunking; contrast
+    * [[packSequences]], which keeps documents whole and bins them).
+    * Distributed formulation: shard by `idCol % shards`, one exclusive
+    * prefix sum per shard ordered by id gives each document's global
+    * token offset; the windows it spans are then ROW-LOCAL integer
+    * arithmetic — `first_win = start div W`, `last_win = (end-1) div W`.
+    * No token stream is ever materialized; all-integer → bit-exact
+    * across engines. Zero-token documents get null window bounds (they
+    * occupy no position in the stream).
+    *
+    * @return input plus (__shard, start_tok, first_win, last_win)
+    */
+  def packConcat(df: DataFrame, idCol: String, tokenCol: String,
+                 windowTokens: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("start_tok", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("first_win",
+        when(col(tokenCol) > 0, expr(s"start_tok div ${windowTokens}L")))
+      .withColumn("last_win",
+        when(col(tokenCol) > 0,
+          expr(s"(start_tok + $tokenCol - 1) div ${windowTokens}L")))
+  }
+
+  /** Corpus-wide sentence-level exact dedup, keep-FIRST occurrence
+    * (X114) — the MassiveText/C4 repeated-passage pass: a sentence seen
+    * earlier in the corpus (by (doc id, position) order) is removed from
+    * every later document; the first instance survives in place.
+    * Distinct from [[stripBoilerplate]] (which drops EVERY instance of
+    * segments frequent across >= minDocs docs) — here uniqueness, not
+    * frequency, decides, and exactly one instance survives.
+    *
+    * Scale shape: explode to (doc, idx, sentence) → one partial-agg
+    * shuffle keyed by the sentence computes min(struct(doc, idx)) — the
+    * global first occurrence — → one equi-join back on the sentence key
+    * → per-doc reassembly as a hash aggregate (collect + row-local sort
+    * by idx; per-doc state is bounded by document size). Never all-pairs,
+    * no windows. At 100 TB the join key would be xxhash64(sentence);
+    * kept as the string so an independent engine replays the join
+    * exactly.
+    *
+    * @param sep literal sentence separator (split and re-join)
+    * @return (idCol, n_sent, n_kept, text_kept) per input row
+    */
+  def dedupSentences(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = ". "): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val sent = docs.select(col(idCol),
+        posexplode(split(col(textCol), quoted)).as(Seq("idx", "sent")))
+    val firsts = sent
+      .groupBy(col("sent"))
+      .agg(min(struct(col(idCol), col("idx"))).as("__first"))
+    val kept = sent.join(firsts, Seq("sent"))
+      .where(col(idCol) === col(s"__first.$idCol") &&
+        col("idx") === col("__first.idx"))
+    docs.select(col(idCol),
+        size(split(col(textCol), quoted)).cast("bigint").as("n_sent"))
+      .join(kept.groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("idx"), col("sent")))),
+              x => x.getField("sent")), sep).as("text_kept")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_sent"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   // ---- benchmark decontamination (X11) ----
 
   /** Benchmark decontamination: drop every corpus document sharing at

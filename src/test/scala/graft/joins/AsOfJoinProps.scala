@@ -39,6 +39,57 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
       out == expect
     }
 
+  property("nearest matches the naive min-|distance| definition, ties backward") =
+    forAll(lefts, rights) { (ls, rsMap) =>
+      val rs = rsMap.toSeq.map { case ((k, t), v) => (k, t, v) }
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.toDF("k", "rt", "v")
+      val out = AsOfJoin.nearest(left, right, Seq("k"), "t", "rt")
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val back = rs.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption
+        val fwd = rs.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(_._2).headOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        i.toLong -> pick.map(_._3)
+      }.toMap
+      out == expect
+    }
+
+  property("nearest with tolerance drops candidates beyond it, keeps the left row") =
+    forAll(lefts, rights, Gen.choose(0L, 20L)) { (ls, rsMap, tol) =>
+      val rs = rsMap.toSeq.map { case ((k, t), v) => (k, t, v) }
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.toDF("k", "rt", "v")
+      val out = AsOfJoin.nearest(left, right, Seq("k"), "t", "rt",
+          toleranceUs = Some(tol))
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val back = rs.filter(r => r._1 == k && r._2 <= t && t - r._2 <= tol)
+          .sortBy(_._2).lastOption
+        val fwd = rs.filter(r => r._1 == k && r._2 >= t && r._2 - t <= tol)
+          .sortBy(_._2).headOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        i.toLong -> pick.map(_._3)
+      }.toMap
+      out.keySet == expect.keySet && out == expect
+    }
+
   property("matches the naive greatest-time-at-or-before definition") =
     forAll(lefts, rights) { (ls, rsMap) =>
       val rs = rsMap.toSeq.map { case ((k, t), v) => (k, t, v) }
