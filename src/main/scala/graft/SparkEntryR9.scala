@@ -41,9 +41,13 @@ object SparkEntryR9 {
     "x105_nfc_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val planted = docs.where(pmod(col("doc_id"), lit(7L)) === 0)
-      val v1 = planted.select((col("doc_id") + 2000000L).as("doc_id"),
+      // plant ids are negative \u2014 -(2\u00b7id+1) / -(2\u00b7id+2) \u2014 disjoint from
+      // the non-negative doc_id space AND from each other at any scale
+      // factor (ADVICE r9: fixed positive offsets collide once the
+      // fixture outgrows them)
+      val v1 = planted.select((-(col("doc_id") * 2 + 1L)).as("doc_id"),
         concat(col("text"), lit(" caf\u00e9")).as("text"))
-      val v2 = planted.select((col("doc_id") + 3000000L).as("doc_id"),
+      val v2 = planted.select((-(col("doc_id") * 2 + 2L)).as("doc_id"),
         concat(col("text"), lit(" cafe\u0301")).as("text"))
       val perNfc = docs.unionByName(v1).unionByName(v2)
         .select(col("text"), TextOps.nfc(col("text")).as("__nfc"))
@@ -150,10 +154,10 @@ object SparkEntryR9 {
   def oracleSql: Map[String, String] = Map(
     "x105_nfc_dedup" ->
       """WITH docs AS (SELECT doc_id, text FROM documents),
-        |v1 AS (SELECT doc_id + 2000000 AS doc_id,
+        |v1 AS (SELECT -(doc_id * 2 + 1) AS doc_id,
         |              text || ' caf' || chr(233) AS text
         |       FROM docs WHERE doc_id % 7 = 0),
-        |v2 AS (SELECT doc_id + 3000000 AS doc_id,
+        |v2 AS (SELECT -(doc_id * 2 + 2) AS doc_id,
         |              text || ' cafe' || chr(769) AS text
         |       FROM docs WHERE doc_id % 7 = 0),
         |a AS (SELECT * FROM docs UNION ALL SELECT * FROM v1

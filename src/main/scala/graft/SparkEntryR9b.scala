@@ -91,7 +91,10 @@ object SparkEntryR9b {
     // per-row work). Contamination is PLANTED (eval vectors re-inserted
     // under shifted ids) so hits provably exist; the max-cosine per
     // corpus row is order-independent, so the threshold compares
-    // identically cross-engine (the x4 double-fold discipline).
+    // identically cross-engine (the x4 double-fold discipline). Plant
+    // ids are NEGATIVE — `-(q_id + 1)` — so they are disjoint from the
+    // genuine non-negative vec_id space at ANY scale factor (ADVICE r9:
+    // a fixed positive offset collides once the fixture outgrows it).
     "x110_semantic_decontam" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val evalQ = e.filter(pmod(col("vec_id"), lit(97L)) === 0)
@@ -99,7 +102,7 @@ object SparkEntryR9b {
           SimSearch.castD(col("embedding")).as("q_emb"))
       val corpus = e.filter(pmod(col("vec_id"), lit(97L)) =!= 0)
         .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
-        .unionByName(evalQ.select((col("q_id") + 1000000L).as("vec_id"),
+        .unionByName(evalQ.select((-(col("q_id") + 1L)).as("vec_id"),
           col("q_emb").as("emb")))
       corpus.crossJoin(broadcast(evalQ))
         .select(col("vec_id"), SimSearch.cosine(col("emb"), col("q_emb")).as("sim"))
@@ -255,7 +258,7 @@ object SparkEntryR9b {
         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 97 = 0),
         |corpus AS (
         |  SELECT vec_id, emb FROM e WHERE vec_id % 97 <> 0
-        |  UNION ALL SELECT q_id + 1000000, q_emb FROM q),
+        |  UNION ALL SELECT -(q_id + 1), q_emb FROM q),
         |m AS (SELECT c.vec_id,
         |             MAX(list_cosine_similarity(c.emb, q.q_emb)) AS max_sim
         |      FROM corpus c CROSS JOIN q GROUP BY c.vec_id)

@@ -124,6 +124,16 @@ object AsOfJoin {
     val leftCols = left.columns.filterNot(keys.contains).toSeq
     require(payload.intersect(left.columns).isEmpty,
       s"as-of payload ${payload.mkString(",")} clashes with left columns")
+    // mirror GlobalRank's reserved-column guard (ADVICE r9): an input
+    // frame already carrying one of the internal carrier names would
+    // otherwise fail with an opaque analysis error — or worse, resolve
+    // ambiguously and miscompute silently
+    locally {
+      val reserved = Set("__t", "__tag", "__cand", "__b", "__f")
+      val clash = (left.columns ++ right.columns).filter(reserved)
+      require(clash.isEmpty,
+        s"columns ${clash.mkString(",")} are reserved by AsOfJoin.nearest")
+    }
     val rightSchema = right.schema
     val leftSchema = left.schema
     def nullAs(c: String, from: org.apache.spark.sql.types.StructType): Column =

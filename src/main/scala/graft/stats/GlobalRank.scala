@@ -39,6 +39,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object GlobalRank {
 
+  // Persisted sort frames outstanding in this JVM (ADVICE r9): each
+  // build() persists its range-sorted frame so the count pass and the
+  // rank pass see the same partitioning; across a long-lived session the
+  // cached blocks otherwise accumulate until LRU eviction. Callers that
+  // have CONSUMED the returned plan (or a harness between queries — see
+  // Verify/Bench) can reclaim them all with [[releaseAll]]. Weak refs:
+  // frames already collected just drop out.
+  private val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[DataFrame]]
+
+  /** Unpersist every sort frame still held from prior build() calls.
+    * Safe at any time: an unpersisted frame recomputes deterministically
+    * (same plan lineage → same range bounds), and the defensive offset
+    * check in the rank pass fails fast rather than mis-rank if that
+    * invariant is ever broken.
+    */
+  def releaseAll(): Unit = {
+    var ref = persisted.poll()
+    while (ref != null) {
+      val df = ref.get()
+      if (df != null) df.unpersist(blocking = false)
+      ref = persisted.poll()
+    }
+  }
+
   /** Append `outCol` = exact 1-based global row number of each row under
     * `order` (which must be a total order — include a unique key).
     *
@@ -79,6 +105,7 @@ object GlobalRank {
       else df.repartitionByRange(order: _*)
     val sorted = ranged.sortWithinPartitions(order: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.add(new java.lang.ref.WeakReference(sorted))
     // pass 1: per-partition row counts — P rows, pure metadata
     val counts = sorted
       .groupBy(spark_partition_id().as("__pid")).count()
@@ -108,7 +135,13 @@ object GlobalRank {
       if (!buffered.hasNext) Iterator.empty
       else {
         val pid = buffered.head.getInt(pidIdx)
-        val off = offs.getOrElse(pid, 0L)
+        // defensive (ADVICE r9): a non-empty partition the count pass
+        // never saw means the two passes disagreed on the partitioning
+        // (broken determinism contract) — fail loudly instead of
+        // silently ranking this partition from offset 0
+        val off = offs.getOrElse(pid, throw new IllegalStateException(
+          s"GlobalRank: partition $pid has rows but no counted offset — " +
+            "count pass and rank pass saw different partitionings"))
         var local = 0L
         loHi match {
           case Some(_) if !bcWanted.value.exists(_.contains(pid)) =>

@@ -24,12 +24,18 @@ class DecontamIndexSpec extends AnyFunSuite {
     val dir = graft.util.ArtifactStore.artifactDir(spark, "decontam_index",
       key ++ Seq(3))
     assert(new java.io.File(dir, "_SUCCESS").exists(), "artifact not published")
-    val stampBefore = dir.listFiles().map(_.lastModified()).max
-    // second call must LOAD, not rebuild — a rebuild rewrites files.
+    // second call must LOAD, not rebuild. mtime comparison is unreliable
+    // on coarse-granularity filesystems (ADVICE r9), so pin the sorted
+    // (name, length) listing — a rebuild writes fresh UUID part files —
+    // plus a canary file the rebuild's dir-replace would delete.
+    val canary = new java.io.File(dir, "_spec_canary")
+    assert(canary.createNewFile(), "could not plant canary")
+    val listingBefore = dir.listFiles().map(f => (f.getName, f.length())).sorted.toSeq
     // evalDocs is by-name; passing a failing thunk proves it is untouched
     val second = TextOps.ensureDecontamIndex(spark,
       sys.error("eval suite must not be re-read on the load path"), key)
-    assert(dir.listFiles().map(_.lastModified()).max === stampBefore,
+    assert(canary.exists(), "second call replaced the artifact dir")
+    assert(dir.listFiles().map(f => (f.getName, f.length())).sorted.toSeq === listingBefore,
       "second call rewrote the artifact")
     assert(second.count() === first.count())
     // the keyed path answers exactly like the inline path
