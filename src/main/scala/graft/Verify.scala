@@ -13,6 +13,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // library extension point: native SQL functions + the RangeJoin/
+      // GlobalRank auto-rewrites run exactly as a production session would
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,6 +38,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // reclaim GlobalRank sort-frame caches between queries (ADVICE r9):
+      // the consumed plans never need them again in this run
+      stats.GlobalRank.releaseAll()
     }
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }

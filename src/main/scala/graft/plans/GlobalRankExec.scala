@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Physical global ranking without a single-partition sort.
+  *
+  * Requires `OrderedDistribution(order)` + in-partition order, so
+  * `EnsureRequirements` plans a RANGE exchange and a parallel sort —
+  * the same machinery as a global `ORDER BY`, whose parallelism is
+  * bounded only by the data, never one task. On top of the sorted
+  * shuffle output this runs the `RDD.zipWithIndex` two-pass:
+  *
+  *   1. a metadata pass (`sparkContext.runJob`) counts rows — and,
+  *      when a rank/dense_rank output is needed, distinct-key runs —
+  *      per partition: O(partitions) driver state, the same scale
+  *      class as the range partitioner's own bounds;
+  *   2. the streaming rank pass adds `offset + local position` (and
+  *      run-aware rank/dense values) per partition. No task ever holds
+  *      more than its own partition; the pass is a pure iterator map.
+  *
+  * Correctness of rank/dense_rank across partition boundaries relies on
+  * range partitioning placing ALL rows with equal sort keys in the same
+  * partition (RangePartitioner's binary-search assignment is a pure
+  * function of the key), so a tie run can never straddle a boundary;
+  * AQE's partition coalescing only merges adjacent ranges, preserving
+  * that invariant. Both passes read the SAME materialized shuffle
+  * output, so they cannot disagree on the partitioning (the persist
+  * trick `stats/GlobalRank` needs at the DataFrame level is free here).
+  *
+  * The count job runs eagerly inside `doExecute` — precedent: the range
+  * exchange itself runs an eager sampling job the same way.
+  *
+  * Rank values are `IntegerType`, matching `RowNumber`/`RankLike`
+  * (`org.apache.spark.sql.catalyst.expressions.windowExpressions`), so
+  * a rewritten plan is type-identical to the window it replaces.
+  */
+case class GlobalRankExec(order: Seq[SortOrder], rankAttrs: Seq[Attribute],
+                          rankKinds: Seq[RankKind], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ rankAttrs
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttrs)
+  override def outputOrdering: Seq[SortOrder] = order
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GlobalRankExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRdd = child.execute()
+    val childOutput = child.output
+    val sortOrder = order
+    // run boundaries only matter when a rank/dense_rank output exists;
+    // plain row_number skips every comparison and copy
+    val needRuns = rankKinds.exists(k => k != RankKind.RowNumber)
+    val kinds = rankKinds.toArray
+    val numOutputRows = longMetric("numOutputRows")
+
+    // pass 1: per-partition (rows, distinct-key runs) — pure metadata
+    val counts: Array[(Long, Long)] =
+      if (childRdd.getNumPartitions == 0) Array.empty
+      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+        if (needRuns) {
+          val ord = RowOrdering.create(sortOrder, childOutput)
+          var rows = 0L
+          var runs = 0L
+          var rep: InternalRow = null // copy of the current run's first row
+          while (it.hasNext) {
+            val r = it.next()
+            rows += 1L
+            if (rep == null || ord.compare(rep, r) != 0) {
+              runs += 1L
+              rep = r.copy()
+            }
+          }
+          (rows, runs)
+        } else {
+          var rows = 0L
+          while (it.hasNext) { it.next(); rows += 1L }
+          (rows, 0L)
+        }
+      })
+    // exclusive prefix sums: partition p's first row/run global offsets
+    val rowOffsets = new Array[Long](counts.length)
+    val runOffsets = new Array[Long](counts.length)
+    var accRows = 0L
+    var accRuns = 0L
+    var p = 0
+    while (p < counts.length) {
+      rowOffsets(p) = accRows
+      runOffsets(p) = accRuns
+      accRows += counts(p)._1
+      accRuns += counts(p)._2
+      p += 1
+    }
+
+    // pass 2: streaming rank append per partition
+    childRdd.mapPartitionsWithIndex { (pid, it) =>
+      val rowOff = rowOffsets(pid)
+      val runOff = runOffsets(pid)
+      val ord =
+        if (needRuns) RowOrdering.create(sortOrder, childOutput) else null
+      val proj = UnsafeProjection.create(
+        childOutput ++ rankAttrs, childOutput ++ rankAttrs)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(kinds.length)
+      var localPos = 0L  // 1-based position within the partition
+      var runStart = 0L  // localPos of the current run's first row
+      var runIdx = 0L    // 1-based run index within the partition
+      var rep: InternalRow = null
+      it.map { r =>
+        localPos += 1L
+        if (needRuns && (rep == null || ord.compare(rep, r) != 0)) {
+          runStart = localPos
+          runIdx += 1L
+          rep = r.copy()
+        }
+        var i = 0
+        while (i < kinds.length) {
+          val v = kinds(i) match {
+            case RankKind.RowNumber => rowOff + localPos
+            case RankKind.Rank => rowOff + runStart
+            case RankKind.DenseRank => runOff + runIdx
+          }
+          rankRow.update(i, v.toInt)
+          i += 1
+        }
+        numOutputRows += 1L
+        proj(joined(r, rankRow))
+      }
+    }
+  }
+}

@@ -9,6 +9,10 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // the library's extension point — native SQL functions + the
+      // RangeJoin/GlobalRank auto-rewrites — active exactly as a
+      // production session would run it
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -686,16 +686,29 @@ class PlanAuditSpec extends AnyFunSuite {
       case other => other
     }
     // detector self-check: a hand-built unpartitioned window MUST be
-    // seen, or the sweep below is vacuously green
+    // seen, or the sweep below is vacuously green. The GlobalRankRule
+    // rewrite (round 10) would heal the probe before the detector looks,
+    // so it is disabled FOR THE PROBE ONLY — and a second probe pins
+    // that with the rule active the same window is in fact healed.
     {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.row_number
-      val probe = unwrap(spark.range(100)
+      def probePlan() = unwrap(spark.range(100)
         .withColumn("rn", row_number().over(Window.orderBy("id")))
         .queryExecution.executedPlan)
+      spark.conf.set(graft.plans.GlobalRankRule.RewriteConf, "false")
+      val probe =
+        try probePlan()
+        finally spark.conf.set(graft.plans.GlobalRankRule.RewriteConf, "true")
       assert(probe.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }.nonEmpty, "sweep detector failed to see a known unpartitioned window")
+      val healed = probePlan()
+      assert(healed.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.isEmpty &&
+        healed.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+        "GlobalRankRule should heal the probe's unpartitioned window")
     }
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip).filterNot(allowed).flatMap { q =>
