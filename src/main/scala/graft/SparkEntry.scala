@@ -57,7 +57,8 @@ object SparkEntry {
       SparkEntryR8b.queries ++ SparkEntryR8c.queries ++
       SparkEntryR8d.queries ++ SparkEntryR8e.queries ++
       SparkEntryR8f.queries ++ SparkEntryR8g.queries ++
-      SparkEntryR8h.queries ++ SparkEntryR9.queries ++ SparkEntryR9b.queries
+      SparkEntryR8h.queries ++ SparkEntryR9.queries ++ SparkEntryR9b.queries ++
+      SparkEntryR10.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -783,5 +784,6 @@ object SparkEntry {
     SparkEntryR8b.oracleSql ++ SparkEntryR8c.oracleSql ++
     SparkEntryR8d.oracleSql ++ SparkEntryR8e.oracleSql ++
     SparkEntryR8f.oracleSql ++ SparkEntryR8g.oracleSql ++
-    SparkEntryR8h.oracleSql ++ SparkEntryR9.oracleSql ++ SparkEntryR9b.oracleSql
+    SparkEntryR8h.oracleSql ++ SparkEntryR9.oracleSql ++ SparkEntryR9b.oracleSql ++
+    SparkEntryR10.oracleSql
 }

@@ -39,6 +39,25 @@ object SparkEntryR9b {
         expr("(cents - lagc) * 10000 div lagc").as("ret_bp"))
   }
 
+  /** The x110/x110b decontamination fixture: (eval suite, corpus). The
+    * corpus excludes eval rows and re-inserts every eval vector under a
+    * negative plant id (disjoint at any scale factor), so contamination
+    * provably exists. Shared by the exact scan (x110) and the
+    * index-probed twin (x110b) so the two answer the SAME question.
+    */
+  private[graft] def decontamFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val evalQ = e.filter(pmod(col("vec_id"), lit(97L)) === 0)
+      .select(col("vec_id").as("q_id"),
+        SimSearch.castD(col("embedding")).as("q_emb"))
+    val corpus = e.filter(pmod(col("vec_id"), lit(97L)) =!= 0)
+      .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
+      .unionByName(evalQ.select((-(col("q_id") + 1L)).as("vec_id"),
+        col("q_emb").as("emb")))
+    (evalQ, corpus)
+  }
+
   private val panel3Sql =
     s"""${SparkEntryPipeline.barsGenSql("VALE3.SA")}
        |UNION ALL
@@ -96,14 +115,7 @@ object SparkEntryR9b {
     // genuine non-negative vec_id space at ANY scale factor (ADVICE r9:
     // a fixed positive offset collides once the fixture outgrows it).
     "x110_semantic_decontam" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val evalQ = e.filter(pmod(col("vec_id"), lit(97L)) === 0)
-        .select(col("vec_id").as("q_id"),
-          SimSearch.castD(col("embedding")).as("q_emb"))
-      val corpus = e.filter(pmod(col("vec_id"), lit(97L)) =!= 0)
-        .select(col("vec_id"), SimSearch.castD(col("embedding")).as("emb"))
-        .unionByName(evalQ.select((-(col("q_id") + 1L)).as("vec_id"),
-          col("q_emb").as("emb")))
+      val (evalQ, corpus) = decontamFrames(s, d)
       corpus.crossJoin(broadcast(evalQ))
         .select(col("vec_id"), SimSearch.cosine(col("emb"), col("q_emb")).as("sim"))
         .groupBy("vec_id").agg(max(col("sim")).as("max_sim"))

@@ -78,6 +78,40 @@ object VectorIndex {
   def invalidate(spark: SparkSession, key: Seq[Any]): Unit =
     ArtifactStore.invalidate(spark, "vector_index", key)
 
+  /** Threshold probe against the postings table (the x110b semantic-
+    * decontamination shape): every indexed vector whose exact cosine to
+    * ANY query vector reaches `tau`, found by probing each query's
+    * `nProbe` nearest cells only. Exact re-rank ⇒ PRECISION 1.0 (a
+    * reported (vec, max_sim) is a true over-threshold cosine); recall is
+    * bounded by the probe set — a near-dup assigned to a cell outside
+    * every query's probe list is missed, the standard IVF trade, so
+    * callers pin recall per fixture (`DecontamIndexedSpec`). Per-query
+    * cost: nProbe/nCells of the index through one equi-join on the cell
+    * id — the corpus itself is never scanned, matching the persisted-
+    * index discipline of [[queryTopK]].
+    *
+    * Output: (idCol, max_sim) per flagged indexed vector, max over the
+    * probed query set (order-independent fold → engine-exact).
+    */
+  def queryThreshold(index: DataFrame, queries: DataFrame, tau: Double,
+                     centroids: Seq[Seq[Double]], nProbe: Int,
+                     idCol: String = "vec_id", embCol: String = "emb"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size, "nProbe out of range")
+    val probes = queries
+      .select(col(embCol).as("__qe"),
+        explode(graft.util.Expr.bind(
+          SimSearch.centroidScores(col(embCol), centroids),
+          s => slice(sort_array(zip_with(s,
+            sequence(lit(1), lit(centroids.size)).cast("array<double>"),
+            (sc, i) => struct((-sc).as("ns"), i.as("idx")))), 1, nProbe)))
+          .as("__r"))
+      .select(col("__qe"), col("__r.idx").cast("int").as("cell"))
+    probes.join(index, Seq("cell"))
+      .select(col(idCol), SimSearch.cosine(col("__qe"), col(embCol)).as("sim"))
+      .where(col("sim") >= tau)
+      .groupBy(col(idCol)).agg(max(col("sim")).as("max_sim"))
+  }
+
   /** ANN top-k against the postings table: each query probes its `nProbe`
     * nearest cells (row-local centroid scoring, the ivfTopK probe shape),
     * the candidate join is an equi-join on the cell id, and exact cosine
