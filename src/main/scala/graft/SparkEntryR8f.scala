@@ -23,11 +23,15 @@ object SparkEntryR8f {
     // is quartiled by RANK arithmetic — q = (rank−1)·4 div n over the
     // (metric, key) total order — not by any float percentile, so every
     // engine buckets identically, ties broken by customer key. The
-    // three global ranks over the \|customers\| frame come from
-    // GlobalRank's range-partition + per-partition-offset pass (VERDICT
-    // r8 #1): identical to three unpartitioned row_number windows, but
-    // each is a fully parallel range sort — no single-task sort of the
-    // customer base at scale. Output: the 64-cell segment census.
+    // three global ranks over the \|customers\| frame are written as
+    // plain unpartitioned row_number windows and planned by
+    // GlobalRankRule (round 10) into the range-partition + offset-pass
+    // GlobalRankExec — no single-task sort of the customer base at any
+    // scale, and AQE materializes the three independent range shuffles
+    // CONCURRENTLY (replacing round 9's hand-rolled parallel Future
+    // submission of three GlobalRank helper passes, each of which paid
+    // its own persist + count-shuffle job — VERDICT r9 #6). Output:
+    // the 64-cell segment census.
     "x94_rfm_segments" -> ((s, d) => {
       val orders = Tables.orders(s, d)
         .select(col("o_custkey"),
@@ -41,33 +45,23 @@ object SparkEntryR8f {
           count(lit(1)).as("frequency"),
           sum("cents").as("monetary_cents"))
       // lower recency is BETTER (most-recent ranks first, ascending);
-      // higher frequency/monetary are better (descending). The three
-      // rank passes are independent, so they are SUBMITTED IN PARALLEL
-      // from the driver over 2-column projections of the shared
-      // persisted frame — each is GlobalRank's fully parallel range
-      // sort, and overlapping their fixed per-pass job latencies
-      // (sample + count + rank) keeps the fixture-scale cost near one
-      // pass instead of three; the (key, rank) outputs re-join on the
+      // higher frequency/monetary are better (descending). Each rank is
+      // an unpartitioned row_number over a 2-column projection of the
+      // shared persisted frame — GlobalRankRule plans all three as
+      // parallel range sorts; the (key, rank) outputs re-join on the
       // customer key.
-      import graft.stats.GlobalRank
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
       val rfmP = rfm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def rank(c: String, descending: Boolean, out: String) = Future {
-        val order =
-          if (descending) Seq(col(c).desc, col("o_custkey"))
-          else Seq(col(c), col("o_custkey"))
-        GlobalRank.withRowNumber(rfmP.select(col("o_custkey"), col(c)),
-            order, out)
+      def rank(c: String, descending: Boolean, out: String) = {
+        val w =
+          if (descending) Window.orderBy(col(c).desc, col("o_custkey"))
+          else Window.orderBy(col(c), col("o_custkey"))
+        rfmP.select(col("o_custkey"), col(c))
+          .withColumn(out, row_number().over(w))
           .select(col("o_custkey"), col(out))
       }
-      val (fr, ff, fm) = (rank("recency_days", descending = false, "rn_r"),
-        rank("frequency", descending = true, "rn_f"),
-        rank("monetary_cents", descending = true, "rn_m"))
-      val ranked = Await.result(
-        for { r <- fr; f <- ff; m <- fm }
-          yield r.join(f, "o_custkey").join(m, "o_custkey"),
-        scala.concurrent.duration.Duration.Inf)
+      val ranked = rank("recency_days", descending = false, "rn_r")
+        .join(rank("frequency", descending = true, "rn_f"), "o_custkey")
+        .join(rank("monetary_cents", descending = true, "rn_m"), "o_custkey")
       val scored = ranked
         .withColumn("r_q", expr("(rn_r - 1) * 4"))
         .withColumn("f_q", expr("(rn_f - 1) * 4"))

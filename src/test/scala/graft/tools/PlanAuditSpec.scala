@@ -650,14 +650,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // on GlobalRank (range partition + per-partition offsets), their
     // plans must contain NO Window node at all; the rank arrives through
     // the mapPartitions pass.
+    // x86/x98 call the GlobalRank DataFrame helper (MapPartitions offset
+    // pass); x94 writes plain row_number windows and relies on the
+    // round-10 GlobalRankRule rewrite (GlobalRank exec node) — both are
+    // the same range-partition + offset plan, and neither is a Window.
     Seq("x86_stage_latency", "x94_rfm_segments", "x98_classifier_lift")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("Window ["),
           s"$q: rank still planned as a window:\n${p.take(1500)}")
-        assert(p.contains("MapPartitions"),
+        assert(p.contains("MapPartitions") || p.contains("GlobalRank"),
           s"$q: GlobalRank's offset pass missing from the plan:\n${p.take(1500)}")
       }
+    // x94 specifically must be on the rewritten exec path (three ranks)
+    locally {
+      val p = plan("x94_rfm_segments")
+      assert("GlobalRank ".r.findAllIn(p).length === 3,
+        s"x94: expected three GlobalRank exec passes:\n${p.take(2000)}")
+    }
   }
 
   test("no query plans an unpartitioned window over a corpus-derived frame") {
