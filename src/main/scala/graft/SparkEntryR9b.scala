@@ -132,13 +132,21 @@ object SparkEntryR9b {
     // boundaries. One per-shard prefix-sum exchange; the spans are
     // row-local integer division — no token stream ever materializes
     // (TextOps.packConcat). Published here as the per-shard layout
-    // report: docs, tokens, windows, boundary-crossing docs.
+    // report: docs, tokens, windows, boundary-crossing docs. The shard
+    // count — the parallelism of the prefix-sum windows — comes from
+    // `spark.graft.pack.shards`, defaulting to the session's shuffle
+    // partitions, so it scales with the cluster instead of pinning a
+    // constant (VERDICT r9 #4; the driver harness runs 32, which the
+    // oracle mirrors).
     "x111_concat_pack" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         when(length(trim(col("text"))) === 0, lit(0L))
           .otherwise(size(split(trim(col("text")), "\\s+")).cast("bigint"))
           .as("n_tok"))
-      TextOps.packConcat(docs, "doc_id", "n_tok", windowTokens = 512L, shards = 8)
+      val shards = s.conf.getOption("spark.graft.pack.shards")
+        .getOrElse(s.conf.get("spark.sql.shuffle.partitions")).toInt
+      TextOps.packConcat(docs, "doc_id", "n_tok", windowTokens = 512L,
+          shards = shards)
         .groupBy(col("__shard").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tokens"),
@@ -276,6 +284,8 @@ object SparkEntryR9b {
         |      FROM corpus c CROSS JOIN q GROUP BY c.vec_id)
         |SELECT vec_id, ROUND(max_sim, 6) AS sim6
         |FROM m WHERE max_sim >= 0.95 ORDER BY vec_id""".stripMargin,
+    // shard count mirrors the Spark side's conf default: the driver
+    // harness pins spark.sql.shuffle.partitions = 32 (SPARK_GRAFT_CPUS)
     "x111_concat_pack" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -284,8 +294,8 @@ object SparkEntryR9b {
         |           AS n_tok
         |  FROM documents),
         |p AS (
-        |  SELECT doc_id, doc_id % 8 AS shard, n_tok,
-        |         SUM(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |  SELECT doc_id, doc_id % 32 AS shard, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
         |           ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
         |  FROM d)
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,

@@ -733,4 +733,84 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unpartitioned windows over corpus-derived frames:\n${offenders.mkString("\n")}")
   }
+
+  test("no query partitions a window by a small literal modulus (VERDICT r9 #4)") {
+    // The low-cardinality cousin of the empty-partition-spec hazard: a
+    // window PARTITION BY pmod(col, k) with a small literal k caps the
+    // window's parallelism at k tasks whatever the cluster size — the
+    // empty-spec sweep above cannot see it. Flag every window whose
+    // partition spec resolves (through project aliases) to a pmod by a
+    // literal ≤ 64; the justified shard writers are allow-listed below
+    // with their arguments.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, Pmod}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    def smallLit(e: Expression): Boolean = e match {
+      case Literal(k: Int, _) => k <= 64
+      case Literal(k: Long, _) => k <= 64L
+      case _ => false
+    }
+    def offendingSpecs(plan: LogicalPlan): Seq[String] = {
+      val aliases: Map[Long, Expression] = plan.collect { case p =>
+        p.expressions.flatMap(_.collect { case a: Alias => a.exprId.id -> a.child })
+      }.flatten.toMap
+      def hasSmallPmod(e: Expression, depth: Int): Boolean =
+        if (depth > 8) false
+        else e.collectFirst { case p: Pmod if smallLit(p.right) => p }.nonEmpty ||
+          e.collect { case ar: AttributeReference => ar }
+            .exists(ar => aliases.get(ar.exprId.id).exists(hasSmallPmod(_, depth + 1)))
+      // the hazard is a spec whose TOTAL cardinality is literal-bounded:
+      // every component must be small-modulus-derived. A small pmod
+      // BESIDE an unbounded key (the salted top-k shape — partition by
+      // (q_id, pmod(hash, k))) ADDS parallelism and must not flag.
+      plan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(hasSmallPmod(_, 0)) =>
+          w.partitionSpec.mkString(", ").take(160)
+      }
+    }
+    // detector self-check: a planted pmod-8 partition spec MUST be seen,
+    // both written inline and through a project alias
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, lit, pmod, row_number}
+      val aliased = spark.range(1000)
+        .withColumn("s", pmod(col("id"), lit(8)))
+        .withColumn("rn", row_number().over(Window.partitionBy("s").orderBy("id")))
+      assert(offendingSpecs(aliased.queryExecution.optimizedPlan).nonEmpty,
+        "sweep detector failed to see a planted aliased pmod-8 window")
+      val inline = spark.range(1000)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(pmod(col("id"), lit(8L))).orderBy("id")))
+      assert(offendingSpecs(inline.queryExecution.optimizedPlan).nonEmpty,
+        "sweep detector failed to see a planted inline pmod-8 window")
+    }
+    // Allow-listed shard writers — each pins its shard count to an
+    // output-file-layout argument or derives it from conf:
+    //   x10/x50/x87/x87b: the shard IS the output file (training-shard
+    //     writers); their per-shard prefix sums/orders exist to lay out
+    //     exactly those files, so shard count == file count by design.
+    //   x111: shards come from spark.graft.pack.shards (default =
+    //     spark.sql.shuffle.partitions) — cluster-proportional, but the
+    //     resolved literal in THIS 4-core test session is 4 ≤ 64.
+    // (x87/x100 build their shard layouts without a pmod-partitioned
+    // window, so they need no exemption — the staleness check below
+    // keeps this list honest.)
+    val allowed = Set(
+      "x10_pack_sequences",
+      "x50_training_shuffle",
+      "x111_concat_pack")
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val specs = offendingSpecs(
+        SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan)
+      if (specs.nonEmpty) Some(q -> specs.mkString(" | ")) else None
+    }.toMap
+    val offenders = (flagged.keySet -- allowed).toSeq.sorted
+      .map(q => s"$q -> ${flagged(q)}")
+    assert(offenders.isEmpty,
+      s"small-literal-modulus window partitions:\n${offenders.mkString("\n")}")
+    // and the allow-list must stay honest: every entry on it really does
+    // partition by a literal modulus (drop stale entries)
+    val stale = allowed -- flagged.keySet
+    assert(stale.isEmpty, s"allow-listed but not flagged (stale): $stale")
+  }
 }
