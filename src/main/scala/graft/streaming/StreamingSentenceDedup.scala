@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+import graft.util.ArtifactStore
+
+/** Streaming twin of corpus-wide keep-first sentence dedup (x114,
+  * `TextOps.dedupSentences`) — VERDICT r9 #7: a sentence seen in ANY
+  * earlier batch survives only at that first occurrence; later batches
+  * strip every instance. Cross-batch memory is a persisted
+  * FIRST-OCCURRENCE sentence index — the `MembershipIndex` lifecycle
+  * keyed by the portable sentence hash — so each batch's work is
+  * O(batch):
+  *
+  *   1. explode THIS batch to (doc, idx, sentence) — the only explode
+  *      in the plan; prior batches are never re-exploded, never re-read;
+  *   2. keep-first WITHIN the batch: one partial-agg shuffle keyed by
+  *      the sentence computes min(struct(doc, idx)) over batch rows only;
+  *   3. anti-join the batch's first occurrences against the index on
+  *      (bucket, hash, sentence) — hash routes, content decides, so a
+  *      hash collision can never fake a prior occurrence;
+  *   4. reassemble per document (the x114 hash-agg shape) and APPEND the
+  *      newly-admitted sentences to the index so the NEXT batch sees
+  *      them.
+  *
+  * Identity contract: when batches partition the corpus in document-id
+  * order (a streaming source's arrival order), the concatenated batch
+  * outputs equal `TextOps.dedupSentences` over the whole corpus row for
+  * row — pinned in `StreamingSentenceDedupSpec` on a two-batch replay.
+  *
+  * Index appends are at-least-once-idempotent (duplicate index rows only
+  * duplicate anti-join keys); exactly-once OUTPUT belongs to the sink,
+  * exactly as in [[IncrementalIngest]] — compose via [[writer]] in a
+  * `foreachBatch` whose sink provides the commit point. At 100 TB the
+  * index is a bucket-keyed parquet table: the probe join reads the
+  * batch + the index, never the corpus.
+  */
+object StreamingSentenceDedup {
+
+  private def indexDir(spark: SparkSession, corpusKey: Seq[Any]): File =
+    ArtifactStore.artifactDir(spark, "sentence_index", corpusKey)
+
+  /** (bucket, sh, sent) rows for the distinct sentences of `docs` —
+    * the same routing shape as `MembershipIndex.fingerprints`.
+    */
+  private def sentenceRows(sent: DataFrame, numBuckets: Int): DataFrame = {
+    val sh = TextOps.rollingHash(col("sent"))
+    sent.select(
+      pmod(sh, lit(numBuckets)).cast("int").as("bucket"),
+      sh.as("sh"), col("sent"))
+  }
+
+  /** Load the persisted sentence index for `corpusKey`, bootstrapping an
+    * EMPTY index if absent (a fresh stream starts with no corpus memory
+    * — unlike `MembershipIndex.ensureIndex` there is no base corpus to
+    * fingerprint; seed one by processing it as the first batch).
+    */
+  def ensureIndex(spark: SparkSession, corpusKey: Seq[Any],
+                  numBuckets: Int = 16): DataFrame = {
+    val dir = indexDir(spark, corpusKey)
+    if (!new File(dir, "_SUCCESS").exists()) {
+      val tmp = new File(dir.getParentFile,
+        dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      sentenceRows(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("sent",
+              org.apache.spark.sql.types.StringType, nullable = false)))),
+          numBuckets)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+      ArtifactStore.publishDir(tmp, dir)
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  def invalidate(spark: SparkSession, corpusKey: Seq[Any]): Unit = {
+    val dir = indexDir(spark, corpusKey)
+    ArtifactStore.invalidate(spark, "sentence_index", corpusKey)
+    // drop the per-batch staging dirs too (siblings of the index dir)
+    Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(dir.getName + ".batch-"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
+  /** Process one micro-batch: strip sentences seen in earlier batches
+    * (or earlier in THIS batch), append the survivors' sentences to the
+    * index, and return the cleaned batch in the x114 output shape
+    * (idCol, n_sent, n_kept, text_kept).
+    */
+  def processBatch(batch: DataFrame, corpusKey: Seq[Any],
+                   idCol: String = "doc_id", textCol: String = "text",
+                   sep: String = ". ", numBuckets: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = ensureIndex(spark, corpusKey, numBuckets)
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val sent = batch.select(col(idCol),
+      posexplode(split(col(textCol), quoted)).as(Seq("idx", "sent")))
+    // keep-first within the batch (min over batch rows only)…
+    val firstInBatch = sent
+      .groupBy(col("sent"))
+      .agg(min(struct(col(idCol), col("idx"))).as("__first"))
+    val batchFirsts = sent.join(firstInBatch, Seq("sent"))
+      .where(col(idCol) === col(s"__first.$idCol") &&
+        col("idx") === col("__first.idx"))
+      .drop("__first")
+    // …then drop anything an EARLIER batch admitted: O(batch) probe of
+    // the bucket-keyed index
+    val sh = TextOps.rollingHash(col("sent"))
+    val kept = batchFirsts
+      .withColumn("bucket", pmod(sh, lit(numBuckets)).cast("int"))
+      .withColumn("sh", sh)
+      .join(idx, Seq("bucket", "sh", "sent"), "left_anti")
+      .drop("bucket", "sh")
+    // STAGE the admitted sentences before touching the index: the
+    // anti-join's input listing must not include this batch's own
+    // append, and the returned frame stays lazily consumable AFTER the
+    // append mutates the index dir (an append refreshes the path's file
+    // index, so a plan still referencing the live dir would silently
+    // re-probe a grown index on re-evaluation — the IncrementalIngest
+    // "re-read from the sink's own delta" discipline, applied here to a
+    // per-batch staging dir). O(batch) write, O(batch) read-back.
+    val dir = indexDir(spark, corpusKey)
+    val staged = new File(dir.getParentFile,
+      dir.getName + ".batch-" + java.util.UUID.randomUUID().toString.take(8))
+    kept.write.parquet(staged.getAbsolutePath)
+    val keptStable = spark.read.parquet(staged.getAbsolutePath)
+    val out = batch.select(col(idCol),
+        size(split(col(textCol), quoted)).cast("bigint").as("n_sent"))
+      .join(keptStable.groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("idx"), col("sent")))),
+              x => x.getField("sent")), sep).as("text_kept")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_sent"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+    // index maintenance: the admitted sentences become visible to the
+    // next batch; append is idempotent-for-correctness under replay
+    sentenceRows(keptStable.select(col("sent")), numBuckets)
+      .write.mode(SaveMode.Append).parquet(dir.getAbsolutePath)
+    out
+  }
+
+  /** `foreachBatch` adapter: clean each batch and hand it to `sink`
+    * (which owns the exactly-once commit, e.g. a [[SnapshotSink]]).
+    */
+  def writer(corpusKey: Seq[Any],
+             sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (df, batchId) => sink(processBatch(df, corpusKey), batchId)
+}
