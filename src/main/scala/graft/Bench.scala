@@ -25,6 +25,13 @@ import graft.util.Json
   *
   * A full warm-up pass runs first so the measured pass is not dominated by
   * JIT/codegen-cache/parquet-footer first-touch costs.
+  *
+  * Drift attribution (VERDICT r9 #3): a ~20-query canary set reruns in
+  * fixed order at the start and end of the measured pass; its end/start
+  * ratio is published as `"drift"` in the summary and `"canary"` (with
+  * per-query times) in the detail, separating environment drift from
+  * per-query change. `"floor_total"` (sum of per-query minima) is the
+  * least-noise engine-cost estimate beside the median-sum `"value"`.
   */
 object Bench {
 
@@ -74,6 +81,28 @@ object Bench {
       System.err.println(f"[bench] warmup $n ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
+    // Canary drift measurement (VERDICT r9 #3): a single full-suite run
+    // cannot distinguish a sandbox-contention drift from an engine
+    // regression. A fixed ~20-query subset reruns in FIXED order at the
+    // start and again at the end of the measured pass; identical code on
+    // identical data, so the end/start ratio measures WITHIN-RUN
+    // environment drift — published beside the per-query numbers so a
+    // "+16% total" can be attributed (or not) to load noise.
+    val canaryNames = {
+      val step = math.max(1, names.size / 20)
+      names.zipWithIndex.collect { case (n, i) if i % step == 0 => n }
+    }
+    def canaryPass(): Seq[(String, Double)] = canaryNames.flatMap { n =>
+      stats.GlobalRank.releaseAll()
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      try { force(SparkEntry.queries(n)(spark, sfDir))
+        Some(n -> (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    }
+    val canaryStart = canaryPass()
+
     // median of 3 isolated runs per query (VERDICT r2 #10): full-suite
     // per-query noise is ±50% from GC/page-cache interference, enough to
     // mask a real 2× regression under a single sample; the median of three
@@ -86,10 +115,11 @@ object Bench {
         if (errors.contains(n)) None
         else {
           // isolation between measurements: drop persisted/broadcast
-          // blocks accumulated by earlier queries and let the
-          // ContextCleaner run, so one query's leftovers can't charge a
-          // GC pause to the next one's timer (observed as a random ~45 s
-          // outlier per full-suite run)
+          // blocks accumulated by earlier queries (incl. GlobalRank sort
+          // frames) and let the ContextCleaner run, so one query's
+          // leftovers can't charge a GC pause to the next one's timer
+          // (observed as a random ~45 s outlier per full-suite run)
+          stats.GlobalRank.releaseAll()
           spark.catalog.clearCache()
           System.gc()
           val t0 = System.nanoTime()
@@ -114,12 +144,23 @@ object Bench {
       }
     }
 
+    val canaryEnd = canaryPass()
     val qs = times.map { case (k, (m, _, _)) => s"${Json.str(k)}:$m" }.mkString("{", ",", "}")
     val sp = times.map { case (k, (_, lo, hi)) => s"${Json.str(k)}:[$lo,$hi]" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2._1).sum
+    // floor = sum of per-query minima: the least-noise estimate of the
+    // engine's cost; total-vs-floor gap is measurement noise by definition
+    val floor = times.map(_._2._2).sum
+    val (cs, ce) = (canaryStart.map(_._2).sum, canaryEnd.map(_._2).sum)
+    val drift = if (cs > 0) ce / cs else 1.0
+    System.err.println(f"[bench] canary drift ${drift}%.3f (start ${cs}%.1fs end ${ce}%.1fs over ${canaryStart.size} queries)")
+    def cjson(p: Seq[(String, Double)]) =
+      p.map { case (k, v) => s"${Json.str(k)}:$v" }.mkString("{", ",", "}")
+    val canaryJson =
+      s"""{"start_total":$cs,"end_total":$ce,"drift":$drift,"start":${cjson(canaryStart)},"end":${cjson(canaryEnd)}}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"sf":${Json.str(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"floor_total":$floor,"canary":$canaryJson,"sf":${Json.str(sfDir)}}"""
 
     // Per-query detail to a file (the full line is ~9 KB at 149 queries
     // and overflowed the driver's 2000-char stdout capture in round 6).
@@ -134,7 +175,7 @@ object Bench {
     println(full) // full detail first, for whole-stdout consumers
     // Compact machine-readable summary as the FINAL stdout line — this is
     // what a tail-truncating capture must still parse.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${Json.str(sfDir)},"n":${times.size},"error_count":${errors.size},"detail":${if (detailOk) Json.str(detailPath) else "null"}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${Json.str(sfDir)},"n":${times.size},"error_count":${errors.size},"floor_total":$floor,"drift":$drift,"detail":${if (detailOk) Json.str(detailPath) else "null"}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
