@@ -62,9 +62,12 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttrs: Seq[Attribute],
     val childRdd = child.execute()
     val childOutput = child.output
     val sortOrder = order
-    // run boundaries only matter when a rank/dense_rank output exists;
-    // plain row_number skips every comparison and copy
-    val needRuns = rankKinds.exists(k => k != RankKind.RowNumber)
+    // run boundaries only matter when a tie-aware output exists; plain
+    // row_number/ntile skip every comparison and copy
+    val needRuns = rankKinds.exists {
+      case RankKind.Rank | RankKind.DenseRank | RankKind.PercentRank => true
+      case _ => false
+    }
     val kinds = rankKinds.toArray
     val numOutputRows = longMetric("numOutputRows")
 
@@ -105,6 +108,7 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttrs: Seq[Attribute],
       accRuns += counts(p)._2
       p += 1
     }
+    val totalRows = accRows // ntile / percent_rank need the global count
 
     // pass 2: streaming rank append per partition
     childRdd.mapPartitionsWithIndex { (pid, it) =>
@@ -129,12 +133,32 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttrs: Seq[Attribute],
         }
         var i = 0
         while (i < kinds.length) {
-          val v = kinds(i) match {
-            case RankKind.RowNumber => rowOff + localPos
-            case RankKind.Rank => rowOff + runStart
-            case RankKind.DenseRank => runOff + runIdx
+          kinds(i) match {
+            case RankKind.RowNumber =>
+              rankRow.update(i, (rowOff + localPos).toInt)
+            case RankKind.Rank =>
+              rankRow.update(i, (rowOff + runStart).toInt)
+            case RankKind.DenseRank =>
+              rankRow.update(i, (runOff + runIdx).toInt)
+            case RankKind.Ntile(k) =>
+              // N rows into k as-even buckets, remainder to the first
+              // buckets (Spark's NTile semantics): position p lands in
+              // bucket (p-1) div (q+1) + 1 while inside the r oversized
+              // buckets, then strides by q
+              val pGlobal = rowOff + localPos
+              val q = totalRows / k
+              val r = totalRows % k
+              val big = r * (q + 1)
+              val b =
+                if (pGlobal <= big) (pGlobal - 1) / (q + 1) + 1
+                else r + (pGlobal - big - 1) / q + 1
+              rankRow.update(i, b.toInt)
+            case RankKind.PercentRank =>
+              val rank = rowOff + runStart
+              rankRow.update(i,
+                if (totalRows > 1L) (rank - 1).toDouble / (totalRows - 1L)
+                else 0.0d)
           }
-          rankRow.update(i, v.toInt)
           i += 1
         }
         numOutputRows += 1L

@@ -19,6 +19,14 @@ object RankKind {
   /** Dense rank: tied rows share a rank; the next distinct key takes the
     * next integer. */
   case object DenseRank extends RankKind
+  /** `ntile(buckets)`: rows split into `buckets` as-even groups, the
+    * first `N % buckets` groups one row larger — a pure function of the
+    * global row position and the total count, both of which the count
+    * pass already yields. */
+  final case class Ntile(buckets: Int) extends RankKind
+  /** `percent_rank()` = (rank − 1) / (N − 1), 0.0 for N = 1 — the
+    * competition rank scaled by the total count. `DoubleType`. */
+  case object PercentRank extends RankKind
 }
 
 /** Logical plan for scale-safe EXACT global ranking — what

@@ -20,10 +20,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *
   * Scope — a Window node is rewritten only when ALL of:
   *   - its partition spec is empty and its order spec is not;
-  *   - every window expression is row_number / rank / dense_rank (any
-  *     other function — running sums, lag, ntile, percent_rank — keeps
-  *     the Window node untouched: their semantics need the whole frame
-  *     and a mixed node must stay one node to compute consistently);
+  *   - every window expression is row_number / rank / dense_rank /
+  *     ntile(k) / percent_rank — all pure functions of the global
+  *     position, tie run, and total count the two-pass plan computes
+  *     (any other function — running sums, lag, cume_dist — keeps the
+  *     Window node untouched: their semantics need the frame, and a
+  *     mixed node must stay one node to compute consistently);
   *   - it is NOT directly under a rank-limit filter (`rn <= k` etc.):
   *     that shape belongs to Spark's `InferWindowGroupLimit` top-k
   *     path, which prunes to k rows per map partition BEFORE the final
@@ -47,6 +49,8 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     case _: RowNumber => Some(RankKind.RowNumber)
     case _: Rank => Some(RankKind.Rank)
     case _: DenseRank => Some(RankKind.DenseRank)
+    case NTile(Literal(k: Int, _)) if k > 0 => Some(RankKind.Ntile(k))
+    case _: PercentRank => Some(RankKind.PercentRank)
     case _ => None
   }
 

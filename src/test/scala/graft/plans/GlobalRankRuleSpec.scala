@@ -103,6 +103,20 @@ class GlobalRankRuleSpec extends AnyFunSuite {
       s"stacked rank execs must reuse one range exchange:\n${df.queryExecution.executedPlan}")
   }
 
+  test("ntile and percent_rank rewrite and match the window exactly") {
+    fixture.createOrReplaceTempView("grr_t5")
+    // ntile: uneven buckets (1000 % 7 != 0); percent_rank: tie-heavy
+    // order with no tiebreak — both must be bit-identical to WindowExec
+    checkRewritten(spark.sql(
+      """SELECT id, v, ntile(7) OVER (ORDER BY v, id) AS nt,
+        |       percent_rank() OVER (ORDER BY v) AS pr
+        |FROM grr_t5""".stripMargin))
+    // more buckets than rows: each row its own bucket
+    checkRewritten(spark.sql(
+      """SELECT id, ntile(50) OVER (ORDER BY v, id) AS nt
+        |FROM grr_t5 WHERE id < 20""".stripMargin))
+  }
+
   test("DataFrame-API windows rewrite the same way") {
     import org.apache.spark.sql.expressions.Window
     checkRewritten(fixture.withColumn("rn",
