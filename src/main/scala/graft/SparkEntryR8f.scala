@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,58 +22,80 @@ object SparkEntryR8f {
     // customer's (days since last order, order count, lifetime cents)
     // is quartiled by RANK arithmetic — q = (rank−1)·4 div n over the
     // (metric, key) total order — not by any float percentile, so every
-    // engine buckets identically, ties broken by customer key. The
-    // three global ranks over the \|customers\| frame are written as
-    // plain unpartitioned row_number windows and planned by
-    // GlobalRankRule (round 10) into the range-partition + offset-pass
-    // GlobalRankExec — no single-task sort of the customer base at any
-    // scale, and AQE materializes the three independent range shuffles
-    // CONCURRENTLY (replacing round 9's hand-rolled parallel Future
-    // submission of three GlobalRank helper passes, each of which paid
-    // its own persist + count-shuffle job — VERDICT r9 #6). Output:
-    // the 64-cell segment census.
+    // engine buckets identically, ties broken by customer key.
+    //
+    // Round-10 shape (VERDICT r9 #6): instead of materializing three
+    // full |customers| rank columns and re-joining them (r9: three
+    // GlobalRank passes + three hash joins, ~2.1 s at sf0.1), only the
+    // three quartile BOUNDARY rows per axis are selected — one
+    // rowsAtRanks sort+count+pick per axis, ≤3 rows out — and the
+    // quartile of every customer is then a ROW-LOCAL lexicographic
+    // comparison against the 9 collected boundary keys compiled into
+    // the single scan: q = 1 + #{j : (key, ck) ≥ boundary_j}, exactly
+    // the rank arithmetic because the sorted key sequence is strictly
+    // increasing under the (metric, custkey) total order. No window, no
+    // join, no rank column ever materializes; the only corpus-scale
+    // work is the three parallel range sorts of the boundary picks and
+    // one final 64-cell aggregate.
     "x94_rfm_segments" -> ((s, d) => {
       val orders = Tables.orders(s, d)
         .select(col("o_custkey"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
           col("o_orderdate").cast("date").as("day"))
-      val anchor = orders.agg(max("day").as("anchor"))
-      val rfm = orders.crossJoin(broadcast(anchor))
-        .groupBy("o_custkey")
-        .agg(min(datediff(col("anchor"), col("day"))).cast("long")
-            .as("recency_days"),
+      // ONE orders scan: recency needs only each customer's LAST day
+      // (min over datediff(anchor, day) = datediff(anchor, max day)),
+      // and the anchor itself is max(last_day) over the tiny customer
+      // frame — no second scan, no crossJoin
+      val rfm0 = orders.groupBy("o_custkey")
+        .agg(max(col("day")).as("last_day"),
           count(lit(1)).as("frequency"),
           sum("cents").as("monetary_cents"))
-      // lower recency is BETTER (most-recent ranks first, ascending);
-      // higher frequency/monetary are better (descending). Each rank is
-      // an unpartitioned row_number over a 2-column projection of the
-      // shared persisted frame — GlobalRankRule plans all three as
-      // parallel range sorts; the (key, rank) outputs re-join on the
-      // customer key.
-      val rfmP = rfm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def rank(c: String, descending: Boolean, out: String) = {
-        val w =
-          if (descending) Window.orderBy(col(c).desc, col("o_custkey"))
-          else Window.orderBy(col(c), col("o_custkey"))
-        rfmP.select(col("o_custkey"), col(c))
-          .withColumn(out, row_number().over(w))
-          .select(col("o_custkey"), col(out))
-      }
-      val ranked = rank("recency_days", descending = false, "rn_r")
-        .join(rank("frequency", descending = true, "rn_f"), "o_custkey")
-        .join(rank("monetary_cents", descending = true, "rn_m"), "o_custkey")
-      val scored = ranked
-        .withColumn("r_q", expr("(rn_r - 1) * 4"))
-        .withColumn("f_q", expr("(rn_f - 1) * 4"))
-        .withColumn("m_q", expr("(rn_m - 1) * 4"))
-        .crossJoin(broadcast(rfmP.agg(count(lit(1)).as("n"))))
-        .select(expr("1 + r_q div n").as("r"),
-          expr("1 + f_q div n").as("f"),
-          expr("1 + m_q div n").as("m"))
-      scored.groupBy("r", "f", "m")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one job yields the row count AND the anchor (and materializes
+      // the cache as a side effect)
+      val nAnchor = rfm0.agg(count(lit(1)), max("last_day")).head()
+      val n = nAnchor.getLong(0)
+      val anchorDay = nAnchor.getDate(1)
+      val rfmP = rfm0.withColumn("recency_days",
+        datediff(lit(anchorDay), col("last_day")).cast("long"))
+      // first rank of quartile j+1: b_j = ceil(j*n/4)+1 (kept as a list
+      // WITH multiplicity — for tiny n two quartile cuts can share a
+      // rank, and each occurrence must still bump the bucket)
+      val bj = Seq(1L, 2L, 3L).map(j => (j * n + 3) / 4 + 1).filter(_ <= n)
+      // lower recency is BETTER (ascending); higher frequency/monetary
+      // are better — negated so every axis is an ASCENDING total order
+      // on (key, custkey), making "rank >= b_j" ⟺ "(key, ck) >= the
+      // b_j-th row's (key, ck)". All NINE boundaries come from ONE
+      // rowsAtRanks pass: the three axis projections union under an
+      // axis tag, the tag leads the sort order, and axis a's local rank
+      // b sits at global rank a·n + b — one range sort + one count pass
+      // + one pruned pick over 3n rows instead of three passes.
+      val tagged = rfmP.select(lit(0L).as("ax"),
+          col("recency_days").as("k"), col("o_custkey").as("ck"))
+        .unionByName(rfmP.select(lit(1L).as("ax"),
+          (-col("frequency")).as("k"), col("o_custkey").as("ck")))
+        .unionByName(rfmP.select(lit(2L).as("ax"),
+          (-col("monetary_cents")).as("k"), col("o_custkey").as("ck")))
+      val wanted = for { a <- 0L to 2L; b <- bj } yield a * n + b
+      val byRank: Map[Long, (Long, Long)] =
+        if (bj.isEmpty) Map.empty
+        else graft.stats.GlobalRank.rowsAtRanks(tagged,
+            Seq(col("ax"), col("k"), col("ck")), wanted, "rk")
+          .select("rk", "k", "ck").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      def axisBounds(a: Long): Seq[(Long, Long)] = bj.map(b => byRank(a * n + b))
+      val (rB, fB, mB) = (axisBounds(0L), axisBounds(1L), axisBounds(2L))
+      def quart(key: Column, bs: Seq[(Long, Long)]): Column =
+        bs.foldLeft(lit(1L)) { case (acc, (bk, bck)) =>
+          acc + when(key > bk ||
+            (key === bk && col("o_custkey") >= bck), 1L).otherwise(0L)
+        }
+      rfmP.select(
+          quart(col("recency_days"), rB).as("r"),
+          quart(-col("frequency"), fB).as("f"),
+          quart(-col("monetary_cents"), mB).as("m"))
+        .groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_customers"))
-        .select(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
-          col("m").cast("long").as("m"), col("n_customers"))
         .orderBy("r", "f", "m")
     }),
 

@@ -73,7 +73,7 @@ object GlobalRank {
     */
   def withRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
                     numPartitions: Int = 0): DataFrame =
-    build(df, order, outCol, numPartitions, loHi = None)
+    build(df, order, outCol, numPartitions, sel = None)
 
   /** Rows whose exact global rank under `order` falls in [lo, hi]
     * (1-based, inclusive) — DEEP PAGINATION without a global sort, a
@@ -90,12 +90,29 @@ object GlobalRank {
                       lo: Long, hi: Long, outCol: String,
                       numPartitions: Int = 0): DataFrame = {
     require(1L <= lo && lo <= hi, s"need 1 <= lo <= hi, got [$lo, $hi]")
-    build(df, order, outCol, numPartitions, loHi = Some((lo, hi)))
+    build(df, order, outCol, numPartitions, sel = Some(Seq((lo, hi))))
   }
 
+  /** Rows sitting at EXACTLY the given global ranks (1-based) — the
+    * multi-point generalization of [[rowsInRankRange]], for boundary-key
+    * selection (quartile/percentile cut rows): one range sort + count
+    * pass serves ALL the ranks, only rank-intersecting partitions scan,
+    * and the scan aborts past the largest wanted rank. Output:
+    * |ranks ∩ [1, n]| rows at most.
+    */
+  def rowsAtRanks(df: DataFrame, order: Seq[Column], ranks: Seq[Long],
+                  outCol: String, numPartitions: Int = 0): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 1L),
+      s"need non-empty 1-based ranks, got $ranks")
+    build(df, order, outCol, numPartitions,
+      sel = Some(ranks.distinct.sorted.map(r => (r, r))))
+  }
+
+  /** @param sel when set: sorted disjoint 1-based rank intervals — only
+    *        rows whose global rank falls in one of them are emitted */
   private def build(df: DataFrame, order: Seq[Column], outCol: String,
                     numPartitions: Int,
-                    loHi: Option[(Long, Long)]): DataFrame = {
+                    sel: Option[Seq[(Long, Long)]]): DataFrame = {
     require(order.nonEmpty, "order columns required")
     require(!df.columns.contains(outCol), s"output column $outCol already exists")
     require(!df.columns.contains("__pid"), "__pid is reserved by GlobalRank")
@@ -114,10 +131,12 @@ object GlobalRank {
       var acc = 0L
       counts.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
     }
-    // partitions whose [offset+1, offset+count] span intersects [lo, hi]
-    val wanted: Option[Set[Int]] = loHi.map { case (lo, hi) =>
+    // partitions whose [offset+1, offset+count] span intersects any
+    // selected interval
+    val wanted: Option[Set[Int]] = sel.map { ivs =>
       counts.collect {
-        case (pid, n) if offsets(pid) + 1 <= hi && offsets(pid) + n >= lo =>
+        case (pid, n) if ivs.exists { case (lo, hi) =>
+          offsets(pid) + 1 <= hi && offsets(pid) + n >= lo } =>
           pid
       }.toSet
     }
@@ -143,14 +162,16 @@ object GlobalRank {
           s"GlobalRank: partition $pid has rows but no counted offset — " +
             "count pass and rank pass saw different partitionings"))
         var local = 0L
-        loHi match {
+        sel match {
           case Some(_) if !bcWanted.value.exists(_.contains(pid)) =>
             Iterator.empty // pruned: no scan, no rank bookkeeping
-          case Some((lo, hi)) =>
+          case Some(ivs) =>
+            val maxWanted = ivs.last._2
             buffered
               .map { r => local += 1L; (r, off + local) }
-              .takeWhile { case (_, rk) => rk <= hi } // early abort past hi
-              .filter { case (_, rk) => rk >= lo }
+              .takeWhile { case (_, rk) => rk <= maxWanted } // early abort
+              .filter { case (_, rk) =>
+                ivs.exists { case (lo, hi) => rk >= lo && rk <= hi } }
               .map { case (r, rk) =>
                 Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ rk) }
           case None =>

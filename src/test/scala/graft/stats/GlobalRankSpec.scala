@@ -72,6 +72,23 @@ class GlobalRankSpec extends AnyFunSuite {
         numPartitions = 7).orderBy("rn").collect().toSeq)
   }
 
+  test("rowsAtRanks picks exactly the requested ranks (the x94 boundary pick)") {
+    val full = GlobalRank.withRowNumber(df, Seq(col("v"), col("id")), "rk",
+        numPartitions = 7)
+      .collect().map(r => r.getAs[Long]("rk") ->
+        ((r.getLong(0), r.getLong(1)))).toMap
+    val ranks = Seq(1L, 251L, 501L, 751L, 1000L)
+    val picked = GlobalRank.rowsAtRanks(df, Seq(col("v"), col("id")), ranks,
+        "rk", numPartitions = 7)
+      .collect().map(r => r.getAs[Long]("rk") ->
+        ((r.getLong(0), r.getLong(1)))).toMap
+    assert(picked.keySet === ranks.toSet)
+    ranks.foreach(rk => assert(picked(rk) === full(rk), s"rank $rk"))
+    // duplicate + out-of-range ranks: deduped and clipped, not an error
+    assert(GlobalRank.rowsAtRanks(df, Seq(col("v"), col("id")),
+      Seq(5L, 5L, 4000L), "rk").count() === 1L)
+  }
+
   test("the plan carries no Window node and no single-partition sort") {
     val p = GlobalRank
       .withRowNumber(df, Seq(col("v"), col("id")), "rn", numPartitions = 7)

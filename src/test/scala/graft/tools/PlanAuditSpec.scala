@@ -651,10 +651,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // plans must contain NO Window node at all; the rank arrives through
     // the mapPartitions pass.
     // x86/x98 call the GlobalRank DataFrame helper (MapPartitions offset
-    // pass); x94 writes plain row_number windows and relies on the
-    // round-10 GlobalRankRule rewrite (GlobalRank exec node) — both are
-    // the same range-partition + offset plan, and neither is a Window.
-    Seq("x86_stage_latency", "x94_rfm_segments", "x98_classifier_lift")
+    // pass) — no Window anywhere.
+    Seq("x86_stage_latency", "x98_classifier_lift")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("Window ["),
@@ -662,11 +660,22 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(p.contains("MapPartitions") || p.contains("GlobalRank"),
           s"$q: GlobalRank's offset pass missing from the plan:\n${p.take(1500)}")
       }
-    // x94 specifically must be on the rewritten exec path (three ranks)
+    // x94 (round 10): the quartile boundaries are picked eagerly via
+    // rowsAtRanks (outside the returned plan), so the RETURNED plan is
+    // one row-local comparison scan + the 64-cell aggregate — no
+    // window, no join, no rank materialization at all.
     locally {
       val p = plan("x94_rfm_segments")
-      assert("GlobalRank ".r.findAllIn(p).length === 3,
-        s"x94: expected three GlobalRank exec passes:\n${p.take(2000)}")
+      assert(!p.contains("Window ["),
+        s"x94: rank planned as a window:\n${p.take(1500)}")
+      // the only join anywhere (inside the cached rfm build) is the
+      // 1-row anchor attach; the quartile assignment itself must not
+      // join ranked frames the way the r9 form did
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+        !p.contains("BroadcastHashJoin"),
+        s"x94: boundary-broadcast form must not join ranked frames:\n${p.take(1500)}")
+      assert(p.contains("HashAggregate"),
+        s"x94: expected the 64-cell hash aggregate:\n${p.take(1500)}")
     }
   }
 
