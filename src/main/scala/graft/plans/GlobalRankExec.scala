@@ -110,12 +110,16 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttrs: Seq[Attribute],
     }
     val totalRows = accRows // ntile / percent_rank need the global count
 
-    // pass 2: streaming rank append per partition
+    // pass 2: streaming rank append per partition. cume_dist needs the
+    // tie run's END position, so its presence buffers one peer run at a
+    // time; every other kind streams row by row.
+    val hasCume = kinds.contains(RankKind.CumeDist)
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val rowOff = rowOffsets(pid)
       val runOff = runOffsets(pid)
       val ord =
-        if (needRuns) RowOrdering.create(sortOrder, childOutput) else null
+        if (needRuns || hasCume) RowOrdering.create(sortOrder, childOutput)
+        else null
       val proj = UnsafeProjection.create(
         childOutput ++ rankAttrs, childOutput ++ rankAttrs)
       val joined = new JoinedRow
@@ -124,13 +128,8 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttrs: Seq[Attribute],
       var runStart = 0L  // localPos of the current run's first row
       var runIdx = 0L    // 1-based run index within the partition
       var rep: InternalRow = null
-      it.map { r =>
-        localPos += 1L
-        if (needRuns && (rep == null || ord.compare(rep, r) != 0)) {
-          runStart = localPos
-          runIdx += 1L
-          rep = r.copy()
-        }
+      // fill rankRow's non-cume fields for the row at localPos/runStart
+      def fillRanks(): Unit = {
         var i = 0
         while (i < kinds.length) {
           kinds(i) match {
@@ -158,11 +157,59 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttrs: Seq[Attribute],
               rankRow.update(i,
                 if (totalRows > 1L) (rank - 1).toDouble / (totalRows - 1L)
                 else 0.0d)
+            case RankKind.CumeDist => () // filled at run end (buffered path)
           }
           i += 1
         }
-        numOutputRows += 1L
-        proj(joined(r, rankRow))
+      }
+      if (!hasCume) {
+        it.map { r =>
+          localPos += 1L
+          if (needRuns && (rep == null || ord.compare(rep, r) != 0)) {
+            runStart = localPos
+            runIdx += 1L
+            rep = r.copy()
+          }
+          fillRanks()
+          numOutputRows += 1L
+          proj(joined(r, rankRow))
+        }
+      } else {
+        val cumeIdx = kinds.indices.filter(kinds(_) == RankKind.CumeDist).toArray
+        val bIt = it.buffered
+        new Iterator[InternalRow] {
+          private val pending =
+            scala.collection.mutable.Queue.empty[(InternalRow, GenericInternalRow)]
+          override def hasNext: Boolean = pending.nonEmpty || bIt.hasNext
+          override def next(): InternalRow = {
+            if (pending.isEmpty) {
+              // read one full peer run, per-row values as in streaming
+              var done = false
+              while (!done) {
+                val r = bIt.next().copy()
+                localPos += 1L
+                if (rep == null || ord.compare(rep, r) != 0) {
+                  runStart = localPos
+                  runIdx += 1L
+                  rep = r
+                }
+                fillRanks()
+                pending.enqueue(
+                  (r, rankRow.copy().asInstanceOf[GenericInternalRow]))
+                done = !bIt.hasNext || ord.compare(rep, bIt.head) != 0
+              }
+              // run end: inclusive distribution = last peer's position / N
+              val cd = (rowOff + localPos).toDouble / totalRows
+              pending.foreach { case (_, rr) =>
+                var j = 0
+                while (j < cumeIdx.length) { rr.update(cumeIdx(j), cd); j += 1 }
+              }
+            }
+            val (r, rr) = pending.dequeue()
+            numOutputRows += 1L
+            proj(joined(r, rr))
+          }
+        }
       }
     }
   }

@@ -27,6 +27,13 @@ object RankKind {
   /** `percent_rank()` = (rank − 1) / (N − 1), 0.0 for N = 1 — the
     * competition rank scaled by the total count. `DoubleType`. */
   case object PercentRank extends RankKind
+  /** `cume_dist()` = (global position of the row's LAST peer) / N — the
+    * inclusive distribution function. Unlike the other kinds it needs
+    * the tie run's END, so its presence makes the streaming pass buffer
+    * one peer run at a time (peak memory = the largest tie run; still
+    * strictly below `WindowExec`, which buffers whole partitions).
+    * `DoubleType`. */
+  case object CumeDist extends RankKind
 }
 
 /** Logical plan for scale-safe EXACT global ranking — what

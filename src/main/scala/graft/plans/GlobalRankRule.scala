@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, DeclarativeAggregate, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
@@ -20,13 +21,24 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *
   * Scope — a Window node is rewritten only when ALL of:
   *   - its partition spec is empty and its order spec is not;
-  *   - every window expression is row_number / rank / dense_rank /
-  *     ntile(k) / percent_rank — all pure functions of the global
-  *     position, tie run, and total count the two-pass plan computes
-  *     (any other function — running sums, lag, cume_dist — keeps the
-  *     Window node untouched: their semantics need the frame, and a
-  *     mixed node must stay one node to compute consistently);
-  *   - it is NOT directly under a rank-limit filter (`rn <= k` etc.):
+  *   - every window expression is either a ranking function —
+  *     row_number / rank / dense_rank / ntile(k) / percent_rank /
+  *     cume_dist, all pure functions of the global position, tie run,
+  *     and total count [[GlobalRankPlan]]'s two-pass plan computes — or
+  *     a running aggregate — sum/count/min/max/avg over an UNBOUNDED
+  *     PRECEDING → CURRENT ROW frame (ROWS or RANGE), the distributed
+  *     prefix-sum of [[GlobalRunningAggPlan]] — or a whole-frame total
+  *     (`agg() OVER ()`, [[GlobalTotalAggPlan]]: zero exchange) — or a
+  *     literal-offset respect-nulls lag/lead ([[GlobalOffsetPlan]]:
+  *     boundary values cross partitions as metadata). A mix stacks the
+  *     plans over ONE range exchange (each preserves the child's
+  *     partitioning and order, so the outer's requirement is already
+  *     satisfied). Anything else — ignore-nulls offsets, bounded
+  *     frames, first/last_value, nth_value — keeps the whole Window
+  *     node untouched: their semantics need the frame, and a mixed
+  *     node must stay one node to compute consistently;
+  *   - it is NOT directly under a rank-limit filter (`rn <= k` etc.)
+  *     when purely ranking:
   *     that shape belongs to Spark's `InferWindowGroupLimit` top-k
   *     path, which prunes to k rows per map partition BEFORE the final
   *     sort — better than ranking everything. Rank-RANGE predicates
@@ -51,8 +63,70 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     case _: DenseRank => Some(RankKind.DenseRank)
     case NTile(Literal(k: Int, _)) if k > 0 => Some(RankKind.Ntile(k))
     case _: PercentRank => Some(RankKind.PercentRank)
+    case _: CumeDist => Some(RankKind.CumeDist)
     case _ => None
   }
+
+  /** Whitelisted running aggregates: `DeclarativeAggregate`s whose
+    * init/update/merge/evaluate expressions the prefix-sum exec replays
+    * verbatim, so semantics (null handling, Decimal widening, ANSI
+    * overflow) are inherited, not reimplemented. DISTINCT and FILTER
+    * forms are excluded (neither is a prefix-mergeable fold).
+    */
+  private def supportedAgg(f: AggregateFunction): Boolean = f match {
+    case _: Sum | _: Min | _: Max | _: Count | _: Average =>
+      f.isInstanceOf[DeclarativeAggregate]
+    case _ => false
+  }
+
+  /** `agg(x) OVER (ORDER BY ... [ROWS|RANGE] UNBOUNDED PRECEDING →
+    * CURRENT ROW)` → (the aggregate, isRowsFrame). RANGE — the default
+    * frame when only ORDER BY is written — includes the row's peers.
+    */
+  private def runningAggOf(fn: Expression,
+                           spec: WindowSpecDefinition): Option[(AggregateExpression, Boolean)] =
+    (fn, spec.frameSpecification) match {
+      case (ae @ AggregateExpression(f, Complete, false, None, _),
+            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))
+          if supportedAgg(f) =>
+        Some((ae, ft == RowFrame))
+      case _ => None
+    }
+
+  /** `agg(x) OVER ()` — or any UNBOUNDED PRECEDING → UNBOUNDED
+    * FOLLOWING frame — the whole-frame global total, order-irrelevant.
+    */
+  private def totalAggOf(fn: Expression,
+                         spec: WindowSpecDefinition): Option[AggregateExpression] =
+    (fn, spec.frameSpecification) match {
+      case (ae @ AggregateExpression(f, Complete, false, None, _),
+            SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))
+          if supportedAgg(f) =>
+        Some(ae)
+      case _ => None
+    }
+
+  /** `lag(e, n[, default])` / `lead(e, n[, default])` with a literal
+    * offset and respect-nulls → (input, SIGNED row offset, default).
+    * `ignoreNulls` forms are excluded: their reach is unbounded, so the
+    * boundary metadata of [[GlobalOffsetPlan]] cannot be sized.
+    */
+  private def offsetOf(fn: Expression): Option[(Expression, Int, Expression)] =
+    fn match {
+      case Lag(in, Literal(n: Int, _), default, false)
+          if in.deterministic && default.deterministic =>
+        Some((in, -n, default))
+      case Lead(in, Literal(n: Int, _), default, false)
+          if in.deterministic && default.deterministic =>
+        Some((in, n, default))
+      case _ => None
+    }
+
+  private sealed trait Kind
+  private case class RankK(k: RankKind) extends Kind
+  private case class RunK(ae: AggregateExpression, rows: Boolean) extends Kind
+  private case class TotK(ae: AggregateExpression) extends Kind
+  private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
 
   /** A conjunct that bounds the rank attr above (the shapes
     * `InferWindowGroupLimit` accepts): `rn < k`, `rn <= k`, `rn = k`.
@@ -68,33 +142,97 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
 
+  private def classify(ne: NamedExpression): Option[Kind] =
+    ne match {
+      case Alias(WindowExpression(fn, spec), _) =>
+        kindOf(fn).map(RankK.apply)
+          .orElse(runningAggOf(fn, spec).map { case (ae, r) => RunK(ae, r) })
+          .orElse(totalAggOf(fn, spec).map(TotK.apply))
+          .orElse(offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
+      case _ => None
+    }
+
+  /** Whole-frame totals need no order at all; anything position- or
+    * prefix-dependent needs a non-empty ORDER BY to be range-
+    * partitionable (a ROWS prefix with no order is left to Spark —
+    * its result is only defined up to an arbitrary order anyway).
+    */
   private def rewritable(w: Window): Boolean =
-    w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-      w.windowExpressions.nonEmpty &&
-      w.windowExpressions.forall {
-        case Alias(WindowExpression(fn, _), _) => kindOf(fn).isDefined
-        case _ => false
-      }
+    w.partitionSpec.isEmpty && w.windowExpressions.nonEmpty && {
+      val kinds = w.windowExpressions.map(classify)
+      kinds.forall(_.isDefined) &&
+        (w.orderSpec.nonEmpty || kinds.forall(_.exists(_.isInstanceOf[TotK])))
+    }
+
+  private def isPureRank(w: Window): Boolean =
+    w.windowExpressions.forall {
+      case Alias(WindowExpression(fn, _), _) => kindOf(fn).isDefined
+      case _ => false
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (session.conf.get(RewriteConf, "true") != "true") return plan
     // leave top-k shapes to InferWindowGroupLimit (see scaladoc): collect
-    // the Window nodes sitting directly under a rank-limit Filter
+    // the PURE-rank Window nodes sitting directly under a rank-limit
+    // Filter (an aggregate in the node disables the group-limit path, so
+    // mixed nodes rewrite regardless of filters above them)
     val keep = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[Window, java.lang.Boolean]())
     plan.foreach {
-      case Filter(cond, w: Window) if rewritable(w) &&
-          hasRankLimit(cond, AttributeSet(w.windowExpressions.map(_.toAttribute))) =>
+      case Filter(cond, w: Window) if rewritable(w) && isPureRank(w) &&
+          hasRankLimit(cond, AttributeSet(w.windowExpressions.collect {
+            // only the kinds InferWindowGroupLimit can actually prune on:
+            // a bound on ntile/percent_rank/cume_dist does NOT make the
+            // group-limit path fire, so those nodes must still rewrite
+            case a @ Alias(WindowExpression(fn, _), _)
+                if kindOf(fn).exists {
+                  case RankKind.RowNumber | RankKind.Rank |
+                       RankKind.DenseRank => true
+                  case _ => false
+                } => a.toAttribute
+          })) =>
         keep.add(w)
       case _ => ()
     }
     plan.transformUp {
       case w: Window if rewritable(w) && !keep.contains(w) =>
-        val (attrs, kinds) = w.windowExpressions.map {
-          case a @ Alias(WindowExpression(fn, _), _) =>
-            (a.toAttribute, kindOf(fn).get)
-        }.unzip
-        GlobalRankPlan(w.orderSpec, attrs, kinds, w.child)
+        val classified = w.windowExpressions.map { ne =>
+          (ne.toAttribute, classify(ne).get)
+        }
+        val rankPairs = classified.collect { case (attr, RankK(k)) => (attr, k) }
+        val runTriples = classified.collect {
+          case (attr, RunK(ae, rows)) => (attr, ae, rows)
+        }
+        val totPairs = classified.collect { case (attr, TotK(ae)) => (attr, ae) }
+        val offQuads = classified.collect {
+          case (attr, OffK(in, o, d)) => (attr, in, o, d)
+        }
+        // stack order: ranks innermost (they, running aggs and offsets
+        // share the one range exchange), totals outermost (no
+        // requirement at all — they ride whatever partitioning is below)
+        var replaced: LogicalPlan = w.child
+        if (rankPairs.nonEmpty) {
+          replaced = GlobalRankPlan(w.orderSpec,
+            rankPairs.map(_._1), rankPairs.map(_._2), replaced)
+        }
+        if (runTriples.nonEmpty) {
+          replaced = GlobalRunningAggPlan(w.orderSpec,
+            runTriples.map(_._1), runTriples.map(_._2),
+            runTriples.map(_._3), replaced)
+        }
+        if (offQuads.nonEmpty) {
+          replaced = GlobalOffsetPlan(w.orderSpec,
+            offQuads.map(_._1), offQuads.map(_._2),
+            offQuads.map(_._3), offQuads.map(_._4), replaced)
+        }
+        if (totPairs.nonEmpty) {
+          replaced = GlobalTotalAggPlan(
+            totPairs.map(_._1), totPairs.map(_._2), replaced)
+        }
+        // stacking groups by kind: restore the Window's exact column
+        // order when kinds interleave
+        if (replaced.output == w.output) replaced
+        else Project(w.output, replaced)
     }
   }
 }
@@ -103,13 +241,20 @@ object GlobalRankRule {
   val RewriteConf = "spark.graft.globalRank.rewrite"
 }
 
-/** Planner strategy for [[GlobalRankPlan]] → [[GlobalRankExec]];
-  * registered beside the rule in `graft.GraftExtensions`.
+/** Planner strategy for [[GlobalRankPlan]] → [[GlobalRankExec]] and
+  * [[GlobalRunningAggPlan]] → [[GlobalRunningAggExec]]; registered
+  * beside the rule in `graft.GraftExtensions`.
   */
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GlobalRankPlan(order, attrs, kinds, child) =>
       GlobalRankExec(order, attrs, kinds, planLater(child)) :: Nil
+    case GlobalRunningAggPlan(order, attrs, aggs, frames, child) =>
+      GlobalRunningAggExec(order, attrs, aggs, frames, planLater(child)) :: Nil
+    case GlobalTotalAggPlan(attrs, aggs, child) =>
+      GlobalTotalAggExec(attrs, aggs, planLater(child)) :: Nil
+    case GlobalOffsetPlan(order, attrs, ins, offs, defs, child) =>
+      GlobalOffsetExec(order, attrs, ins, offs, defs, planLater(child)) :: Nil
     case _ => Nil
   }
 }

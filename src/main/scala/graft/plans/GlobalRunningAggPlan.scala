@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+
+/** Logical plan for scale-safe EXACT running aggregates — what
+  * `sum(x)/count(x)/avg(x)/min(x)/max(x) OVER (ORDER BY ... ROWS|RANGE
+  * BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)` (no partition spec)
+  * SHOULD plan as. Spark plans that window with a `SinglePartition`
+  * requirement — at 100 TB the whole frame rides through one task —
+  * even though a running aggregate over a prefix frame is exactly a
+  * distributed prefix sum: per-partition partial buffers (one metadata
+  * job), an exclusive prefix-merge of those partials on the driver
+  * (O(partitions) state, the same class as the range partitioner's own
+  * bounds), and a streaming second pass that folds each partition's
+  * rows on top of its incoming offset buffer. The companion of
+  * [[GlobalRankPlan]] (VERDICT r9 #1): together they cover both classic
+  * unpartitioned-window scale killers — global ranks and cumulative
+  * sums (the same prefix-sum discipline `text/TextOps.packConcat`
+  * applies per shard, promoted to an automatic whole-corpus rewrite).
+  *
+  * `aggAttrs` keep the exprIds of the window expressions they replace,
+  * so downstream references resolve unchanged. `aggs(i)` is the
+  * original `AggregateExpression` (carried as a real child expression
+  * so attribute rewrites and column pruning see its references);
+  * `rowFrames(i)` is true for a ROWS frame, false for RANGE (the
+  * default frame of `agg() OVER (ORDER BY ...)`, whose current-row
+  * bound includes ALL peers of the row — ties ahead of it in the
+  * partition included).
+  */
+case class GlobalRunningAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
+                                aggs: Seq[AggregateExpression],
+                                rowFrames: Seq[Boolean], child: LogicalPlan)
+    extends UnaryNode {
+  require(aggAttrs.length == aggs.length && aggs.length == rowFrames.length &&
+    aggs.nonEmpty)
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRunningAggPlan =
+    copy(child = newChild)
+}
+
+/** Logical plan for the whole-frame cousin: `agg(x) OVER ()` (or any
+  * UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING frame with an empty
+  * partition spec) — every row gets the GLOBAL aggregate. Spark plans
+  * this as a single-partition `WindowExec` too, but no order is needed
+  * at all: [[GlobalTotalAggExec]] demands NOTHING of its child (zero
+  * exchange, zero sort) — one metadata job folds per-partition
+  * partials, the driver merges them to one buffer and evaluates, and a
+  * map attaches the constant. Strictly cheaper than `WindowExec` at
+  * every scale, and cheaper than the scalar-subquery form (which scans
+  * the child twice).
+  */
+case class GlobalTotalAggPlan(aggAttrs: Seq[Attribute],
+                              aggs: Seq[AggregateExpression],
+                              child: LogicalPlan) extends UnaryNode {
+  require(aggAttrs.length == aggs.length && aggs.nonEmpty)
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalTotalAggPlan =
+    copy(child = newChild)
+}

@@ -117,6 +117,19 @@ class GlobalRankRuleSpec extends AnyFunSuite {
         |FROM grr_t5 WHERE id < 20""".stripMargin))
   }
 
+  test("cume_dist over a tie-heavy order matches the window exactly") {
+    fixture.createOrReplaceTempView("grr_t6")
+    // cume_dist = (last peer's global position) / N: tied rows share the
+    // run-END value, exercising the buffered pass; nulls lead the order
+    checkRewritten(spark.sql(
+      """SELECT v, cume_dist() OVER (ORDER BY v) AS cd,
+        |       percent_rank() OVER (ORDER BY v) AS pr
+        |FROM grr_t6""".stripMargin))
+    // single row: cd = 1.0 exactly
+    checkRewritten(spark.sql(
+      "SELECT id, cume_dist() OVER (ORDER BY v) AS cd FROM grr_t6 WHERE id = 3"))
+  }
+
   test("DataFrame-API windows rewrite the same way") {
     import org.apache.spark.sql.expressions.Window
     checkRewritten(fixture.withColumn("rn",
@@ -144,29 +157,42 @@ class GlobalRankRuleSpec extends AnyFunSuite {
       row_number().over(Window.partitionBy("g").orderBy("v", "id")))
     assert(!nodes(partitioned).exists(_.isInstanceOf[GlobalRankExec]))
     assert(nodes(partitioned).exists(_.isInstanceOf[WindowExec]))
-    // running sum over the full frame: not a rank function — left alone
+    // running sum over the full frame: not a rank — handled by the
+    // prefix-sum rewrite instead (GlobalRunningAggSpec), never by
+    // GlobalRankExec, and never left as a single-partition window
     val cumsum = fixture.limit(50).withColumn("cs",
       sum("id").over(Window.orderBy("id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     assert(!nodes(cumsum).exists(_.isInstanceOf[GlobalRankExec]))
-    assert(nodes(cumsum).exists(_.isInstanceOf[WindowExec]))
+    assert(nodes(cumsum).exists(_.isInstanceOf[GlobalRunningAggExec]))
+    assert(!nodes(cumsum).exists(_.isInstanceOf[WindowExec]))
   }
 
-  test("a node mixing a rank and a non-rank function stays one window") {
+  test("a node mixing a rank and a lag stacks both execs over one exchange") {
     // window expressions group into nodes by (partitionSpec, orderSpec)
     // — frames are per-expression — so row_number and lag share ONE
-    // node; the rule must leave the whole node alone (lag needs the
-    // frame; splitting the node would compute the two in different
-    // places for no gain)
+    // node; since round 10 BOTH kinds rewrite (GlobalRank + GlobalOffset
+    // stacked, sharing the range exchange), and the node must vanish
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("v", "id")
     val mixed = fixture.limit(50)
       .withColumn("rn", row_number().over(w))
       .withColumn("lv", lag("v", 1).over(w))
+    val onRows = mixed.collect()
     val plan = nodes(mixed)
-    assert(!plan.exists(_.isInstanceOf[GlobalRankExec]),
-      s"mixed node must not be rewritten:\n${mixed.queryExecution.executedPlan}")
-    assert(mixed.count() === 50)
+    assert(plan.exists(_.isInstanceOf[GlobalRankExec]) &&
+      plan.exists(_.isInstanceOf[GlobalOffsetExec]),
+      s"mixed rank+lag must stack both execs:\n${mixed.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) === 1,
+      s"stack must share one exchange:\n${mixed.queryExecution.executedPlan}")
+    spark.conf.set(GlobalRankRule.RewriteConf, "false")
+    val offRows =
+      try mixed.collect()
+      finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
   }
 
   test("empty input and conf opt-out") {

@@ -1,0 +1,254 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The automatic unpartitioned running-aggregate rewrite: `sum/count/
+  * min/max/avg OVER (ORDER BY ... UNBOUNDED PRECEDING → CURRENT ROW)`
+  * written by a plain SQL/DataFrame user must plan as
+  * [[GlobalRunningAggExec]] (range partition + partial buffers + driver
+  * prefix-merge + seeded fold), never a single-partition `WindowExec` —
+  * and the rewritten result must be BIT-IDENTICAL to the window it
+  * replaces, which the spec checks by running every query twice, with
+  * the rule on and off.
+  *
+  * Tie discipline: RANGE-frame cases may order by tie-heavy `v` alone
+  * (peers share the run-end value, so the result multiset is
+  * tie-order-invariant); ROWS-frame cases always order by a TOTAL key
+  * (`v, id`) because a ROWS prefix over a non-total order is only
+  * defined up to the sort's arbitrary tie placement — in EITHER plan.
+  */
+class GlobalRunningAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 1000 rows across 4 input partitions; v has heavy ties (20 distinct
+    * values) and nulls salt every 10th v; d is a decimal payload.
+    */
+  private def fixture: DataFrame = {
+    spark.range(0, 1000, 1, 4)
+      .select(col("id"),
+        when(pmod(col("id"), lit(10)) === 0, lit(null))
+          .otherwise(pmod(col("id") * 37, lit(20))).as("v"),
+        (col("id") % 100).cast("decimal(10,2)").as("d"))
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  private def checkRewritten(df: => DataFrame): Unit = {
+    val on = df
+    val onRows = on.collect()
+    val plan = nodes(on)
+    assert(plan.exists(_.isInstanceOf[GlobalRunningAggExec]),
+      s"expected GlobalRunningAggExec:\n${on.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[WindowExec]),
+      s"WindowExec survived the rewrite:\n${on.queryExecution.executedPlan}")
+    spark.conf.set(GlobalRankRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("SQL running sum over the default RANGE frame matches the window exactly") {
+    fixture.createOrReplaceTempView("gra_t")
+    // tie-heavy order, no tiebreak: RANGE peers must share the run-end
+    // value; null v rows form their own leading peer run
+    checkRewritten(spark.sql(
+      "SELECT v, sum(id) OVER (ORDER BY v) AS cs FROM gra_t"))
+  }
+
+  test("ROWS-frame sum/count/min/max/avg over a total order match the window exactly") {
+    fixture.createOrReplaceTempView("gra_t2")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  sum(v)   OVER w AS cs,
+        |  count(v) OVER w AS cn,
+        |  count(*) OVER w AS cstar,
+        |  min(v)   OVER w AS mn,
+        |  max(v)   OVER w AS mx,
+        |  avg(v)   OVER w AS av
+        |FROM gra_t2
+        |WINDOW w AS (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |""".stripMargin))
+  }
+
+  test("decimal running sum keeps Sum's own widening and null discipline") {
+    fixture.createOrReplaceTempView("gra_t3")
+    checkRewritten(spark.sql(
+      """SELECT id, sum(d) OVER (ORDER BY id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |FROM gra_t3""".stripMargin))
+  }
+
+  test("a node mixing ranks and running aggregates stacks both execs over ONE exchange") {
+    fixture.createOrReplaceTempView("gra_t4")
+    val df = spark.sql(
+      """SELECT id, v,
+        |  row_number() OVER (ORDER BY v, id) AS rn,
+        |  sum(id) OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM gra_t4""".stripMargin)
+    val onRows = df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[GlobalRankExec]) &&
+      plan.exists(_.isInstanceOf[GlobalRunningAggExec]),
+      s"expected both execs stacked:\n${df.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[WindowExec]))
+    val exchanges = plan.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges.length === 1,
+      s"stacked execs must reuse one range exchange:\n${df.queryExecution.executedPlan}")
+    // rn = global position and cs = prefix sum of the SAME total order:
+    // sorted by rn, cs must be the running sum of id
+    val sorted = onRows.sortBy(_.getAs[Int]("rn"))
+    var acc = 0L
+    sorted.foreach { r =>
+      acc += r.getAs[Long]("id")
+      assert(r.getAs[Long]("cs") === acc)
+    }
+  }
+
+  test("DataFrame-API cumulative sums rewrite the same way") {
+    import org.apache.spark.sql.expressions.Window
+    checkRewritten(fixture.withColumn("cs",
+      sum("id").over(Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+  }
+
+  test("bounded frames, DISTINCT aggregates, and partitioned windows are untouched") {
+    import org.apache.spark.sql.expressions.Window
+    val bounded = fixture.limit(50).withColumn("s3",
+      sum("id").over(Window.orderBy("id").rowsBetween(-3, 0)))
+    assert(!nodes(bounded).exists(_.isInstanceOf[GlobalRunningAggExec]))
+    assert(nodes(bounded).exists(_.isInstanceOf[WindowExec]))
+    assert(bounded.count() === 50)
+    val partitioned = fixture.withColumn("cs",
+      sum("id").over(Window.partitionBy(pmod(col("id"), lit(7)))
+        .orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(!nodes(partitioned).exists(_.isInstanceOf[GlobalRunningAggExec]))
+  }
+
+  test("empty input and conf opt-out") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val empty = fixture.filter(col("id") < 0).withColumn("cs", sum("id").over(w))
+    assert(empty.collect().isEmpty)
+    spark.conf.set(GlobalRankRule.RewriteConf, "false")
+    try {
+      val df = fixture.withColumn("cs", sum("id").over(w))
+      assert(!nodes(df).exists(_.isInstanceOf[GlobalRunningAggExec]),
+        "conf=false must disable the rewrite")
+    } finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+  }
+
+  test("agg() OVER () — the whole-frame total — attaches with ZERO exchange") {
+    fixture.createOrReplaceTempView("gra_t6")
+    val df = spark.sql(
+      """SELECT id, v,
+        |  sum(v)   OVER () AS tv,
+        |  count(*) OVER () AS n,
+        |  avg(v)   OVER () AS av,
+        |  max(id)  OVER () AS mx
+        |FROM gra_t6""".stripMargin)
+    val onRows = df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[GlobalTotalAggExec]),
+      s"expected GlobalTotalAggExec:\n${df.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[WindowExec]))
+    // the whole point: NO exchange of any kind — the child's partitioning
+    // is untouched, the total arrives via the metadata pass
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"global total must not shuffle:\n${df.queryExecution.executedPlan}")
+    spark.conf.set(GlobalRankRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("explicit UNBOUNDED-to-UNBOUNDED frames with an ORDER BY are totals too") {
+    fixture.createOrReplaceTempView("gra_t7")
+    val df = spark.sql(
+      """SELECT id, sum(v) OVER (ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tv
+        |FROM gra_t7""".stripMargin)
+    val onRows = df.collect()
+    assert(nodes(df).exists(_.isInstanceOf[GlobalTotalAggExec]),
+      s"expected GlobalTotalAggExec:\n${df.queryExecution.executedPlan}")
+    assert(!nodes(df).exists(_.isInstanceOf[WindowExec]))
+    spark.conf.set(GlobalRankRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("a node mixing a running prefix and a whole-frame total stacks over one exchange") {
+    fixture.createOrReplaceTempView("gra_t8")
+    // same (empty partition, ORDER BY v,id) spec, different frames → ONE
+    // Window node pre-rewrite; the rewrite stacks Run + Tot, sharing the
+    // running agg's range exchange (the total demands nothing)
+    val df = spark.sql(
+      """SELECT id,
+        |  sum(id) OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        |  sum(id) OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+        |FROM gra_t8""".stripMargin)
+    val onRows = df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[GlobalRunningAggExec]) &&
+      plan.exists(_.isInstanceOf[GlobalTotalAggExec]),
+      s"expected Run+Tot stacked:\n${df.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[WindowExec]))
+    assert(plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) === 1,
+      s"stack must share one range exchange:\n${df.queryExecution.executedPlan}")
+    // every row: tot = the last run value = sum of all ids
+    val total = (0L until 1000L).sum
+    assert(onRows.forall(_.getAs[Long]("tot") === total))
+    spark.conf.set(GlobalRankRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("cumulative share: the canonical corpus query shape is exact") {
+    // sum(x) OVER (ORDER BY ...) / sum(x) OVER () — the running share —
+    // exercises the rewritten prefix beside an untouched global total
+    fixture.createOrReplaceTempView("gra_t5")
+    val share = spark.sql(
+      """SELECT id,
+        |  CAST(sum(id) OVER (ORDER BY id) AS DOUBLE) /
+        |  (SELECT sum(id) FROM gra_t5) AS cum_share
+        |FROM gra_t5""".stripMargin)
+    val rows = share.collect().sortBy(_.getLong(0))
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-9)
+    assert(rows.map(_.getAs[Double]("cum_share")).sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    }, "cumulative share must be monotone")
+    assert(nodes(share).exists(_.isInstanceOf[GlobalRunningAggExec]))
+  }
+}
