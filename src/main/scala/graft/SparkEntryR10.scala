@@ -38,11 +38,81 @@ object SparkEntryR10 {
           tau = 0.95, cents, nProbe = 4)
         .select(col("vec_id"), round(col("max_sim"), 6).as("sim6"))
         .orderBy("vec_id")
+    }),
+
+    // ---- X116: cumulative corpus share — the running-aggregate rewrite
+    // exercised through the PLAIN SQL surface ----
+    //
+    // `sum(n_chars) OVER (ORDER BY doc_id)` is the canonical curriculum/
+    // budget query ("how much of the corpus have I consumed up to this
+    // document?") and the canonical unpartitioned-window scale killer:
+    // Spark plans it as a single-partition WindowExec. Written here as
+    // plain SQL — no library call — so the plan only survives 100 TB
+    // because `GlobalRankRule` rewrites it into the distributed
+    // prefix-sum (`GlobalRunningAggExec`: range exchange + per-partition
+    // partial buffers + driver prefix-merge + seeded streaming fold).
+    // The corpus total comes from a scalar subquery (a broadcast
+    // aggregate), NOT `sum() OVER ()` — the empty-order form would be a
+    // second single-partition window. `PlanAuditSpec` pins the plan
+    // Window-free with the exec present.
+    "x116_cum_corpus_share" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("x116_documents")
+      s.sql(
+        """SELECT doc_id, cum_chars,
+          |       round(CAST(cum_chars AS DOUBLE) /
+          |             (SELECT sum(n_chars) FROM x116_documents), 6)
+          |         AS cum_share
+          |FROM (SELECT doc_id,
+          |             sum(n_chars) OVER (ORDER BY doc_id) AS cum_chars
+          |      FROM x116_documents)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // ---- X117: per-document order profile — lag/lead, cume_dist, and a
+    // whole-frame total, all plain SQL over the whole corpus ----
+    //
+    // One query hitting every remaining unpartitioned-window shape the
+    // round-10 rewrite family covers: the neighbour deltas plan as
+    // `GlobalOffsetExec` (boundary values cross partitions as metadata,
+    // never a one-task sort), the size distribution as `GlobalRankExec`'s
+    // buffered cume pass, and `count(*) OVER ()` as `GlobalTotalAggExec`
+    // (ZERO exchange — per-partition partials merged on the driver).
+    // Two distinct orders → two range exchanges; the total adds none.
+    "x117_doc_window_profile" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("x117_documents")
+      s.sql(
+        """SELECT doc_id,
+          |  n_chars - lag(n_chars, 1, 0) OVER (ORDER BY doc_id) AS delta_prev,
+          |  lead(n_chars, 1, 0) OVER (ORDER BY doc_id) AS next_chars,
+          |  round(cume_dist() OVER (ORDER BY n_chars, doc_id), 6) AS size_cume,
+          |  count(*) OVER () AS corpus_docs
+          |FROM x117_documents
+          |ORDER BY doc_id""".stripMargin)
     }))
 
   /** x110b is approximate by design (probe-bounded recall) → no SQL
     * oracle; `DecontamIndexedSpec` pins precision 1.0, plant recall 1.0
     * and the overall recall floor against the exact x110 row.
     */
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    // DuckDB's sum(BIGINT) widens to HUGEINT → cast back to BIGINT to
+    // match Spark's sum(bigint) = bigint
+    "x116_cum_corpus_share" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT)
+        |           AS cum_chars
+        |  FROM documents)
+        |SELECT doc_id, cum_chars,
+        |       round(CAST(cum_chars AS DOUBLE) /
+        |             (SELECT sum(n_chars) FROM documents), 6) AS cum_share
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "x117_doc_window_profile" ->
+      """SELECT doc_id,
+        |  n_chars - lag(n_chars, 1, 0) OVER (ORDER BY doc_id) AS delta_prev,
+        |  lead(n_chars, 1, 0) OVER (ORDER BY doc_id) AS next_chars,
+        |  round(cume_dist() OVER (ORDER BY n_chars, doc_id), 6) AS size_cume,
+        |  CAST(count(*) OVER () AS BIGINT) AS corpus_docs
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -679,6 +679,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x116 cumulative share: prefix sum via the rewrite, never a window; total broadcasts") {
+    // The plain-SQL running sum must plan as GlobalRunningAggExec (range
+    // exchange + partial buffers + seeded fold) with NO Window node; the
+    // corpus total arrives as a scalar subquery, not sum() OVER ().
+    val p = plan("x116_cum_corpus_share")
+    assert(!p.contains("Window ["),
+      s"x116: running sum still planned as a window:\n${p.take(1500)}")
+    assert(p.contains("GlobalRunningAgg"),
+      s"x116: expected the prefix-sum exec:\n${p.take(1500)}")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"x116: corpus total should attach as a scalar subquery:\n${p.take(1500)}")
+  }
+
+  test("x117 window profile: offsets, cume and total all arrive window-free") {
+    val p = plan("x117_doc_window_profile")
+    assert(!p.contains("Window ["),
+      s"x117: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("GlobalOffset") && p.contains("GlobalRank") &&
+      p.contains("GlobalTotalAgg"),
+      s"x117: expected the offset+rank+total execs:\n${p.take(1500)}")
+  }
+
   test("no query plans an unpartitioned window over a corpus-derived frame") {
     // VERDICT r8 #1 (the recurrence guard): an empty partition spec means
     // Spark sorts the whole frame in ONE task. Allowed only where the
