@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, DeclarativeAggregate, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, DeclarativeAggregate, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
@@ -33,10 +33,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *     boundary values cross partitions as metadata). A mix stacks the
   *     plans over ONE range exchange (each preserves the child's
   *     partitioning and order, so the outer's requirement is already
-  *     satisfied). Anything else — ignore-nulls offsets, bounded
-  *     frames, first/last_value, nth_value — keeps the whole Window
-  *     node untouched: their semantics need the frame, and a mixed
-  *     node must stay one node to compute consistently;
+  *     satisfied). Running aggregates include `first_value`/
+  *     `last_value` (Spark's First/Last aggregates) in every variant —
+  *     ignore-nulls included — since the fold reproduces their frame
+  *     semantics exactly. Anything else — ignore-nulls lag/lead,
+  *     bounded frames, nth_value — keeps the whole Window node
+  *     untouched: their semantics need the frame, and a mixed node
+  *     must stay one node to compute consistently;
   *   - it is NOT directly under a rank-limit filter (`rn <= k` etc.)
   *     when purely ranking:
   *     that shape belongs to Spark's `InferWindowGroupLimit` top-k
@@ -70,11 +73,16 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
   /** Whitelisted running aggregates: `DeclarativeAggregate`s whose
     * init/update/merge/evaluate expressions the prefix-sum exec replays
     * verbatim, so semantics (null handling, Decimal widening, ANSI
-    * overflow) are inherited, not reimplemented. DISTINCT and FILTER
-    * forms are excluded (neither is a prefix-mergeable fold).
+    * overflow) are inherited, not reimplemented. First/Last cover
+    * `first_value`/`last_value` in EVERY unbounded-preceding frame —
+    * including ignore-nulls, and including the classic "last_value with
+    * the default frame is the current row / run end" SQL gotcha, which
+    * the fold reproduces exactly (ROWS evaluates per row; RANGE back-
+    * fills the peer run's final state). DISTINCT and FILTER forms are
+    * excluded (neither is a prefix-mergeable fold).
     */
   private def supportedAgg(f: AggregateFunction): Boolean = f match {
-    case _: Sum | _: Min | _: Max | _: Count | _: Average =>
+    case _: Sum | _: Min | _: Max | _: Count | _: Average | _: First | _: Last =>
       f.isInstanceOf[DeclarativeAggregate]
     case _ => false
   }
@@ -84,12 +92,20 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     * frame when only ORDER BY is written — includes the row's peers.
     */
   private def runningAggOf(fn: Expression,
-                           spec: WindowSpecDefinition): Option[(AggregateExpression, Boolean)] =
+                           spec: WindowSpecDefinition): Option[(AggregateExpression, RunFrame)] =
     (fn, spec.frameSpecification) match {
       case (ae @ AggregateExpression(f, Complete, false, None, _),
             SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))
           if supportedAgg(f) =>
-        Some((ae, ft == RowFrame))
+        Some((ae,
+          if (ft == RowFrame) RunFrame.RowsCurrent else RunFrame.RangeCurrent))
+      // the EXCLUSIVE prefix (x51's boundary-level shape): everything
+      // strictly before the current row
+      case (ae @ AggregateExpression(f, Complete, false, None, _),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              Literal(-1, org.apache.spark.sql.types.IntegerType)))
+          if supportedAgg(f) =>
+        Some((ae, RunFrame.RowsExclusive))
       case _ => None
     }
 
@@ -124,7 +140,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
 
   private sealed trait Kind
   private case class RankK(k: RankKind) extends Kind
-  private case class RunK(ae: AggregateExpression, rows: Boolean) extends Kind
+  private case class RunK(ae: AggregateExpression, frame: RunFrame) extends Kind
   private case class TotK(ae: AggregateExpression) extends Kind
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
 
@@ -146,7 +162,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     ne match {
       case Alias(WindowExpression(fn, spec), _) =>
         kindOf(fn).map(RankK.apply)
-          .orElse(runningAggOf(fn, spec).map { case (ae, r) => RunK(ae, r) })
+          .orElse(runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) })
           .orElse(totalAggOf(fn, spec).map(TotK.apply))
           .orElse(offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
       case _ => None
@@ -201,7 +217,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
         }
         val rankPairs = classified.collect { case (attr, RankK(k)) => (attr, k) }
         val runTriples = classified.collect {
-          case (attr, RunK(ae, rows)) => (attr, ae, rows)
+          case (attr, RunK(ae, fr)) => (attr, ae, fr)
         }
         val totPairs = classified.collect { case (attr, TotK(ae)) => (attr, ae) }
         val offQuads = classified.collect {

@@ -42,11 +42,13 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * never a reimplementation — keeps null handling, Decimal widening,
   * and ANSI overflow semantics bit-identical to the `WindowExec` plan
   * this replaces ([[GlobalRankRule]] rewrites only whitelisted
-  * `DeclarativeAggregate`s: Sum/Count/Min/Max/Average).
+  * `DeclarativeAggregate`s: Sum/Count/Min/Max/Average/First/Last).
+  * Exclusive prefixes (ROWS ... AND 1 PRECEDING) evaluate the buffer
+  * BEFORE folding the current row — same pass, zero extra state.
   */
 case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
                                 aggs: Seq[AggregateExpression],
-                                rowFrames: Seq[Boolean], child: SparkPlan)
+                                frames: Seq[RunFrame], child: SparkPlan)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ aggAttrs
@@ -77,7 +79,7 @@ case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
     val updateExprs = funcs.flatMap(_.updateExpressions)
     val evalExprs = funcs.map(_.evaluateExpression)
     val resultTypes = outAttrs.map(_.dataType)
-    val frames = rowFrames.toArray
+    val frameArr = frames.toArray
     val numOutputRows = longMetric("numOutputRows")
 
     // pass 1: fold each partition to one partial buffer — pure metadata
@@ -116,7 +118,9 @@ case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
     }
 
     // pass 2: seed each partition's buffer with its offset, fold forward
-    val anyRange = frames.exists(!_)
+    val anyRange = frameArr.contains(RunFrame.RangeCurrent)
+    val exclIdx = frameArr.indices.filter(
+      frameArr(_) == RunFrame.RowsExclusive).toArray
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val buf = new SpecificInternalRow(bufferTypes)
       val off = offsets(pid)
@@ -133,18 +137,39 @@ case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
       val joinedOut = new JoinedRow
       val outProj = UnsafeProjection.create(
         childOutput ++ outAttrs, childOutput ++ outAttrs)
+      // fold one row in and leave resultRow holding its per-row outputs:
+      // exclusive-prefix fields evaluate BEFORE the update, the rest after
+      val exclSaved = new Array[Any](exclIdx.length)
+      def foldRow(r: InternalRow): Unit = {
+        if (exclIdx.nonEmpty) {
+          eval(buf)
+          var k = 0
+          while (k < exclIdx.length) {
+            exclSaved(k) = InternalRow.copyValue(
+              resultRow.get(exclIdx(k), resultTypes(exclIdx(k))))
+            k += 1
+          }
+        }
+        update(joinedUp(buf, r))
+        eval(buf)
+        var k = 0
+        while (k < exclIdx.length) {
+          resultRow.update(exclIdx(k), exclSaved(k))
+          k += 1
+        }
+      }
       if (!anyRange) {
         // ROWS frames only: strict streaming, no buffering at all
         it.map { r =>
-          update(joinedUp(buf, r))
-          eval(buf)
+          foldRow(r)
           numOutputRows += 1L
           outProj(joinedOut(r, resultRow))
         }
       } else {
         // a RANGE output exists: buffer one peer run, back-fill at run end
         val ord = RowOrdering.create(sortOrder, childOutput)
-        val rangeIdx = frames.indices.filter(i => !frames(i)).toArray
+        val rangeIdx = frameArr.indices.filter(
+          frameArr(_) == RunFrame.RangeCurrent).toArray
         val bIt = it.buffered
         new Iterator[InternalRow] {
           private val pending =
@@ -154,13 +179,11 @@ case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
             if (pending.isEmpty) {
               // read one full peer run
               val first = bIt.next().copy()
-              update(joinedUp(buf, first))
-              eval(buf)
+              foldRow(first)
               pending.enqueue((first, resultRow.copy().asInstanceOf[GenericInternalRow]))
               while (bIt.hasNext && ord.compare(first, bIt.head) == 0) {
                 val r = bIt.next().copy()
-                update(joinedUp(buf, r))
-                eval(buf)
+                foldRow(r)
                 pending.enqueue((r, resultRow.copy().asInstanceOf[GenericInternalRow]))
               }
               // run end: RANGE outputs take the run's final buffer

@@ -4,6 +4,22 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, SortO
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 
+/** The prefix frame of one [[GlobalRunningAggPlan]] output. */
+sealed trait RunFrame extends Serializable
+object RunFrame {
+  /** ROWS UNBOUNDED PRECEDING → CURRENT ROW: evaluate after each row. */
+  case object RowsCurrent extends RunFrame
+  /** ROWS UNBOUNDED PRECEDING → 1 PRECEDING: the EXCLUSIVE prefix —
+    * evaluate BEFORE folding the current row in (the first row of the
+    * whole frame sees the empty-frame value: the aggregate's own
+    * initial-buffer evaluation, i.e. null sums / zero counts). */
+  case object RowsExclusive extends RunFrame
+  /** RANGE UNBOUNDED PRECEDING → CURRENT ROW (the default frame of
+    * `agg() OVER (ORDER BY ...)`): tied rows share the value of their
+    * peer run's last row. */
+  case object RangeCurrent extends RunFrame
+}
+
 /** Logical plan for scale-safe EXACT running aggregates — what
   * `sum(x)/count(x)/avg(x)/min(x)/max(x) OVER (ORDER BY ... ROWS|RANGE
   * BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)` (no partition spec)
@@ -24,16 +40,13 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
   * so downstream references resolve unchanged. `aggs(i)` is the
   * original `AggregateExpression` (carried as a real child expression
   * so attribute rewrites and column pruning see its references);
-  * `rowFrames(i)` is true for a ROWS frame, false for RANGE (the
-  * default frame of `agg() OVER (ORDER BY ...)`, whose current-row
-  * bound includes ALL peers of the row — ties ahead of it in the
-  * partition included).
+  * `frames(i)` says where output i's prefix ends — see [[RunFrame]].
   */
 case class GlobalRunningAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
                                 aggs: Seq[AggregateExpression],
-                                rowFrames: Seq[Boolean], child: LogicalPlan)
+                                frames: Seq[RunFrame], child: LogicalPlan)
     extends UnaryNode {
-  require(aggAttrs.length == aggs.length && aggs.length == rowFrames.length &&
+  require(aggAttrs.length == aggs.length && aggs.length == frames.length &&
     aggs.nonEmpty)
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)

@@ -157,6 +157,60 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     } finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
   }
 
+  test("the EXCLUSIVE prefix (ROWS ... AND 1 PRECEDING) evaluates before the fold") {
+    fixture.createOrReplaceTempView("gra_ex")
+    // x51's boundary-level shape: running total of everything STRICTLY
+    // before the row; the first row of the whole frame gets the
+    // empty-frame value (null sum / zero count)
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  sum(id)   OVER w AS cum_before,
+        |  count(id) OVER w AS cnt_before,
+        |  sum(id)   OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+        |FROM gra_ex
+        |WINDOW w AS (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |""".stripMargin))
+    // DataFrame API spelling (Window.unboundedPreceding, -1)
+    import org.apache.spark.sql.expressions.Window
+    checkRewritten(fixture.withColumn("cb",
+      sum("id").over(Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, -1))))
+  }
+
+  test("first_value and last_value fold exactly in every unbounded-preceding frame") {
+    fixture.createOrReplaceTempView("gra_fv")
+    // RANGE default frame over a tie-heavy order: last_value must be the
+    // PEER RUN END (the classic SQL gotcha), first_value the global
+    // first; ignore-nulls variants skip the null-v rows. first_value
+    // under ties needs a total order to be engine-deterministic, so the
+    // ORDER BY carries the id tiebreak.
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  first_value(v) OVER (ORDER BY v, id) AS fv,
+        |  first_value(v) IGNORE NULLS OVER (ORDER BY v, id) AS fvn,
+        |  last_value(v)  OVER (ORDER BY v, id) AS lv,
+        |  last_value(v)  IGNORE NULLS OVER (ORDER BY v, id) AS lvn
+        |FROM gra_fv""".stripMargin))
+    // RANGE frame with ties (order by v alone): run-end back-fill path;
+    // last_value is tie-invariant (run end is a v value shared by peers)
+    checkRewritten(spark.sql(
+      """SELECT v, last_value(v) OVER (ORDER BY v) AS lv,
+        |       first_value(v) IGNORE NULLS OVER (ORDER BY v) AS fvn
+        |FROM gra_fv""".stripMargin))
+    // whole-frame totals: last of everything rides the TotalAgg path
+    // beside a running first (checkRewritten pins the RunningAgg exec)
+    val tot = spark.sql(
+      """SELECT id,
+        |  first_value(v) OVER (ORDER BY v, id) AS fv,
+        |  last_value(v) OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS glast
+        |FROM gra_fv""".stripMargin)
+    checkRewritten(tot)
+    assert(nodes(tot).exists(_.isInstanceOf[GlobalTotalAggExec]),
+      s"whole-frame last_value should ride TotalAgg:\n${tot.queryExecution.executedPlan}")
+  }
+
   test("agg() OVER () — the whole-frame total — attaches with ZERO exchange") {
     fixture.createOrReplaceTempView("gra_t6")
     val df = spark.sql(

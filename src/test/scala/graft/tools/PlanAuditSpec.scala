@@ -709,14 +709,14 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    val allowed = Set(
-      "x51_token_budget_select", // <=1001-row quality-level frame
-      "x62_skew_report",         // bounded per-key top-5 aggregate frame
-      "x63_volume_anomaly",      // |days| aggregate frame
-      "x82_source_lorenz",       // |sources| aggregate frame
-      "w11_cumulative_users",    // |days| aggregate frame
-      "x100_calibrated_release"  // <=1001-row norm-level frame (x51 shape)
-    )
+    // EMPTY since round 10: the rewrite family auto-healed every entry
+    // that used to need an allowance — w11/x63/x82 (running aggregates
+    // over day/source frames), x62 (rank under its top-5 filter), and
+    // finally x51/x100 (the exclusive-prefix boundary-level shape) — and
+    // the staleness check below forces removals, so an allowance can
+    // never outlive its reason. No query in the surface plans ANY
+    // unpartitioned window, bounded frame or not.
+    val allowed = Set.empty[String]
     // No exclusions: every entry is swept. The pipeline round-trips'
     // landing writes are JVM-memoized (round 9) and x103's observed
     // action is one sf0.001 count, so even the eager-build entries are
@@ -750,19 +750,53 @@ class PlanAuditSpec extends AnyFunSuite {
       }.isEmpty &&
         healed.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
         "GlobalRankRule should heal the probe's unpartitioned window")
+      // round 10: the other family members must heal too — a running
+      // sum, a lag, and a whole-frame total each planted and checked
+      import org.apache.spark.sql.functions.{col, lag, sum}
+      def shapes(df: org.apache.spark.sql.DataFrame) = {
+        val p = unwrap(df.queryExecution.executedPlan)
+        (p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty,
+          p.collect {
+            case g: graft.plans.GlobalRunningAggExec => g: Any
+            case g: graft.plans.GlobalOffsetExec => g: Any
+            case g: graft.plans.GlobalTotalAggExec => g: Any
+          }.nonEmpty)
+      }
+      val cumsum = spark.range(100).withColumn("cs",
+        sum("id").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val lagged = spark.range(100).withColumn("pv",
+        lag(col("id"), 1).over(Window.orderBy("id")))
+      val total = spark.range(100).withColumn("t",
+        sum("id").over(Window.partitionBy()))
+      Seq("running sum" -> cumsum, "lag" -> lagged, "total" -> total)
+        .foreach { case (name, df) =>
+          val (win, healed2) = shapes(df)
+          assert(!win && healed2,
+            s"rewrite family should heal the planted $name window:\n" +
+              df.queryExecution.executedPlan)
+        }
     }
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(skip).filterNot(allowed).flatMap { q =>
+    val hits = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip).flatMap { q =>
         val phys = unwrap(
           SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
         val unpart = phys.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
         }
-        if (unpart.nonEmpty) Some(s"$q -> ${unpart.mkString(", ")}") else None
-      }
+        if (unpart.nonEmpty) Some(q -> unpart.mkString(", ")) else None
+      }.toMap
+    val offenders = (hits.keySet -- allowed).toSeq.sorted
+      .map(q => s"$q -> ${hits(q)}")
     assert(offenders.isEmpty,
       s"unpartitioned windows over corpus-derived frames:\n${offenders.mkString("\n")}")
+    // staleness (the pmod-sweep discipline): an allowance whose query no
+    // longer plans an unpartitioned window hides future regressions —
+    // the round-10 rewrite family healed several; remove them here
+    val stale = allowed.filterNot(hits.contains).toSeq.sorted
+    assert(stale.isEmpty,
+      s"allow-list stale — these entries no longer plan unpartitioned windows, remove them: ${stale.mkString(", ")}")
   }
 
   test("no query partitions a window by a small literal modulus (VERDICT r9 #4)") {
