@@ -139,39 +139,47 @@ object SparkEntryR5d {
           col("n_events"), col("n_users"))),
 
     // W8: rolling z-score anomaly flags — monitoring over the same 7-row
-    // frame as the flagship's mm_7d, but built from WINDOW SUFFICIENT
-    // STATISTICS (exact decimal Σx, Σx² over the window; numerators stay
-    // under 2^53 so the decimal→double casts are exactly rounded in both
-    // engines), never a float-accumulator STDDEV. z derives in one
-    // spelled-identically double expression, rounded to 10, and the
-    // |z| > 2 flag reads the ROUNDED value so the boundary is shared.
+    // frame as the flagship's mm_7d, built from WINDOW SUFFICIENT
+    // STATISTICS in exact integer cents (Σc, Σc² stay far under 2^53, so
+    // the casts to double are exactly rounded and ORDER-FREE — equal to
+    // the oracle's decimal→double sums), never a float-accumulator
+    // STDDEV. Since round 10 the stats come from RollingSufStats.attach:
+    // l_returnflag has THREE values, so a plain per-key window caps
+    // parallelism at 3 tasks at ANY scale — the adaptive path re-buckets
+    // on (flag, month) with exact boundary corrections (the w1b
+    // discipline), #keys × #months parallelism, identical results.
+    // z derives in one spelled-identically double expression, rounded to
+    // 10, and the |z| > 2 flag reads the ROUNDED value so the boundary
+    // is shared.
     "w8_zscore_outliers" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("r5d_lineitem_w8")
-      s.sql("""
-        WITH b AS (SELECT l_returnflag AS ativo, l_shipdate AS dt,
-                          l_extendedprice AS close_price,
-                          l_orderkey, l_linenumber
-                   FROM r5d_lineitem_w8),
-        w AS (
-          SELECT ativo, l_orderkey, l_linenumber, close_price,
-                 COUNT(*) OVER win AS n,
-                 CAST(SUM(CAST(close_price AS DECIMAL(18,2))) OVER win
-                      AS DOUBLE) AS sx,
-                 CAST(SUM(CAST(CAST(close_price AS DECIMAL(18,2))
-                               * CAST(close_price AS DECIMAL(18,2))
-                          AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sxx
-          FROM b
-          WINDOW win AS (PARTITION BY ativo
-                         ORDER BY dt, l_orderkey, l_linenumber, close_price
-                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-        SELECT ativo, l_orderkey, l_linenumber,
-               ROUND(CASE WHEN n = 7
-                           AND (7.0D * sxx - sx * sx) / (7.0D * 6.0D) > 0
-                          THEN (close_price - sx / 7.0D)
-                               / sqrt((7.0D * sxx - sx * sx) / (7.0D * 6.0D))
-                     END, 10) AS z
-        FROM w
-        """).withColumn("is_outlier", abs(col("z")) > 2.0)
+      val b = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("ativo"), col("l_shipdate").as("dt"),
+        col("l_extendedprice").as("close_price"),
+        col("l_orderkey"), col("l_linenumber"))
+      val cents = round(col("close_price") * 100).cast("long")
+      // bucketing-decision stats follow the table-stats lifecycle
+      // (flagship precedent): computed once per immutable fixture stamp,
+      // loaded thereafter — the decision pass never re-scans per run
+      val st = {
+        val v = graft.util.ArtifactStore.getOrCompute(s, "rolling_stats",
+          Seq(d, Tables.stamp(d, "lineitem"), "l_returnflag", "l_shipdate"),
+          graft.util.ArtifactStore.LongsCodec) {
+          val x = graft.etl.MarketEtl.rollingStats(b, Seq("ativo"), col("dt"))
+          Seq(x.minMonth, x.monthGroups, x.minYear, x.yearGroups, x.keys)
+        }
+        graft.etl.MarketEtl.RollingStats(v(0), v(1), v(2), v(3), v(4))
+      }
+      val withStats = graft.stats.RollingSufStats.attach(
+        b, Seq("ativo"),
+        Seq(col("dt"), col("l_orderkey"), col("l_linenumber"), col("close_price")),
+        cents, 7, col("dt"), stats = Some(st))
+      val sx = col("__sxc").cast("double") / 100.0d
+      val sxx = col("__sxxc").cast("double") / 10000.0d
+      val variance = (lit(7.0d) * sxx - sx * sx) / lit(42.0d)
+      withStats.select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
+        round(when(col("__n") === 7 && variance > 0,
+          (col("close_price") - sx / lit(7.0d)) / sqrt(variance)), 10).as("z"))
+        .withColumn("is_outlier", abs(col("z")) > 2.0)
     }),
 
     // W7: EWMA over the per-asset DAILY close series — the reference's

@@ -41,7 +41,13 @@ object SparkEntryR8h {
       // division end to end (ADVICE r8: sum/2 as a double drifts from
       // the oracle's SUM(toks) // 2 above 2^53 token mass)
       val budget = normed.agg(expr("sum(toks) div 2").as("b"))
+      // norm is a per-mill integer: ≤1001 distinct levels BY CONSTRUCTION.
+      // The exact LIMIT is a no-op marker giving the plan a maxRows proof,
+      // so the window rewrite's cost guard keeps this tiny frame on the
+      // single-partition window (a range exchange would re-execute the
+      // corpus aggregation in its sampling pass for zero scale benefit)
       val levels = normed.groupBy("norm").agg(sum("toks").as("s"))
+        .limit(1001)
         .withColumn("cum_before", coalesce(sum("s").over(
           Window.orderBy(col("norm").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -173,8 +173,26 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     * partitionable (a ROWS prefix with no order is left to Spark —
     * its result is only defined up to an arbitrary order anyway).
     */
+  /** Cost guard: when the frame is PROVABLY tiny (`maxRows` — a hard
+    * bound, typically from a `LIMIT` marker over a bounded level frame),
+    * Spark's single-partition window is strictly cheaper than the
+    * rewrite: a one-task sort of ≤ a few thousand rows is microseconds,
+    * while a range exchange pays a SAMPLING JOB that re-executes the
+    * whole upstream (plus the metadata pass). Library code documents
+    * bounded frames with an exact `.limit(bound)` (per-mill level
+    * frames: ≤1001 rows by construction); unbounded frames — calendars,
+    * sources, anything corpus-derived — have no `maxRows` and always
+    * rewrite.
+    */
+  private def provablySmall(child: LogicalPlan): Boolean = {
+    val threshold =
+      session.conf.get(GlobalRankRule.SmallFrameConf, "4096").toLong
+    threshold > 0L && child.maxRows.exists(_ <= threshold)
+  }
+
   private def rewritable(w: Window): Boolean =
-    w.partitionSpec.isEmpty && w.windowExpressions.nonEmpty && {
+    w.partitionSpec.isEmpty && w.windowExpressions.nonEmpty &&
+      !provablySmall(w.child) && {
       val kinds = w.windowExpressions.map(classify)
       kinds.forall(_.isDefined) &&
         (w.orderSpec.nonEmpty || kinds.forall(_.exists(_.isInstanceOf[TotK])))
@@ -255,6 +273,10 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
 
 object GlobalRankRule {
   val RewriteConf = "spark.graft.globalRank.rewrite"
+
+  /** Frames with `maxRows` at or under this stay single-partition
+    * windows (see the cost-guard scaladoc); 0 disables the guard. */
+  val SmallFrameConf = "spark.graft.globalRank.smallFrameRows"
 }
 
 /** Planner strategy for [[GlobalRankPlan]] → [[GlobalRankExec]] and

@@ -1052,7 +1052,11 @@ object TextOps {
       rollingHash(col(textCol)).as("__h"))
     val budget = scored.agg(
       ((sum(col("n_tok")) * budgetNum) / budgetDen).cast("long").as("__b"))
+    // q is a per-mill integer: ≤1001 distinct levels by construction; the
+    // exact LIMIT marker gives the plan a maxRows proof so the window
+    // rewrite's cost guard keeps this frame on the single-partition window
     val levels = scored.groupBy("q").agg(sum(col("n_tok")).as("__s"))
+      .limit(1001)
       .withColumn("__cum_before",
         coalesce(sum(col("__s")).over(
           org.apache.spark.sql.expressions.Window.orderBy(col("q").desc)

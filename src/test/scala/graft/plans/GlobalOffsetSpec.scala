@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -22,7 +23,20 @@ import graft.TestSpark
   * partition boundaries in every test — the stitched-context path is
   * always exercised, not just the in-partition rings.
   */
-class GlobalOffsetSpec extends AnyFunSuite {
+class GlobalOffsetSpec extends AnyFunSuite with BeforeAndAfterAll {
+  // the small-frame cost guard would keep these ~1000-row fixtures on
+  // the single-partition window; disable it here — the guard itself is
+  // pinned in GlobalRankRuleSpec's dedicated test (forked suites run
+  // sequentially, so the conf toggle cannot race another suite)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset(GlobalRankRule.SmallFrameConf)
+    super.afterAll()
+  }
+
   private lazy val spark = TestSpark.spark
 
   private def fixture: DataFrame = {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -17,7 +18,20 @@ import graft.TestSpark
   * replaces, which the spec checks by running every query twice, with
   * the rule on and off.
   */
-class GlobalRankRuleSpec extends AnyFunSuite {
+class GlobalRankRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+  // the small-frame cost guard would keep these ~1000-row fixtures on
+  // the single-partition window; disable it here — the guard itself is
+  // pinned in GlobalRankRuleSpec's dedicated test (forked suites run
+  // sequentially, so the conf toggle cannot race another suite)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset(GlobalRankRule.SmallFrameConf)
+    super.afterAll()
+  }
+
   private lazy val spark = TestSpark.spark
 
   /** 1000 rows across 4 input partitions; v has heavy ties (20 distinct
@@ -134,6 +148,29 @@ class GlobalRankRuleSpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     checkRewritten(fixture.withColumn("rn",
       row_number().over(Window.orderBy(col("v").asc_nulls_first, col("id")))))
+  }
+
+  test("the small-frame cost guard keeps provably tiny frames on the window") {
+    import org.apache.spark.sql.expressions.Window
+    // restore the DEFAULT guard for this test (the suite disables it)
+    spark.conf.set(GlobalRankRule.SmallFrameConf, "4096")
+    try {
+      // a LIMIT gives the plan a hard maxRows bound — the marker library
+      // code puts on bounded level frames; the one-task sort of ≤4096
+      // rows beats a range exchange whose sampling pass re-executes the
+      // upstream
+      val small = fixture.limit(100)
+        .withColumn("rn", row_number().over(Window.orderBy("v", "id")))
+      assert(!nodes(small).exists(_.isInstanceOf[GlobalRankExec]),
+        s"guard should keep the provably-small frame on the window:\n${small.queryExecution.executedPlan}")
+      assert(nodes(small).exists(_.isInstanceOf[WindowExec]))
+      // bound above the threshold → rewrite (and a frame with no
+      // maxRows at all — any scan — rewrites a fortiori)
+      val big = spark.range(100000)
+        .withColumn("rn", row_number().over(Window.orderBy("id")))
+      assert(nodes(big).exists(_.isInstanceOf[GlobalRankExec]),
+        "a frame without a small-bound proof must still rewrite")
+    } finally spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
   }
 
   test("top-k rank filters keep Spark's WindowGroupLimit path") {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -24,7 +25,20 @@ import graft.TestSpark
   * (`v, id`) because a ROWS prefix over a non-total order is only
   * defined up to the sort's arbitrary tie placement — in EITHER plan.
   */
-class GlobalRunningAggSpec extends AnyFunSuite {
+class GlobalRunningAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+  // the small-frame cost guard would keep these ~1000-row fixtures on
+  // the single-partition window; disable it here — the guard itself is
+  // pinned in GlobalRankRuleSpec's dedicated test (forked suites run
+  // sequentially, so the conf toggle cannot race another suite)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset(GlobalRankRule.SmallFrameConf)
+    super.afterAll()
+  }
+
   private lazy val spark = TestSpark.spark
 
   /** 1000 rows across 4 input partitions; v has heavy ties (20 distinct

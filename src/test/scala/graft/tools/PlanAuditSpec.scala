@@ -709,13 +709,14 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    // EMPTY since round 10: the rewrite family auto-healed every entry
-    // that used to need an allowance — w11/x63/x82 (running aggregates
-    // over day/source frames), x62 (rank under its top-5 filter), and
-    // finally x51/x100 (the exclusive-prefix boundary-level shape) — and
-    // the staleness check below forces removals, so an allowance can
-    // never outlive its reason. No query in the surface plans ANY
-    // unpartitioned window, bounded frame or not.
+    // EMPTY since round 10: every entry that used to need a NAME-based
+    // allowance either auto-heals through the rewrite family (w11/x63/
+    // x82 running aggregates over day/source frames, x62's rank under
+    // its top-5 filter) or is exempt by a PLAN-PROVABLE bound (x51/x100:
+    // per-mill level frames carrying exact LIMIT markers → maxRows ≤ the
+    // cost-guard threshold, where the one-task sort is optimal). The
+    // staleness check below forces removals, so an allowance can never
+    // outlive its reason.
     val allowed = Set.empty[String]
     // No exclusions: every entry is swept. The pipeline round-trips'
     // landing writes are JVM-memoized (round 9) and x103's observed
@@ -726,65 +727,70 @@ class PlanAuditSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
     }
+    // a window is exempt only with a PLAN-PROVABLE small bound: maxRows
+    // (from the exact LIMIT markers library code puts on bounded level
+    // frames) at or under the rewrite's cost-guard threshold — a one-
+    // task sort of that many rows is optimal, so it is not a hazard.
+    // Everything else (calendars, sources, raw scans: no maxRows) must
+    // have been healed by the rewrite family or is an offender.
+    val smallBound = 4096L
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def unpartitionedBig(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            !w.child.maxRows.exists(_ <= smallBound) =>
+          s"Window over ${w.child.nodeName}(maxRows=${w.child.maxRows})"
+      }
     // detector self-check: a hand-built unpartitioned window MUST be
     // seen, or the sweep below is vacuously green. The GlobalRankRule
     // rewrite (round 10) would heal the probe before the detector looks,
-    // so it is disabled FOR THE PROBE ONLY — and a second probe pins
-    // that with the rule active the same window is in fact healed.
-    {
+    // so it is disabled FOR THE PROBE ONLY — and further probes pin that
+    // with the rule active each family shape is in fact healed (probes
+    // are 100k rows: above the small-frame cost guard).
+    locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.row_number
-      def probePlan() = unwrap(spark.range(100)
+      def probe() = spark.range(100000)
         .withColumn("rn", row_number().over(Window.orderBy("id")))
-        .queryExecution.executedPlan)
       spark.conf.set(graft.plans.GlobalRankRule.RewriteConf, "false")
-      val probe =
-        try probePlan()
+      val seen =
+        try unpartitionedBig(probe())
         finally spark.conf.set(graft.plans.GlobalRankRule.RewriteConf, "true")
-      assert(probe.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }.nonEmpty, "sweep detector failed to see a known unpartitioned window")
-      val healed = probePlan()
-      assert(healed.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }.isEmpty &&
-        healed.collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
+      assert(seen.nonEmpty,
+        "sweep detector failed to see a known unpartitioned window")
+      assert(unpartitionedBig(probe()).isEmpty &&
+        unwrap(probe().queryExecution.executedPlan)
+          .collect { case g: graft.plans.GlobalRankExec => g }.nonEmpty,
         "GlobalRankRule should heal the probe's unpartitioned window")
-      // round 10: the other family members must heal too — a running
-      // sum, a lag, and a whole-frame total each planted and checked
+      // the other family members must heal too — a running sum, a lag,
+      // and a whole-frame total each planted and checked; and a
+      // LIMIT-bounded frame is exempt by proof, not by rewrite
       import org.apache.spark.sql.functions.{col, lag, sum}
-      def shapes(df: org.apache.spark.sql.DataFrame) = {
-        val p = unwrap(df.queryExecution.executedPlan)
-        (p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty,
-          p.collect {
-            case g: graft.plans.GlobalRunningAggExec => g: Any
-            case g: graft.plans.GlobalOffsetExec => g: Any
-            case g: graft.plans.GlobalTotalAggExec => g: Any
-          }.nonEmpty)
-      }
-      val cumsum = spark.range(100).withColumn("cs",
+      val cumsum = spark.range(100000).withColumn("cs",
         sum("id").over(Window.orderBy("id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val lagged = spark.range(100).withColumn("pv",
+      val lagged = spark.range(100000).withColumn("pv",
         lag(col("id"), 1).over(Window.orderBy("id")))
-      val total = spark.range(100).withColumn("t",
+      val total = spark.range(100000).withColumn("t",
         sum("id").over(Window.partitionBy()))
       Seq("running sum" -> cumsum, "lag" -> lagged, "total" -> total)
         .foreach { case (name, df) =>
-          val (win, healed2) = shapes(df)
-          assert(!win && healed2,
+          assert(unpartitionedBig(df).isEmpty,
             s"rewrite family should heal the planted $name window:\n" +
-              df.queryExecution.executedPlan)
+              df.queryExecution.optimizedPlan)
         }
+      val bounded = spark.range(100000).limit(1001).withColumn("rn",
+        row_number().over(Window.orderBy("id")))
+      assert(unpartitionedBig(bounded).isEmpty,
+        "a LIMIT-bounded level frame is exempt by its maxRows proof")
+      val overThreshold = spark.range(100000).limit(50000).withColumn("rn",
+        row_number().over(Window.orderBy("id")))
+      assert(unpartitionedBig(overThreshold).isEmpty,
+        "an over-threshold LIMIT still rewrites (not exempt, healed)")
     }
     val hits = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip).flatMap { q =>
-        val phys = unwrap(
-          SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
-        val unpart = phys.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
-          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
-        }
+        val unpart = unpartitionedBig(SparkEntry.queries(q)(spark, sf))
         if (unpart.nonEmpty) Some(q -> unpart.mkString(", ")) else None
       }.toMap
     val offenders = (hits.keySet -- allowed).toSeq.sorted
@@ -792,8 +798,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unpartitioned windows over corpus-derived frames:\n${offenders.mkString("\n")}")
     // staleness (the pmod-sweep discipline): an allowance whose query no
-    // longer plans an unpartitioned window hides future regressions —
-    // the round-10 rewrite family healed several; remove them here
+    // longer plans an unpartitioned window hides future regressions
     val stale = allowed.filterNot(hits.contains).toSeq.sorted
     assert(stale.isEmpty,
       s"allow-list stale — these entries no longer plan unpartitioned windows, remove them: ${stale.mkString(", ")}")
