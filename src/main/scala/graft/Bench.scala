@@ -101,6 +101,30 @@ object Bench {
         Some(n -> (System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
+    // Cross-RUN calibration (the canary above only measures WITHIN-run
+    // drift): two fixed workloads, identical across runs AND rounds —
+    // a full scan+hash-fold of lineitem (IO+codegen) and a fixed-count
+    // driver-side LCG loop (pure CPU). Comparing calib numbers between
+    // two BENCH_DETAIL files says how much of a total delta is machine
+    // state (page cache, host contention) before any per-query reading.
+    def calibrate(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      // max, not sum: full-range hashes overflow a long sum under ANSI
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("max(xxhash64(l_orderkey, l_extendedprice))", "count(*)")
+        .collect()
+      val io = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      var acc = 0L
+      var i = 0L
+      while (i < 200000000L) { acc = acc * 6364136223846793005L + i; i += 1L }
+      val cpu = (System.nanoTime() - t1) / 1e9
+      if (acc == 42L) System.err.println("calib") // keep the fold live
+      (io, cpu)
+    }
+    val (calIoS, calCpuS) = calibrate()
+    System.err.println(f"[bench] calib start io ${calIoS}%.2fs cpu ${calCpuS}%.2fs")
+
     val canaryStart = canaryPass()
 
     // median of 3 isolated runs per query (VERDICT r2 #10): full-suite
@@ -159,8 +183,12 @@ object Bench {
       p.map { case (k, v) => s"${Json.str(k)}:$v" }.mkString("{", ",", "}")
     val canaryJson =
       s"""{"start_total":$cs,"end_total":$ce,"drift":$drift,"start":${cjson(canaryStart)},"end":${cjson(canaryEnd)}}"""
+    val (calIoE, calCpuE) = calibrate()
+    System.err.println(f"[bench] calib end io ${calIoE}%.2fs cpu ${calCpuE}%.2fs")
+    val calibJson =
+      s"""{"io_start":$calIoS,"cpu_start":$calCpuS,"io_end":$calIoE,"cpu_end":$calCpuE}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"floor_total":$floor,"canary":$canaryJson,"sf":${Json.str(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"floor_total":$floor,"canary":$canaryJson,"calib":$calibJson,"sf":${Json.str(sfDir)}}"""
 
     // Per-query detail to a file (the full line is ~9 KB at 149 queries
     // and overflowed the driver's 2000-char stdout capture in round 6).

@@ -32,6 +32,21 @@ object SparkEntry {
     "l_extendedprice AS close_price, l_quantity AS trade_volume, " +
     "l_orderkey, l_linenumber FROM lineitem"
 
+  /** Bucketing-decision stats for the lineitem bar frame, following the
+    * table-stats lifecycle (computed once per immutable fixture stamp,
+    * loaded thereafter) — shared by every bar query that re-buckets its
+    * 3-key window (w1 flagship, w2, w4, w8).
+    */
+  private def barStats(s: SparkSession, d: String): MarketEtl.RollingStats = {
+    val v = graft.util.ArtifactStore.getOrCompute(s, "rolling_stats",
+      Seq(d, Tables.stamp(d, "lineitem"), "l_returnflag", "l_shipdate"),
+      graft.util.ArtifactStore.LongsCodec) {
+      val st = MarketEtl.rollingStats(bars(s, d), Seq("ativo"), col("dt"))
+      Seq(st.minMonth, st.monthGroups, st.minYear, st.yearGroups, st.keys)
+    }
+    MarketEtl.RollingStats(v(0), v(1), v(2), v(3), v(4))
+  }
+
   // (l_orderkey, l_linenumber) is NOT unique in the fixture data, so the
   // window order includes close_price: any remaining ties are then
   // value-identical w.r.t. the windowed column, keeping mm_7d deterministic
@@ -78,15 +93,7 @@ object SparkEntry {
     "flagship_etl" -> ((s, d) =>
       MarketEtl.transform(bars(s, d), "ativo", barOrder, "close_price",
         "trade_volume", adaptiveOn = Some(col("dt")),
-        stats = Some {
-          val v = graft.util.ArtifactStore.getOrCompute(s, "rolling_stats",
-            Seq(d, Tables.stamp(d, "lineitem"), "ativo", "dt"),
-            graft.util.ArtifactStore.LongsCodec) {
-            val st = MarketEtl.rollingStats(bars(s, d), Seq("ativo"), col("dt"))
-            Seq(st.minMonth, st.monthGroups, st.minYear, st.yearGroups, st.keys)
-          }
-          MarketEtl.RollingStats(v(0), v(1), v(2), v(3), v(4))
-        })),
+        stats = Some(barStats(s, d)))),
 
     // A1: per-asset hash aggregate.
     "a1_asset_agg" -> ((s, d) =>
@@ -193,13 +200,16 @@ object SparkEntry {
         .select("ativo", "l_orderkey", "l_linenumber", "mm_7d")),
 
     // W2: daily returns via lag — the market query a reference user would
-    // run first against refined/ (close / prev close - 1).
-    "w2_daily_returns" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("ativo")).orderBy(barOrder: _*)
-      bars(s, d).select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
-        (col("close_price") / lag(col("close_price"), 1).over(w) - 1).as("ret"))
-    }),
+    // run first against refined/ (close / prev close - 1). ativo has
+    // THREE values over the corpus-proportional bar frame, so the plain
+    // per-key window caps at 3 tasks at any scale: the lag re-buckets on
+    // (ativo, month) with a one-row boundary borrow (KeyedPrefix —
+    // values are exact across the seam, identical results).
+    "w2_daily_returns" -> ((s, d) =>
+      graft.stats.KeyedPrefix.lagValue(bars(s, d), Seq("ativo"), barOrder,
+          col("close_price"), "__prev", col("dt"), stats = Some(barStats(s, d)))
+        .select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
+          (col("close_price") / col("__prev") - 1).as("ret"))),
 
     // W3: per-asset volume ranking (rank + dense_rank over a total order).
     "w3_volume_rank" -> ((s, d) => {
@@ -213,18 +223,20 @@ object SparkEntry {
         .filter(col("rnk") <= 100)
     }),
 
-    // W4: running (cumulative) volume per asset — unbounded-preceding frame.
-    "w4_running_total" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // trade_volume joins the order key: rows tied on the bar order can
-      // carry different volumes, and a running sum must not depend on their
-      // relative order
-      val w = Window.partitionBy(col("ativo"))
-        .orderBy(barOrder :+ col("trade_volume"): _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bars(s, d).select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
-        sum(col("trade_volume")).over(w).as("cum_volume"))
-    }),
+    // W4: running (cumulative) volume per asset — unbounded-preceding
+    // frame, re-bucketed on (ativo, month) like w2/w8 (the 3-key corpus
+    // window hazard): within-bucket running sums + prior-bucket totals
+    // associate exactly because volumes are integer-valued (sums far
+    // under 2^53 — the integer-sufficient-statistics discipline).
+    // trade_volume joins the order key: rows tied on the bar order can
+    // carry different volumes, and a running sum must not depend on
+    // their relative order.
+    "w4_running_total" -> ((s, d) =>
+      graft.stats.KeyedPrefix.runningSum(bars(s, d), Seq("ativo"),
+          barOrder :+ col("trade_volume"), col("trade_volume"),
+          "cum_volume", col("dt"), stats = Some(barStats(s, d)))
+        .select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
+          col("cum_volume"))),
 
     // P8: equality filter on the asset (partition) key — prunes at scale.
     "p8_partition_filter" -> ((s, d) =>
