@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.TestSpark
+
+/** ScalaCheck over the WHOLE rewrite family: on arbitrary null-salted
+  * inputs at arbitrary partition counts, a battery covering every
+  * rewritten shape — ranks, cume_dist, running aggregates in all three
+  * frames, whole-frame totals, lag/lead — must return EXACTLY what the
+  * single-partition `WindowExec` returns (rule toggled off). The
+  * deterministic specs pin plan shapes; this pins the value identity on
+  * inputs nobody hand-picked. Orders always carry the unique id so
+  * position-dependent outputs are well-defined in either plan.
+  */
+object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
+  private lazy val spark = TestSpark.spark
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  // small value domain → heavy ties; None → null v
+  private val rows = Gen.listOf(Gen.option(Gen.choose(0L, 6L)))
+  private val parts = Gen.choose(1, 8)
+
+  private val battery =
+    """SELECT id,
+      |  row_number()  OVER (ORDER BY v, id) AS rn,
+      |  rank()        OVER (ORDER BY v) AS rk,
+      |  dense_rank()  OVER (ORDER BY v) AS drk,
+      |  ntile(3)      OVER (ORDER BY v, id) AS nt,
+      |  percent_rank() OVER (ORDER BY v) AS pr,
+      |  cume_dist()   OVER (ORDER BY v) AS cd,
+      |  sum(v)   OVER (ORDER BY v) AS cs_range,
+      |  sum(v)   OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs_rows,
+      |  sum(v)   OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cs_excl,
+      |  count(v) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |  min(v)   OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn,
+      |  avg(v)   OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av,
+      |  first_value(v) OVER (ORDER BY v, id) AS fv,
+      |  first_value(v) IGNORE NULLS OVER (ORDER BY v, id) AS fvn,
+      |  last_value(v)  OVER (ORDER BY v) AS lv_range,
+      |  sum(v)   OVER () AS tot,
+      |  max(id)  OVER () AS mxid,
+      |  lag(v)   OVER (ORDER BY v, id) AS pv,
+      |  lag(v, 3, -1) OVER (ORDER BY v, id) AS pv3,
+      |  lead(v, 2)    OVER (ORDER BY v, id) AS nv2
+      |FROM gwr_t""".stripMargin
+
+  property("the full battery is bit-identical to WindowExec on arbitrary input") =
+    forAll(rows, parts) { (vs, np) =>
+      import spark.implicits._
+      val df = spark.createDataset(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })(
+        org.apache.spark.sql.Encoders.product[(Long, Option[Long])])
+        .toDF("id", "v")
+        .repartition(np)
+      df.createOrReplaceTempView("gwr_t")
+      // fixtures here are tiny; without this the cost guard keeps them
+      // on the window and the property is vacuous (restored per draw —
+      // the shared session serves other suites after this one)
+      spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
+      try {
+        val on = spark.sql(battery).collect().map(_.toString).sorted.toSeq
+        spark.conf.set(GlobalRankRule.RewriteConf, "false")
+        val off =
+          try spark.sql(battery).collect().map(_.toString).sorted.toSeq
+          finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+        on == off
+      } finally spark.conf.unset(GlobalRankRule.SmallFrameConf)
+    }
+}
