@@ -38,6 +38,8 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       |  sum(v)   OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cs_excl,
       |  count(v) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
       |  min(v)   OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn,
+      |  max(concat('s', CAST(v AS STRING))) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mxs,
+      |  max(concat('t', CAST(v AS STRING))) OVER () AS tots,
       |  avg(v)   OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av,
       |  first_value(v) OVER (ORDER BY v, id) AS fv,
       |  first_value(v) IGNORE NULLS OVER (ORDER BY v, id) AS fvn,
