@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // range-partitioned GlobalRank plan (VERDICT r9 #1); opt out with
     // spark.graft.globalRank.rewrite=false
     ext.injectOptimizerRule(session => graft.plans.GlobalRankRule(session))
+    // ON-by-default rewrite of PROVABLY-low-ndv PARTITION BY running/
+    // offset windows into the keyed range-partitioned plans (VERDICT r10
+    // #3); opt out with spark.graft.keyedWindow.rewrite=false
+    ext.injectOptimizerRule(session => graft.plans.KeyedWindowRule(session))
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

@@ -60,7 +60,18 @@ case class GlobalOffsetPlan(order: Seq[SortOrder], attrs: Seq[Attribute],
   * Defaults are evaluated lazily against the current row (matching
   * `WindowExec`); `ignoreNulls` variants are NOT rewritten (their reach
   * is unbounded, so the boundary metadata cannot be sized — the rule
-  * leaves them to Spark).
+  * leaves them to Spark; the sole exception, offset-1 lag, rewrites as
+  * a `Last(ignoreNulls)` exclusive prefix on [[GlobalRunningAggExec]]).
+  *
+  * Consistency caveat: passes 1 and 2 re-execute the sorted child RDD,
+  * and shuffle-fetch order is nondeterministic, so rows TYING on the
+  * full ORDER BY may reorder between the executions — a partition's
+  * seeded boundary context can then disagree with the neighbor rows
+  * pass 2 actually emits near a boundary. Exactness therefore assumes a
+  * total order or order-insensitive tied payloads (the same caveat as
+  * `stats/GlobalRank`, which persists the sorted frame to close it at
+  * the DataFrame level); under a non-total order `WindowExec`'s answer
+  * is itself only defined up to the sort's arbitrary tie placement.
   */
 case class GlobalOffsetExec(order: Seq[SortOrder], attrs: Seq[Attribute],
                             inputs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -178,7 +189,10 @@ case class GlobalOffsetExec(order: Seq[SortOrder], attrs: Seq[Attribute],
       }
     }
 
-    // pass 2: ring-seeded lags, queue-drained leads
+    // pass 2: ring-seeded lags, queue-drained leads. Both O(partitions)
+    // context tables ship as ONE broadcast (once per executor), never in
+    // each task's closure (O(P²) aggregate transfer at cluster scale).
+    val ctxB = childRdd.sparkContext.broadcast((backCtx, fwdCtx))
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val inProj = MutableProjection.create(inExprs, childOutput)
       val defProj = MutableProjection.create(defExprs, childOutput)
@@ -192,7 +206,7 @@ case class GlobalOffsetExec(order: Seq[SortOrder], attrs: Seq[Attribute],
         val cap = -offArr(backIdx(k))
         val ring = new Array[Any](cap)
         val valid = new Array[Boolean](cap)
-        val ctx = backCtx(pid)(k) // oldest..newest, length <= cap
+        val ctx = ctxB.value._1(pid)(k) // oldest..newest, length <= cap
         var i = 0
         while (i < cap) {
           // at step i the ring slot must hold row (i - cap) = the
@@ -295,7 +309,7 @@ case class GlobalOffsetExec(order: Seq[SortOrder], attrs: Seq[Attribute],
           // partition exhausted: drain pending against the forward
           // context (lazily: outProj reuses one buffer, so each row must
           // be projected only when consumed)
-          val ctx = fwdCtx(pid)
+          val ctx = ctxB.value._2(pid)
           val snapshot = pending.toArray
           pending.clear()
           val n = snapshot.length

@@ -112,11 +112,14 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttrs: Seq[Attribute],
 
     // pass 2: streaming rank append per partition. cume_dist needs the
     // tie run's END position, so its presence buffers one peer run at a
-    // time; every other kind streams row by row.
+    // time; every other kind streams row by row. The O(partitions)
+    // offset arrays ship as ONE broadcast (once per executor), never in
+    // each task's closure (O(P²) aggregate transfer at cluster scale).
     val hasCume = kinds.contains(RankKind.CumeDist)
+    val offsetsB = childRdd.sparkContext.broadcast((rowOffsets, runOffsets))
     childRdd.mapPartitionsWithIndex { (pid, it) =>
-      val rowOff = rowOffsets(pid)
-      val runOff = runOffsets(pid)
+      val rowOff = offsetsB.value._1(pid)
+      val runOff = offsetsB.value._2(pid)
       val ord =
         if (needRuns || hasCume) RowOrdering.create(sortOrder, childOutput)
         else null

@@ -36,10 +36,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *     satisfied). Running aggregates include `first_value`/
   *     `last_value` (Spark's First/Last aggregates) in every variant —
   *     ignore-nulls included — since the fold reproduces their frame
-  *     semantics exactly. Anything else — ignore-nulls lag/lead,
-  *     bounded frames, nth_value — keeps the whole Window node
-  *     untouched: their semantics need the frame, and a mixed node
-  *     must stay one node to compute consistently;
+  *     semantics exactly (`first_value` also in its optimizer-rewritten
+  *     `nth_value(x, 1)` spelling) — or a BOUNDED sliding aggregate
+  *     (`ROWS BETWEEN k PRECEDING AND [CURRENT ROW | j PRECEDING]`,
+  *     k ≤ maxBoundedFrame — [[GlobalBoundedAggPlan]]: k boundary
+  *     tuples per partition, row-local re-fold). Anything else —
+  *     ignore-nulls lag/lead beyond lag-1, nth_value(n>1), FOLLOWING
+  *     frame ends — keeps the whole Window node untouched: their
+  *     semantics need the frame, and a mixed node must stay one node
+  *     to compute consistently;
   *   - it is NOT directly under a rank-limit filter (`rn <= k` etc.)
   *     when purely ranking:
   *     that shape belongs to Spark's `InferWindowGroupLimit` top-k
@@ -70,44 +75,40 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** Whitelisted running aggregates: `DeclarativeAggregate`s whose
-    * init/update/merge/evaluate expressions the prefix-sum exec replays
-    * verbatim, so semantics (null handling, Decimal widening, ANSI
-    * overflow) are inherited, not reimplemented. First/Last cover
-    * `first_value`/`last_value` in EVERY unbounded-preceding frame —
-    * including ignore-nulls, and including the classic "last_value with
-    * the default frame is the current row / run end" SQL gotcha, which
-    * the fold reproduces exactly (ROWS evaluates per row; RANGE back-
-    * fills the peer run's final state). DISTINCT and FILTER forms are
-    * excluded (neither is a prefix-mergeable fold).
+  /** `agg(x) OVER (ORDER BY ... ROWS BETWEEN k PRECEDING AND
+    * [CURRENT ROW | j PRECEDING])` — the BOUNDED sliding frame, the
+    * reference's own W1 rolling-mean shape written globally →
+    * (aggregate, k, upper≤0). Capped at
+    * [[GlobalRankRule.MaxBoundedFrameConf]] rows of reach: the rewrite
+    * ships k boundary tuples per partition as driver metadata, so a
+    * pathological million-row frame stays on Spark's plan.
     */
-  private def supportedAgg(f: AggregateFunction): Boolean = f match {
-    case _: Sum | _: Min | _: Max | _: Count | _: Average | _: First | _: Last =>
-      f.isInstanceOf[DeclarativeAggregate]
-    case _ => false
-  }
-
-  /** `agg(x) OVER (ORDER BY ... [ROWS|RANGE] UNBOUNDED PRECEDING →
-    * CURRENT ROW)` → (the aggregate, isRowsFrame). RANGE — the default
-    * frame when only ORDER BY is written — includes the row's peers.
-    */
-  private def runningAggOf(fn: Expression,
-                           spec: WindowSpecDefinition): Option[(AggregateExpression, RunFrame)] =
-    (fn, spec.frameSpecification) match {
-      case (ae @ AggregateExpression(f, Complete, false, None, _),
-            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))
-          if supportedAgg(f) =>
-        Some((ae,
-          if (ft == RowFrame) RunFrame.RowsCurrent else RunFrame.RangeCurrent))
-      // the EXCLUSIVE prefix (x51's boundary-level shape): everything
-      // strictly before the current row
-      case (ae @ AggregateExpression(f, Complete, false, None, _),
-            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
-              Literal(-1, org.apache.spark.sql.types.IntegerType)))
-          if supportedAgg(f) =>
-        Some((ae, RunFrame.RowsExclusive))
+  private def boundedAggOf(fn: Expression, spec: WindowSpecDefinition,
+                           maxReach: Int): Option[(AggregateExpression, Int, Int)] = {
+    def bounds: Option[(Int, Int)] = spec.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame,
+          Literal(lo: Int, org.apache.spark.sql.types.IntegerType), CurrentRow)
+          if lo < 0 && -lo <= maxReach =>
+        Some((-lo, 0))
+      case SpecifiedWindowFrame(RowFrame,
+          Literal(lo: Int, org.apache.spark.sql.types.IntegerType),
+          Literal(up: Int, org.apache.spark.sql.types.IntegerType))
+          if lo < 0 && -lo <= maxReach && up <= 0 && up >= lo =>
+        Some((-lo, up))
       case _ => None
     }
+    fn match {
+      case ae @ AggregateExpression(f, Complete, false, None, _)
+          if WindowShapes.supportedAgg(f) =>
+        bounds.map { case (lo, up) => (ae, lo, up) }
+      case _ =>
+        // first_value over a bounded frame arrives pre-rewritten as
+        // nth_value(x, 1) only for UNBOUNDED PRECEDING frames, so only
+        // the aggregate spelling reaches here; keep nth handling anyway
+        // for DataFrame-API nth_value(…, 1) calls
+        WindowShapes.nthFirstOf(fn).flatMap(ae => bounds.map { case (lo, up) => (ae, lo, up) })
+    }
+  }
 
   /** `agg(x) OVER ()` — or any UNBOUNDED PRECEDING → UNBOUNDED
     * FOLLOWING frame — the whole-frame global total, order-irrelevant.
@@ -117,24 +118,10 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     (fn, spec.frameSpecification) match {
       case (ae @ AggregateExpression(f, Complete, false, None, _),
             SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))
-          if supportedAgg(f) =>
+          if WindowShapes.supportedAgg(f) =>
         Some(ae)
-      case _ => None
-    }
-
-  /** `lag(e, n[, default])` / `lead(e, n[, default])` with a literal
-    * offset and respect-nulls → (input, SIGNED row offset, default).
-    * `ignoreNulls` forms are excluded: their reach is unbounded, so the
-    * boundary metadata of [[GlobalOffsetPlan]] cannot be sized.
-    */
-  private def offsetOf(fn: Expression): Option[(Expression, Int, Expression)] =
-    fn match {
-      case Lag(in, Literal(n: Int, _), default, false)
-          if in.deterministic && default.deterministic =>
-        Some((in, -n, default))
-      case Lead(in, Literal(n: Int, _), default, false)
-          if in.deterministic && default.deterministic =>
-        Some((in, n, default))
+      case (nth, SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing)) =>
+        WindowShapes.nthFirstOf(nth) // first_value in its nth_value(x, 1) spelling
       case _ => None
     }
 
@@ -143,6 +130,8 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class RunK(ae: AggregateExpression, frame: RunFrame) extends Kind
   private case class TotK(ae: AggregateExpression) extends Kind
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
+  private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
+  private case class IgnK(in: Expression, default: Expression) extends Kind
 
   /** A conjunct that bounds the rank attr above (the shapes
     * `InferWindowGroupLimit` accepts): `rn < k`, `rn <= k`, `rn = k`.
@@ -158,15 +147,21 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
 
-  private def classify(ne: NamedExpression): Option[Kind] =
+  private def classify(ne: NamedExpression): Option[Kind] = {
+    val maxReach =
+      session.conf.get(GlobalRankRule.MaxBoundedFrameConf, "1024").toInt
     ne match {
       case Alias(WindowExpression(fn, spec), _) =>
         kindOf(fn).map(RankK.apply)
-          .orElse(runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) })
+          .orElse(WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) })
           .orElse(totalAggOf(fn, spec).map(TotK.apply))
-          .orElse(offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
+          .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
+          .orElse(boundedAggOf(fn, spec, maxReach).map {
+            case (ae, lo, up) => BndK(ae, lo, up) })
+          .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
       case _ => None
     }
+  }
 
   /** Whole-frame totals need no order at all; anything position- or
     * prefix-dependent needs a non-empty ORDER BY to be range-
@@ -209,9 +204,12 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     // leave top-k shapes to InferWindowGroupLimit (see scaladoc): collect
     // the PURE-rank Window nodes sitting directly under a rank-limit
     // Filter (an aggregate in the node disables the group-limit path, so
-    // mixed nodes rewrite regardless of filters above them)
-    val keep = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[Window, java.lang.Boolean]())
+    // mixed nodes rewrite regardless of filters above them). Keyed by
+    // the window expressions' exprIds — NOT node identity — because
+    // transformUp may copy a kept Window via withNewChildren when a
+    // rewritable Window sits below it in the same tree; exprIds survive
+    // that copy, identity does not.
+    val keep = scala.collection.mutable.HashSet.empty[Seq[ExprId]]
     plan.foreach {
       case Filter(cond, w: Window) if rewritable(w) && isPureRank(w) &&
           hasRankLimit(cond, AttributeSet(w.windowExpressions.collect {
@@ -225,21 +223,39 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
                   case _ => false
                 } => a.toAttribute
           })) =>
-        keep.add(w)
+        keep.add(w.windowExpressions.map(_.exprId))
       case _ => ()
     }
     plan.transformUp {
-      case w: Window if rewritable(w) && !keep.contains(w) =>
+      case w: Window if rewritable(w) &&
+          !keep.contains(w.windowExpressions.map(_.exprId)) =>
         val classified = w.windowExpressions.map { ne =>
           (ne.toAttribute, classify(ne).get)
         }
         val rankPairs = classified.collect { case (attr, RankK(k)) => (attr, k) }
+        // ignore-nulls lag(e, 1) = Last(e, ignoreNulls) over the
+        // exclusive prefix, computed into a HIDDEN attribute; the final
+        // projection grafts the default back (coalesce) under the
+        // original exprId
+        val ignMap: Map[ExprId, (Attribute, Expression)] =
+          classified.collect { case (attr, IgnK(in, d)) =>
+            attr.exprId -> (AttributeReference(attr.name + "__ignlag",
+              in.dataType, nullable = true)() -> d)
+          }.toMap
         val runTriples = classified.collect {
           case (attr, RunK(ae, fr)) => (attr, ae, fr)
+        } ++ classified.collect {
+          case (attr, IgnK(in, _)) =>
+            (ignMap(attr.exprId)._1,
+              Last(in, ignoreNulls = true).toAggregateExpression(),
+              RunFrame.RowsExclusive: RunFrame)
         }
         val totPairs = classified.collect { case (attr, TotK(ae)) => (attr, ae) }
         val offQuads = classified.collect {
           case (attr, OffK(in, o, d)) => (attr, in, o, d)
+        }
+        val bndQuads = classified.collect {
+          case (attr, BndK(ae, lo, up)) => (attr, ae, lo, up)
         }
         // stack order: ranks innermost (they, running aggs and offsets
         // share the one range exchange), totals outermost (no
@@ -259,14 +275,43 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
             offQuads.map(_._1), offQuads.map(_._2),
             offQuads.map(_._3), offQuads.map(_._4), replaced)
         }
+        if (bndQuads.nonEmpty) {
+          replaced = GlobalBoundedAggPlan(w.orderSpec,
+            bndQuads.map(_._1), bndQuads.map(_._2),
+            bndQuads.map(_._3), bndQuads.map(_._4), replaced)
+        }
         if (totPairs.nonEmpty) {
+          // First/Last totals are ORDER-SENSITIVE: carry the window's
+          // order so the exec demands a range sort (satisfied for free
+          // by the stack's shared exchange when one exists); order-
+          // insensitive totals keep the zero-exchange plan
+          val orderSensitive = totPairs.exists {
+            case (_, ae) => ae.aggregateFunction match {
+              case _: First | _: Last => w.orderSpec.nonEmpty
+              case _ => false
+            }
+          }
           replaced = GlobalTotalAggPlan(
-            totPairs.map(_._1), totPairs.map(_._2), replaced)
+            totPairs.map(_._1), totPairs.map(_._2),
+            if (orderSensitive) w.orderSpec else Nil, replaced)
         }
         // stacking groups by kind: restore the Window's exact column
-        // order when kinds interleave
-        if (replaced.output == w.output) replaced
-        else Project(w.output, replaced)
+        // order when kinds interleave; ignore-nulls lags additionally
+        // graft their default over the hidden Last attribute, keeping
+        // the original exprId
+        if (ignMap.isEmpty && replaced.output == w.output) replaced
+        else Project(w.output.map { a =>
+          ignMap.get(a.exprId) match {
+            // a null default (lag's implicit one arrives as an untyped
+            // null literal) adds nothing — and an untyped Coalesce leg
+            // would unresolve the plan
+            case Some((hidden, Literal(null, _))) =>
+              Alias(hidden, a.name)(exprId = a.exprId)
+            case Some((hidden, d)) =>
+              Alias(Coalesce(Seq(hidden, d)), a.name)(exprId = a.exprId)
+            case None => a
+          }
+        }, replaced)
     }
   }
 }
@@ -277,6 +322,13 @@ object GlobalRankRule {
   /** Frames with `maxRows` at or under this stay single-partition
     * windows (see the cost-guard scaladoc); 0 disables the guard. */
   val SmallFrameConf = "spark.graft.globalRank.smallFrameRows"
+
+  /** Bounded ROWS frames whose backward reach exceeds this keep Spark's
+    * plan: the rewrite ships k boundary tuples per partition as driver
+    * metadata and re-folds k rows per output row, so it is built for
+    * the rolling-window k's (7, 30, 100…), not frames that approach the
+    * data size. */
+  val MaxBoundedFrameConf = "spark.graft.globalRank.maxBoundedFrame"
 }
 
 /** Planner strategy for [[GlobalRankPlan]] → [[GlobalRankExec]] and
@@ -289,10 +341,16 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalRankExec(order, attrs, kinds, planLater(child)) :: Nil
     case GlobalRunningAggPlan(order, attrs, aggs, frames, child) =>
       GlobalRunningAggExec(order, attrs, aggs, frames, planLater(child)) :: Nil
-    case GlobalTotalAggPlan(attrs, aggs, child) =>
-      GlobalTotalAggExec(attrs, aggs, planLater(child)) :: Nil
+    case GlobalTotalAggPlan(attrs, aggs, order, child) =>
+      GlobalTotalAggExec(attrs, aggs, order, planLater(child)) :: Nil
     case GlobalOffsetPlan(order, attrs, ins, offs, defs, child) =>
       GlobalOffsetExec(order, attrs, ins, offs, defs, planLater(child)) :: Nil
+    case GlobalBoundedAggPlan(order, attrs, aggs, los, ups, child) =>
+      GlobalBoundedAggExec(order, attrs, aggs, los, ups, planLater(child)) :: Nil
+    case KeyedRunningAggPlan(keys, order, attrs, aggs, frames, child) =>
+      KeyedRunningAggExec(keys, order, attrs, aggs, frames, planLater(child)) :: Nil
+    case KeyedOffsetPlan(keys, order, attrs, ins, offs, defs, child) =>
+      KeyedOffsetExec(keys, order, attrs, ins, offs, defs, planLater(child)) :: Nil
     case _ => Nil
   }
 }

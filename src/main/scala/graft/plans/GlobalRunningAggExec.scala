@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, JoinedRow, MutableProjection, RowOrdering, SortOrder, SpecificInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, MutableProjection, RowOrdering, SortOrder, SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -47,7 +47,7 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * BEFORE folding the current row — same pass, zero extra state.
   */
 case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
-                                aggs: Seq[AggregateExpression],
+                                aggs: Seq[Expression],
                                 frames: Seq[RunFrame], child: SparkPlan)
     extends UnaryExecNode {
 
@@ -72,12 +72,19 @@ case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
     val sortOrder = order
     val outAttrs = aggAttrs
     val funcs: Seq[DeclarativeAggregate] =
-      aggs.map(_.aggregateFunction.asInstanceOf[DeclarativeAggregate])
+      aggs.map(GlobalRunningAggExec.innerAggregate(_).aggregateFunction
+        .asInstanceOf[DeclarativeAggregate])
     val bufferAttrs = funcs.flatMap(_.aggBufferAttributes)
     val bufferTypes = bufferAttrs.map(_.dataType)
     val initExprs = funcs.flatMap(_.initialValues)
     val updateExprs = funcs.flatMap(_.updateExpressions)
-    val evalExprs = funcs.map(_.evaluateExpression)
+    // the output expression: the aggregate's own evaluate, composed into
+    // whatever scalar wrapper later optimizer rules put around the
+    // AggregateExpression (e.g. DecimalAggregates' cast/divide)
+    val evalExprs = aggs.map(_.transform {
+      case a: AggregateExpression =>
+        a.aggregateFunction.asInstanceOf[DeclarativeAggregate].evaluateExpression
+    })
     val resultTypes = outAttrs.map(_.dataType)
     val frameArr = frames.toArray
     val numOutputRows = longMetric("numOutputRows")
@@ -117,13 +124,17 @@ case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
       out
     }
 
-    // pass 2: seed each partition's buffer with its offset, fold forward
+    // pass 2: seed each partition's buffer with its offset, fold forward.
+    // The O(partitions) offset array ships as a BROADCAST — Torrent
+    // moves it once per executor — never in each task's closure (which
+    // would be O(P) per task, O(P²) aggregate at cluster scale).
     val anyRange = frameArr.contains(RunFrame.RangeCurrent)
     val exclIdx = frameArr.indices.filter(
       frameArr(_) == RunFrame.RowsExclusive).toArray
+    val offsetsB = childRdd.sparkContext.broadcast(offsets)
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val buf = new SpecificInternalRow(bufferTypes)
-      val off = offsets(pid)
+      val off = offsetsB.value(pid)
       var i = 0
       while (i < bufferTypes.length) {
         buf.update(i, off.get(i, bufferTypes(i)))
@@ -207,6 +218,19 @@ case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
   }
 }
 
+object GlobalRunningAggExec {
+  /** The single `AggregateExpression` inside a (possibly wrapped) agg
+    * slot. [[GlobalRankRule]] always plants a bare aggregate, but later
+    * optimizer rules may wrap it in scalar post-processing
+    * (`DecimalAggregates`: `avg(decimal)` → `cast(divide(avg(…)))`);
+    * the execs fold the inner aggregate and compose the wrapper into
+    * their evaluate projections. */
+  private[plans] def innerAggregate(e: Expression): AggregateExpression =
+    e.collectFirst { case a: AggregateExpression => a }.getOrElse(
+      throw new IllegalStateException(
+        s"global window agg slot lost its AggregateExpression: $e"))
+}
+
 /** Physical whole-frame aggregate attach: every row gets the GLOBAL
   * aggregate value, with ZERO exchange — the child keeps whatever
   * partitioning and order it has. One metadata job folds each partition
@@ -214,16 +238,28 @@ case class GlobalRunningAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
   * the results ONCE; a map attaches the constant columns to every row.
   * The scale profile is a `count()` plus a map — there is no cheaper
   * correct plan for `agg(x) OVER ()`.
+  *
+  * When `order` is non-empty (an aggregate is order-sensitive:
+  * First/Last over a written ORDER BY) the exec instead requires
+  * `OrderedDistribution(order)` + in-partition order: partition-index
+  * merge order then equals the global sort order, making the merged
+  * First/Last the frame's true first/last row value.
   */
 case class GlobalTotalAggExec(aggAttrs: Seq[Attribute],
-                              aggs: Seq[AggregateExpression],
+                              aggs: Seq[Expression],
+                              order: Seq[SortOrder],
                               child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(aggAttrs)
-  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputOrdering: Seq[SortOrder] =
+    if (order.nonEmpty) order else child.outputOrdering
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    (if (order.nonEmpty) OrderedDistribution(order)
+     else org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -236,7 +272,8 @@ case class GlobalTotalAggExec(aggAttrs: Seq[Attribute],
     val childOutput = child.output
     val outAttrs = aggAttrs
     val funcs: Seq[DeclarativeAggregate] =
-      aggs.map(_.aggregateFunction.asInstanceOf[DeclarativeAggregate])
+      aggs.map(GlobalRunningAggExec.innerAggregate(_).aggregateFunction
+        .asInstanceOf[DeclarativeAggregate])
     val bufferAttrs = funcs.flatMap(_.aggBufferAttributes)
     val bufferTypes = bufferAttrs.map(_.dataType)
     val initExprs = funcs.flatMap(_.initialValues)
@@ -272,8 +309,10 @@ case class GlobalTotalAggExec(aggAttrs: Seq[Attribute],
     }
     val resultValues: InternalRow = {
       val res = new SpecificInternalRow(resultTypes)
-      MutableProjection.create(funcs.map(_.evaluateExpression), bufferAttrs)
-        .target(res)(total)
+      MutableProjection.create(aggs.map(_.transform {
+        case a: AggregateExpression =>
+          a.aggregateFunction.asInstanceOf[DeclarativeAggregate].evaluateExpression
+      }), bufferAttrs).target(res)(total)
       res.copy()
     }
 

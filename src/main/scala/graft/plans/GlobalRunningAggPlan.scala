@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, SortOrder}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 
@@ -37,13 +37,18 @@ object RunFrame {
   * applies per shard, promoted to an automatic whole-corpus rewrite).
   *
   * `aggAttrs` keep the exprIds of the window expressions they replace,
-  * so downstream references resolve unchanged. `aggs(i)` is the
-  * original `AggregateExpression` (carried as a real child expression
-  * so attribute rewrites and column pruning see its references);
-  * `frames(i)` says where output i's prefix ends — see [[RunFrame]].
+  * so downstream references resolve unchanged. `aggs(i)` is an
+  * expression containing EXACTLY ONE `AggregateExpression` — usually
+  * the aggregate itself, but later optimizer rules may wrap it in
+  * scalar post-processing (`DecimalAggregates` turns `avg(decimal)`
+  * into `cast(divide(avg(unscaled(…))))`); the exec folds the inner
+  * aggregate and composes the wrapper into its evaluate projection.
+  * Carried as real child expressions so attribute rewrites and column
+  * pruning see the references. `frames(i)` says where output i's
+  * prefix ends — see [[RunFrame]].
   */
 case class GlobalRunningAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
-                                aggs: Seq[AggregateExpression],
+                                aggs: Seq[Expression],
                                 frames: Seq[RunFrame], child: LogicalPlan)
     extends UnaryNode {
   require(aggAttrs.length == aggs.length && aggs.length == frames.length &&
@@ -58,16 +63,26 @@ case class GlobalRunningAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
 /** Logical plan for the whole-frame cousin: `agg(x) OVER ()` (or any
   * UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING frame with an empty
   * partition spec) — every row gets the GLOBAL aggregate. Spark plans
-  * this as a single-partition `WindowExec` too, but no order is needed
-  * at all: [[GlobalTotalAggExec]] demands NOTHING of its child (zero
-  * exchange, zero sort) — one metadata job folds per-partition
-  * partials, the driver merges them to one buffer and evaluates, and a
-  * map attaches the constant. Strictly cheaper than `WindowExec` at
-  * every scale, and cheaper than the scalar-subquery form (which scans
-  * the child twice).
+  * this as a single-partition `WindowExec` too, but for the order-
+  * insensitive aggregates no order is needed at all:
+  * [[GlobalTotalAggExec]] demands NOTHING of its child (zero exchange,
+  * zero sort) — one metadata job folds per-partition partials, the
+  * driver merges them to one buffer and evaluates, and a map attaches
+  * the constant. Strictly cheaper than `WindowExec` at every scale, and
+  * cheaper than the scalar-subquery form (which scans the child twice).
+  *
+  * `order` is non-empty ONLY when an aggregate is ORDER-SENSITIVE
+  * (First/Last with the window's ORDER BY written): the exec then
+  * requires `OrderedDistribution(order)` — partials fold rows in the
+  * sorted order and the driver merges them in partition-index order, so
+  * the merged First/Last is the global order's first/last, exactly.
+  * When the node stacks above the family's other execs the shared range
+  * exchange already satisfies the requirement (still zero extra cost);
+  * standalone it plans its own range sort — still never one task.
   */
 case class GlobalTotalAggPlan(aggAttrs: Seq[Attribute],
-                              aggs: Seq[AggregateExpression],
+                              aggs: Seq[Expression],
+                              order: Seq[SortOrder],
                               child: LogicalPlan) extends UnaryNode {
   require(aggAttrs.length == aggs.length && aggs.nonEmpty)
   override def output: Seq[Attribute] = child.output ++ aggAttrs

@@ -1,0 +1,649 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Ascending, Expression, GenericInternalRow, JoinedRow, MutableProjection, RowOrdering, SortOrder, SpecificInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Logical plan for scale-safe KEYED running aggregates —
+  * `agg(x) OVER (PARTITION BY k ORDER BY t [ROWS|RANGE] UNBOUNDED
+  * PRECEDING → CURRENT ROW)` where k is a LOW-CARDINALITY data column
+  * (`PARTITION BY l_returnflag`: 3 values over a corpus). Spark hash-
+  * clusters the window on k, so the whole corpus rides through ndv(k)
+  * tasks at any cluster size — the classic low-ndv window hazard the
+  * library-level `stats/KeyedPrefix` healed for library callers
+  * (VERDICT r10 #3 asks for the automatic rule).
+  *
+  * The plan here needs NO calendar bucket column: range-partition on
+  * (keys ++ order) — each key's slice becomes a CONTIGUOUS RUN of
+  * partitions, parallelism bounded by the data, never by ndv(k) — and
+  * run the [[GlobalRunningAggPlan]] prefix machinery with PER-KEY
+  * resets:
+  *
+  *   1. the metadata pass folds each partition into one partial buffer
+  *      PER KEY-RUN (sorted input: a key appears as at most one run per
+  *      partition, so driver state is O(partitions + ndv) buffers);
+  *   2. the driver walks partitions in order keeping one accumulated
+  *      buffer for the key currently straddling the boundary — a
+  *      partition whose first key continues the previous partition's
+  *      last key is seeded with that key's accumulated prefix,
+  *      otherwise it starts fresh;
+  *   3. the streaming pass folds forward, RE-INITIALIZING the buffer at
+  *      every key change (the in-partition keys' prefixes are complete
+  *      within the partition).
+  *
+  * Frame semantics per output are [[RunFrame]]'s, identical to the
+  * global exec: ROWS evaluates per row, the EXCLUSIVE prefix before the
+  * fold, RANGE buffers one (key ∪ order)-peer run and back-fills at run
+  * end. Tie discipline matches the global family: exactness under
+  * non-total orders holds where `WindowExec`'s own answer is defined.
+  */
+case class KeyedRunningAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
+                               aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                               frames: Seq[RunFrame], child: LogicalPlan)
+    extends UnaryNode {
+  require(partKeys.nonEmpty && aggAttrs.length == aggs.length &&
+    aggs.length == frames.length && aggs.nonEmpty)
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): KeyedRunningAggPlan =
+    copy(child = newChild)
+}
+
+/** Logical plan for scale-safe KEYED lag/lead — `lag/lead(e, n) OVER
+  * (PARTITION BY k ORDER BY t)` over a low-cardinality k: the
+  * [[GlobalOffsetPlan]] boundary-value machinery with PER-KEY resets
+  * (an offset never reaches across a key change — the first rows of a
+  * key get the default, exactly as `WindowExec` partitions do). Only
+  * the boundary VALUES of keys that straddle partition boundaries cross
+  * partitions, as (key, values) metadata.
+  */
+case class KeyedOffsetPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
+                           attrs: Seq[Attribute], inputs: Seq[Expression],
+                           offs: Seq[Int], defaults: Seq[Expression],
+                           child: LogicalPlan) extends UnaryNode {
+  require(partKeys.nonEmpty && attrs.length == inputs.length &&
+    inputs.length == offs.length && offs.length == defaults.length &&
+    attrs.nonEmpty)
+  override def output: Seq[Attribute] = child.output ++ attrs
+  override def producedAttributes: AttributeSet = AttributeSet(attrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): KeyedOffsetPlan =
+    copy(child = newChild)
+}
+
+private[plans] object KeyedWindowExec {
+  /** The sort orders a keyed exec demands: keys first (ascending, any
+    * null placement — grouping only needs determinism), then the
+    * window's own order. */
+  def fullOrder(partKeys: Seq[Expression], order: Seq[SortOrder]): Seq[SortOrder] =
+    partKeys.map(k => SortOrder(k, Ascending)) ++ order
+
+  /** Driver-side equality of projected key rows (UnsafeRow binary
+    * equality — both sides come from the same projection over range-
+    * partitioned input, so equal keys are binary-equal). */
+  def keyEq(a: InternalRow, b: InternalRow): Boolean = (a, b) match {
+    case (ua: UnsafeRow, ub: UnsafeRow) => ua.equals(ub)
+    case _ => a == b
+  }
+}
+
+/** Physical per-key running aggregate without per-key task clustering —
+  * see [[KeyedRunningAggPlan]]. */
+case class KeyedRunningAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
+                               aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                               frames: Seq[RunFrame], child: SparkPlan)
+    extends UnaryExecNode {
+
+  private val full = KeyedWindowExec.fullOrder(partKeys, order)
+
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def outputOrdering: Seq[SortOrder] = full
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(full) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(full)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): KeyedRunningAggExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRdd = child.execute()
+    val childOutput = child.output
+    val fullOrder = full
+    val keyExprs = partKeys
+    val outAttrs = aggAttrs
+    val funcs: Seq[DeclarativeAggregate] =
+      aggs.map(GlobalRunningAggExec.innerAggregate(_).aggregateFunction
+        .asInstanceOf[DeclarativeAggregate])
+    val bufferAttrs = funcs.flatMap(_.aggBufferAttributes)
+    val bufferTypes = bufferAttrs.map(_.dataType)
+    val initExprs = funcs.flatMap(_.initialValues)
+    val updateExprs = funcs.flatMap(_.updateExpressions)
+    val evalExprs = aggs.map(_.transform {
+      case a: AggregateExpression =>
+        a.aggregateFunction.asInstanceOf[DeclarativeAggregate].evaluateExpression
+    })
+    val resultTypes = outAttrs.map(_.dataType)
+    val frameArr = frames.toArray
+    val numOutputRows = longMetric("numOutputRows")
+
+    // pass 1: one partial buffer per KEY-RUN per partition (sorted on
+    // keys first → a key is one contiguous run; driver state is
+    // O(partitions + ndv), the gate's contract)
+    val runs: Array[Array[(InternalRow, InternalRow)]] =
+      if (childRdd.getNumPartitions == 0) Array.empty
+      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val buf = new SpecificInternalRow(bufferTypes)
+        val init = MutableProjection.create(initExprs, Nil).target(buf)
+        val update =
+          MutableProjection.create(updateExprs, bufferAttrs ++ childOutput).target(buf)
+        val joined = new JoinedRow
+        val out = scala.collection.mutable.ArrayBuffer.empty[(InternalRow, InternalRow)]
+        var curKey: UnsafeRow = null
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyProj(r)
+          if (curKey == null || !curKey.equals(k)) {
+            if (curKey != null) out += ((curKey, buf.copy()))
+            curKey = k.copy()
+            init(InternalRow.empty)
+          }
+          update(joined(buf, r))
+        }
+        if (curKey != null) out += ((curKey, buf.copy()))
+        out.toArray
+      })
+
+    // driver stitch: partition p's seed = the accumulated buffer of its
+    // FIRST key, when that key continues from earlier partitions
+    val inputBufferAttrs = funcs.flatMap(_.inputAggBufferAttributes)
+    val mergeExprs = funcs.flatMap(_.mergeExpressions)
+    val nPart = runs.length
+    val seeds = new Array[InternalRow](nPart) // null = fresh init
+    locally {
+      val merge = MutableProjection.create(mergeExprs, bufferAttrs ++ inputBufferAttrs)
+      val joined = new JoinedRow
+      var curKey: InternalRow = null
+      var acc: InternalRow = null
+      var p = 0
+      while (p < nPart) {
+        val rs = runs(p)
+        if (rs.nonEmpty) {
+          if (curKey != null && KeyedWindowExec.keyEq(rs.head._1, curKey)) {
+            seeds(p) = acc
+          }
+          var i = 0
+          while (i < rs.length) {
+            val (k, partial) = rs(i)
+            if (curKey != null && KeyedWindowExec.keyEq(k, curKey)) {
+              acc = merge.target(new SpecificInternalRow(bufferTypes))(
+                joined(acc, partial)).copy()
+            } else {
+              curKey = k
+              acc = partial
+            }
+            i += 1
+          }
+        }
+        p += 1
+      }
+    }
+    val seedsB = childRdd.sparkContext.broadcast(seeds)
+
+    // pass 2: fold forward, re-initializing at each key change; the
+    // first key folds on top of its broadcast seed
+    val anyRange = frameArr.contains(RunFrame.RangeCurrent)
+    val exclIdx = frameArr.indices.filter(
+      frameArr(_) == RunFrame.RowsExclusive).toArray
+    childRdd.mapPartitionsWithIndex { (pid, it) =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val buf = new SpecificInternalRow(bufferTypes)
+      val init = MutableProjection.create(initExprs, Nil).target(buf)
+      val update =
+        MutableProjection.create(updateExprs, bufferAttrs ++ childOutput).target(buf)
+      val resultRow = new SpecificInternalRow(resultTypes)
+      val eval = MutableProjection.create(evalExprs, bufferAttrs).target(resultRow)
+      val joinedUp = new JoinedRow
+      val joinedOut = new JoinedRow
+      val outProj = UnsafeProjection.create(
+        childOutput ++ outAttrs, childOutput ++ outAttrs)
+      var curKey: UnsafeRow = null
+      var first = true
+      // (re)start the buffer for row r's key: the partition's first key
+      // loads the broadcast seed, later keys init fresh
+      def startKey(k: UnsafeRow): Unit = {
+        curKey = k.copy()
+        val seed = if (first) seedsB.value(pid) else null
+        first = false
+        if (seed == null) init(InternalRow.empty)
+        else {
+          var i = 0
+          while (i < bufferTypes.length) {
+            buf.update(i, seed.get(i, bufferTypes(i)))
+            i += 1
+          }
+        }
+      }
+      val exclSaved = new Array[Any](exclIdx.length)
+      def foldRow(r: InternalRow): Unit = {
+        val k = keyProj(r)
+        if (curKey == null || !curKey.equals(k)) startKey(k)
+        if (exclIdx.nonEmpty) {
+          eval(buf)
+          var j = 0
+          while (j < exclIdx.length) {
+            exclSaved(j) = InternalRow.copyValue(
+              resultRow.get(exclIdx(j), resultTypes(exclIdx(j))))
+            j += 1
+          }
+        }
+        update(joinedUp(buf, r))
+        eval(buf)
+        var j = 0
+        while (j < exclIdx.length) {
+          resultRow.update(exclIdx(j), exclSaved(j))
+          j += 1
+        }
+      }
+      if (!anyRange) {
+        it.map { r =>
+          foldRow(r)
+          numOutputRows += 1L
+          outProj(joinedOut(r, resultRow))
+        }
+      } else {
+        // a RANGE output: buffer one (keys ∪ order)-peer run, back-fill
+        // at run end — a run never spans a key change (keys lead the
+        // full order) nor a partition boundary (range partitioning)
+        val ord = RowOrdering.create(fullOrder, childOutput)
+        val rangeIdx = frameArr.indices.filter(
+          frameArr(_) == RunFrame.RangeCurrent).toArray
+        val bIt = it.buffered
+        new Iterator[InternalRow] {
+          private val pending =
+            scala.collection.mutable.Queue.empty[(InternalRow, GenericInternalRow)]
+          override def hasNext: Boolean = pending.nonEmpty || bIt.hasNext
+          override def next(): InternalRow = {
+            if (pending.isEmpty) {
+              val firstRow = bIt.next().copy()
+              foldRow(firstRow)
+              pending.enqueue(
+                (firstRow, resultRow.copy().asInstanceOf[GenericInternalRow]))
+              while (bIt.hasNext && ord.compare(firstRow, bIt.head) == 0) {
+                val r = bIt.next().copy()
+                foldRow(r)
+                pending.enqueue(
+                  (r, resultRow.copy().asInstanceOf[GenericInternalRow]))
+              }
+              eval(buf)
+              pending.foreach { case (_, res) =>
+                var j = 0
+                while (j < rangeIdx.length) {
+                  val k = rangeIdx(j)
+                  res.update(k, resultRow.get(k, resultTypes(k)))
+                  j += 1
+                }
+              }
+            }
+            val (r, res) = pending.dequeue()
+            numOutputRows += 1L
+            outProj(joinedOut(r, res))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Physical per-key lag/lead without per-key task clustering — see
+  * [[KeyedOffsetPlan]]. Boundary metadata carries (key, values) so the
+  * driver stitch can reset at key changes; inside a partition the rings
+  * and pending queues reset whenever the key changes, reproducing
+  * `WindowExec`'s partition-edge defaults exactly. */
+case class KeyedOffsetExec(partKeys: Seq[Expression], order: Seq[SortOrder],
+                           attrs: Seq[Attribute], inputs: Seq[Expression],
+                           offs: Seq[Int], defaults: Seq[Expression],
+                           child: SparkPlan) extends UnaryExecNode {
+
+  private val full = KeyedWindowExec.fullOrder(partKeys, order)
+
+  override def output: Seq[Attribute] = child.output ++ attrs
+  override def producedAttributes: AttributeSet = AttributeSet(attrs)
+  override def outputOrdering: Seq[SortOrder] = full
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(full) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(full)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): KeyedOffsetExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRdd = child.execute()
+    val childOutput = child.output
+    val keyExprs = partKeys
+    val outAttrs = attrs
+    val inExprs = inputs
+    val defExprs = defaults
+    val offArr = offs.toArray
+    val nExpr = offArr.length
+    val backIdx = offArr.indices.filter(offArr(_) < 0).toArray
+    val fwdIdx = offArr.indices.filter(offArr(_) > 0).toArray
+    val maxFwd = if (fwdIdx.isEmpty) 0 else fwdIdx.map(offArr(_)).max
+    val numOutputRows = longMetric("numOutputRows")
+
+    // pass 1 metadata per partition: for the FIRST key — its first
+    // `lead` values (they resolve the previous partition's pending
+    // leads); for the LAST key — its last `lag` values (they seed the
+    // next partition's rings); plus both key rows. Only boundary-
+    // straddling keys matter: interior runs are complete in-partition.
+    // (firstKey, heads per fwd expr, lastKey, tails per back expr)
+    type Boundary = (InternalRow, Array[Array[Any]], InternalRow, Array[Array[Any]])
+    val boundary: Array[Boundary] =
+      if (childRdd.getNumPartitions == 0) Array.empty
+      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val inProj = MutableProjection.create(inExprs, childOutput)
+        val types = inExprs.map(_.dataType).toArray
+        var firstKey: InternalRow = null
+        var lastKey: UnsafeRow = null
+        val heads = fwdIdx.map(_ =>
+          scala.collection.mutable.ArrayBuffer.empty[Any])
+        var tails = backIdx.map(j => new Array[Any](-offArr(j)))
+        var t = 0L // rows since the current key started
+        var inFirstKey = true
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyProj(r)
+          if (lastKey == null) {
+            firstKey = k.copy(); lastKey = k.copy()
+          } else if (!lastKey.equals(k)) {
+            lastKey = k.copy()
+            inFirstKey = false
+            tails = backIdx.map(j => new Array[Any](-offArr(j)))
+            t = 0L
+          }
+          val vals = inProj(r)
+          var m = 0
+          while (m < backIdx.length) {
+            val j = backIdx(m)
+            val cap = -offArr(j)
+            tails(m)((t % cap).toInt) =
+              InternalRow.copyValue(vals.get(j, types(j)))
+            m += 1
+          }
+          m = 0
+          while (m < fwdIdx.length) {
+            val j = fwdIdx(m)
+            if (inFirstKey && t < offArr(j)) {
+              heads(m) += InternalRow.copyValue(vals.get(j, types(j)))
+            }
+            m += 1
+          }
+          t += 1L
+        }
+        val tailsOrdered = backIdx.indices.map { m =>
+          val cap = tails(m).length
+          val n = math.min(t, cap.toLong).toInt
+          Array.tabulate[Any](n)(i => tails(m)(((t - n + i) % cap).toInt))
+        }.toArray
+        (firstKey, heads.map(_.toArray).toArray, lastKey, tailsOrdered)
+      })
+
+    // driver stitch with key resets: back context flows forward only
+    // while the key continues; forward context flows backward likewise
+    val nPart = boundary.length
+    val backCtx = Array.ofDim[Array[Any]](nPart, backIdx.length)
+    locally {
+      var curKey: InternalRow = null
+      val running = backIdx.map(_ =>
+        scala.collection.mutable.ArrayBuffer.empty[Any])
+      var p = 0
+      while (p < nPart) {
+        val b = boundary(p)
+        if (b._1 != null) { // non-empty partition
+          val continues = curKey != null && KeyedWindowExec.keyEq(b._1, curKey)
+          var m = 0
+          while (m < backIdx.length) {
+            backCtx(p)(m) =
+              if (continues) running(m).toArray else Array.empty[Any]
+            m += 1
+          }
+          // accumulate the partition's LAST key's tail (resetting if the
+          // last key differs from the running key)
+          val lastContinues =
+            curKey != null && KeyedWindowExec.keyEq(b._3, curKey) &&
+              KeyedWindowExec.keyEq(b._1, b._3)
+          m = 0
+          while (m < backIdx.length) {
+            if (!lastContinues) running(m).clear()
+            val cap = -offArr(backIdx(m))
+            running(m) ++= b._4(m)
+            if (running(m).length > cap)
+              running(m).remove(0, running(m).length - cap)
+            m += 1
+          }
+          curKey = b._3
+        } else {
+          var m = 0
+          while (m < backIdx.length) {
+            backCtx(p)(m) = Array.empty[Any]; m += 1
+          }
+        }
+        p += 1
+      }
+    }
+    val fwdCtx = Array.ofDim[Array[Any]](nPart, fwdIdx.length)
+    locally {
+      var curKey: InternalRow = null
+      val running = fwdIdx.map(_ =>
+        scala.collection.mutable.ArrayBuffer.empty[Any])
+      var p = nPart - 1
+      while (p >= 0) {
+        val b = boundary(p)
+        if (b._1 != null) {
+          val continues = curKey != null && KeyedWindowExec.keyEq(b._3, curKey)
+          var m = 0
+          while (m < fwdIdx.length) {
+            fwdCtx(p)(m) =
+              if (continues) running(m).toArray else Array.empty[Any]
+            m += 1
+          }
+          val firstContinues =
+            curKey != null && KeyedWindowExec.keyEq(b._1, curKey) &&
+              KeyedWindowExec.keyEq(b._1, b._3)
+          m = 0
+          while (m < fwdIdx.length) {
+            if (!firstContinues) running(m).clear()
+            val cap = offArr(fwdIdx(m))
+            running(m).prependAll(b._2(m))
+            if (running(m).length > cap)
+              running(m).remove(cap, running(m).length - cap)
+            m += 1
+          }
+          curKey = b._1
+        } else {
+          var m = 0
+          while (m < fwdIdx.length) {
+            fwdCtx(p)(m) = Array.empty[Any]; m += 1
+          }
+        }
+        p -= 1
+      }
+    }
+    val ctxB = childRdd.sparkContext.broadcast((backCtx, fwdCtx))
+
+    // pass 2: ring-seeded lags and queue-drained leads with KEY RESETS —
+    // the context applies only to the partition's first key; a key
+    // change drains pending leads against defaults and clears the rings
+    childRdd.mapPartitionsWithIndex { (pid, it) =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val inProj = MutableProjection.create(inExprs, childOutput)
+      val defProj = MutableProjection.create(defExprs, childOutput)
+      val types = inExprs.map(_.dataType).toArray
+      val outProj = UnsafeProjection.create(
+        childOutput ++ outAttrs, childOutput ++ outAttrs)
+      val joined = new JoinedRow
+      val rings = backIdx.indices.map { m =>
+        val cap = -offArr(backIdx(m))
+        (new Array[Any](cap), new Array[Boolean](cap))
+      }.toArray
+      var t = 0L // row index within the current key
+      var curKey: UnsafeRow = null
+      var firstKeyOfPartition = true
+      def startKey(k: UnsafeRow, seedFromCtx: Boolean): Unit = {
+        curKey = k.copy()
+        t = 0L
+        var m = 0
+        while (m < rings.length) {
+          val (ring, valid) = rings(m)
+          java.util.Arrays.fill(valid, false)
+          if (seedFromCtx) {
+            val cap = ring.length
+            val ctx = ctxB.value._1(pid)(m)
+            var i = 0
+            while (i < cap) {
+              val ci = ctx.length - (cap - i)
+              if (ci >= 0) { ring(i) = ctx(ci); valid(i) = true }
+              i += 1
+            }
+          }
+          m += 1
+        }
+      }
+      val pending =
+        scala.collection.mutable.ArrayDeque.empty[(InternalRow, GenericInternalRow)]
+      new Iterator[InternalRow] {
+        private var drained: Iterator[InternalRow] = Iterator.empty
+        private def emit(r: InternalRow, res: GenericInternalRow): InternalRow = {
+          numOutputRows += 1L
+          outProj(joined(r, res))
+        }
+        /** Drain the pending queue of the key that just ENDED: leads
+          * past the key end resolve from the forward context when the
+          * key continues into the next partition (endOfPartition), else
+          * keep their defaults (the key ended mid-partition). */
+        private def drainPending(useFwdCtx: Boolean): Iterator[InternalRow] = {
+          val ctx = ctxB.value._2(pid)
+          val snapshot = pending.toArray
+          pending.clear()
+          val n = snapshot.length
+          snapshot.iterator.zipWithIndex.map { case ((r, res), idx) =>
+            val after = n - 1 - idx
+            var m = 0
+            while (useFwdCtx && m < fwdIdx.length) {
+              val j = fwdIdx(m)
+              val need = offArr(j) - after
+              if (need > 0 && need <= ctx(m).length) {
+                res.update(j, ctx(m)(need - 1))
+              }
+              m += 1
+            }
+            emit(r, res)
+          }
+        }
+        private var parked: InternalRow = null
+        override def hasNext: Boolean =
+          drained.hasNext || parked != null || it.hasNext || pending.nonEmpty
+        override def next(): InternalRow = {
+          while (true) {
+            if (drained.hasNext) return drained.next()
+            if (parked != null) {
+              // the first row of a new key, parked while the old key's
+              // flush drained — ingest it before touching the source
+              val p = parked; parked = null
+              val res = ingest(p)
+              if (res != null) return res
+            } else if (it.hasNext) {
+              val r0 = it.next()
+              val k = keyProj(r0)
+              if (curKey == null || !curKey.equals(k)) {
+                // key change: the old key's pending leads keep defaults
+                val hadPending = pending.nonEmpty
+                val flush =
+                  if (hadPending) drainPending(useFwdCtx = false)
+                  else Iterator.empty
+                startKey(k, seedFromCtx = firstKeyOfPartition)
+                firstKeyOfPartition = false
+                if (hadPending) {
+                  drained = flush
+                  parked = r0.copy()
+                } else {
+                  val res = ingest(r0)
+                  if (res != null) return res
+                }
+              } else {
+                val res = ingest(r0)
+                if (res != null) return res
+              }
+            } else if (pending.nonEmpty) {
+              // partition exhausted: the last key's leads resolve from
+              // the forward context (the key may continue next door)
+              drained = drainPending(useFwdCtx = true)
+            } else {
+              throw new NoSuchElementException("next on empty iterator")
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
+        /** Fold one row in; returns an output row when the queue
+          * overflows maxFwd, else null. */
+        private def ingest(r0: InternalRow): InternalRow = {
+          val vals = inProj(r0)
+          val defs = defProj(r0)
+          val res = new GenericInternalRow(nExpr)
+          var i = 0
+          while (i < nExpr) {
+            if (offArr(i) == 0) {
+              res.update(i, InternalRow.copyValue(vals.get(i, types(i))))
+            } else {
+              res.update(i, InternalRow.copyValue(defs.get(i, defExprs(i).dataType)))
+            }
+            i += 1
+          }
+          var m = 0
+          while (m < backIdx.length) {
+            val j = backIdx(m)
+            val cap = -offArr(j)
+            val (ring, valid) = rings(m)
+            val slot = (t % cap).toInt
+            if (valid(slot)) res.update(j, ring(slot))
+            ring(slot) = InternalRow.copyValue(vals.get(j, types(j)))
+            valid(slot) = true
+            m += 1
+          }
+          m = 0
+          while (m < fwdIdx.length) {
+            val j = fwdIdx(m)
+            val back = offArr(j)
+            if (pending.length >= back) {
+              pending(pending.length - back)._2
+                .update(j, InternalRow.copyValue(vals.get(j, types(j))))
+            }
+            m += 1
+          }
+          pending.append((r0.copy(), res))
+          t += 1L
+          if (pending.length > maxFwd) {
+            val (r, res2) = pending.removeHead()
+            emit(r, res2)
+          } else null
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,300 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, DeclarativeAggregate, First, Last, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
+
+/** The window-expression shapes the rewrite family executes — shared by
+  * [[GlobalRankRule]] (empty partition spec) and [[KeyedWindowRule]]
+  * (low-ndv PARTITION BY): one source of truth, so the keyed and global
+  * arms can never drift on what "a running aggregate" means.
+  */
+private[plans] object WindowShapes {
+
+  /** Whitelisted running aggregates: `DeclarativeAggregate`s whose
+    * init/update/merge/evaluate expressions the prefix-sum execs replay
+    * verbatim, so semantics (null handling, Decimal widening, ANSI
+    * overflow) are inherited, not reimplemented. DISTINCT and FILTER
+    * forms are excluded (neither is a prefix-mergeable fold).
+    */
+  def supportedAgg(f: AggregateFunction): Boolean = f match {
+    case _: Sum | _: Min | _: Max | _: Count | _: Average | _: First | _: Last =>
+      f.isInstanceOf[DeclarativeAggregate]
+    case _ => false
+  }
+
+  /** `nth_value(x, 1[, ignoreNulls])` — Spark's `OptimizeWindowFunctions`
+    * spelling of `first_value` for ROWS frames starting at UNBOUNDED
+    * PRECEDING — as the equivalent `First` aggregate. */
+  def nthFirstOf(fn: Expression): Option[AggregateExpression] = fn match {
+    case NthValue(in, Literal(1, IntegerType), ignoreNulls) if in.deterministic =>
+      Some(First(in, ignoreNulls).toAggregateExpression())
+    case _ => None
+  }
+
+  /** `agg(x) OVER (… [ROWS|RANGE] UNBOUNDED PRECEDING → CURRENT ROW)`
+    * (or the exclusive `… AND 1 PRECEDING`) → (aggregate, frame). */
+  def runningAggOf(fn: Expression,
+                   spec: WindowSpecDefinition): Option[(AggregateExpression, RunFrame)] =
+    (fn, spec.frameSpecification) match {
+      case (ae @ AggregateExpression(f, Complete, false, None, _),
+            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))
+          if supportedAgg(f) =>
+        Some((ae,
+          if (ft == RowFrame) RunFrame.RowsCurrent else RunFrame.RangeCurrent))
+      case (ae @ AggregateExpression(f, Complete, false, None, _),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              Literal(-1, IntegerType)))
+          if supportedAgg(f) =>
+        Some((ae, RunFrame.RowsExclusive))
+      case (nth, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)) =>
+        nthFirstOf(nth).map((_, RunFrame.RowsCurrent))
+      case (nth, SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              Literal(-1, IntegerType))) =>
+        nthFirstOf(nth).map((_, RunFrame.RowsExclusive))
+      case _ => None
+    }
+
+  /** Literal-offset respect-nulls lag/lead → (input, SIGNED offset,
+    * default). */
+  def offsetOf(fn: Expression): Option[(Expression, Int, Expression)] =
+    fn match {
+      case Lag(in, Literal(n: Int, _), default, false)
+          if in.deterministic && default.deterministic =>
+        Some((in, -n, default))
+      case Lead(in, Literal(n: Int, _), default, false)
+          if in.deterministic && default.deterministic =>
+        Some((in, n, default))
+      case _ => None
+    }
+
+  /** ignore-nulls `lag(e, 1[, default])` → (input, default): exactly
+    * `last_value(e, ignoreNulls)` over the EXCLUSIVE prefix, with the
+    * default grafted back by a coalesce projection (the lag returns its
+    * default exactly when no preceding non-null value exists). */
+  def ignLagOf(fn: Expression): Option[(Expression, Expression)] =
+    fn match {
+      case Lag(in, Literal(1, IntegerType), default, true)
+          if in.deterministic && default.deterministic =>
+        Some((in, default))
+      case _ => None
+    }
+}
+
+/** Optimizer rule healing the LOW-CARDINALITY `PARTITION BY` window
+  * hazard automatically (VERDICT r10 #3): `agg(x) OVER (PARTITION BY c
+  * ORDER BY t [running frame])` and `lag/lead(e, n) OVER (PARTITION BY c
+  * ORDER BY t)` hash-cluster on c, so with ndv(c) = 3 (the reference's
+  * `l_returnflag` bars) the whole corpus rides through THREE tasks at
+  * any cluster size. When ndv(c) is PROVABLY small the rule re-plans
+  * through [[KeyedRunningAggPlan]]/[[KeyedOffsetPlan]]: one range
+  * exchange on (c, t) — parallelism bounded by the data — with per-key
+  * boundary stitching, results bit-identical.
+  *
+  * "Provably small" (≤ `spark.graft.keyedWindow.maxNdv`, default 64),
+  * in evidence order:
+  *   - the EXPRESSION bounds its own domain: boolean (≤3 with null),
+  *     `pmod(x, k)`/`x % k` with a literal k, a literal, a CASE WHEN
+  *     whose outputs are all literals, a cast of any of these (a cast
+  *     never increases ndv);
+  *   - an upstream `Filter` pins the column to a literal set
+  *     (`c IN (…)`, `c = lit`), walked through intervening projects;
+  *   - CATALOG/CBO column statistics (`distinctCount` from
+  *     `ANALYZE TABLE … FOR COLUMNS`) on the child plan;
+  *   - a session NDV HINT (`spark.graft.keyedWindow.ndvHints`,
+  *     `name=ndv[,name=ndv…]`) — the handoff point for runtime stats
+  *     artifacts: `MarketEtl.rollingStats` (w2/w4's bucketing stats)
+  *     registers its measured key count via [[KeyedWindowRule.registerNdvHint]],
+  *     making the library's artifact knowledge visible to plain SQL
+  *     plans in the same session. Hints match by column NAME, so they
+  *     are session-scoped facts the caller vouches for.
+  *
+  * A too-high or unprovable ndv leaves the plan with Spark: hash
+  * clustering at high ndv is already parallel, and the rewrite's range
+  * sampling job + boundary metadata would be pure overhead. Frames with
+  * a small `maxRows` proof keep Spark's plan too (the
+  * [[GlobalRankRule.SmallFrameConf]] cost guard, same threshold).
+  * Disable with `spark.graft.keyedWindow.rewrite=false`.
+  */
+case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import KeyedWindowRule._
+
+  private sealed trait Kind
+  private case class RunK(ae: AggregateExpression, frame: RunFrame) extends Kind
+  private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
+  private case class IgnK(in: Expression, default: Expression) extends Kind
+
+  private def classify(ne: NamedExpression): Option[Kind] = ne match {
+    case Alias(WindowExpression(fn, spec), _) =>
+      WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) }
+        .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
+        .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
+    case _ => None
+  }
+
+  private def provablySmall(child: LogicalPlan): Boolean = {
+    val threshold =
+      session.conf.get(GlobalRankRule.SmallFrameConf, "4096").toLong
+    threshold > 0L && child.maxRows.exists(_ <= threshold)
+  }
+
+  private def ndvOk(keys: Seq[Expression], child: LogicalPlan): Boolean = {
+    val maxNdv = session.conf.get(MaxNdvConf, "64").toLong
+    val hints = parseHints(session.conf.get(NdvHintsConf, ""))
+    val bounds = keys.map(ndvBound(_, child, hints))
+    bounds.forall(_.isDefined) && {
+      val product = bounds.flatten.foldLeft(1L) { (acc, b) =>
+        if (acc > maxNdv) acc else math.min(acc * math.max(b, 1L), Long.MaxValue / 2)
+      }
+      product <= maxNdv
+    }
+  }
+
+  /** Everything but the on/off conf: would this node re-plan? Exposed
+    * for the PlanAuditSpec sweep (detector self-check plants a probe
+    * with the rewrite off and must still SEE it). */
+  private[graft] def wouldRewrite(w: Window): Boolean =
+    w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty &&
+      w.windowExpressions.nonEmpty && !provablySmall(w.child) &&
+      w.windowExpressions.forall(classify(_).isDefined) &&
+      ndvOk(w.partitionSpec, w.child)
+
+  private def rewritable(w: Window): Boolean =
+    session.conf.get(RewriteConf, "true") == "true" && wouldRewrite(w)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case w: Window if rewritable(w) =>
+      val classified = w.windowExpressions.map { ne =>
+        (ne.toAttribute, classify(ne).get)
+      }
+      val ignMap: Map[ExprId, (Attribute, Expression)] =
+        classified.collect { case (attr, IgnK(in, d)) =>
+          attr.exprId -> (AttributeReference(attr.name + "__ignlag",
+            in.dataType, nullable = true)() -> d)
+        }.toMap
+      val runTriples = classified.collect {
+        case (attr, RunK(ae, fr)) => (attr, ae, fr)
+      } ++ classified.collect {
+        case (attr, IgnK(in, _)) =>
+          (ignMap(attr.exprId)._1,
+            Last(in, ignoreNulls = true).toAggregateExpression(),
+            RunFrame.RowsExclusive: RunFrame)
+      }
+      val offQuads = classified.collect {
+        case (attr, OffK(in, o, d)) => (attr, in, o, d)
+      }
+      var replaced: LogicalPlan = w.child
+      if (runTriples.nonEmpty) {
+        replaced = KeyedRunningAggPlan(w.partitionSpec, w.orderSpec,
+          runTriples.map(_._1), runTriples.map(_._2: Expression),
+          runTriples.map(_._3), replaced)
+      }
+      if (offQuads.nonEmpty) {
+        replaced = KeyedOffsetPlan(w.partitionSpec, w.orderSpec,
+          offQuads.map(_._1), offQuads.map(_._2),
+          offQuads.map(_._3), offQuads.map(_._4), replaced)
+      }
+      if (ignMap.isEmpty && replaced.output == w.output) replaced
+      else Project(w.output.map { a =>
+        ignMap.get(a.exprId) match {
+          case Some((hidden, Literal(null, _))) =>
+            Alias(hidden, a.name)(exprId = a.exprId)
+          case Some((hidden, d)) =>
+            Alias(Coalesce(Seq(hidden, d)), a.name)(exprId = a.exprId)
+          case None => a
+        }
+      }, replaced)
+  }
+
+  /** Largest provable distinct-value bound of `e` over `child`, or None. */
+  private def ndvBound(e: Expression, child: LogicalPlan,
+                       hints: Map[String, Long]): Option[Long] = e match {
+    case _: Literal => Some(1L)
+    case _ if e.dataType == BooleanType => Some(3L) // true/false/null
+    case Pmod(_, Literal(k: Int, IntegerType), _) if k > 0 => Some(k.toLong)
+    case Pmod(_, Literal(k: Long, LongType), _) if k > 0 => Some(k)
+    case Remainder(_, Literal(k: Int, IntegerType), _) if k > 0 =>
+      Some(2L * k - 1) // remainder keeps the sign
+    case Remainder(_, Literal(k: Long, LongType), _) if k > 0 =>
+      Some(2L * k - 1)
+    case c: Cast => ndvBound(c.child, child, hints) // never increases ndv
+    case CaseWhen(branches, elseValue)
+        if branches.forall(_._2.foldable) && elseValue.forall(_.foldable) =>
+      Some(branches.length + 1L) // branch outputs + else/null
+    case ElementAt(CreateArray(items, _), _, _, _) if items.forall(_.foldable) =>
+      Some(items.length + 1L) // literal decode table + out-of-bounds null
+    case a: Attribute =>
+      hints.get(a.name)
+        .orElse(statsNdv(a, child))
+        .orElse(lineageNdv(a, child, hints))
+    case _ => None
+  }
+
+  /** CBO/catalog column stats, when the plan carries them. */
+  private def statsNdv(a: Attribute, plan: LogicalPlan): Option[Long] =
+    scala.util.Try(plan.stats.attributeStats.get(a)
+      .flatMap(_.distinctCount).map(_.toLong)).toOption.flatten
+
+  /** Walk the attribute down through projects/filters: an upstream
+    * `c IN (literals)` / `c = literal` bounds the domain; a project
+    * alias recurses into the defining expression. */
+  private def lineageNdv(a: Attribute, plan: LogicalPlan,
+                         hints: Map[String, Long]): Option[Long] = plan match {
+    case Project(list, gc) =>
+      list.collectFirst {
+        case al @ Alias(inner, _) if al.exprId == a.exprId =>
+          ndvBound(inner, gc, hints)
+        case at: Attribute if at.exprId == a.exprId =>
+          hints.get(at.name).orElse(statsNdv(at, gc))
+            .orElse(lineageNdv(at, gc, hints))
+      }.flatten
+    case Filter(cond, gc) =>
+      val fromCond = cond.collectFirst {
+        case In(at: Attribute, list)
+            if at.exprId == a.exprId && list.forall(_.foldable) =>
+          list.length.toLong
+        case InSet(at: Attribute, set) if at.exprId == a.exprId =>
+          set.size.toLong
+        case EqualTo(at: Attribute, l: Literal) if at.exprId == a.exprId => 1L
+        case EqualTo(l: Literal, at: Attribute) if at.exprId == a.exprId => 1L
+      }
+      fromCond.orElse(
+        hints.get(a.name).orElse(statsNdv(a, gc)).orElse(lineageNdv(a, gc, hints)))
+    case u: UnaryNode if u.child.outputSet.contains(a) =>
+      // pass-through: a unary node cannot raise a forwarded column's ndv
+      hints.get(a.name).orElse(statsNdv(a, u.child))
+        .orElse(lineageNdv(a, u.child, hints))
+    case _ => None
+  }
+}
+
+object KeyedWindowRule {
+  val RewriteConf = "spark.graft.keyedWindow.rewrite"
+  /** Rewrite fires only when the partition keys' combined ndv is
+    * provably at or under this. */
+  val MaxNdvConf = "spark.graft.keyedWindow.maxNdv"
+  /** Session ndv hints: `name=ndv[,name=ndv…]` — the runtime-stats
+    * handoff (see the rule scaladoc). */
+  val NdvHintsConf = "spark.graft.keyedWindow.ndvHints"
+
+  def parseHints(s: String): Map[String, Long] =
+    s.split(',').iterator.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+      kv.split('=') match {
+        case Array(k, v) => scala.util.Try(k.trim -> v.trim.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
+  /** Record a measured ndv for `column` in the session hints — called by
+    * stats artifacts (e.g. `MarketEtl.rollingStats`) so their knowledge
+    * reaches plain SQL plans. Name-keyed and session-scoped. */
+  def registerNdvHint(spark: SparkSession, column: String, ndv: Long): Unit = {
+    val merged = parseHints(spark.conf.get(NdvHintsConf, "")) + (column -> ndv)
+    spark.conf.set(NdvHintsConf,
+      merged.map { case (k, v) => s"$k=$v" }.mkString(","))
+  }
+}

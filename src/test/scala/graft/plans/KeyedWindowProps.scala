@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.TestSpark
+
+/** ScalaCheck over the KEYED rewrite family: on arbitrary null-salted
+  * inputs at arbitrary partition counts and key moduli, a battery of
+  * per-key running aggregates (all three frames), offsets, and the
+  * ignore-nulls lag must return EXACTLY what Spark's hash-clustered
+  * `WindowExec` returns (rule toggled off). Keys straddle range
+  * partitions freely here (32 shuffle partitions over ≤ a few hundred
+  * rows and ≤ 4 keys), so the boundary stitching — seeds, rings, pending
+  * drains, key resets — is exercised on inputs nobody hand-picked.
+  */
+object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
+  private lazy val spark = TestSpark.spark
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val rows = Gen.listOf(Gen.option(Gen.choose(0L, 6L)))
+  private val parts = Gen.choose(1, 8)
+  private val modulus = Gen.choose(1, 4)
+
+  private def battery(k: Int) =
+    s"""SELECT id,
+       |  sum(v)   OVER (PARTITION BY pmod(id, $k) ORDER BY v) AS cs_range,
+       |  sum(v)   OVER w AS cs,
+       |  count(v) OVER w AS cn,
+       |  min(v)   OVER w AS mn,
+       |  max(concat('s', CAST(v AS STRING))) OVER w AS mxs,
+       |  avg(v)   OVER w AS av,
+       |  first_value(v) OVER w AS fv,
+       |  last_value(v)  OVER w AS lv,
+       |  sum(v)   OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cs_excl,
+       |  lag(v)        OVER wo AS pv,
+       |  lag(v, 3, -1) OVER wo AS pv3,
+       |  lead(v, 2)    OVER wo AS nv2,
+       |  lag(v) IGNORE NULLS OVER wo AS pvn,
+       |  lag(v, 1, -7) IGNORE NULLS OVER wo AS pvnd
+       |FROM kwp_t
+       |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |       wo AS (PARTITION BY pmod(id, $k) ORDER BY v, id)
+       |""".stripMargin
+
+  property("the keyed battery is bit-identical to WindowExec on arbitrary input") =
+    forAll(rows, parts, modulus) { (vs, np, k) =>
+      import spark.implicits._
+      val df = spark.createDataset(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })(
+        org.apache.spark.sql.Encoders.product[(Long, Option[Long])])
+        .toDF("id", "v")
+        .repartition(np)
+      df.createOrReplaceTempView("kwp_t")
+      spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
+      try {
+        val on = spark.sql(battery(k)).collect().map(_.toString).sorted.toSeq
+        spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+        val off =
+          try spark.sql(battery(k)).collect().map(_.toString).sorted.toSeq
+          finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+        on == off
+      } finally spark.conf.unset(GlobalRankRule.SmallFrameConf)
+    }
+}

@@ -1,0 +1,260 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The automatic low-ndv PARTITION BY rewrite (VERDICT r10 #3): keyed
+  * running aggregates and offsets over a PROVABLY small key domain must
+  * plan as [[KeyedRunningAggExec]]/[[KeyedOffsetExec]] — one range
+  * exchange on (keys, order), parallelism bounded by data, never by
+  * ndv(key) — and be BIT-IDENTICAL to Spark's hash-clustered window.
+  * Each evidence arm of the ndv gate (expression bound, filter pin,
+  * catalog stats, session hint) is pinned, as is every refusal path.
+  */
+class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset(GlobalRankRule.SmallFrameConf)
+    spark.conf.unset(KeyedWindowRule.NdvHintsConf)
+    super.afterAll()
+  }
+
+  private lazy val spark = TestSpark.spark
+
+  /** 1000 rows over 4 input partitions; k3 = 3-value string key (the
+    * l_returnflag shape), v tie-heavy with null salt, d decimal. */
+  private def fixture: DataFrame = {
+    spark.range(0, 1000, 1, 4)
+      .select(col("id"),
+        when(pmod(col("id"), lit(10)) === 0, lit(null))
+          .otherwise(pmod(col("id") * 37, lit(20))).as("v"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(col("id") * 13, lit(3)) + 1).cast("int")).as("k3"),
+        (col("id") % 100).cast("decimal(10,2)").as("d"))
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  private def checkRewritten(df: => DataFrame,
+                             expect: Class[_]*): Unit = {
+    val on = df
+    val onRows = on.collect()
+    val plan = nodes(on)
+    expect.foreach { cls =>
+      assert(plan.exists(p => cls.isAssignableFrom(p.getClass)),
+        s"expected ${cls.getSimpleName}:\n${on.queryExecution.executedPlan}")
+    }
+    assert(!plan.exists(_.isInstanceOf[WindowExec]),
+      s"WindowExec survived the rewrite:\n${on.queryExecution.executedPlan}")
+    spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("pmod-keyed running sum rewrites and matches the hash window exactly") {
+    fixture.createOrReplaceTempView("kw_t")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  sum(v)   OVER w AS cs,
+        |  count(v) OVER w AS cn,
+        |  min(v)   OVER w AS mn,
+        |  max(v)   OVER w AS mx,
+        |  avg(d)   OVER w AS ad,
+        |  first_value(v) OVER w AS fv,
+        |  last_value(v)  OVER w AS lv
+        |FROM kw_t
+        |WINDOW w AS (PARTITION BY pmod(id, 5) ORDER BY v, id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |""".stripMargin), classOf[KeyedRunningAggExec])
+  }
+
+  test("the default RANGE frame back-fills per (key, order)-peer run") {
+    fixture.createOrReplaceTempView("kw_t2")
+    checkRewritten(spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v) AS cs
+        |FROM kw_t2""".stripMargin), classOf[KeyedRunningAggExec])
+  }
+
+  test("the exclusive prefix and the ignore-nulls lag(1) reset per key") {
+    fixture.createOrReplaceTempView("kw_t3")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  sum(v) OVER (PARTITION BY pmod(id, 4) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb,
+        |  lag(v) IGNORE NULLS OVER (PARTITION BY pmod(id, 4)
+        |    ORDER BY v, id) AS pvn
+        |FROM kw_t3""".stripMargin), classOf[KeyedRunningAggExec])
+  }
+
+  test("keyed lag/lead stitch boundary values per key, defaults at key edges") {
+    fixture.createOrReplaceTempView("kw_t4")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  lag(v)        OVER w AS pv,
+        |  lag(v, 3, -1) OVER w AS pv3,
+        |  lead(v, 2)    OVER w AS nv2,
+        |  lead(d)       OVER w AS nd
+        |FROM kw_t4
+        |WINDOW w AS (PARTITION BY pmod(id, 3) ORDER BY v, id)
+        |""".stripMargin), classOf[KeyedOffsetExec])
+  }
+
+  test("a mixed keyed node stacks running + offset over ONE exchange") {
+    fixture.createOrReplaceTempView("kw_t5")
+    val df = spark.sql(
+      """SELECT id,
+        |  sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  lag(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id) AS pv
+        |FROM kw_t5""".stripMargin)
+    val onRows = df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[KeyedRunningAggExec]) &&
+      plan.exists(_.isInstanceOf[KeyedOffsetExec]),
+      s"expected both keyed execs:\n${df.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[WindowExec]))
+    assert(plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) === 1,
+      s"keyed stack must share one range exchange:\n${df.queryExecution.executedPlan}")
+    spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("evidence arms: boolean key, CASE-literal key, IN-filter pin") {
+    fixture.createOrReplaceTempView("kw_t6")
+    checkRewritten(spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY (id % 2 = 0) ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t6""".stripMargin), classOf[KeyedRunningAggExec])
+    checkRewritten(spark.sql(
+      """SELECT id, sum(v) OVER (
+        |  PARTITION BY CASE WHEN v IS NULL THEN 'x' WHEN v < 10 THEN 'lo'
+        |               ELSE 'hi' END
+        |  ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t6""".stripMargin), classOf[KeyedRunningAggExec])
+    // the l_returnflag shape: a raw SOURCE column (leaf attribute, so no
+    // project inlining can substitute it away), provable only through
+    // the upstream IN filter
+    val dir = java.nio.file.Files.createTempDirectory("kw_infilter").toString
+    fixture.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("kw_t6p")
+    checkRewritten(spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t6p WHERE k3 IN ('A', 'N', 'R')""".stripMargin),
+      classOf[KeyedRunningAggExec])
+    // without the filter the same raw column is unprovable → untouched
+    val bare = spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t6p""".stripMargin)
+    assert(!nodes(bare).exists(_.isInstanceOf[KeyedRunningAggExec]))
+  }
+
+  test("a session ndv hint proves a raw data column (the rollingStats handoff)") {
+    fixture.createOrReplaceTempView("kw_t7")
+    val q =
+      """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t7""".stripMargin
+    // no evidence → untouched
+    spark.conf.unset(KeyedWindowRule.NdvHintsConf)
+    val bare = spark.sql(q)
+    assert(!nodes(bare).exists(_.isInstanceOf[KeyedRunningAggExec]),
+      s"unprovable ndv must keep Spark's plan:\n${bare.queryExecution.executedPlan}")
+    assert(nodes(bare).exists(_.isInstanceOf[WindowExec]))
+    // hint registered → rewritten, bit-identical
+    KeyedWindowRule.registerNdvHint(spark, "k3", 3L)
+    try {
+      checkRewritten(spark.sql(q), classOf[KeyedRunningAggExec])
+    } finally spark.conf.unset(KeyedWindowRule.NdvHintsConf)
+  }
+
+  test("catalog column stats prove a table column (ANALYZE … FOR COLUMNS + CBO)") {
+    spark.sql("DROP TABLE IF EXISTS kw_stats_t")
+    fixture.write.mode("overwrite").saveAsTable("kw_stats_t")
+    try {
+      spark.sql("ANALYZE TABLE kw_stats_t COMPUTE STATISTICS FOR COLUMNS k3")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val df = spark.sql(
+          """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
+            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+            |FROM kw_stats_t""".stripMargin)
+        assert(nodes(df).exists(_.isInstanceOf[KeyedRunningAggExec]),
+          s"catalog ndv=3 must fire the rewrite:\n${df.queryExecution.executedPlan}")
+        assert(df.count() === 1000L)
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+    } finally spark.sql("DROP TABLE IF EXISTS kw_stats_t")
+  }
+
+  test("refusals: high ndv, unprovable keys, bounded frames, maxNdv conf") {
+    fixture.createOrReplaceTempView("kw_t8")
+    // pmod 100 over default maxNdv 64 → untouched
+    val high = spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY pmod(id, 100) ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t8""".stripMargin)
+    assert(!nodes(high).exists(_.isInstanceOf[KeyedRunningAggExec]))
+    // raise the cap → fires
+    spark.conf.set(KeyedWindowRule.MaxNdvConf, "128")
+    try {
+      assert(nodes(spark.sql(
+        """SELECT id, sum(v) OVER (PARTITION BY pmod(id, 100) ORDER BY v, id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          |FROM kw_t8""".stripMargin))
+        .exists(_.isInstanceOf[KeyedRunningAggExec]))
+    } finally spark.conf.unset(KeyedWindowRule.MaxNdvConf)
+    // raw id: unprovable → untouched
+    val raw = spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY id ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t8""".stripMargin)
+    assert(!nodes(raw).exists(_.isInstanceOf[KeyedRunningAggExec]))
+    // bounded keyed frames are not (yet) in scope → untouched
+    val bounded = spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t8""".stripMargin)
+    assert(!nodes(bounded).exists(p =>
+      p.isInstanceOf[KeyedRunningAggExec] || p.isInstanceOf[GlobalBoundedAggExec]))
+    assert(nodes(bounded).exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("decimal avg under DecimalAggregates survives the keyed rewrite") {
+    // avg(decimal(10,2)) gets wrapped in cast(divide(…)) by Spark's
+    // DecimalAggregates AFTER our rule plants the plan — the exec must
+    // compose the wrapper (the r11 inner-aggregate discipline)
+    fixture.createOrReplaceTempView("kw_t9")
+    checkRewritten(spark.sql(
+      """SELECT id, avg(d) OVER (PARTITION BY pmod(id, 3) ORDER BY id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad
+        |FROM kw_t9""".stripMargin), classOf[KeyedRunningAggExec])
+  }
+}
