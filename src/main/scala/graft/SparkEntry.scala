@@ -44,6 +44,10 @@ object SparkEntry {
       val st = MarketEtl.rollingStats(bars(s, d), Seq("ativo"), col("dt"))
       Seq(st.minMonth, st.monthGroups, st.minYear, st.yearGroups, st.keys)
     }
+    // the artifact's measured key count doubles as the KeyedWindowRule
+    // ndv hint: plain `PARTITION BY ativo` windows in this session (w2,
+    // w4) re-plan through the keyed range-partitioned execs
+    graft.plans.KeyedWindowRule.registerNdvHint(s, "ativo", v(4))
     MarketEtl.RollingStats(v(0), v(1), v(2), v(3), v(4))
   }
 
@@ -73,7 +77,7 @@ object SparkEntry {
       SparkEntryR8d.queries ++ SparkEntryR8e.queries ++
       SparkEntryR8f.queries ++ SparkEntryR8g.queries ++
       SparkEntryR8h.queries ++ SparkEntryR9.queries ++ SparkEntryR9b.queries ++
-      SparkEntryR10.queries
+      SparkEntryR10.queries ++ SparkEntryR11.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -202,14 +206,22 @@ object SparkEntry {
     // W2: daily returns via lag — the market query a reference user would
     // run first against refined/ (close / prev close - 1). ativo has
     // THREE values over the corpus-proportional bar frame, so the plain
-    // per-key window caps at 3 tasks at any scale: the lag re-buckets on
-    // (ativo, month) with a one-row boundary borrow (KeyedPrefix —
-    // values are exact across the seam, identical results).
-    "w2_daily_returns" -> ((s, d) =>
-      graft.stats.KeyedPrefix.lagValue(bars(s, d), Seq("ativo"), barOrder,
-          col("close_price"), "__prev", col("dt"), stats = Some(barStats(s, d)))
+    // per-key window caps at 3 tasks at any scale. Since r11 this is
+    // written as the PLAIN window a user would write: `KeyedWindowRule`
+    // re-plans it through `KeyedOffsetExec` (range exchange on
+    // (ativo, order), per-key boundary values as metadata) using the
+    // ndv=3 hint the rolling-stats artifact registers (barStats above) —
+    // the automatic path VERDICT r10 #3 asked for. PlanAuditSpec pins
+    // the plan window-free.
+    "w2_daily_returns" -> ((s, d) => {
+      barStats(s, d) // registers the ativo ndv hint for the rule
+      import org.apache.spark.sql.expressions.Window
+      bars(s, d)
+        .withColumn("__prev", lag(col("close_price"), 1)
+          .over(Window.partitionBy("ativo").orderBy(barOrder: _*)))
         .select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
-          (col("close_price") / col("__prev") - 1).as("ret"))),
+          (col("close_price") / col("__prev") - 1).as("ret"))
+    }),
 
     // W3: per-asset volume ranking (rank + dense_rank over a total order).
     "w3_volume_rank" -> ((s, d) => {
@@ -224,19 +236,25 @@ object SparkEntry {
     }),
 
     // W4: running (cumulative) volume per asset — unbounded-preceding
-    // frame, re-bucketed on (ativo, month) like w2/w8 (the 3-key corpus
-    // window hazard): within-bucket running sums + prior-bucket totals
-    // associate exactly because volumes are integer-valued (sums far
-    // under 2^53 — the integer-sufficient-statistics discipline).
+    // frame over the 3-key corpus window hazard. Since r11 written as
+    // the PLAIN window: `KeyedWindowRule` re-plans it through
+    // `KeyedRunningAggExec` (range exchange on (ativo, order), per-key
+    // partial buffers + driver seed stitch) via the artifact's ndv=3
+    // hint — parallelism bounded by the data, not by 3 keys.
     // trade_volume joins the order key: rows tied on the bar order can
     // carry different volumes, and a running sum must not depend on
     // their relative order.
-    "w4_running_total" -> ((s, d) =>
-      graft.stats.KeyedPrefix.runningSum(bars(s, d), Seq("ativo"),
-          barOrder :+ col("trade_volume"), col("trade_volume"),
-          "cum_volume", col("dt"), stats = Some(barStats(s, d)))
+    "w4_running_total" -> ((s, d) => {
+      barStats(s, d) // registers the ativo ndv hint for the rule
+      import org.apache.spark.sql.expressions.Window
+      bars(s, d)
+        .withColumn("cum_volume", sum(col("trade_volume"))
+          .over(Window.partitionBy("ativo")
+            .orderBy(barOrder :+ col("trade_volume"): _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("ativo"), col("l_orderkey"), col("l_linenumber"),
-          col("cum_volume"))),
+          col("cum_volume"))
+    }),
 
     // P8: equality filter on the asset (partition) key — prunes at scale.
     "p8_partition_filter" -> ((s, d) =>
@@ -432,21 +450,25 @@ object SparkEntry {
     // differs in the last ulp across engines). approx_percentile
     // (mergeable sketch) is additionally asserted against the exact form
     // in MarketEtlSpec.
+    // A3: exact per-group percentiles — SERVED from the range-partitioned
+    // two-pass rank selection (stats/Percentiles): no per-group
+    // all-values buffer (Spark's `percentile` aggregate holds every value
+    // of a group in ONE buffer — an executor OOM when a group spans a
+    // corpus), fully parallel passes, ~2× faster at sf0.1 (VERDICT r10
+    // #7 moved the headline entry onto this plan).
     "a3_percentiles" -> ((s, d) =>
-      bars(s, d).groupBy("ativo").agg(
-        round(percentile(col("close_price"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("close_price"), lit(0.9)), 6).as("p90"))),
-
-    // A3b: the DEFAULT exact-percentile path (VERDICT r4 #8) —
-    // range-partitioned two-pass rank selection: no per-group buffer (a
-    // huge group spans partitions), fully parallel passes, and ~2× faster
-    // than the built-in aggregate at sf0.1. Serve percentiles from here;
-    // a3 above exists to prove the results identical (shared oracle).
-    "a3b_percentiles_scalable" -> ((s, d) =>
       graft.stats.Percentiles.exactQuantiles(
           bars(s, d), "ativo", "close_price", Seq(0.5, 0.9), Seq("p50", "p90"))
         .select(col("ativo"), round(col("p50"), 6).as("p50"),
           round(col("p90"), 6).as("p90"))),
+
+    // A3b: Spark's built-in `percentile` aggregate as a FIXTURE-SCALE
+    // cross-check of a3 (shared oracle: the two formulations must agree
+    // to the last bit). Not the serving path — see a3's buffer hazard.
+    "a3b_percentile_builtin" -> ((s, d) =>
+      bars(s, d).groupBy("ativo").agg(
+        round(percentile(col("close_price"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("close_price"), lit(0.9)), 6).as("p90"))),
 
     // A4: hierarchical rollup (asset, year) — multi-level aggregate with
     // grand-total row, free from the Spark SQL surface.
@@ -737,9 +759,9 @@ object SparkEntry {
          |       ROUND(quantile_cont(close_price, 0.9), 6) AS p90
          |FROM ($barsSql) GROUP BY ativo""".stripMargin,
 
-    // identical oracle to a3: the distributed formulation must not change
-    // a single value
-    "a3b_percentiles_scalable" ->
+    // identical oracle to a3: the built-in cross-check must not differ
+    // from the rank-selection serving path by a single value
+    "a3b_percentile_builtin" ->
       s"""SELECT ativo, ROUND(quantile_cont(close_price, 0.5), 6) AS p50,
          |       ROUND(quantile_cont(close_price, 0.9), 6) AS p90
          |FROM ($barsSql) GROUP BY ativo""".stripMargin,
@@ -797,5 +819,5 @@ object SparkEntry {
     SparkEntryR8d.oracleSql ++ SparkEntryR8e.oracleSql ++
     SparkEntryR8f.oracleSql ++ SparkEntryR8g.oracleSql ++
     SparkEntryR8h.oracleSql ++ SparkEntryR9.oracleSql ++ SparkEntryR9b.oracleSql ++
-    SparkEntryR10.oracleSql
+    SparkEntryR10.oracleSql ++ SparkEntryR11.oracleSql
 }

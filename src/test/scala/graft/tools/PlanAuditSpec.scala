@@ -701,6 +701,73 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x117: expected the offset+rank+total execs:\n${p.take(1500)}")
   }
 
+  test("x118 rolling profile: bounded frames and the ignore-nulls lag arrive window-free") {
+    // The r10 verdict's #1 ask end-to-end: plain-SQL bounded ROWS frames
+    // plan as GlobalBoundedAggExec, the ignore-nulls lag(1) as
+    // GlobalRunningAggExec's Last exclusive prefix — one shared range
+    // exchange, NO Window node.
+    val p = plan("x118_rolling_corpus_profile")
+    assert(!p.contains("Window ["),
+      s"x118: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("GlobalBoundedAgg") && p.contains("GlobalRunningAgg"),
+      s"x118: expected the bounded + running execs:\n${p.take(1500)}")
+  }
+
+  test("w2/w4: the low-ndv keyed windows plan through the keyed execs, window-free") {
+    // VERDICT r10 #3 end-to-end: w2/w4 are written as the PLAIN windows
+    // a user would write; the rolling-stats artifact's ndv hint lets
+    // KeyedWindowRule re-plan them — range exchange on (ativo, order),
+    // parallelism bounded by data, never by the 3 return flags.
+    val p2 = plan("w2_daily_returns")
+    assert(!p2.contains("Window ["),
+      s"w2: the keyed lag still plans as a hash-clustered window:\n${p2.take(1500)}")
+    assert(p2.contains("KeyedOffset"),
+      s"w2: expected KeyedOffsetExec:\n${p2.take(1500)}")
+    val p4 = plan("w4_running_total")
+    assert(!p4.contains("Window ["),
+      s"w4: the keyed running sum still plans as a hash-clustered window:\n${p4.take(1500)}")
+    assert(p4.contains("KeyedRunningAgg"),
+      s"w4: expected KeyedRunningAggExec:\n${p4.take(1500)}")
+  }
+
+  test("no query leaves a provably-low-ndv keyed window unhealed (VERDICT r10 #3)") {
+    // The low-cardinality PARTITION BY hazard, swept automatically: any
+    // surviving logical Window that KeyedWindowRule PROVES it would
+    // rewrite (supported shapes + provable small ndv + no small-frame
+    // proof) is an offender — the rule is on, so a hit means gate or
+    // classify drift. Shapes the rule does not cover (ranks, bounded
+    // keyed frames) and unprovable ndv are invisible here by design;
+    // the literal-modulus sweep below catches their pmod subset.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, pmod, sum, lit}
+    val rule = graft.plans.KeyedWindowRule(spark)
+    def unhealed(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if rule.wouldRewrite(w) =>
+          s"keyed Window over ${w.child.nodeName} (partition ${w.partitionSpec.mkString(",")})"
+      }
+    // detector self-check: with the rewrite off, a planted low-ndv keyed
+    // running window MUST be seen — else the sweep is vacuously green
+    def probe() = spark.range(100000).withColumn("cs",
+      sum("id").over(Window.partitionBy(pmod(col("id"), lit(3)))
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spark.conf.set(graft.plans.KeyedWindowRule.RewriteConf, "false")
+    val seen =
+      try unhealed(probe())
+      finally spark.conf.set(graft.plans.KeyedWindowRule.RewriteConf, "true")
+    assert(seen.nonEmpty, "sweep detector failed to see a known low-ndv keyed window")
+    assert(unhealed(probe()).isEmpty,
+      "KeyedWindowRule should heal the planted keyed window")
+    val hits = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val u = unhealed(SparkEntry.queries(q)(spark, sf))
+      if (u.nonEmpty) Some(s"$q -> ${u.mkString(", ")}") else None
+    }
+    assert(hits.isEmpty,
+      s"provably-low-ndv keyed windows left unhealed:\n${hits.mkString("\n")}")
+  }
+
   test("no query plans an unpartitioned window over a corpus-derived frame") {
     // VERDICT r8 #1 (the recurrence guard): an empty partition spec means
     // Spark sorts the whole frame in ONE task. Allowed only where the
@@ -773,7 +840,17 @@ class PlanAuditSpec extends AnyFunSuite {
         lag(col("id"), 1).over(Window.orderBy("id")))
       val total = spark.range(100000).withColumn("t",
         sum("id").over(Window.partitionBy()))
-      Seq("running sum" -> cumsum, "lag" -> lagged, "total" -> total)
+      // round 11 healers: a bounded ROWS frame (GlobalBoundedAggExec)
+      // and the ignore-nulls gap-fill lag(1) (Last exclusive prefix)
+      import org.apache.spark.sql.functions.{avg, when}
+      val boundedFrame = spark.range(100000).withColumn("m7",
+        avg("id").over(Window.orderBy("id").rowsBetween(-6, 0)))
+      val ignLag = spark.range(100000)
+        .withColumn("v", when(col("id") % 3 === 0, col("id")))
+        .withColumn("pv", lag(col("v"), 1, null, ignoreNulls = true)
+          .over(Window.orderBy("id")))
+      Seq("running sum" -> cumsum, "lag" -> lagged, "total" -> total,
+          "bounded frame" -> boundedFrame, "ignore-nulls lag(1)" -> ignLag)
         .foreach { case (name, df) =>
           assert(unpartitionedBig(df).isEmpty,
             s"rewrite family should heal the planted $name window:\n" +
@@ -856,19 +933,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     // Allow-listed shard writers — each pins its shard count to an
     // output-file-layout argument or derives it from conf:
-    //   x10/x50/x87/x87b: the shard IS the output file (training-shard
-    //     writers); their per-shard prefix sums/orders exist to lay out
-    //     exactly those files, so shard count == file count by design.
-    //   x111: shards come from spark.graft.pack.shards (default =
-    //     spark.sql.shuffle.partitions) — cluster-proportional, but the
-    //     resolved literal in THIS 4-core test session is 4 ≤ 64.
-    // (x87/x100 build their shard layouts without a pmod-partitioned
-    // window, so they need no exemption — the staleness check below
-    // keeps this list honest.)
+    //   x50: the shard IS the output file (training-shard writer); its
+    //     per-shard order exists to lay out exactly those files, so
+    //     shard count == file count by design (a rank shape, outside
+    //     KeyedWindowRule's scope).
+    // (x10/x111 — the pack writers' pmod-partitioned RUNNING windows —
+    // dropped off this list in round 11: KeyedWindowRule now re-plans
+    // them through KeyedRunningAggExec automatically (pmod ndv is
+    // expression-provable), so no pmod-partitioned Window survives in
+    // their plans. x87/x100 build their shard layouts without a
+    // pmod-partitioned window — the staleness check below keeps this
+    // list honest.)
     val allowed = Set(
-      "x10_pack_sequences",
-      "x50_training_shuffle",
-      "x111_concat_pack")
+      "x50_training_shuffle")
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val specs = offendingSpecs(
         SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan)
