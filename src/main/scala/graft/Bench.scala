@@ -32,6 +32,13 @@ import graft.util.Json
   * per-query times) in the detail, separating environment drift from
   * per-query change. `"floor_total"` (sum of per-query minima) is the
   * least-noise engine-cost estimate beside the median-sum `"value"`.
+  *
+  * Floor attribution (VERDICT r10 #6): any query whose per-run floor
+  * moved >1.5× versus the PREVIOUS round's detail file
+  * (`SPARK_GRAFT_PREV_DETAIL`, default the detail path itself, read
+  * before overwrite) is re-measured ISOLATED at the end of the run and
+  * published as `"isolated"` beside `"floor_moved"` — neighbor cache
+  * pressure becomes a number instead of an assertion.
   */
 object Bench {
 
@@ -169,6 +176,49 @@ object Bench {
     }
 
     val canaryEnd = canaryPass()
+
+    // Round-over-round floor attribution (VERDICT r10 #6): a per-query
+    // floor that moved >1.5× since the LAST round's detail file gets an
+    // ISOLATED re-measure — fresh cache/GC, run after everything else,
+    // when no neighbor can charge it cache pressure. The re-measured
+    // samples publish beside the in-run numbers, so "neighbor cache
+    // pressure" is a number, not an assertion. The previous detail is
+    // read BEFORE this run overwrites it.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+    val prevFloors: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", detailPath)
+      try {
+        val text = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        val at = text.indexOf("\"spread\":{")
+        if (at < 0) Map.empty
+        else {
+          val body = text.substring(at + 10, text.indexOf('}', at))
+          """"([^"]+)":\[([-0-9.Ee+]+),""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    val movedFloors: Seq[(String, Double, Double)] = times.flatMap {
+      case (n, (_, lo, _)) => prevFloors.get(n).collect {
+        case prev if prev > 0 && (lo > prev * 1.5 || lo < prev / 1.5) =>
+          (n, prev, lo)
+      }
+    }
+    val isolated: Seq[(String, Seq[Double])] = movedFloors.map { case (n, _, _) =>
+      val samples = (1 to Runs).flatMap { _ =>
+        stats.GlobalRank.releaseAll()
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try { force(SparkEntry.queries(n)(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      System.err.println(s"[bench] isolated re-measure $n: " +
+        samples.map(s => f"$s%.2f").mkString(", "))
+      n -> samples.toSeq
+    }
     val qs = times.map { case (k, (m, _, _)) => s"${Json.str(k)}:$m" }.mkString("{", ",", "}")
     val sp = times.map { case (k, (_, lo, hi)) => s"${Json.str(k)}:[$lo,$hi]" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }.mkString("{", ",", "}")
@@ -187,12 +237,16 @@ object Bench {
     System.err.println(f"[bench] calib end io ${calIoE}%.2fs cpu ${calCpuE}%.2fs")
     val calibJson =
       s"""{"io_start":$calIoS,"cpu_start":$calCpuS,"io_end":$calIoE,"cpu_end":$calCpuE}"""
+    val movedJson = movedFloors
+      .map { case (n, p, c) => s"${Json.str(n)}:[$p,$c]" }.mkString("{", ",", "}")
+    val isolatedJson = isolated
+      .map { case (n, ss) => s"${Json.str(n)}:[${ss.mkString(",")}]" }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"floor_total":$floor,"canary":$canaryJson,"calib":$calibJson,"sf":${Json.str(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"floor_total":$floor,"canary":$canaryJson,"calib":$calibJson,"floor_moved":$movedJson,"isolated":$isolatedJson,"sf":${Json.str(sfDir)}}"""
 
     // Per-query detail to a file (the full line is ~9 KB at 149 queries
     // and overflowed the driver's 2000-char stdout capture in round 6).
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
     val detailOk =
       try {
         val w = new java.io.PrintWriter(detailPath, "UTF-8")

@@ -90,10 +90,24 @@ object StreamingSentenceDedup {
     * (or earlier in THIS batch), append the survivors' sentences to the
     * index, and return the cleaned batch in the x114 output shape
     * (idCol, n_sent, n_kept, text_kept).
+    *
+    * Replay safety (ADVICE r10): when `batchId` is supplied (the
+    * [[writer]] path), the staged per-batch result is KEYED BY the
+    * batch id — a `foreachBatch` replay of a failed sink finds the
+    * first attempt's staged survivors and REUSES them instead of
+    * re-probing an index that already contains this batch's own append
+    * (which would strip every sentence as "seen earlier" and commit an
+    * emptied batch). The index append still runs on replay — a crash
+    * between staging and appending must not leave the index blind to
+    * the batch, and duplicate appends are idempotent by the index
+    * contract. A stream that reuses batch ids against the SAME
+    * corpusKey (a checkpoint reset) must call [[invalidate]] first,
+    * exactly as any index rebuild must.
     */
   def processBatch(batch: DataFrame, corpusKey: Seq[Any],
                    idCol: String = "doc_id", textCol: String = "text",
-                   sep: String = ". ", numBuckets: Int = 16): DataFrame = {
+                   sep: String = ". ", numBuckets: Int = 16,
+                   batchId: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     val idx = ensureIndex(spark, corpusKey, numBuckets)
     val quoted = java.util.regex.Pattern.quote(sep)
@@ -125,8 +139,16 @@ object StreamingSentenceDedup {
     // per-batch staging dir). O(batch) write, O(batch) read-back.
     val dir = indexDir(spark, corpusKey)
     val staged = new File(dir.getParentFile,
-      dir.getName + ".batch-" + java.util.UUID.randomUUID().toString.take(8))
-    kept.write.parquet(staged.getAbsolutePath)
+      dir.getName + (if (batchId >= 0L) s".batch-b$batchId"
+        else ".batch-" + java.util.UUID.randomUUID().toString.take(8)))
+    // a completed staging dir for this batch id means a prior attempt
+    // already probed the index — reuse its survivors verbatim (the index
+    // may since contain this batch's own append; re-probing would strip
+    // everything). The append below still runs: a crash BETWEEN staging
+    // and appending must not leave the index blind to this batch, and a
+    // duplicate append is idempotent by the index contract.
+    val replay = batchId >= 0L && new File(staged, "_SUCCESS").exists()
+    if (!replay) kept.write.parquet(staged.getAbsolutePath)
     val keptStable = spark.read.parquet(staged.getAbsolutePath)
     val out = batch.select(col(idCol),
         size(split(col(textCol), quoted)).cast("bigint").as("n_sent"))
@@ -151,5 +173,5 @@ object StreamingSentenceDedup {
     */
   def writer(corpusKey: Seq[Any],
              sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    (df, batchId) => sink(processBatch(df, corpusKey), batchId)
+    (df, batchId) => sink(processBatch(df, corpusKey, batchId = batchId), batchId)
 }

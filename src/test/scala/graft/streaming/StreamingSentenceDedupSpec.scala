@@ -69,4 +69,31 @@ class StreamingSentenceDedupSpec extends AnyFunSuite {
       assert(strippedInB2 > 0, s"no cross-batch strip observed ($tail)")
     } finally StreamingSentenceDedup.invalidate(spark, key)
   }
+
+  test("a sink-failure replay reuses the staged survivors — never an emptied batch (ADVICE r10)") {
+    val key = Seq("sent-dedup-replay-spec", TestSpark.Sf0001,
+      System.nanoTime().toString)
+    try {
+      val cut = 400L
+      val b1 = planted.where(col("doc_id") < cut)
+      val b2 = planted.where(col("doc_id") >= cut)
+      // batch 0 commits; batch 1's sink fails AFTER processBatch ran
+      // (index already contains batch 1's own append) and foreachBatch
+      // replays the same batchId — the replay must return the first
+      // attempt's survivors, NOT re-probe and strip them all
+      val out1 = StreamingSentenceDedup.processBatch(b1, key, batchId = 0L)
+        .collect()
+      val attempt1 = StreamingSentenceDedup.processBatch(b2, key, batchId = 1L)
+        .collect().map(_.toString).sorted
+      val replay = StreamingSentenceDedup.processBatch(b2, key, batchId = 1L)
+        .collect().map(_.toString).sorted
+      assert(replay.toSeq === attempt1.toSeq,
+        "replay must reproduce the first attempt bit for bit")
+      val keptRows = replay.length
+      assert(keptRows > 0 && StreamingSentenceDedup
+        .processBatch(b2, key, batchId = 1L).where(col("n_kept") > 0)
+        .count() > 0,
+        "replay emptied the batch — the r10 append-before-commit loss")
+    } finally StreamingSentenceDedup.invalidate(spark, key)
+  }
 }
