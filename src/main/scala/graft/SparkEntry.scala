@@ -256,6 +256,28 @@ object SparkEntry {
           col("cum_volume"))
     }),
 
+    // X120: the reference's W1 flagship window — per-asset 7-row rolling
+    // mean with the min_periods guard — written as the PLAIN SQL a user
+    // ports from pandas, over the corpus-proportional bar frame. Spark
+    // hash-clusters it at 3 tasks (ativo's ndv); `KeyedWindowRule`
+    // re-plans it through `KeyedBoundedAggExec` (range exchange on
+    // (ativo, order), 7 boundary tuples per partition, per-key ring
+    // re-fold) via the artifact's ndv hint. The library w1/w1b paths
+    // stay as the hand-bucketed comparison; this row proves the same
+    // heal now needs NO library call. Same oracle SQL as w1b.
+    "x120_rolling_mean_keyed" -> ((s, d) => {
+      barStats(s, d) // registers the ativo ndv hint for the rule
+      bars(s, d).createOrReplaceTempView("x120_bars")
+      s.sql(
+        """SELECT ativo, l_orderkey, l_linenumber,
+          |       CASE WHEN COUNT(close_price) OVER w = 7
+          |            THEN AVG(close_price) OVER w END AS mm_7d
+          |FROM x120_bars
+          |WINDOW w AS (PARTITION BY ativo
+          |             ORDER BY dt, l_orderkey, l_linenumber, close_price
+          |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)
+    }),
+
     // P8: equality filter on the asset (partition) key — prunes at scale.
     "p8_partition_filter" -> ((s, d) =>
       bars(s, d).filter(col("ativo") === "R")
@@ -634,6 +656,16 @@ object SparkEntry {
          |       close_price / LAG(close_price, 1) OVER w - 1 AS ret
          |FROM ($barsSql)
          |WINDOW w AS (PARTITION BY ativo ORDER BY $barOrderSql)""".stripMargin,
+
+    // same oracle as w1/w1b: the automatic keyed-bounded rewrite must
+    // reproduce the library paths' values exactly
+    "x120_rolling_mean_keyed" ->
+      s"""SELECT ativo, l_orderkey, l_linenumber,
+         |       CASE WHEN COUNT(close_price) OVER w = 7
+         |            THEN AVG(close_price) OVER w END AS mm_7d
+         |FROM ($barsSql)
+         |WINDOW w AS (PARTITION BY ativo ORDER BY $barOrderSql
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "w3_volume_rank" ->
       s"""SELECT * FROM (

@@ -55,6 +55,52 @@ object SparkEntryR11 {
       val media = graft.media.ImageDedup.plantedCorpus(Tables.documents(s, d))
       graft.media.ImageDedup.nearDupPairs(media)
         .orderBy("a", "b")
+    }),
+
+    // ---- X121: per-language corpus share — the keyed whole-frame total
+    // through the plain SQL surface ----
+    //
+    // `sum(x) OVER (PARTITION BY lang)` is the mixing-weights query
+    // ("how much of the corpus is each language?") attached per row.
+    // Spark hash-exchanges and SORTS the corpus per key; the language
+    // IN-filter (how a user scopes a language-filtered corpus anyway)
+    // PROVES ndv ≤ 5 to `KeyedWindowRule`, which re-plans it as
+    // `KeyedTotalAggExec`: per-partition key→partial maps, a driver
+    // merge, a broadcast lookup — ZERO exchange, zero sort, at any
+    // scale. `PlanAuditSpec` pins the exchange-free plan.
+    "x121_lang_share" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("x121_documents")
+      s.sql(
+        """SELECT doc_id, lang,
+          |  round(CAST(n_chars AS DOUBLE) /
+          |        sum(n_chars) OVER (PARTITION BY lang), 6) AS lang_share,
+          |  count(*) OVER (PARTITION BY lang) AS lang_docs
+          |FROM x121_documents
+          |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // ---- X122: centered smoothing and lookahead — TWO-SIDED bounded
+    // frames through the plain SQL surface ----
+    //
+    // `a PRECEDING AND b FOLLOWING` is the centered rolling mean every
+    // pandas `rolling(center=True)` port writes, and `CURRENT ROW AND k
+    // FOLLOWING` the lookahead budget. Both are global one-task windows
+    // in Spark; `GlobalBoundedAggExec`'s forward context (pending rows
+    // finalize when the row maxFwd ahead arrives, partition tails drain
+    // against the stitched forward tuples) plans them Window-free.
+    "x122_centered_smooth" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("x122_documents")
+      s.sql(
+        """SELECT doc_id,
+          |  round(avg(n_chars) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS centered7,
+          |  sum(n_chars) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS next10,
+          |  min(n_chars) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS ahead_min
+          |FROM x122_documents
+          |ORDER BY doc_id""".stripMargin)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -81,5 +127,26 @@ object SparkEntryR11 {
         |FROM documents
         |WHERE doc_id % 10 = 1
         |  AND doc_id - 1 IN (SELECT doc_id FROM documents)
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+
+    "x121_lang_share" ->
+      """SELECT doc_id, lang,
+        |  round(CAST(n_chars AS DOUBLE) /
+        |        CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT), 6)
+        |    AS lang_share,
+        |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS lang_docs
+        |FROM documents
+        |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        |ORDER BY doc_id""".stripMargin,
+
+    "x122_centered_smooth" ->
+      """SELECT doc_id,
+        |  round(avg(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS centered7,
+        |  CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS BIGINT) AS next10,
+        |  min(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS ahead_min
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -38,13 +38,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *     ignore-nulls included — since the fold reproduces their frame
   *     semantics exactly (`first_value` also in its optimizer-rewritten
   *     `nth_value(x, 1)` spelling) — or a BOUNDED sliding aggregate
-  *     (`ROWS BETWEEN k PRECEDING AND [CURRENT ROW | j PRECEDING]`,
-  *     k ≤ maxBoundedFrame — [[GlobalBoundedAggPlan]]: k boundary
-  *     tuples per partition, row-local re-fold). Anything else —
-  *     ignore-nulls lag/lead beyond lag-1, nth_value(n>1), FOLLOWING
-  *     frame ends — keeps the whole Window node untouched: their
-  *     semantics need the frame, and a mixed node must stay one node
-  *     to compute consistently;
+  *     (any both-ends-bounded ROWS frame: trailing, centered
+  *     `a PRECEDING AND b FOLLOWING`, pure-following; reach ≤
+  *     maxBoundedFrame each side — [[GlobalBoundedAggPlan]]: boundary
+  *     tuples per partition, row-local re-fold with a ≤ maxFwd pending
+  *     queue). Anything else — ignore-nulls lag/lead beyond lag-1,
+  *     nth_value(n>1), RANGE value-distance frames — keeps the whole
+  *     Window node untouched: their semantics need the frame, and a
+  *     mixed node must stay one node to compute consistently;
   *   - it is NOT directly under a rank-limit filter (`rn <= k` etc.)
   *     when purely ranking:
   *     that shape belongs to Spark's `InferWindowGroupLimit` top-k
@@ -73,41 +74,6 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     case _: PercentRank => Some(RankKind.PercentRank)
     case _: CumeDist => Some(RankKind.CumeDist)
     case _ => None
-  }
-
-  /** `agg(x) OVER (ORDER BY ... ROWS BETWEEN k PRECEDING AND
-    * [CURRENT ROW | j PRECEDING])` — the BOUNDED sliding frame, the
-    * reference's own W1 rolling-mean shape written globally →
-    * (aggregate, k, upper≤0). Capped at
-    * [[GlobalRankRule.MaxBoundedFrameConf]] rows of reach: the rewrite
-    * ships k boundary tuples per partition as driver metadata, so a
-    * pathological million-row frame stays on Spark's plan.
-    */
-  private def boundedAggOf(fn: Expression, spec: WindowSpecDefinition,
-                           maxReach: Int): Option[(AggregateExpression, Int, Int)] = {
-    def bounds: Option[(Int, Int)] = spec.frameSpecification match {
-      case SpecifiedWindowFrame(RowFrame,
-          Literal(lo: Int, org.apache.spark.sql.types.IntegerType), CurrentRow)
-          if lo < 0 && -lo <= maxReach =>
-        Some((-lo, 0))
-      case SpecifiedWindowFrame(RowFrame,
-          Literal(lo: Int, org.apache.spark.sql.types.IntegerType),
-          Literal(up: Int, org.apache.spark.sql.types.IntegerType))
-          if lo < 0 && -lo <= maxReach && up <= 0 && up >= lo =>
-        Some((-lo, up))
-      case _ => None
-    }
-    fn match {
-      case ae @ AggregateExpression(f, Complete, false, None, _)
-          if WindowShapes.supportedAgg(f) =>
-        bounds.map { case (lo, up) => (ae, lo, up) }
-      case _ =>
-        // first_value over a bounded frame arrives pre-rewritten as
-        // nth_value(x, 1) only for UNBOUNDED PRECEDING frames, so only
-        // the aggregate spelling reaches here; keep nth handling anyway
-        // for DataFrame-API nth_value(…, 1) calls
-        WindowShapes.nthFirstOf(fn).flatMap(ae => bounds.map { case (lo, up) => (ae, lo, up) })
-    }
   }
 
   /** `agg(x) OVER ()` — or any UNBOUNDED PRECEDING → UNBOUNDED
@@ -156,7 +122,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
           .orElse(WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) })
           .orElse(totalAggOf(fn, spec).map(TotK.apply))
           .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
-          .orElse(boundedAggOf(fn, spec, maxReach).map {
+          .orElse(WindowShapes.boundedAggOf(fn, spec, maxReach).map {
             case (ae, lo, up) => BndK(ae, lo, up) })
           .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
       case _ => None
@@ -351,6 +317,10 @@ object GlobalRankStrategy extends SparkStrategy {
       KeyedRunningAggExec(keys, order, attrs, aggs, frames, planLater(child)) :: Nil
     case KeyedOffsetPlan(keys, order, attrs, ins, offs, defs, child) =>
       KeyedOffsetExec(keys, order, attrs, ins, offs, defs, planLater(child)) :: Nil
+    case KeyedBoundedAggPlan(keys, order, attrs, aggs, los, ups, child) =>
+      KeyedBoundedAggExec(keys, order, attrs, aggs, los, ups, planLater(child)) :: Nil
+    case KeyedTotalAggPlan(keys, attrs, aggs, child) =>
+      KeyedTotalAggExec(keys, attrs, aggs, planLater(child)) :: Nil
     case _ => Nil
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Ascending, Expression, GenericInternalRow, JoinedRow, MutableProjection, RowOrdering, SortOrder, SpecificInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, MutableProjection, RowOrdering, SortOrder, SpecificInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
@@ -643,6 +643,345 @@ case class KeyedOffsetExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             emit(r, res2)
           } else null
         }
+      }
+    }
+  }
+}
+
+/** Logical plan for scale-safe KEYED bounded sliding aggregates —
+  * `agg(x) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN n PRECEDING AND
+  * [CURRENT ROW | j PRECEDING])`: the reference's OWN W1 rolling-mean
+  * shape, exactly as a user writes it. [[GlobalBoundedAggPlan]]'s
+  * boundary-tuple machinery with PER-KEY resets: a frame never reaches
+  * across a key change, so the ring clears at each key boundary and the
+  * cross-partition back context applies only when a key straddles the
+  * partition seam. Completes the keyed family: running, offset, and
+  * bounded shapes all heal under [[KeyedWindowRule]].
+  */
+case class KeyedBoundedAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
+                               aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                               lowers: Seq[Int], uppers: Seq[Int],
+                               child: LogicalPlan) extends UnaryNode {
+  require(partKeys.nonEmpty && aggAttrs.length == aggs.length &&
+    aggs.length == lowers.length && lowers.length == uppers.length &&
+    aggs.nonEmpty)
+  // SIGNED bounds (frame = [t+lower, t+upper]); the keyed exec folds
+  // backward-reaching frames only — the rule filters upper <= 0
+  require(lowers.zip(uppers).forall { case (lo, up) => lo <= up && up <= 0 })
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): KeyedBoundedAggPlan =
+    copy(child = newChild)
+}
+
+/** Physical per-key bounded sliding aggregate — see
+  * [[KeyedBoundedAggPlan]]. Pass 1 keeps each partition's LAST key's
+  * last kMax input tuples (ring reset at key changes); the driver
+  * stitches per-partition back contexts with the key-aware walk of
+  * [[KeyedOffsetExec]]; pass 2 re-folds each row's ≤ k+1 in-frame
+  * tuples through the aggregates' own expressions rebased onto the
+  * stored tuple slots, clearing the ring whenever the key changes.
+  */
+case class KeyedBoundedAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
+                               aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                               lowers: Seq[Int], uppers: Seq[Int],
+                               child: SparkPlan) extends UnaryExecNode {
+
+  private val full = KeyedWindowExec.fullOrder(partKeys, order)
+
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def outputOrdering: Seq[SortOrder] = full
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(full) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(full)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): KeyedBoundedAggExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRdd = child.execute()
+    val childOutput = child.output
+    val keyExprs = partKeys
+    val outAttrs = aggAttrs
+    val funcs: Seq[DeclarativeAggregate] =
+      aggs.map(GlobalRunningAggExec.innerAggregate(_).aggregateFunction
+        .asInstanceOf[DeclarativeAggregate])
+    val inExprs: Seq[Expression] = funcs.flatMap(_.children)
+    val valAttrs = inExprs.zipWithIndex.map { case (e, i) =>
+      AttributeReference(s"_in$i", e.dataType, e.nullable)()
+    }
+    val rebased: Seq[DeclarativeAggregate] = {
+      var at = 0
+      funcs.map { f =>
+        val n = f.children.length
+        val slice = valAttrs.slice(at, at + n)
+        at += n
+        f.withNewChildren(slice).asInstanceOf[DeclarativeAggregate]
+      }
+    }
+    val bufferAttrs = rebased.map(_.aggBufferAttributes)
+    val bufferTypes = bufferAttrs.map(_.map(_.dataType))
+    val initExprs = rebased.map(_.initialValues)
+    val updateExprs = rebased.map(_.updateExpressions)
+    val evalExprs = aggs.zip(rebased).map { case (e, rb) =>
+      e.transform { case _: AggregateExpression => rb.evaluateExpression }
+    }
+    val resultTypes = outAttrs.map(_.dataType)
+    val loArr = lowers.toArray // signed: frame = [t+lo, t+up], up <= 0
+    val upArr = uppers.toArray
+    val kMax = -loArr.min
+    val numOutputRows = longMetric("numOutputRows")
+
+    // pass 1: (firstKey, lastKey, last key's last kMax tuples)
+    type Boundary = (InternalRow, InternalRow, Array[InternalRow])
+    val tails: Array[Boundary] =
+      if (childRdd.getNumPartitions == 0) Array.empty
+      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val inProj = UnsafeProjection.create(inExprs, childOutput)
+        var firstKey: InternalRow = null
+        var lastKey: UnsafeRow = null
+        var ring = new Array[InternalRow](kMax)
+        var t = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyProj(r)
+          if (lastKey == null) {
+            firstKey = k.copy(); lastKey = k.copy()
+          } else if (!lastKey.equals(k)) {
+            lastKey = k.copy()
+            ring = new Array[InternalRow](kMax)
+            t = 0L
+          }
+          ring((t % kMax).toInt) = inProj(r).copy()
+          t += 1L
+        }
+        val n = math.min(t, kMax.toLong).toInt
+        (firstKey, lastKey,
+          Array.tabulate[InternalRow](n)(i => ring(((t - n + i) % kMax).toInt)))
+      })
+
+    // driver stitch: partition p's back context = its FIRST key's last
+    // kMax tuples from earlier partitions (key-aware accumulation)
+    val nPart = tails.length
+    val backCtx = new Array[Array[InternalRow]](nPart)
+    locally {
+      var curKey: InternalRow = null
+      val running = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var p = 0
+      while (p < nPart) {
+        val b = tails(p)
+        if (b._1 != null) {
+          val continues = curKey != null && KeyedWindowExec.keyEq(b._1, curKey)
+          backCtx(p) = if (continues) running.toArray else Array.empty
+          val lastContinues = curKey != null &&
+            KeyedWindowExec.keyEq(b._2, curKey) && KeyedWindowExec.keyEq(b._1, b._2)
+          if (!lastContinues) running.clear()
+          running ++= b._3
+          if (running.length > kMax) running.remove(0, running.length - kMax)
+          curKey = b._2
+        } else backCtx(p) = Array.empty
+        p += 1
+      }
+    }
+    val ctxB = childRdd.sparkContext.broadcast(backCtx)
+
+    // pass 2: per-key ring of the last kMax+1 tuples, re-fold per row
+    childRdd.mapPartitionsWithIndex { (pid, it) =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val inProj = UnsafeProjection.create(inExprs, childOutput)
+      val cap = kMax + 1
+      val ring = new Array[InternalRow](cap)
+      var ctxLen = 0 // seeded context rows for the CURRENT key
+      var t = 0L     // local row index within the current key
+      var curKey: UnsafeRow = null
+      var firstKeyOfPartition = true
+      val updaters = rebased.indices.map { fi =>
+        val buf = new SpecificInternalRow(bufferTypes(fi))
+        val init = MutableProjection.create(initExprs(fi), Nil).target(buf)
+        val upd = MutableProjection.create(
+          updateExprs(fi), bufferAttrs(fi) ++ valAttrs).target(buf)
+        (buf, init, upd)
+      }.toArray
+      val resultRow = new SpecificInternalRow(resultTypes)
+      val evals = rebased.indices.map { fi =>
+        MutableProjection.create(Seq(evalExprs(fi)), bufferAttrs(fi))
+      }.toArray
+      val joinedUp = new JoinedRow
+      val joinedOut = new JoinedRow
+      val outProj = UnsafeProjection.create(
+        childOutput ++ outAttrs, childOutput ++ outAttrs)
+      it.map { r0 =>
+        val k = keyProj(r0)
+        if (curKey == null || !curKey.equals(k)) {
+          curKey = k.copy()
+          t = 0L
+          val ctx = if (firstKeyOfPartition) ctxB.value(pid)
+                    else Array.empty[InternalRow]
+          firstKeyOfPartition = false
+          ctxLen = ctx.length
+          var i = 0
+          while (i < ctxLen) { ring(i % cap) = ctx(i); i += 1 }
+        }
+        val slot = ((t + ctxLen) % cap).toInt
+        ring(slot) = inProj(r0).copy()
+        var fi = 0
+        while (fi < updaters.length) {
+          val (buf, init, upd) = updaters(fi)
+          init(InternalRow.empty)
+          val lo = -loArr(fi); val up = upArr(fi)
+          var back = math.min(lo.toLong, t + ctxLen).toInt
+          while (back >= -up) {
+            val s = ((t + ctxLen - back) % cap).toInt
+            upd(joinedUp(buf, ring(s)))
+            back -= 1
+          }
+          val res = evals(fi)(buf)
+          resultRow.update(fi,
+            InternalRow.copyValue(res.get(0, resultTypes(fi))))
+          fi += 1
+        }
+        t += 1L
+        numOutputRows += 1L
+        outProj(joinedOut(r0, resultRow))
+      }
+    }
+  }
+}
+
+/** Logical plan for KEYED whole-frame totals — `agg(x) OVER (PARTITION
+  * BY k)` (the unbounded-unbounded frame): every row gets its KEY's
+  * total. Spark plans a hash exchange + per-key sort; with provably few
+  * keys the exchange is pure waste — [[KeyedTotalAggExec]] demands
+  * NOTHING of its child: one metadata job folds a key→partial map per
+  * partition (bounded by the ndv gate), the driver merges the maps and
+  * evaluates once per key, and a map-side lookup attaches the totals.
+  * Order-sensitive aggregates (First/Last) are excluded by the rule —
+  * with no usable order their value is partition-order-arbitrary in
+  * either plan.
+  */
+case class KeyedTotalAggPlan(partKeys: Seq[Expression],
+                             aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                             child: LogicalPlan) extends UnaryNode {
+  require(partKeys.nonEmpty && aggAttrs.length == aggs.length && aggs.nonEmpty)
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): KeyedTotalAggPlan =
+    copy(child = newChild)
+}
+
+/** Physical keyed whole-frame total attach — see [[KeyedTotalAggPlan]].
+  * Zero exchange, zero sort; driver state = ndv(keys) buffers (the
+  * rule's gate bounds it). The scale profile is a partial-aggregate
+  * `groupBy` without its exchange, plus a broadcast-joined map lookup —
+  * there is no cheaper correct plan for a low-ndv keyed total.
+  */
+case class KeyedTotalAggExec(partKeys: Seq[Expression],
+                             aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                             child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): KeyedTotalAggExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRdd = child.execute()
+    val childOutput = child.output
+    val keyExprs = partKeys
+    val outAttrs = aggAttrs
+    val funcs: Seq[DeclarativeAggregate] =
+      aggs.map(GlobalRunningAggExec.innerAggregate(_).aggregateFunction
+        .asInstanceOf[DeclarativeAggregate])
+    val bufferAttrs = funcs.flatMap(_.aggBufferAttributes)
+    val bufferTypes = bufferAttrs.map(_.dataType)
+    val initExprs = funcs.flatMap(_.initialValues)
+    val updateExprs = funcs.flatMap(_.updateExpressions)
+    val resultTypes = outAttrs.map(_.dataType)
+    val numOutputRows = longMetric("numOutputRows")
+
+    // pass 1: per partition, key → partial buffer (ndv-bounded map)
+    val partials: Array[Array[(UnsafeRow, InternalRow)]] =
+      if (childRdd.getNumPartitions == 0) Array.empty
+      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val init = MutableProjection.create(initExprs, Nil)
+        val update = MutableProjection.create(updateExprs, bufferAttrs ++ childOutput)
+        val joined = new JoinedRow
+        val map = scala.collection.mutable.LinkedHashMap
+          .empty[UnsafeRow, SpecificInternalRow]
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyProj(r) // reused buffer: hash/equals read bytes, so
+          val buf = map.get(k) match { // lookups need no copy — only inserts
+            case Some(b) => b
+            case None =>
+              val b = new SpecificInternalRow(bufferTypes)
+              init.target(b)(InternalRow.empty)
+              map.put(k.copy(), b)
+              b
+          }
+          update.target(buf)(joined(buf, r))
+        }
+        map.iterator.map { case (k, b) =>
+          (k, b.copy(): InternalRow)
+        }.toArray
+      })
+
+    // driver: merge per-key partials across partitions, evaluate once
+    val inputBufferAttrs = funcs.flatMap(_.inputAggBufferAttributes)
+    val mergeExprs = funcs.flatMap(_.mergeExpressions)
+    val evalExprs = aggs.map(_.transform {
+      case a: AggregateExpression =>
+        a.aggregateFunction.asInstanceOf[DeclarativeAggregate].evaluateExpression
+    })
+    val totals: Map[UnsafeRow, InternalRow] = {
+      val merge = MutableProjection.create(mergeExprs, bufferAttrs ++ inputBufferAttrs)
+      val joined = new JoinedRow
+      val acc = scala.collection.mutable.LinkedHashMap.empty[UnsafeRow, InternalRow]
+      partials.iterator.flatten.foreach { case (k, p) =>
+        acc.get(k) match {
+          case Some(prev) =>
+            acc(k) = merge.target(new SpecificInternalRow(bufferTypes))(
+              joined(prev, p)).copy()
+          case None => acc(k) = p
+        }
+      }
+      val eval = MutableProjection.create(evalExprs, bufferAttrs)
+      acc.iterator.map { case (k, buf) =>
+        val res = new SpecificInternalRow(resultTypes)
+        eval.target(res)(buf)
+        k -> (res.copy(): InternalRow)
+      }.toMap
+    }
+    val totalsB = childRdd.sparkContext.broadcast(totals)
+
+    // pass 2: per-row key lookup, attach
+    childRdd.mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(
+        childOutput ++ outAttrs, childOutput ++ outAttrs)
+      val map = totalsB.value
+      it.map { r =>
+        val res = map.getOrElse(keyProj(r), throw new IllegalStateException(
+          "KeyedTotalAggExec: pass-2 key missing from the merged totals — " +
+            "the two passes saw different data (non-deterministic child?)"))
+        numOutputRows += 1L
+        outProj(joined(r, res))
       }
     }
   }

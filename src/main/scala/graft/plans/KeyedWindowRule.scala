@@ -26,6 +26,21 @@ private[plans] object WindowShapes {
     case _ => false
   }
 
+  /** Additional aggregates sound for BOUNDED frames only: the bounded
+    * execs re-fold each frame's rows SEQUENTIALLY — the exact operation
+    * order `WindowExec`'s sliding frame uses — so float-order-sensitive
+    * moments (stddev/variance, correlation, covariance) stay
+    * bit-identical. The running/total paths merge per-partition
+    * PARTIALS instead, a different float operation order, so these
+    * never ride those. */
+  def boundedOnlyAgg(f: AggregateFunction): Boolean = f match {
+    case _: org.apache.spark.sql.catalyst.expressions.aggregate.CentralMomentAgg |
+         _: org.apache.spark.sql.catalyst.expressions.aggregate.Corr |
+         _: org.apache.spark.sql.catalyst.expressions.aggregate.Covariance =>
+      f.isInstanceOf[DeclarativeAggregate]
+    case _ => false
+  }
+
   /** `nth_value(x, 1[, ignoreNulls])` — Spark's `OptimizeWindowFunctions`
     * spelling of `first_value` for ROWS frames starting at UNBOUNDED
     * PRECEDING — as the equivalent `First` aggregate. */
@@ -57,6 +72,44 @@ private[plans] object WindowShapes {
         nthFirstOf(nth).map((_, RunFrame.RowsExclusive))
       case _ => None
     }
+
+  /** `agg(x) OVER (… ROWS BETWEEN <lo> AND <up>)` with BOTH ends
+    * bounded — k PRECEDING / CURRENT ROW / k FOLLOWING in any valid
+    * combination: trailing (the reference's W1 rolling mean), centered
+    * smoothing (`a PRECEDING AND b FOLLOWING`), strictly-preceding and
+    * pure-following frames → (aggregate, signed lower, signed upper),
+    * frame rows = [t+lower, t+upper]. Capped at `maxReach` rows of
+    * reach either side: the rewrites ship that many boundary tuples per
+    * partition as driver metadata, so a pathological million-row frame
+    * stays on Spark's plan. `first_value` over a bounded frame reaches
+    * here in its aggregate spelling (the optimizer's `nth_value(x, 1)`
+    * rewrite fires only for UNBOUNDED PRECEDING frames), but nth
+    * handling is kept for DataFrame-API `nth_value(…, 1)` calls.
+    */
+  def boundedAggOf(fn: Expression, spec: WindowSpecDefinition,
+                   maxReach: Int): Option[(AggregateExpression, Int, Int)] = {
+    def boundOf(e: Expression): Option[Int] = e match {
+      case CurrentRow => Some(0)
+      case Literal(v: Int, IntegerType) => Some(v)
+      case _ => None
+    }
+    def bounds: Option[(Int, Int)] = spec.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, loE, upE) =>
+        for {
+          lo <- boundOf(loE)
+          up <- boundOf(upE)
+          if lo <= up && -lo <= maxReach && up <= maxReach
+        } yield (lo, up)
+      case _ => None
+    }
+    fn match {
+      case ae @ AggregateExpression(f, Complete, false, None, _)
+          if supportedAgg(f) || boundedOnlyAgg(f) =>
+        bounds.map { case (lo, up) => (ae, lo, up) }
+      case _ =>
+        nthFirstOf(fn).flatMap(ae => bounds.map { case (lo, up) => (ae, lo, up) })
+    }
+  }
 
   /** Literal-offset respect-nulls lag/lead → (input, SIGNED offset,
     * default). */
@@ -127,14 +180,41 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
   private case class RunK(ae: AggregateExpression, frame: RunFrame) extends Kind
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class IgnK(in: Expression, default: Expression) extends Kind
+  private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
+  private case class TotK(ae: AggregateExpression) extends Kind
 
-  private def classify(ne: NamedExpression): Option[Kind] = ne match {
-    case Alias(WindowExpression(fn, spec), _) =>
-      WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) }
-        .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
-        .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
-    case _ => None
+  private def classify(ne: NamedExpression): Option[Kind] = {
+    val maxReach =
+      session.conf.get(GlobalRankRule.MaxBoundedFrameConf, "1024").toInt
+    ne match {
+      case Alias(WindowExpression(fn, spec), _) =>
+        WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) }
+          .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
+          .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
+          // keyed bounded frames fold backward only (the global exec
+          // owns two-sided frames; a keyed FOLLOWING end stays with
+          // Spark until the keyed exec grows a pending queue)
+          .orElse(WindowShapes.boundedAggOf(fn, spec, maxReach)
+            .filter(_._3 <= 0).map { case (ae, lo, up) => BndK(ae, lo, up) })
+          .orElse(keyedTotalOf(fn, spec).map(TotK.apply))
+      case _ => None
+    }
   }
+
+  /** `agg(x) OVER (PARTITION BY k)` — the keyed whole-frame total.
+    * First/Last are excluded: with an unbounded-unbounded frame their
+    * value is partition-order-arbitrary (Spark's included) unless an
+    * ORDER BY binds it, and the zero-exchange plan has no order. */
+  private def keyedTotalOf(fn: Expression,
+                           spec: WindowSpecDefinition): Option[AggregateExpression] =
+    (fn, spec.frameSpecification) match {
+      case (ae @ AggregateExpression(f, Complete, false, None, _),
+            SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))
+          if WindowShapes.supportedAgg(f) &&
+            !f.isInstanceOf[First] && !f.isInstanceOf[Last] =>
+        Some(ae)
+      case _ => None
+    }
 
   private def provablySmall(child: LogicalPlan): Boolean = {
     val threshold =
@@ -158,10 +238,15 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
     * for the PlanAuditSpec sweep (detector self-check plants a probe
     * with the rewrite off and must still SEE it). */
   private[graft] def wouldRewrite(w: Window): Boolean =
-    w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty &&
-      w.windowExpressions.nonEmpty && !provablySmall(w.child) &&
-      w.windowExpressions.forall(classify(_).isDefined) &&
-      ndvOk(w.partitionSpec, w.child)
+    w.partitionSpec.nonEmpty && w.windowExpressions.nonEmpty &&
+      !provablySmall(w.child) && {
+        val kinds = w.windowExpressions.map(classify)
+        kinds.forall(_.isDefined) &&
+          // whole-frame totals need no order; every other shape is
+          // position-dependent and needs the ORDER BY to range-partition
+          (w.orderSpec.nonEmpty || kinds.forall(_.exists(_.isInstanceOf[TotK]))) &&
+          ndvOk(w.partitionSpec, w.child)
+      }
 
   private def rewritable(w: Window): Boolean =
     session.conf.get(RewriteConf, "true") == "true" && wouldRewrite(w)
@@ -187,6 +272,10 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
       val offQuads = classified.collect {
         case (attr, OffK(in, o, d)) => (attr, in, o, d)
       }
+      val bndQuads = classified.collect {
+        case (attr, BndK(ae, lo, up)) => (attr, ae, lo, up)
+      }
+      val totPairs = classified.collect { case (attr, TotK(ae)) => (attr, ae) }
       var replaced: LogicalPlan = w.child
       if (runTriples.nonEmpty) {
         replaced = KeyedRunningAggPlan(w.partitionSpec, w.orderSpec,
@@ -197,6 +286,16 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
         replaced = KeyedOffsetPlan(w.partitionSpec, w.orderSpec,
           offQuads.map(_._1), offQuads.map(_._2),
           offQuads.map(_._3), offQuads.map(_._4), replaced)
+      }
+      if (bndQuads.nonEmpty) {
+        replaced = KeyedBoundedAggPlan(w.partitionSpec, w.orderSpec,
+          bndQuads.map(_._1), bndQuads.map(_._2: Expression),
+          bndQuads.map(_._3), bndQuads.map(_._4), replaced)
+      }
+      if (totPairs.nonEmpty) {
+        // outermost: demands nothing, rides whatever partitioning is below
+        replaced = KeyedTotalAggPlan(w.partitionSpec,
+          totPairs.map(_._1), totPairs.map(_._2: Expression), replaced)
       }
       if (ignMap.isEmpty && replaced.output == w.output) replaced
       else Project(w.output.map { a =>

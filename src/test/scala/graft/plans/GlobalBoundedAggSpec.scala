@@ -177,12 +177,62 @@ class GlobalBoundedAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(GlobalRankRule.MaxBoundedFrameConf)
   }
 
-  test("FOLLOWING frame ends and RANGE k-preceding frames are untouched") {
+  test("centered and FOLLOWING frames fold exactly through the forward context") {
+    // two-sided and pure-lookahead frames (r11 session 2): pending rows
+    // finalize when the row maxFwd ahead arrives, or at the drain
+    // against the stitched forward context
+    fixture.createOrReplaceTempView("gba_fwd")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  avg(v)   OVER (ORDER BY v, id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS centered7,
+        |  sum(v)   OVER (ORDER BY v, id
+        |    ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS ahead6,
+        |  count(v) OVER (ORDER BY v, id
+        |    ROWS BETWEEN 2 FOLLOWING AND 7 FOLLOWING) AS far6,
+        |  max(concat('s', CAST(v AS STRING))) OVER (ORDER BY v, id
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mxs3,
+        |  sum(d)   OVER (ORDER BY id
+        |    ROWS BETWEEN 4 PRECEDING AND 2 FOLLOWING) AS sd7
+        |FROM gba_fwd""".stripMargin))
+    // a frame wider than the data: every seam and both clips crossed
+    checkRewritten(spark.sql(
+      """SELECT id, sum(v) OVER (ORDER BY v, id
+        |  ROWS BETWEEN 900 PRECEDING AND 900 FOLLOWING) AS s
+        |FROM gba_fwd""".stripMargin))
+  }
+
+  test("moments and correlation fold exactly over bounded frames (bounded-only whitelist)") {
+    // stddev/variance/corr/covar are float-order-sensitive: they ride
+    // ONLY the bounded execs (sequential re-fold = WindowExec's own
+    // order) — pinned bit-identical here; the running path must refuse.
+    // corr's operands must VARY within each frame (d, id do; v is
+    // frame-constant under the v-led order): a zero variance makes
+    // Spark's own corr throw DIVIDE_BY_ZERO under ANSI in either plan
+    fixture.createOrReplaceTempView("gba_mom")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  stddev_samp(v) OVER w AS sd,
+        |  var_pop(v)     OVER w AS vp,
+        |  stddev_pop(d)  OVER w AS sdp,
+        |  corr(d, id)    OVER w AS cr,
+        |  covar_samp(v, id) OVER w AS cv
+        |FROM gba_mom
+        |WINDOW w AS (ORDER BY v, id ROWS BETWEEN 9 PRECEDING AND 2 FOLLOWING)
+        |""".stripMargin))
+    // a RUNNING stddev merges partials (different float order) — it must
+    // stay on Spark's window, not silently ride the prefix machinery
+    val running = spark.sql(
+      """SELECT id, stddev_samp(v) OVER (ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sd
+        |FROM gba_mom""".stripMargin)
+    assert(!nodes(running).exists(_.isInstanceOf[GlobalRunningAggExec]),
+      s"running stddev must not ride the partial-merge path:\n${running.queryExecution.executedPlan}")
+    assert(nodes(running).exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("RANGE k-preceding frames are untouched (value-range, not row-count)") {
     import org.apache.spark.sql.expressions.Window
-    val following = fixture.withColumn("s",
-      sum("v").over(Window.orderBy("v", "id").rowsBetween(-3, 1)))
-    assert(!nodes(following).exists(_.isInstanceOf[GlobalBoundedAggExec]))
-    assert(nodes(following).exists(_.isInstanceOf[WindowExec]))
     val ranged = fixture.withColumn("s",
       sum("v").over(Window.orderBy("id").rangeBetween(-3, 0)))
     assert(!nodes(ranged).exists(_.isInstanceOf[GlobalBoundedAggExec]))

@@ -57,7 +57,11 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       |  sum(v)   OVER (ORDER BY v, id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS bsx,
       |  min(v)   OVER (ORDER BY v, id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS bmn,
       |  max(concat('b', CAST(v AS STRING))) OVER (ORDER BY v, id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bmxs,
-      |  last_value(v) OVER (ORDER BY v, id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS blv
+      |  last_value(v) OVER (ORDER BY v, id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS blv,
+      |  avg(v)   OVER (ORDER BY v, id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS cav,
+      |  sum(v)   OVER (ORDER BY v, id ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fsum,
+      |  min(v)   OVER (ORDER BY v, id ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING) AS fmn,
+      |  stddev_samp(v) OVER (ORDER BY v, id ROWS BETWEEN 4 PRECEDING AND 1 FOLLOWING) AS bsd
       |FROM gwr_t""".stripMargin
 
   property("the full battery is bit-identical to WindowExec on arbitrary input") =

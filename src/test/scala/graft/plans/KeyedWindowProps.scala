@@ -40,7 +40,16 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |  lag(v, 3, -1) OVER wo AS pv3,
        |  lead(v, 2)    OVER wo AS nv2,
        |  lag(v) IGNORE NULLS OVER wo AS pvn,
-       |  lag(v, 1, -7) IGNORE NULLS OVER wo AS pvnd
+       |  lag(v, 1, -7) IGNORE NULLS OVER wo AS pvnd,
+       |  avg(v) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bav,
+       |  sum(v) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS bsx,
+       |  max(concat('b', CAST(v AS STRING))) OVER (PARTITION BY pmod(id, $k)
+       |    ORDER BY v, id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bmxs,
+       |  stddev_samp(v) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS bsd,
+       |  sum(v) OVER (PARTITION BY pmod(id, $k)) AS ktot
        |FROM kwp_t
        |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v, id
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),

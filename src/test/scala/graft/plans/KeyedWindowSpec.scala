@@ -237,14 +237,111 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
         |FROM kw_t8""".stripMargin)
     assert(!nodes(raw).exists(_.isInstanceOf[KeyedRunningAggExec]))
-    // bounded keyed frames are not (yet) in scope → untouched
-    val bounded = spark.sql(
-      """SELECT id, sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
-        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cs
-        |FROM kw_t8""".stripMargin)
-    assert(!nodes(bounded).exists(p =>
-      p.isInstanceOf[KeyedRunningAggExec] || p.isInstanceOf[GlobalBoundedAggExec]))
-    assert(nodes(bounded).exists(_.isInstanceOf[WindowExec]))
+    // bounded keyed frames beyond the reach cap stay with Spark
+    spark.conf.set(GlobalRankRule.MaxBoundedFrameConf, "8")
+    try {
+      val farBounded = spark.sql(
+        """SELECT id, sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+          |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS cs
+          |FROM kw_t8""".stripMargin)
+      assert(!nodes(farBounded).exists(_.isInstanceOf[KeyedBoundedAggExec]))
+      assert(nodes(farBounded).exists(_.isInstanceOf[WindowExec]))
+    } finally spark.conf.unset(GlobalRankRule.MaxBoundedFrameConf)
+  }
+
+  test("the W1 shape — keyed bounded rolling mean with the min_periods guard — heals") {
+    // the reference's own flagship window, written exactly as a user
+    // writes it (PARTITION BY asset, 7-row frame, count guard)
+    fixture.createOrReplaceTempView("kw_w1")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  CASE WHEN count(v) OVER w = 7 THEN avg(v) OVER w END AS mm7,
+        |  sum(d)   OVER w AS s7,
+        |  max(v)   OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS pmax
+        |FROM kw_w1
+        |WINDOW w AS (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |""".stripMargin), classOf[KeyedBoundedAggExec])
+  }
+
+  test("a keyed node mixing bounded, running, and offset shapes shares ONE exchange") {
+    fixture.createOrReplaceTempView("kw_mix2")
+    val df = spark.sql(
+      """SELECT id,
+        |  avg(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mm7,
+        |  sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  lag(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id) AS pv
+        |FROM kw_mix2""".stripMargin)
+    val onRows = df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[KeyedBoundedAggExec]) &&
+      plan.exists(_.isInstanceOf[KeyedRunningAggExec]) &&
+      plan.exists(_.isInstanceOf[KeyedOffsetExec]),
+      s"expected all three keyed execs:\n${df.queryExecution.executedPlan}")
+    assert(plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) === 1)
+    spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
+  test("keyed whole-frame totals attach with ZERO exchange") {
+    // agg(x) OVER (PARTITION BY k): Spark hash-exchanges + sorts per
+    // key; the keyed total plans per-partition key→partial maps, a
+    // driver merge, and a broadcast lookup — no exchange at all
+    fixture.createOrReplaceTempView("kw_tot")
+    val df = spark.sql(
+      """SELECT id, v,
+        |  sum(v)   OVER (PARTITION BY pmod(id, 3)) AS tv,
+        |  count(*) OVER (PARTITION BY pmod(id, 3)) AS n,
+        |  avg(d)   OVER (PARTITION BY pmod(id, 3)) AS ad,
+        |  max(v)   OVER (PARTITION BY pmod(id, 3)) AS mx
+        |FROM kw_tot""".stripMargin)
+    val onRows = df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[KeyedTotalAggExec]),
+      s"expected KeyedTotalAggExec:\n${df.queryExecution.executedPlan}")
+    assert(!plan.exists(_.isInstanceOf[WindowExec]))
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"keyed total must not shuffle:\n${df.queryExecution.executedPlan}")
+    spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+    // the share-of-group shape beside a running prefix: total stacks
+    // over the running agg's exchange, adding none
+    val mixed = spark.sql(
+      """SELECT id,
+        |  sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  sum(v) OVER (PARTITION BY pmod(id, 3)) AS tv
+        |FROM kw_tot""".stripMargin)
+    val mixedRows = mixed.collect()
+    val mplan = nodes(mixed)
+    assert(mplan.exists(_.isInstanceOf[KeyedTotalAggExec]) &&
+      mplan.exists(_.isInstanceOf[KeyedRunningAggExec]))
+    assert(mplan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) === 1)
+    spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+    val mixedOff =
+      try mixed.collect()
+      finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+    assert(mixedRows.map(_.toString).sorted.toSeq ===
+      mixedOff.map(_.toString).sorted.toSeq)
+    // First/Last totals stay with Spark: no order to bind them
+    val fl = spark.sql(
+      """SELECT id, first_value(v) OVER (PARTITION BY pmod(id, 3)) AS fv
+        |FROM kw_tot""".stripMargin)
+    assert(!nodes(fl).exists(_.isInstanceOf[KeyedTotalAggExec]))
   }
 
   test("decimal avg under DecimalAggregates survives the keyed rewrite") {

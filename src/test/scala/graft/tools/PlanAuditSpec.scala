@@ -711,6 +711,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x118: a window survived the rewrite family:\n${p.take(1500)}")
     assert(p.contains("GlobalBoundedAgg") && p.contains("GlobalRunningAgg"),
       s"x118: expected the bounded + running execs:\n${p.take(1500)}")
+    // x122: TWO-SIDED frames (centered + lookahead) — same exec, forward
+    // context engaged
+    val p122 = plan("x122_centered_smooth")
+    assert(!p122.contains("Window ["),
+      s"x122: a window survived the rewrite family:\n${p122.take(1500)}")
+    assert(p122.contains("GlobalBoundedAgg"),
+      s"x122: expected GlobalBoundedAggExec:\n${p122.take(1500)}")
   }
 
   test("w2/w4: the low-ndv keyed windows plan through the keyed execs, window-free") {
@@ -728,6 +735,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"w4: the keyed running sum still plans as a hash-clustered window:\n${p4.take(1500)}")
     assert(p4.contains("KeyedRunningAgg"),
       s"w4: expected KeyedRunningAggExec:\n${p4.take(1500)}")
+    // x120: the W1 flagship shape in plain SQL — the keyed BOUNDED arm
+    val p120 = plan("x120_rolling_mean_keyed")
+    assert(!p120.contains("Window ["),
+      s"x120: the keyed rolling mean still plans as a hash-clustered window:\n${p120.take(1500)}")
+    assert(p120.contains("KeyedBoundedAgg"),
+      s"x120: expected KeyedBoundedAggExec:\n${p120.take(1500)}")
+    // x121: the keyed whole-frame total — zero exchange, zero sort
+    val p121 = plan("x121_lang_share")
+    assert(!p121.contains("Window ["),
+      s"x121: the keyed total still plans as a hash-clustered window:\n${p121.take(1500)}")
+    assert(p121.contains("KeyedTotalAgg"),
+      s"x121: expected KeyedTotalAggExec:\n${p121.take(1500)}")
+    assert(!p121.contains("Exchange hashpartitioning"),
+      s"x121: the keyed total must not exchange:\n${p121.take(1500)}")
   }
 
   test("no query leaves a provably-low-ndv keyed window unhealed (VERDICT r10 #3)") {
@@ -760,6 +781,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(seen.nonEmpty, "sweep detector failed to see a known low-ndv keyed window")
     assert(unhealed(probe()).isEmpty,
       "KeyedWindowRule should heal the planted keyed window")
+    // the keyed BOUNDED arm (round 11): the W1 shape heals too
+    import org.apache.spark.sql.functions.avg
+    val boundedProbe = spark.range(100000).withColumn("m7",
+      avg("id").over(Window.partitionBy(pmod(col("id"), lit(3)))
+        .orderBy("id").rowsBetween(-6, 0)))
+    assert(unhealed(boundedProbe).isEmpty,
+      "KeyedWindowRule should heal the planted keyed bounded window")
+    assert(boundedProbe.queryExecution.executedPlan.toString
+      .contains("KeyedBoundedAgg"),
+      s"keyed bounded probe should plan the exec:\n${boundedProbe.queryExecution.executedPlan}")
     val hits = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val u = unhealed(SparkEntry.queries(q)(spark, sf))
       if (u.nonEmpty) Some(s"$q -> ${u.mkString(", ")}") else None
