@@ -101,6 +101,35 @@ object SparkEntryR11 {
           |    ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS ahead_min
           |FROM x122_documents
           |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // ---- X123: per-language length ranks — KEYED ranking through the
+    // plain SQL surface ----
+    //
+    // "Where does this document sit in its language's length
+    // distribution?" — rank/dense_rank/percent_rank/cume_dist per
+    // language. Spark hash-clusters the corpus at ndv(lang) tasks; the
+    // IN-filter ndv proof lets `KeyedWindowRule` re-plan through
+    // `KeyedRankExec` (range exchange on (lang, order), per-key-run
+    // counts + first-key offsets as metadata, per-key resets in the
+    // streaming pass; key totals broadcast for the ratio kinds).
+    // Top-k `rnk <= k` shapes stay with Spark's group-limit prune —
+    // the same carve-out the global rule makes.
+    "x123_lang_length_rank" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("x123_documents")
+      s.sql(
+        """SELECT doc_id, lang,
+          |  row_number()   OVER wo AS rn,
+          |  rank()         OVER wt AS rnk,
+          |  dense_rank()   OVER wt AS drnk,
+          |  ntile(4)       OVER wo AS quartile,
+          |  round(percent_rank() OVER wt, 6) AS pr,
+          |  round(cume_dist()    OVER wt, 6) AS cd
+          |FROM x123_documents
+          |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+          |WINDOW wo AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id),
+          |       wt AS (PARTITION BY lang ORDER BY n_chars DESC)
+          |ORDER BY doc_id""".stripMargin)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -148,5 +177,21 @@ object SparkEntryR11 {
         |  min(n_chars) OVER (ORDER BY doc_id
         |    ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS ahead_min
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB rank kinds are INTEGER-identical; cast to match Spark's
+    // IntegerType ranks
+    "x123_lang_length_rank" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number()   OVER wo AS INT) AS rn,
+        |  CAST(rank()         OVER wt AS INT) AS rnk,
+        |  CAST(dense_rank()   OVER wt AS INT) AS drnk,
+        |  CAST(ntile(4)       OVER wo AS INT) AS quartile,
+        |  round(percent_rank() OVER wt, 6) AS pr,
+        |  round(cume_dist()    OVER wt, 6) AS cd
+        |FROM documents
+        |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        |WINDOW wo AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id),
+        |       wt AS (PARTITION BY lang ORDER BY n_chars DESC)
         |ORDER BY doc_id""".stripMargin)
 }

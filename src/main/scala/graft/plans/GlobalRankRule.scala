@@ -66,15 +66,6 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
 
   import GlobalRankRule.RewriteConf
 
-  private def kindOf(fn: Expression): Option[RankKind] = fn match {
-    case _: RowNumber => Some(RankKind.RowNumber)
-    case _: Rank => Some(RankKind.Rank)
-    case _: DenseRank => Some(RankKind.DenseRank)
-    case NTile(Literal(k: Int, _)) if k > 0 => Some(RankKind.Ntile(k))
-    case _: PercentRank => Some(RankKind.PercentRank)
-    case _: CumeDist => Some(RankKind.CumeDist)
-    case _ => None
-  }
 
   /** `agg(x) OVER ()` — or any UNBOUNDED PRECEDING → UNBOUNDED
     * FOLLOWING frame — the whole-frame global total, order-irrelevant.
@@ -118,7 +109,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
       session.conf.get(GlobalRankRule.MaxBoundedFrameConf, "1024").toInt
     ne match {
       case Alias(WindowExpression(fn, spec), _) =>
-        kindOf(fn).map(RankK.apply)
+        WindowShapes.rankKindOf(fn).map(RankK.apply)
           .orElse(WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) })
           .orElse(totalAggOf(fn, spec).map(TotK.apply))
           .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
@@ -161,7 +152,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
 
   private def isPureRank(w: Window): Boolean =
     w.windowExpressions.forall {
-      case Alias(WindowExpression(fn, _), _) => kindOf(fn).isDefined
+      case Alias(WindowExpression(fn, _), _) => WindowShapes.rankKindOf(fn).isDefined
       case _ => false
     }
 
@@ -183,7 +174,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
             // a bound on ntile/percent_rank/cume_dist does NOT make the
             // group-limit path fire, so those nodes must still rewrite
             case a @ Alias(WindowExpression(fn, _), _)
-                if kindOf(fn).exists {
+                if WindowShapes.rankKindOf(fn).exists {
                   case RankKind.RowNumber | RankKind.Rank |
                        RankKind.DenseRank => true
                   case _ => false
@@ -321,6 +312,8 @@ object GlobalRankStrategy extends SparkStrategy {
       KeyedBoundedAggExec(keys, order, attrs, aggs, los, ups, planLater(child)) :: Nil
     case KeyedTotalAggPlan(keys, attrs, aggs, child) =>
       KeyedTotalAggExec(keys, attrs, aggs, planLater(child)) :: Nil
+    case KeyedRankPlan(keys, order, attrs, kinds, child) =>
+      KeyedRankExec(keys, order, attrs, kinds, planLater(child)) :: Nil
     case _ => Nil
   }
 }

@@ -986,3 +986,251 @@ case class KeyedTotalAggExec(partKeys: Seq[Expression],
     }
   }
 }
+
+/** Logical plan for KEYED ranking — `row_number()/rank()/dense_rank()/
+  * ntile(k)/percent_rank()/cume_dist() OVER (PARTITION BY c ORDER BY
+  * t)` over a low-cardinality c: [[GlobalRankPlan]]'s two-pass position
+  * machinery with PER-KEY resets. A key's rows span a contiguous run of
+  * range partitions, so pass 1 counts (rows, tie runs) per key-run,
+  * the driver stitches each partition's first-key (row, run) offsets
+  * AND the per-key totals (ntile/percent_rank/cume_dist need their
+  * KEY's row count — an ndv-bounded broadcast map), and pass 2 streams
+  * ranks with the position counters resetting at every key change.
+  * Top-k `rnk <= k` filters stay with Spark's `InferWindowGroupLimit`
+  * map-side prune, exactly as the global rule carves out.
+  */
+case class KeyedRankPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
+                         rankAttrs: Seq[Attribute], rankKinds: Seq[RankKind],
+                         child: LogicalPlan) extends UnaryNode {
+  require(partKeys.nonEmpty && rankAttrs.length == rankKinds.length &&
+    rankAttrs.nonEmpty)
+  override def output: Seq[Attribute] = child.output ++ rankAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): KeyedRankPlan =
+    copy(child = newChild)
+}
+
+/** Physical per-key ranking without per-key task clustering — see
+  * [[KeyedRankPlan]]. Tie runs are compared on (keys ++ order); range
+  * partitioning keeps a tie run inside one partition, so run-aware
+  * ranks never straddle a seam. */
+case class KeyedRankExec(partKeys: Seq[Expression], order: Seq[SortOrder],
+                         rankAttrs: Seq[Attribute], rankKinds: Seq[RankKind],
+                         child: SparkPlan) extends UnaryExecNode {
+
+  private val full = KeyedWindowExec.fullOrder(partKeys, order)
+
+  override def output: Seq[Attribute] = child.output ++ rankAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttrs)
+  override def outputOrdering: Seq[SortOrder] = full
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(full) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(full)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): KeyedRankExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childRdd = child.execute()
+    val childOutput = child.output
+    val fullOrder = full
+    val keyExprs = partKeys
+    val kinds = rankKinds.toArray
+    val needRuns = kinds.exists {
+      case RankKind.Rank | RankKind.DenseRank | RankKind.PercentRank => true
+      case _ => false
+    }
+    // key totals are needed whenever a kind divides by / buckets over
+    // the KEY's row count
+    val needTotals = kinds.exists {
+      case RankKind.Ntile(_) | RankKind.PercentRank | RankKind.CumeDist => true
+      case _ => false
+    }
+    val numOutputRows = longMetric("numOutputRows")
+
+    // pass 1: per key-run (key, rows, tie runs) — pure metadata,
+    // O(partitions + ndv) entries
+    val runs: Array[Array[(InternalRow, Long, Long)]] =
+      if (childRdd.getNumPartitions == 0) Array.empty
+      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val ord =
+          if (needRuns) RowOrdering.create(fullOrder, childOutput) else null
+        val out = scala.collection.mutable.ArrayBuffer.empty[(InternalRow, Long, Long)]
+        var curKey: UnsafeRow = null
+        var rows = 0L
+        var tieRuns = 0L
+        var rep: InternalRow = null
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyProj(r)
+          if (curKey == null || !curKey.equals(k)) {
+            if (curKey != null) out += ((curKey, rows, tieRuns))
+            curKey = k.copy()
+            rows = 0L; tieRuns = 0L; rep = null
+          }
+          rows += 1L
+          if (needRuns && (rep == null || ord.compare(rep, r) != 0)) {
+            tieRuns += 1L
+            rep = r.copy()
+          }
+        }
+        if (curKey != null) out += ((curKey, rows, tieRuns))
+        out.toArray
+      })
+
+    // driver stitch: partition p's first-key (row, run) offsets when the
+    // key continues from earlier partitions; per-key TOTAL row counts
+    val nPart = runs.length
+    val rowSeeds = new Array[Long](nPart)
+    val runSeeds = new Array[Long](nPart)
+    val totals = scala.collection.mutable.LinkedHashMap.empty[UnsafeRow, Long]
+    locally {
+      var curKey: InternalRow = null
+      var accRows = 0L
+      var accRuns = 0L
+      var p = 0
+      while (p < nPart) {
+        val rs = runs(p)
+        if (rs.nonEmpty) {
+          if (curKey != null && KeyedWindowExec.keyEq(rs.head._1, curKey)) {
+            rowSeeds(p) = accRows; runSeeds(p) = accRuns
+          }
+          var i = 0
+          while (i < rs.length) {
+            val (k, rows, tieRuns) = rs(i)
+            if (curKey != null && KeyedWindowExec.keyEq(k, curKey)) {
+              accRows += rows; accRuns += tieRuns
+            } else {
+              curKey = k; accRows = rows; accRuns = tieRuns
+            }
+            if (needTotals) {
+              val uk = k.asInstanceOf[UnsafeRow]
+              totals(uk) = totals.getOrElse(uk, 0L) + rows
+            }
+            i += 1
+          }
+        }
+        p += 1
+      }
+    }
+    val seedsB = childRdd.sparkContext.broadcast(
+      (rowSeeds, runSeeds, totals.toMap))
+
+    // pass 2: streaming rank append with per-key resets; cume_dist
+    // buffers one tie run at a time (run end position / key total)
+    val hasCume = kinds.contains(RankKind.CumeDist)
+    childRdd.mapPartitionsWithIndex { (pid, it) =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord =
+        if (needRuns || hasCume) RowOrdering.create(fullOrder, childOutput)
+        else null
+      val proj = UnsafeProjection.create(
+        childOutput ++ rankAttrs, childOutput ++ rankAttrs)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(kinds.length)
+      val (rowSeedArr, runSeedArr, totalMap) = seedsB.value
+      var curKey: UnsafeRow = null
+      var firstKeyOfPartition = true
+      var rowOff = 0L
+      var runOff = 0L
+      var keyTotal = 0L
+      var localPos = 0L
+      var runStart = 0L
+      var runIdx = 0L
+      var rep: InternalRow = null
+      def startKey(k: UnsafeRow): Unit = {
+        curKey = k.copy()
+        if (firstKeyOfPartition) {
+          rowOff = rowSeedArr(pid); runOff = runSeedArr(pid)
+        } else { rowOff = 0L; runOff = 0L }
+        firstKeyOfPartition = false
+        keyTotal = if (needTotals) totalMap.getOrElse(curKey, 0L) else 0L
+        localPos = 0L; runStart = 0L; runIdx = 0L; rep = null
+      }
+      def fillRanks(): Unit = {
+        var i = 0
+        while (i < kinds.length) {
+          kinds(i) match {
+            case RankKind.RowNumber =>
+              rankRow.update(i, (rowOff + localPos).toInt)
+            case RankKind.Rank =>
+              rankRow.update(i, (rowOff + runStart).toInt)
+            case RankKind.DenseRank =>
+              rankRow.update(i, (runOff + runIdx).toInt)
+            case RankKind.Ntile(k) =>
+              val pGlobal = rowOff + localPos
+              val q = keyTotal / k
+              val r = keyTotal % k
+              val big = r * (q + 1)
+              val b =
+                if (pGlobal <= big) (pGlobal - 1) / (q + 1) + 1
+                else r + (pGlobal - big - 1) / q + 1
+              rankRow.update(i, b.toInt)
+            case RankKind.PercentRank =>
+              val rank = rowOff + runStart
+              rankRow.update(i,
+                if (keyTotal > 1L) (rank - 1).toDouble / (keyTotal - 1L)
+                else 0.0d)
+            case RankKind.CumeDist => () // run-end buffered path below
+          }
+          i += 1
+        }
+      }
+      def advance(r: InternalRow): Unit = {
+        val k = keyProj(r)
+        if (curKey == null || !curKey.equals(k)) startKey(k)
+        localPos += 1L
+        if ((needRuns || hasCume) && (rep == null || ord.compare(rep, r) != 0)) {
+          runStart = localPos
+          runIdx += 1L
+          rep = r.copy()
+        }
+      }
+      if (!hasCume) {
+        it.map { r =>
+          advance(r)
+          fillRanks()
+          numOutputRows += 1L
+          proj(joined(r, rankRow))
+        }
+      } else {
+        val cumeIdx = kinds.indices.filter(kinds(_) == RankKind.CumeDist).toArray
+        val bIt = it.buffered
+        new Iterator[InternalRow] {
+          private val pending =
+            scala.collection.mutable.Queue.empty[(InternalRow, GenericInternalRow)]
+          override def hasNext: Boolean = pending.nonEmpty || bIt.hasNext
+          override def next(): InternalRow = {
+            if (pending.isEmpty) {
+              // one full tie run (ties share key AND order — a run never
+              // spans a key change or a partition seam)
+              var done = false
+              while (!done) {
+                val r = bIt.next().copy()
+                advance(r)
+                fillRanks()
+                pending.enqueue(
+                  (r, rankRow.copy().asInstanceOf[GenericInternalRow]))
+                done = !bIt.hasNext || ord.compare(rep, bIt.head) != 0
+              }
+              val cd = (rowOff + localPos).toDouble / keyTotal
+              pending.foreach { case (_, rr) =>
+                var j = 0
+                while (j < cumeIdx.length) { rr.update(cumeIdx(j), cd); j += 1 }
+              }
+            }
+            val (r, rr) = pending.dequeue()
+            numOutputRows += 1L
+            proj(joined(r, rr))
+          }
+        }
+      }
+    }
+  }
+}

@@ -41,6 +41,18 @@ private[plans] object WindowShapes {
     case _ => false
   }
 
+  /** The ranking functions the rank execs compute — pure functions of
+    * position, tie run, and frame total. */
+  def rankKindOf(fn: Expression): Option[RankKind] = fn match {
+    case _: RowNumber => Some(RankKind.RowNumber)
+    case _: Rank => Some(RankKind.Rank)
+    case _: DenseRank => Some(RankKind.DenseRank)
+    case NTile(Literal(k: Int, _)) if k > 0 => Some(RankKind.Ntile(k))
+    case _: PercentRank => Some(RankKind.PercentRank)
+    case _: CumeDist => Some(RankKind.CumeDist)
+    case _ => None
+  }
+
   /** `nth_value(x, 1[, ignoreNulls])` — Spark's `OptimizeWindowFunctions`
     * spelling of `first_value` for ROWS frames starting at UNBOUNDED
     * PRECEDING — as the equivalent `First` aggregate. */
@@ -172,11 +184,13 @@ private[plans] object WindowShapes {
   * [[GlobalRankRule.SmallFrameConf]] cost guard, same threshold).
   * Disable with `spark.graft.keyedWindow.rewrite=false`.
   */
-case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
+case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   import KeyedWindowRule._
 
   private sealed trait Kind
+  private case class RankK(k: RankKind) extends Kind
   private case class RunK(ae: AggregateExpression, frame: RunFrame) extends Kind
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class IgnK(in: Expression, default: Expression) extends Kind
@@ -188,7 +202,9 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
       session.conf.get(GlobalRankRule.MaxBoundedFrameConf, "1024").toInt
     ne match {
       case Alias(WindowExpression(fn, spec), _) =>
-        WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) }
+        WindowShapes.rankKindOf(fn).map(RankK.apply)
+          .orElse(
+            WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) })
           .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
           .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
           // keyed bounded frames fold backward only (the global exec
@@ -251,11 +267,53 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def rewritable(w: Window): Boolean =
     session.conf.get(RewriteConf, "true") == "true" && wouldRewrite(w)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case w: Window if rewritable(w) =>
+  /** A conjunct that bounds a rank attr above — the shapes Spark's
+    * `InferWindowGroupLimit` prunes map-side (the global rule's
+    * carve-out, applied to PARTITIONED top-k too: `rnk <= k` per key is
+    * Spark's best plan, pruning to k rows per key per map partition
+    * BEFORE any exchange). */
+  private def hasRankLimit(cond: Expression, rankAttrs: AttributeSet): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case LessThan(a: Attribute, _: Literal) => rankAttrs.contains(a)
+      case LessThanOrEqual(a: Attribute, _: Literal) => rankAttrs.contains(a)
+      case EqualTo(a: Attribute, _: Literal) => rankAttrs.contains(a)
+      case EqualTo(_: Literal, a: Attribute) => rankAttrs.contains(a)
+      case GreaterThan(_: Literal, a: Attribute) => rankAttrs.contains(a)
+      case GreaterThanOrEqual(_: Literal, a: Attribute) => rankAttrs.contains(a)
+      case _ => false
+    }
+
+  private def isPureRank(w: Window): Boolean =
+    w.windowExpressions.forall {
+      case Alias(WindowExpression(fn, _), _) =>
+        WindowShapes.rankKindOf(fn).isDefined
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // leave keyed top-k shapes to InferWindowGroupLimit (keyed by
+    // exprIds — transform-stable, the r10 ADVICE lesson)
+    val keep = scala.collection.mutable.HashSet.empty[Seq[ExprId]]
+    plan.foreach {
+      case Filter(cond, w: Window) if rewritable(w) && isPureRank(w) &&
+          hasRankLimit(cond, AttributeSet(w.windowExpressions.collect {
+            case a @ Alias(WindowExpression(fn, _), _)
+                if WindowShapes.rankKindOf(fn).exists {
+                  case RankKind.RowNumber | RankKind.Rank |
+                       RankKind.DenseRank => true
+                  case _ => false
+                } => a.toAttribute
+          })) =>
+        keep.add(w.windowExpressions.map(_.exprId))
+      case _ => ()
+    }
+    plan.transformUp {
+      case w: Window if rewritable(w) &&
+          !keep.contains(w.windowExpressions.map(_.exprId)) =>
       val classified = w.windowExpressions.map { ne =>
         (ne.toAttribute, classify(ne).get)
       }
+      val rankPairs = classified.collect { case (attr, RankK(k)) => (attr, k) }
       val ignMap: Map[ExprId, (Attribute, Expression)] =
         classified.collect { case (attr, IgnK(in, d)) =>
           attr.exprId -> (AttributeReference(attr.name + "__ignlag",
@@ -277,6 +335,10 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       val totPairs = classified.collect { case (attr, TotK(ae)) => (attr, ae) }
       var replaced: LogicalPlan = w.child
+      if (rankPairs.nonEmpty) {
+        replaced = KeyedRankPlan(w.partitionSpec, w.orderSpec,
+          rankPairs.map(_._1), rankPairs.map(_._2), replaced)
+      }
       if (runTriples.nonEmpty) {
         replaced = KeyedRunningAggPlan(w.partitionSpec, w.orderSpec,
           runTriples.map(_._1), runTriples.map(_._2: Expression),
@@ -307,6 +369,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan] {
           case None => a
         }
       }, replaced)
+    }
   }
 
   /** Largest provable distinct-value bound of `e` over `child`, or None. */

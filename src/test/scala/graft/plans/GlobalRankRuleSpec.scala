@@ -190,10 +190,19 @@ class GlobalRankRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("partitioned windows and non-rank functions are untouched") {
     import org.apache.spark.sql.expressions.Window
+    // g = pmod(id, 7) is PROVABLY low-ndv, so since r11 the keyed rank
+    // rule heals this one (KeyedWindowSpec owns that family); this
+    // GLOBAL exec must still never touch a partitioned window
     val partitioned = fixture.withColumn("rn",
       row_number().over(Window.partitionBy("g").orderBy("v", "id")))
     assert(!nodes(partitioned).exists(_.isInstanceOf[GlobalRankExec]))
-    assert(nodes(partitioned).exists(_.isInstanceOf[WindowExec]))
+    assert(nodes(partitioned).exists(_.isInstanceOf[KeyedRankExec]))
+    // an UNPROVABLE partition key keeps Spark's hash-clustered window
+    val unprovable = fixture.withColumn("rn",
+      row_number().over(Window.partitionBy("id").orderBy("v")))
+    assert(!nodes(unprovable).exists(p => p.isInstanceOf[GlobalRankExec] ||
+      p.isInstanceOf[KeyedRankExec]))
+    assert(nodes(unprovable).exists(_.isInstanceOf[WindowExec]))
     // running sum over the full frame: not a rank — handled by the
     // prefix-sum rewrite instead (GlobalRunningAggSpec), never by
     // GlobalRankExec, and never left as a single-partition window

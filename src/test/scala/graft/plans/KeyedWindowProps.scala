@@ -26,6 +26,12 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
 
   private def battery(k: Int) =
     s"""SELECT id,
+       |  row_number()   OVER wo AS rn,
+       |  rank()         OVER (PARTITION BY pmod(id, $k) ORDER BY v) AS rk,
+       |  dense_rank()   OVER (PARTITION BY pmod(id, $k) ORDER BY v) AS drk,
+       |  ntile(3)       OVER wo AS nt,
+       |  percent_rank() OVER (PARTITION BY pmod(id, $k) ORDER BY v) AS pr,
+       |  cume_dist()    OVER (PARTITION BY pmod(id, $k) ORDER BY v) AS cd,
        |  sum(v)   OVER (PARTITION BY pmod(id, $k) ORDER BY v) AS cs_range,
        |  sum(v)   OVER w AS cs,
        |  count(v) OVER w AS cn,

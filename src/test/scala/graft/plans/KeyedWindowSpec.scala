@@ -344,6 +344,60 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!nodes(fl).exists(_.isInstanceOf[KeyedTotalAggExec]))
   }
 
+  test("keyed ranks: all six kinds reset per key and match the hash window exactly") {
+    fixture.createOrReplaceTempView("kw_rank")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  row_number()   OVER wo AS rn,
+        |  rank()         OVER wt AS rk,
+        |  dense_rank()   OVER wt AS drk,
+        |  ntile(4)       OVER wo AS nt,
+        |  percent_rank() OVER wt AS pr,
+        |  cume_dist()    OVER wt AS cd
+        |FROM kw_rank
+        |WINDOW wo AS (PARTITION BY pmod(id, 3) ORDER BY v, id),
+        |       wt AS (PARTITION BY pmod(id, 3) ORDER BY v)
+        |""".stripMargin), classOf[KeyedRankExec])
+  }
+
+  test("keyed top-k rank filters stay with Spark's group-limit prune") {
+    fixture.createOrReplaceTempView("kw_topk")
+    val df = spark.sql(
+      """SELECT * FROM (
+        |  SELECT id, rank() OVER (PARTITION BY pmod(id, 3)
+        |    ORDER BY v, id) AS rnk
+        |  FROM kw_topk) WHERE rnk <= 10""".stripMargin)
+    val plan = nodes(df)
+    assert(!plan.exists(_.isInstanceOf[KeyedRankExec]),
+      s"top-k keyed rank must keep the WindowGroupLimit path:\n${df.queryExecution.executedPlan}")
+    assert(plan.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      s"expected the map-side group-limit prune:\n${df.queryExecution.executedPlan}")
+    assert(df.count() === 30L) // 10 per key × 3 keys (total order: no tie spill)
+  }
+
+  test("a keyed node mixing ranks and running aggregates stacks over ONE exchange") {
+    fixture.createOrReplaceTempView("kw_rankmix")
+    val df = spark.sql(
+      """SELECT id,
+        |  row_number() OVER (PARTITION BY pmod(id, 3) ORDER BY v, id) AS rn,
+        |  sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_rankmix""".stripMargin)
+    val onRows = df.collect()
+    val plan = nodes(df)
+    assert(plan.exists(_.isInstanceOf[KeyedRankExec]) &&
+      plan.exists(_.isInstanceOf[KeyedRunningAggExec]))
+    assert(plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) === 1)
+    spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+    val offRows =
+      try df.collect()
+      finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+    assert(onRows.map(_.toString).sorted.toSeq ===
+      offRows.map(_.toString).sorted.toSeq)
+  }
+
   test("decimal avg under DecimalAggregates survives the keyed rewrite") {
     // avg(decimal(10,2)) gets wrapped in cast(divide(…)) by Spark's
     // DecimalAggregates AFTER our rule plants the plan — the exec must

@@ -506,11 +506,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-wide unpartitioned window:\n$p")
   }
 
-  test("x50 training shuffle: ONE data exchange feeds the per-shard sort") {
+  test("x50 training shuffle: ONE data exchange feeds the per-shard positions") {
+    // since the keyed-rank rewrite (r11): the per-shard row_number plans
+    // as KeyedRankExec over ONE range exchange on (shard, order) — a
+    // shard's rows are contiguous for the file writer but no longer
+    // bound to a single task
     val p = plan("x50_training_shuffle")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val exchanges = "Exchange ".r.findAllIn(p).size
     assert(exchanges === 1, s"expected exactly one shard exchange, got $exchanges:\n$p")
-    assert(p.contains("Window"), s"per-shard positions must come from a window:\n$p")
+    assert(p.contains("KeyedRank"),
+      s"per-shard positions must come from the keyed rank exec:\n$p")
+    assert(!p.contains("Window ["), s"no hash-clustered window expected:\n$p")
   }
 
   // ---- round-8 diagnostics: corpus touches bounded, grids broadcast ----
@@ -741,6 +747,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x120: the keyed rolling mean still plans as a hash-clustered window:\n${p120.take(1500)}")
     assert(p120.contains("KeyedBoundedAgg"),
       s"x120: expected KeyedBoundedAggExec:\n${p120.take(1500)}")
+    // x123: keyed ranks — all six kinds through KeyedRankExec
+    val p123 = plan("x123_lang_length_rank")
+    assert(!p123.contains("Window ["),
+      s"x123: keyed ranks still plan as a hash-clustered window:\n${p123.take(1500)}")
+    assert(p123.contains("KeyedRank"),
+      s"x123: expected KeyedRankExec:\n${p123.take(1500)}")
     // x121: the keyed whole-frame total — zero exchange, zero sort
     val p121 = plan("x121_lang_share")
     assert(!p121.contains("Window ["),
@@ -765,7 +777,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val rule = graft.plans.KeyedWindowRule(spark)
     def unhealed(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.optimizedPlan.collect {
-        case w: LWindow if rule.wouldRewrite(w) =>
+        // a Window sitting on a WindowGroupLimit is the top-k carve-out
+        // (rnk <= k): Spark's map-side prune is the intended plan there,
+        // exactly what the rule's keep-set preserves — not an offender
+        case w: LWindow if rule.wouldRewrite(w) &&
+            !w.child.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit] =>
           s"keyed Window over ${w.child.nodeName} (partition ${w.partitionSpec.mkString(",")})"
       }
     // detector self-check: with the rewrite off, a planted low-ndv keyed
@@ -963,20 +980,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "sweep detector failed to see a planted inline pmod-8 window")
     }
     // Allow-listed shard writers — each pins its shard count to an
-    // output-file-layout argument or derives it from conf:
-    //   x50: the shard IS the output file (training-shard writer); its
-    //     per-shard order exists to lay out exactly those files, so
-    //     shard count == file count by design (a rank shape, outside
-    //     KeyedWindowRule's scope).
-    // (x10/x111 — the pack writers' pmod-partitioned RUNNING windows —
-    // dropped off this list in round 11: KeyedWindowRule now re-plans
-    // them through KeyedRunningAggExec automatically (pmod ndv is
-    // expression-provable), so no pmod-partitioned Window survives in
-    // their plans. x87/x100 build their shard layouts without a
-    // pmod-partitioned window — the staleness check below keeps this
-    // list honest.)
-    val allowed = Set(
-      "x50_training_shuffle")
+    // EMPTY since round 11: every pmod-sharded window (x10/x111's
+    // running prefixes, x50's per-shard row_number) now auto-heals
+    // through KeyedWindowRule's keyed execs — pmod ndv is expression-
+    // provable, so no pmod-partitioned Window survives in any plan.
+    // The staleness check below keeps this list honest.
+    val allowed = Set.empty[String]
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val specs = offendingSpecs(
         SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan)
