@@ -58,6 +58,10 @@ object ImageDedup {
     val w = le32(18); val h = le32(22)
     val off = le32(10)
     if (w <= 0 || h <= 0 || w > 8192 || h > 8192) return None
+    // a crafted negative offset would pass the sum check below (the far-
+    // negative off keeps off + rowBytes*h under length) and then index
+    // out of bounds in the row loop — reject it before touching pixels
+    if (off < 54 || off > bytes.length) return None
     val rowBytes = (w * 3 + 3) & ~3
     if (off + rowBytes.toLong * h > bytes.length) return None
     val gray = new Array[Byte](w * h)
@@ -274,8 +278,12 @@ object ImageDedup {
     hash
   }
 
-  /** bytes → Some(dHash), None when undecodable. */
-  def dHashOf(bytes: Array[Byte]): Option[Long] = decodeRaster(bytes).map(dHash)
+  /** bytes → Some(dHash), None when undecodable. The catch-all keeps the
+    * Option/None contract airtight: any decoder edge case a malformed
+    * blob slips past the explicit validations degrades to a dropped row,
+    * never a failed job. */
+  def dHashOf(bytes: Array[Byte]): Option[Long] =
+    scala.util.Try(decodeRaster(bytes)).toOption.flatten.map(dHash)
 
   // ------------------------------------------------------------ pair mining
 

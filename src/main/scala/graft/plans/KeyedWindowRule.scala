@@ -372,17 +372,23 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Largest provable distinct-value bound of `e` over `child`, or None. */
+  /** Largest provable distinct-value bound of `e` over `child`, or None.
+    * pmod/remainder account for the NULL group explicitly: `pmod(null,
+    * k)` is null and PARTITION BY makes null its own group, so a
+    * nullable input admits one more key than the arithmetic bound
+    * (matching the boolean arm's true/false/null accounting). */
   private def ndvBound(e: Expression, child: LogicalPlan,
                        hints: Map[String, Long]): Option[Long] = e match {
     case _: Literal => Some(1L)
     case _ if e.dataType == BooleanType => Some(3L) // true/false/null
-    case Pmod(_, Literal(k: Int, IntegerType), _) if k > 0 => Some(k.toLong)
-    case Pmod(_, Literal(k: Long, LongType), _) if k > 0 => Some(k)
-    case Remainder(_, Literal(k: Int, IntegerType), _) if k > 0 =>
-      Some(2L * k - 1) // remainder keeps the sign
-    case Remainder(_, Literal(k: Long, LongType), _) if k > 0 =>
-      Some(2L * k - 1)
+    case p @ Pmod(_, Literal(k: Int, IntegerType), _) if k > 0 =>
+      Some(k.toLong + (if (p.nullable) 1L else 0L))
+    case p @ Pmod(_, Literal(k: Long, LongType), _) if k > 0 =>
+      Some(k + (if (p.nullable) 1L else 0L))
+    case r @ Remainder(_, Literal(k: Int, IntegerType), _) if k > 0 =>
+      Some(2L * k - 1 + (if (r.nullable) 1L else 0L)) // remainder keeps the sign
+    case r @ Remainder(_, Literal(k: Long, LongType), _) if k > 0 =>
+      Some(2L * k - 1 + (if (r.nullable) 1L else 0L))
     case c: Cast => ndvBound(c.child, child, hints) // never increases ndv
     case CaseWhen(branches, elseValue)
         if branches.forall(_._2.foldable) && elseValue.forall(_.foldable) =>
@@ -390,9 +396,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
     case ElementAt(CreateArray(items, _), _, _, _) if items.forall(_.foldable) =>
       Some(items.length + 1L) // literal decode table + out-of-bounds null
     case a: Attribute =>
-      hints.get(a.name)
-        .orElse(statsNdv(a, child))
-        .orElse(lineageNdv(a, child, hints))
+      statsNdv(a, child).orElse(lineageNdv(a, child, hints, Set(a.name)))
     case _ => None
   }
 
@@ -403,19 +407,31 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
 
   /** Walk the attribute down through projects/filters: an upstream
     * `c IN (literals)` / `c = literal` bounds the domain; a project
-    * alias recurses into the defining expression. */
+    * alias recurses into the defining expression. Session ndv hints are
+    * consulted ONLY at the LEAF relation the column traces to through
+    * pass-throughs and pure RENAMES (`names` collects every name the
+    * column has carried on the way down) — the caller vouches for a base
+    * column of a specific source, not for every same-named derived
+    * column in the session. Filter pins anchor at TOP-LEVEL conjuncts —
+    * an `In`/`EqualTo` under `NOT(…)` or as one disjunct of an `OR`
+    * proves nothing about the domain. */
   private def lineageNdv(a: Attribute, plan: LogicalPlan,
-                         hints: Map[String, Long]): Option[Long] = plan match {
+                         hints: Map[String, Long],
+                         names: Set[String]): Option[Long] = plan match {
     case Project(list, gc) =>
       list.collectFirst {
+        // pure rename: keep walking toward the leaf, remembering the name
+        case al @ Alias(at: Attribute, _) if al.exprId == a.exprId =>
+          statsNdv(at, gc).orElse(
+            lineageNdv(at, gc, hints, names + al.name + at.name))
         case al @ Alias(inner, _) if al.exprId == a.exprId =>
           ndvBound(inner, gc, hints)
         case at: Attribute if at.exprId == a.exprId =>
-          hints.get(at.name).orElse(statsNdv(at, gc))
-            .orElse(lineageNdv(at, gc, hints))
+          statsNdv(at, gc).orElse(lineageNdv(at, gc, hints, names + at.name))
       }.flatten
     case Filter(cond, gc) =>
-      val fromCond = cond.collectFirst {
+      // anchor at each conjunct's ROOT: the pin must BE the conjunct
+      val fromCond = splitConjunctivePredicates(cond).collectFirst {
         case In(at: Attribute, list)
             if at.exprId == a.exprId && list.forall(_.foldable) =>
           list.length.toLong
@@ -425,12 +441,50 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
         case EqualTo(l: Literal, at: Attribute) if at.exprId == a.exprId => 1L
       }
       fromCond.orElse(
-        hints.get(a.name).orElse(statsNdv(a, gc)).orElse(lineageNdv(a, gc, hints)))
+        statsNdv(a, gc).orElse(lineageNdv(a, gc, hints, names)))
+    case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode
+        if l.outputSet.contains(a) =>
+      leafHint(a, l, hints, names)
     case u: UnaryNode if u.child.outputSet.contains(a) =>
       // pass-through: a unary node cannot raise a forwarded column's ndv
-      hints.get(a.name).orElse(statsNdv(a, u.child))
-        .orElse(lineageNdv(a, u.child, hints))
-    case _ => None
+      statsNdv(a, u.child).orElse(lineageNdv(a, u.child, hints, names))
+    case other =>
+      // multi-child pass-through (joins): descend into the side that
+      // outputs the column — a join cannot raise its ndv either
+      other.children.find(_.outputSet.contains(a)).flatMap { c =>
+        statsNdv(a, c).orElse(lineageNdv(a, c, hints, names))
+      }
+  }
+
+  /** Hint lookup at a leaf relation: `table.column` keys first (scoped
+    * registration), then bare keys for any name the column carried on
+    * the walk down — which now only ever match a BASE column of a leaf
+    * (possibly renamed en route), never a same-named COMPUTED column
+    * elsewhere in the session. Catalog column stats on the leaf's
+    * CatalogTable are read directly (no CBO flag needed — the walk is
+    * ours, not the stats propagation framework's). */
+  private def leafHint(a: Attribute, leaf: LogicalPlan,
+                       hints: Map[String, Long],
+                       names: Set[String]): Option[Long] = {
+    val tableName: Option[String] = leaf match {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.map(_.identifier.table)
+      case _ => None
+    }
+    val catalogNdv: Option[Long] = leaf match {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.flatMap(_.stats).flatMap(_.colStats.get(a.name))
+          .flatMap(_.distinctCount).map(_.toLong)
+      case _ => None
+    }
+    val allNames = names + a.name
+    tableName.flatMap(t =>
+        allNames.toSeq.sorted.iterator.map(n => hints.get(s"$t.$n"))
+          .collectFirst { case Some(v) => v })
+      .orElse(allNames.toSeq.sorted.iterator.map(hints.get)
+        .collectFirst { case Some(v) => v })
+      .orElse(catalogNdv)
+      .orElse(statsNdv(a, leaf))
   }
 }
 
@@ -453,7 +507,9 @@ object KeyedWindowRule {
 
   /** Record a measured ndv for `column` in the session hints — called by
     * stats artifacts (e.g. `MarketEtl.rollingStats`) so their knowledge
-    * reaches plain SQL plans. Name-keyed and session-scoped. */
+    * reaches plain SQL plans. Session-scoped; consulted only where the
+    * named column is a BASE column of a leaf relation. Pass `column` as
+    * `"table.column"` to scope the hint to one catalog table. */
   def registerNdvHint(spark: SparkSession, column: String, ndv: Long): Unit = {
     val merged = parseHints(spark.conf.get(NdvHintsConf, "")) + (column -> ndv)
     spark.conf.set(NdvHintsConf,

@@ -178,7 +178,13 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("a session ndv hint proves a raw data column (the rollingStats handoff)") {
-    fixture.createOrReplaceTempView("kw_t7")
+    // hints are LEAF-scoped (r11 ADVICE): they vouch for a BASE column of
+    // a source relation, so the fixture goes through parquet — k3 is then
+    // a leaf attribute, exactly the rollingStats/bars shape (where the
+    // hinted name arrives via a pure rename of a parquet column)
+    val dir = java.nio.file.Files.createTempDirectory("kw_hint").toString
+    fixture.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("kw_t7")
     val q =
       """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
@@ -193,7 +199,60 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     KeyedWindowRule.registerNdvHint(spark, "k3", 3L)
     try {
       checkRewritten(spark.sql(q), classOf[KeyedRunningAggExec])
+      // a pure RENAME of the hinted base column still proves (the bars
+      // `l_returnflag AS ativo` shape, hint registered under the alias)
+      KeyedWindowRule.registerNdvHint(spark, "k3renamed", 3L)
+      checkRewritten(spark.sql(
+        """SELECT id, sum(v) OVER (PARTITION BY k3renamed ORDER BY v, id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          |FROM (SELECT id, v, k3 AS k3renamed FROM kw_t7)""".stripMargin),
+        classOf[KeyedRunningAggExec])
     } finally spark.conf.unset(KeyedWindowRule.NdvHintsConf)
+  }
+
+  test("hint blast radius: a same-named COMPUTED column is NOT proved") {
+    // the r11 ADVICE hole: registerNdvHint("ativo", 3) must not vouch for
+    // every column named ativo in the session — only base columns of a
+    // leaf (possibly renamed). A computed column with the hinted name
+    // keeps Spark's plan.
+    fixture.createOrReplaceTempView("kw_t7c")
+    KeyedWindowRule.registerNdvHint(spark, "k3", 3L)
+    try {
+      val computed = spark.sql(
+        """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          |FROM (SELECT id, v, concat(k3, CAST(id AS STRING)) AS k3
+          |      FROM kw_t7c)""".stripMargin)
+      assert(!nodes(computed).exists(_.isInstanceOf[KeyedRunningAggExec]),
+        s"hint leaked onto a computed column:\n${computed.queryExecution.executedPlan}")
+    } finally spark.conf.unset(KeyedWindowRule.NdvHintsConf)
+  }
+
+  test("conjunct anchoring: NOT(IN)/OR-disjunct filters do NOT prove ndv") {
+    // the r11 ADVICE medium: cond.collectFirst matched In/EqualTo ANYWHERE
+    // in the condition tree — WHERE NOT (k IN …) or an OR disjunct falsely
+    // proved a small domain. Pins must BE top-level conjuncts.
+    val dir = java.nio.file.Files.createTempDirectory("kw_conj").toString
+    fixture.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("kw_t7n")
+    val negated = spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t7n WHERE NOT (k3 IN ('A', 'N'))""".stripMargin)
+    assert(!nodes(negated).exists(_.isInstanceOf[KeyedRunningAggExec]),
+      s"NOT(IN) must not prove ndv:\n${negated.queryExecution.executedPlan}")
+    val disjunct = spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t7n WHERE k3 = 'A' OR v > 5""".stripMargin)
+    assert(!nodes(disjunct).exists(_.isInstanceOf[KeyedRunningAggExec]),
+      s"an OR disjunct must not prove ndv:\n${disjunct.queryExecution.executedPlan}")
+    // the conjunct form still proves (regression guard for the fix)
+    checkRewritten(spark.sql(
+      """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |FROM kw_t7n WHERE k3 IN ('A', 'N', 'R') AND v IS NOT NULL""".stripMargin),
+      classOf[KeyedRunningAggExec])
   }
 
   test("catalog column stats prove a table column (ANALYZE … FOR COLUMNS + CBO)") {
