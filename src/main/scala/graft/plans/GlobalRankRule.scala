@@ -310,8 +310,8 @@ object GlobalRankStrategy extends SparkStrategy {
       KeyedOffsetExec(keys, order, attrs, ins, offs, defs, planLater(child)) :: Nil
     case KeyedBoundedAggPlan(keys, order, attrs, aggs, los, ups, child) =>
       KeyedBoundedAggExec(keys, order, attrs, aggs, los, ups, planLater(child)) :: Nil
-    case KeyedTotalAggPlan(keys, attrs, aggs, child) =>
-      KeyedTotalAggExec(keys, attrs, aggs, planLater(child)) :: Nil
+    case KeyedTotalAggPlan(keys, attrs, aggs, order, child) =>
+      KeyedTotalAggExec(keys, attrs, aggs, order, planLater(child)) :: Nil
     case KeyedRankPlan(keys, order, attrs, kinds, child) =>
       KeyedRankExec(keys, order, attrs, kinds, planLater(child)) :: Nil
     case _ => Nil

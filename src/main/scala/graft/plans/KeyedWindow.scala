@@ -862,12 +862,20 @@ case class KeyedBoundedAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
   * NOTHING of its child: one metadata job folds a key→partial map per
   * partition (bounded by the ndv gate), the driver merges the maps and
   * evaluates once per key, and a map-side lookup attaches the totals.
-  * Order-sensitive aggregates (First/Last) are excluded by the rule —
-  * with no usable order their value is partition-order-arbitrary in
-  * either plan.
+  *
+  * `order` is non-empty ONLY when an aggregate is ORDER-SENSITIVE
+  * (First/Last with the window's ORDER BY written — the G6 fix,
+  * mirrored keyed per VERDICT r11 #3): the exec then requires
+  * `OrderedDistribution(keys ++ order)` — a key's rows become a
+  * contiguous ordered run of partitions, per-partition partials fold in
+  * sorted order, and the driver merges a key's partials in
+  * partition-index order, so the merged First/Last is the key's
+  * order-first/-last exactly. Orderless First/Last stays excluded by
+  * the rule (partition-order-arbitrary in either plan).
   */
 case class KeyedTotalAggPlan(partKeys: Seq[Expression],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                             order: Seq[SortOrder],
                              child: LogicalPlan) extends UnaryNode {
   require(partKeys.nonEmpty && aggAttrs.length == aggs.length && aggs.nonEmpty)
   override def output: Seq[Attribute] = child.output ++ aggAttrs
@@ -878,19 +886,33 @@ case class KeyedTotalAggPlan(partKeys: Seq[Expression],
 }
 
 /** Physical keyed whole-frame total attach — see [[KeyedTotalAggPlan]].
-  * Zero exchange, zero sort; driver state = ndv(keys) buffers (the
-  * rule's gate bounds it). The scale profile is a partial-aggregate
-  * `groupBy` without its exchange, plus a broadcast-joined map lookup —
-  * there is no cheaper correct plan for a low-ndv keyed total.
+  * Zero exchange, zero sort (a range exchange only when an aggregate is
+  * order-sensitive); driver state = ndv(keys) buffers (the rule's gate
+  * bounds it — pass-1 maps hold one buffer per DISTINCT key, not per
+  * key-run, so the gate's product is the bound whatever the child's
+  * partitioning). The scale profile is a partial-aggregate `groupBy`
+  * without its exchange, plus a broadcast-joined map lookup — there is
+  * no cheaper correct plan for a low-ndv keyed total.
   */
 case class KeyedTotalAggExec(partKeys: Seq[Expression],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                             order: Seq[SortOrder],
                              child: SparkPlan) extends UnaryExecNode {
+
+  private val full =
+    if (order.isEmpty) Nil else KeyedWindowExec.fullOrder(partKeys, order)
 
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
-  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputOrdering: Seq[SortOrder] =
+    if (order.isEmpty) child.outputOrdering else full
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    (if (order.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+    else OrderedDistribution(full)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(if (order.isEmpty) Nil else full)
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))

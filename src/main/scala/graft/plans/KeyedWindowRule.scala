@@ -195,7 +195,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class IgnK(in: Expression, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
-  private case class TotK(ae: AggregateExpression) extends Kind
+  private case class TotK(ae: AggregateExpression, orderSensitive: Boolean) extends Kind
 
   private def classify(ne: NamedExpression): Option[Kind] = {
     val maxReach =
@@ -212,23 +212,32 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           // Spark until the keyed exec grows a pending queue)
           .orElse(WindowShapes.boundedAggOf(fn, spec, maxReach)
             .filter(_._3 <= 0).map { case (ae, lo, up) => BndK(ae, lo, up) })
-          .orElse(keyedTotalOf(fn, spec).map(TotK.apply))
+          .orElse(keyedTotalOf(fn, spec).map { case (ae, os) => TotK(ae, os) })
       case _ => None
     }
   }
 
-  /** `agg(x) OVER (PARTITION BY k)` — the keyed whole-frame total.
-    * First/Last are excluded: with an unbounded-unbounded frame their
-    * value is partition-order-arbitrary (Spark's included) unless an
-    * ORDER BY binds it, and the zero-exchange plan has no order. */
-  private def keyedTotalOf(fn: Expression,
-                           spec: WindowSpecDefinition): Option[AggregateExpression] =
+  /** `agg(x) OVER (PARTITION BY k [ORDER BY t ROWS UNBOUNDED BOTH])` —
+    * the keyed whole-frame total. First/Last are ORDER-SENSITIVE: with
+    * the window's ORDER BY written they are the key's order-first/-last
+    * (accepted, flagged — the exec then demands the (keys ++ order)
+    * range exchange, the keyed mirror of the global G6 fix); without an
+    * order their value is partition-order-arbitrary (Spark's included),
+    * so they stay with Spark. `first_value` also arrives in its
+    * optimizer-rewritten `nth_value(x, 1)` spelling. */
+  private def keyedTotalOf(fn: Expression, spec: WindowSpecDefinition)
+      : Option[(AggregateExpression, Boolean)] =
     (fn, spec.frameSpecification) match {
       case (ae @ AggregateExpression(f, Complete, false, None, _),
             SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))
-          if WindowShapes.supportedAgg(f) &&
-            !f.isInstanceOf[First] && !f.isInstanceOf[Last] =>
-        Some(ae)
+          if WindowShapes.supportedAgg(f) =>
+        val orderSensitive = f.isInstanceOf[First] || f.isInstanceOf[Last]
+        if (!orderSensitive) Some((ae, false))
+        else if (spec.orderSpec.nonEmpty) Some((ae, true))
+        else None
+      case (nth, SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))
+          if spec.orderSpec.nonEmpty =>
+        WindowShapes.nthFirstOf(nth).map((_, true))
       case _ => None
     }
 
@@ -333,7 +342,11 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
       val bndQuads = classified.collect {
         case (attr, BndK(ae, lo, up)) => (attr, ae, lo, up)
       }
-      val totPairs = classified.collect { case (attr, TotK(ae)) => (attr, ae) }
+      val totPairs = classified.collect { case (attr, TotK(ae, _)) => (attr, ae) }
+      val totOrderSensitive = classified.exists {
+        case (_, TotK(_, os)) => os
+        case _ => false
+      }
       var replaced: LogicalPlan = w.child
       if (rankPairs.nonEmpty) {
         replaced = KeyedRankPlan(w.partitionSpec, w.orderSpec,
@@ -355,9 +368,11 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           bndQuads.map(_._3), bndQuads.map(_._4), replaced)
       }
       if (totPairs.nonEmpty) {
-        // outermost: demands nothing, rides whatever partitioning is below
+        // outermost: demands nothing (order-insensitive) or the stack's
+        // shared (keys ++ order) range exchange (First/Last with ORDER)
         replaced = KeyedTotalAggPlan(w.partitionSpec,
-          totPairs.map(_._1), totPairs.map(_._2: Expression), replaced)
+          totPairs.map(_._1), totPairs.map(_._2: Expression),
+          if (totOrderSensitive) w.orderSpec else Nil, replaced)
       }
       if (ignMap.isEmpty && replaced.output == w.output) replaced
       else Project(w.output.map { a =>

@@ -55,7 +55,11 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |    ORDER BY v, id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bmxs,
        |  stddev_samp(v) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS bsd,
-       |  sum(v) OVER (PARTITION BY pmod(id, $k)) AS ktot
+       |  sum(v) OVER (PARTITION BY pmod(id, $k)) AS ktot,
+       |  first_value(v) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ofv,
+       |  last_value(v)  OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS olv
        |FROM kwp_t
        |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v, id
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),

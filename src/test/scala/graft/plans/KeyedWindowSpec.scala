@@ -403,6 +403,46 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!nodes(fl).exists(_.isInstanceOf[KeyedTotalAggExec]))
   }
 
+  test("keyed ORDER-BOUND first/last totals plan keyed (the G6 mirror)") {
+    // last_value(x) OVER (PARTITION BY k ORDER BY t ROWS UNBOUNDED BOTH)
+    // is order-DEFINED: the keyed total now carries the order, the exec
+    // demands the (keys ++ order) range exchange, per-partition partials
+    // fold sorted rows, and the driver merges a key's partials in
+    // partition order — the key's order-first/-last exactly (r11 #3).
+    fixture.createOrReplaceTempView("kw_tot_ord")
+    checkRewritten(spark.sql(
+      """SELECT id, v,
+        |  first_value(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+        |  last_value(v)  OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+        |  sum(v)         OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tv
+        |FROM kw_tot_ord""".stripMargin), classOf[KeyedTotalAggExec])
+    // stacked beside a running agg: ONE shared range exchange
+    val mixed = spark.sql(
+      """SELECT id,
+        |  sum(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  last_value(v) OVER (PARTITION BY pmod(id, 3) ORDER BY v, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        |FROM kw_tot_ord""".stripMargin)
+    val mixedRows = mixed.collect()
+    val mplan = nodes(mixed)
+    assert(mplan.exists(_.isInstanceOf[KeyedTotalAggExec]) &&
+      mplan.exists(_.isInstanceOf[KeyedRunningAggExec]),
+      s"expected keyed total + running:\n${mixed.queryExecution.executedPlan}")
+    assert(mplan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) === 1,
+      s"order-bound total must share the stack's exchange:\n${mixed.queryExecution.executedPlan}")
+    spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+    val mixedOff =
+      try mixed.collect()
+      finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+    assert(mixedRows.map(_.toString).sorted.toSeq ===
+      mixedOff.map(_.toString).sorted.toSeq)
+  }
+
   test("keyed ranks: all six kinds reset per key and match the hash window exactly") {
     fixture.createOrReplaceTempView("kw_rank")
     checkRewritten(spark.sql(
