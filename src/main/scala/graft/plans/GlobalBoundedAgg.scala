@@ -103,7 +103,13 @@ case class GlobalBoundedAggExec(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
     copy(child = newChild)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val childRdd = child.execute()
+    // driver-metadata budget: coalesce consecutive sorted partitions
+    // (order-preserving, no shuffle) when partitions × reach would
+    // exceed the boundary budget — see [[BoundaryBudget]]
+    val childRdd = BoundaryBudget.bound(child.execute(),
+      math.max(0, -lowers.min).toLong + math.max(0, uppers.max).toLong,
+      conf.getConfString(BoundaryBudget.Conf,
+        BoundaryBudget.Default.toString).toLong)
     val childOutput = child.output
     val outAttrs = aggAttrs
     val funcs: Seq[DeclarativeAggregate] =

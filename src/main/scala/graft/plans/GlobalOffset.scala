@@ -94,7 +94,12 @@ case class GlobalOffsetExec(order: Seq[SortOrder], attrs: Seq[Attribute],
     copy(child = newChild)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val childRdd = child.execute()
+    // driver metadata here is Σ|offset| values per partition — budget it
+    // like the bounded family (see [[BoundaryBudget]])
+    val childRdd = BoundaryBudget.bound(child.execute(),
+      offs.map(o => math.abs(o).toLong).sum,
+      conf.getConfString(BoundaryBudget.Conf,
+        BoundaryBudget.Default.toString).toLong)
     val childOutput = child.output
     val outAttrs = attrs
     val inExprs = inputs

@@ -333,7 +333,12 @@ case class KeyedOffsetExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val childRdd = child.execute()
+    // per-partition metadata is Σ|offset| boundary values (plus two key
+    // rows) — budget the partitions × reach product (see [[BoundaryBudget]])
+    val childRdd = BoundaryBudget.bound(child.execute(),
+      offs.map(o => math.abs(o).toLong).sum,
+      conf.getConfString(BoundaryBudget.Conf,
+        BoundaryBudget.Default.toString).toLong)
     val childOutput = child.output
     val keyExprs = partKeys
     val outAttrs = attrs
@@ -705,7 +710,12 @@ case class KeyedBoundedAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val childRdd = child.execute()
+    // per-partition metadata is the last key's last kMax tuples — budget
+    // the partitions × reach product (see [[BoundaryBudget]])
+    val childRdd = BoundaryBudget.bound(child.execute(),
+      math.max(0L, -lowers.min.toLong),
+      conf.getConfString(BoundaryBudget.Conf,
+        BoundaryBudget.Default.toString).toLong)
     val childOutput = child.output
     val keyExprs = partKeys
     val outAttrs = aggAttrs

