@@ -168,7 +168,11 @@ private[plans] object WindowShapes {
   *   - an upstream `Filter` pins the column to a literal set
   *     (`c IN (…)`, `c = lit`), walked through intervening projects;
   *   - CATALOG/CBO column statistics (`distinctCount` from
-  *     `ANALYZE TABLE … FOR COLUMNS`) on the child plan;
+  *     `ANALYZE TABLE … FOR COLUMNS`) on the child plan — ALSO read
+  *     directly off the leaf relation's CatalogTable (no CBO flag
+  *     needed); `BatchPipeline.registerRefined` auto-ANALYZEs tables
+  *     under `spark.graft.autoAnalyze.maxBytes` at registration, so
+  *     dimension columns (`PARTITION BY n_name`) prove with zero setup;
   *   - a session NDV HINT (`spark.graft.keyedWindow.ndvHints`,
   *     `name=ndv[,name=ndv…]`) — the handoff point for runtime stats
   *     artifacts: `MarketEtl.rollingStats` (w2/w4's bucketing stats)
