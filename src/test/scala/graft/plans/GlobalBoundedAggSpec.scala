@@ -231,12 +231,14 @@ class GlobalBoundedAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodes(running).exists(_.isInstanceOf[WindowExec]))
   }
 
-  test("RANGE k-preceding frames are untouched (value-range, not row-count)") {
+  test("RANGE k-preceding frames ride RangeAggExec, not the row-count exec (r11 #1)") {
     import org.apache.spark.sql.expressions.Window
     val ranged = fixture.withColumn("s",
       sum("v").over(Window.orderBy("id").rangeBetween(-3, 0)))
     assert(!nodes(ranged).exists(_.isInstanceOf[GlobalBoundedAggExec]))
-    assert(nodes(ranged).exists(_.isInstanceOf[WindowExec]))
+    assert(nodes(ranged).exists(_.isInstanceOf[RangeAggExec]),
+      s"value-distance trailing frame must plan RangeAggExec:\n${ranged.queryExecution.executedPlan}")
+    assert(!nodes(ranged).exists(_.isInstanceOf[WindowExec]))
   }
 
   test("ignore-nulls lag(e, 1) rewrites as a Last exclusive prefix (ADVICE r10 #4)") {

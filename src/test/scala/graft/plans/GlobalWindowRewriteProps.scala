@@ -64,6 +64,48 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       |  stddev_samp(v) OVER (ORDER BY v, id ROWS BETWEEN 4 PRECEDING AND 1 FOLLOWING) AS bsd
       |FROM gwr_t""".stripMargin
 
+  // RANGE value-distance trailing frames (r11 #1) at a GENERATED Δ: the
+  // frame set is value-determined, so only tie-insensitive outputs (and
+  // first/last of the order column itself) are well-defined under the
+  // tie-heavy single-key order — exactly the RangeAggExec contract
+  private def rangeBattery(d: Long) =
+    s"""SELECT id,
+       |  sum(v)   OVER w AS rs,
+       |  count(v) OVER w AS rc,
+       |  count(*) OVER w AS rcs,
+       |  min(id)  OVER w AS rmn,
+       |  max(id)  OVER w AS rmx,
+       |  avg(v)   OVER w AS rav,
+       |  first_value(v) OVER w AS rfv,
+       |  last_value(v)  OVER w AS rlv
+       |FROM gwr_rt
+       |WINDOW w AS (ORDER BY v RANGE BETWEEN $d PRECEDING AND CURRENT ROW)
+       |""".stripMargin
+
+  property("RANGE value-distance frames are bit-identical at arbitrary distances") =
+    forAll(rows, parts, Gen.choose(0L, 8L)) { (vs, np, d) =>
+      import spark.implicits._
+      val df = spark.createDataset(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })(
+        org.apache.spark.sql.Encoders.product[(Long, Option[Long])])
+        .toDF("id", "v")
+        .repartition(np)
+      df.createOrReplaceTempView("gwr_rt")
+      spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
+      try {
+        val on = spark.sql(rangeBattery(d))
+        val onRows = on.collect().map(_.toString).sorted.toSeq
+        val planned = vs.nonEmpty // empty input may fold the exec away
+        val hasExec =
+          on.queryExecution.executedPlan.toString.contains("RangeAgg")
+        spark.conf.set(GlobalRankRule.RewriteConf, "false")
+        val off =
+          try spark.sql(rangeBattery(d)).collect().map(_.toString).sorted.toSeq
+          finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
+        (!planned || hasExec) && onRows == off
+      } finally spark.conf.unset(GlobalRankRule.SmallFrameConf)
+    }
+
   property("the full battery is bit-identical to WindowExec on arbitrary input") =
     forAll(rows, parts) { (vs, np) =>
       import spark.implicits._

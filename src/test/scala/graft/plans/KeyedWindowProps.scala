@@ -66,6 +66,48 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |       wo AS (PARTITION BY pmod(id, $k) ORDER BY v, id)
        |""".stripMargin
 
+  // keyed RANGE value-distance trailing frames (r11 #1): per-key value
+  // windows with key resets across range-partition seams; tie-insensitive
+  // outputs only (the frame SET is value-determined, member order isn't)
+  private def rangeBattery(k: Int, d: Long) =
+    s"""SELECT id,
+       |  sum(v)   OVER w AS rs,
+       |  count(v) OVER w AS rc,
+       |  count(*) OVER w AS rcs,
+       |  min(id)  OVER w AS rmn,
+       |  max(id)  OVER w AS rmx,
+       |  avg(v)   OVER w AS rav,
+       |  first_value(v) OVER w AS rfv,
+       |  last_value(v)  OVER w AS rlv
+       |FROM kwp_rt
+       |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v
+       |             RANGE BETWEEN $d PRECEDING AND CURRENT ROW)
+       |""".stripMargin
+
+  property("keyed RANGE value-distance frames are bit-identical at arbitrary distances") =
+    forAll(rows, parts, modulus, Gen.choose(0L, 8L)) { (vs, np, k, d) =>
+      import spark.implicits._
+      val df = spark.createDataset(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })(
+        org.apache.spark.sql.Encoders.product[(Long, Option[Long])])
+        .toDF("id", "v")
+        .repartition(np)
+      df.createOrReplaceTempView("kwp_rt")
+      spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
+      try {
+        val on = spark.sql(rangeBattery(k, d))
+        val onRows = on.collect().map(_.toString).sorted.toSeq
+        val planned = vs.nonEmpty
+        val hasExec =
+          on.queryExecution.executedPlan.toString.contains("RangeAgg")
+        spark.conf.set(KeyedWindowRule.RewriteConf, "false")
+        val off =
+          try spark.sql(rangeBattery(k, d)).collect().map(_.toString).sorted.toSeq
+          finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
+        (!planned || hasExec) && onRows == off
+      } finally spark.conf.unset(GlobalRankRule.SmallFrameConf)
+    }
+
   property("the keyed battery is bit-identical to WindowExec on arbitrary input") =
     forAll(rows, parts, modulus) { (vs, np, k) =>
       import spark.implicits._

@@ -726,6 +726,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x122: expected GlobalBoundedAggExec:\n${p122.take(1500)}")
   }
 
+  test("x124 trailing time windows: RANGE value-distance frames arrive window-free") {
+    // VERDICT r11 #1 end-to-end: the trailing-2-day shape written as
+    // plain global AND keyed SQL — both arms plan through RangeAggExec
+    // (value-capped boundary harvest + driver stitch + per-run re-fold),
+    // NO Window node in either
+    val p = plan("x124_trailing_time_window")
+    assert(!p.contains("Window ["),
+      s"x124: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("RangeAgg"),
+      s"x124: expected RangeAggExec (both arms):\n${p.take(1500)}")
+  }
+
   test("w2/w4: the low-ndv keyed windows plan through the keyed execs, window-free") {
     // VERDICT r10 #3 end-to-end: w2/w4 are written as the PLAIN windows
     // a user would write; the rolling-stats artifact's ndv hint lets
@@ -897,8 +909,12 @@ class PlanAuditSpec extends AnyFunSuite {
         .withColumn("v", when(col("id") % 3 === 0, col("id")))
         .withColumn("pv", lag(col("v"), 1, null, ignoreNulls = true)
           .over(Window.orderBy("id")))
+      // round 12 healer: a VALUE-DISTANCE (RANGE) trailing frame
+      val rangeFrame = spark.range(100000).withColumn("rs",
+        sum("id").over(Window.orderBy("id").rangeBetween(-100, 0)))
       Seq("running sum" -> cumsum, "lag" -> lagged, "total" -> total,
-          "bounded frame" -> boundedFrame, "ignore-nulls lag(1)" -> ignLag)
+          "bounded frame" -> boundedFrame, "ignore-nulls lag(1)" -> ignLag,
+          "RANGE value frame" -> rangeFrame)
         .foreach { case (name, df) =>
           assert(unpartitionedBig(df).isEmpty,
             s"rewrite family should heal the planted $name window:\n" +
