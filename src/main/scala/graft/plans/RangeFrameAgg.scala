@@ -344,7 +344,28 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     }
     val ctxB = childRdd.sparkContext.broadcast(backCtx)
 
-    // ---- pass 2: per-run sliding fold ------------------------------------
+    // ---- pass 2: per-run sliding folds ------------------------------------
+    //
+    // A value frame's row count is data-determined (x124's 2-day frame
+    // holds thousands of rows), so a per-run RE-fold is O(rows × frame) —
+    // quadratic, the same cost class as `WindowExec`'s own sliding frame.
+    // Merge-safe aggregates instead ride a TWO-STACK sliding fold (the
+    // classic SWAG/DABA structure): a front buffer folds arrivals in
+    // order; evictions pop a back stack of precomputed SUFFIX buffers
+    // (rebuilt from the front at O(1) amortized merges per element); a
+    // frame's value is merge(back-suffix, front) — one merge per peer
+    // run. Merge-association is exactly the family's running-exec
+    // contract. The bounded-only float moments keep the sequential
+    // per-run re-fold (`WindowExec`'s own operation order — and its own
+    // cost class), so their bit-identity guarantee is unchanged.
+    val seqSet = funcs.indices.filter(fi =>
+      WindowShapes.boundedOnlyAgg(funcs(fi))).toArray
+    val fastSet = funcs.indices.filterNot(fi =>
+      WindowShapes.boundedOnlyAgg(funcs(fi))).toArray
+    val maxSeqDelta = if (seqSet.isEmpty) 0L else seqSet.map(deltaArr).max
+    val inputBufferAttrs = rebased.map(_.inputAggBufferAttributes)
+    val mergeExprsPer = rebased.map(_.mergeExpressions)
+
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val keyProj =
         if (keyed) UnsafeProjection.create(keyExprs, childOutput) else null
@@ -364,7 +385,103 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       val joinedOut = new JoinedRow
       val outProj = UnsafeProjection.create(
         childOutput ++ outAttrs, childOutput ++ outAttrs)
-      val dq = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+
+      /** Two-stack sliding fold for output `fi`. Only non-null-ordered
+        * tuples enter (a trailing value frame can never reach the null
+        * group), oldest first. */
+      final class Slider(fi: Int) {
+        private val types = bufferTypes(fi)
+        private val joinedM = new JoinedRow
+        private val frontBuf = new SpecificInternalRow(types)
+        private val frontInit =
+          MutableProjection.create(initExprs(fi), Nil).target(frontBuf)
+        private val frontUpd = MutableProjection.create(
+          updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs).target(frontBuf)
+        private val single = new SpecificInternalRow(types)
+        private val singleInit =
+          MutableProjection.create(initExprs(fi), Nil).target(single)
+        private val singleUpd = MutableProjection.create(
+          updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs).target(single)
+        private val mergeProj = MutableProjection.create(
+          mergeExprsPer(fi), bufferAttrs(fi) ++ inputBufferAttrs(fi))
+        private val mergeTmp = new SpecificInternalRow(types)
+        private val frontTs = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+        private val backTs = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+        private val backSuf = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+        frontInit(InternalRow.empty)
+
+        def clear(): Unit = {
+          frontTs.clear(); backTs.clear(); backSuf.clear()
+          frontInit(InternalRow.empty)
+        }
+
+        def push(t: InternalRow): Unit = {
+          frontTs.append(t)
+          frontUpd(joinedUp(frontBuf, t))
+        }
+
+        /** Move the front into the back as suffix folds: S(i) =
+          * merge(single(t_i), S(i+1)) right-to-left — each element is
+          * singleton-folded once and merged once, O(1) amortized. */
+        private def flip(): Unit = {
+          val n = frontTs.length
+          val sufArr = new Array[InternalRow](n)
+          var suffix: InternalRow = null
+          var i = n - 1
+          while (i >= 0) {
+            singleInit(InternalRow.empty)
+            singleUpd(joinedUp(single, frontTs(i)))
+            suffix =
+              if (suffix == null) single.copy()
+              else mergeProj.target(new SpecificInternalRow(types))(
+                joinedM(single, suffix)).copy()
+            sufArr(i) = suffix
+            i -= 1
+          }
+          backTs.appendAll(frontTs)
+          backSuf.appendAll(sufArr)
+          frontTs.clear()
+          frontInit(InternalRow.empty)
+        }
+
+        def evictBelow(thr: Long): Unit = {
+          var go = true
+          while (go) {
+            val oldest =
+              if (backTs.nonEmpty) backTs.head
+              else if (frontTs.nonEmpty) frontTs.head
+              else null
+            if (oldest == null ||
+                longAt(oldest, orderIdx, orderType) >= thr) go = false
+            else {
+              if (backTs.isEmpty) flip()
+              backTs.removeHead(); backSuf.removeHead()
+            }
+          }
+        }
+
+        /** The frame's fold — valid until the next mutation. */
+        def resultBuf(): InternalRow =
+          if (backSuf.isEmpty && frontTs.isEmpty) {
+            singleInit(InternalRow.empty); single
+          } else if (backSuf.isEmpty) frontBuf
+          else if (frontTs.isEmpty) backSuf.head
+          else mergeProj.target(mergeTmp)(joinedM(backSuf.head, frontBuf))
+      }
+
+      val sliders = fastSet.map(new Slider(_))
+      // sequential-moment deque: tuples within maxSeqDelta of the newest
+      val seqDq = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+      def seed(ctx: Array[InternalRow]): Unit = {
+        var i = 0
+        while (i < ctx.length) {
+          val t = ctx(i)
+          var s = 0
+          while (s < sliders.length) { sliders(s).push(t); s += 1 }
+          if (seqSet.nonEmpty) seqDq.append(t)
+          i += 1
+        }
+      }
       var curKey: UnsafeRow = null
       var firstKeyOfPartition = true
       val bIt = it.buffered
@@ -384,26 +501,21 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             val k = keyProj(first)
             if (curKey == null || !curKey.equals(k)) {
               curKey = k.copy()
-              dq.clear()
-              if (firstKeyOfPartition) dq.appendAll(ctxB.value(pid))
+              var s = 0
+              while (s < sliders.length) { sliders(s).clear(); s += 1 }
+              seqDq.clear()
+              if (firstKeyOfPartition) seed(ctxB.value(pid))
               firstKeyOfPartition = false
             }
           } else if (firstKeyOfPartition) {
-            dq.appendAll(ctxB.value(pid))
+            seed(ctxB.value(pid))
             firstKeyOfPartition = false
           }
           val t0 = proj(first).copy()
           val runNull = t0.isNullAt(orderIdx)
           val runVal = if (runNull) 0L else longAt(t0, orderIdx, orderType)
-          if (!runNull) {
-            val thr = satSub(runVal, maxDelta)
-            while (dq.nonEmpty && (dq.head.isNullAt(orderIdx) ||
-                longAt(dq.head, orderIdx, orderType) < thr)) {
-              dq.removeHead()
-            }
-          }
-          dq.append(t0)
           val rows = scala.collection.mutable.ArrayBuffer[InternalRow](first)
+          val tuples = scala.collection.mutable.ArrayBuffer[InternalRow](t0)
           var more = true
           while (more && bIt.hasNext) {
             val peek = bIt.head
@@ -416,32 +528,74 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             }
             if (samePeer) {
               val r = bIt.next().copy()
-              dq.append(proj(r).copy())
+              tuples += proj(r).copy()
               rows += r
             } else more = false
           }
-          // fold each aggregate over its qualifying deque suffix, once
-          // for the whole run
-          var fi = 0
-          while (fi < updaters.length) {
-            val (buf, init, upd) = updaters(fi)
-            init(InternalRow.empty)
-            var i = 0
-            if (!runNull) {
-              val thr = satSub(runVal, deltaArr(fi))
-              while (i < dq.length && (dq(i).isNullAt(orderIdx) ||
-                  longAt(dq(i), orderIdx, orderType) < thr)) {
-                i += 1
-              }
+          if (runNull) {
+            // the null peer group IS its frame: fold the run's own rows,
+            // leaving the sliding structures untouched (a later value
+            // frame can never reach back into the null group)
+            var fi = 0
+            while (fi < updaters.length) {
+              val (buf, init, upd) = updaters(fi)
+              init(InternalRow.empty)
+              var i = 0
+              while (i < tuples.length) { upd(joinedUp(buf, tuples(i))); i += 1 }
+              val res = evals(fi)(buf)
+              resultRow.update(fi,
+                InternalRow.copyValue(res.get(0, resultTypes(fi))))
+              fi += 1
             }
-            while (i < dq.length) {
-              upd(joinedUp(buf, dq(i)))
+          } else {
+            // merge-safe outputs: evict per-output threshold, push the
+            // run, one merge + evaluate per output
+            var s = 0
+            while (s < sliders.length) {
+              sliders(s).evictBelow(satSub(runVal, deltaArr(fastSet(s))))
+              s += 1
+            }
+            var i = 0
+            while (i < tuples.length) {
+              var s2 = 0
+              while (s2 < sliders.length) { sliders(s2).push(tuples(i)); s2 += 1 }
+              if (seqSet.nonEmpty) seqDq.append(tuples(i))
               i += 1
             }
-            val res = evals(fi)(buf)
-            resultRow.update(fi,
-              InternalRow.copyValue(res.get(0, resultTypes(fi))))
-            fi += 1
+            s = 0
+            while (s < sliders.length) {
+              val fi = fastSet(s)
+              val res = evals(fi)(sliders(s).resultBuf())
+              resultRow.update(fi,
+                InternalRow.copyValue(res.get(0, resultTypes(fi))))
+              s += 1
+            }
+            // float moments: retain maxSeqDelta of tuples, re-fold each
+            // output's qualifying suffix sequentially (WindowExec's order)
+            if (seqSet.nonEmpty) {
+              val thrMax = satSub(runVal, maxSeqDelta)
+              while (seqDq.nonEmpty &&
+                  longAt(seqDq.head, orderIdx, orderType) < thrMax) {
+                seqDq.removeHead()
+              }
+              var q = 0
+              while (q < seqSet.length) {
+                val fi = seqSet(q)
+                val (buf, init, upd) = updaters(fi)
+                init(InternalRow.empty)
+                val thr = satSub(runVal, deltaArr(fi))
+                var j = 0
+                while (j < seqDq.length &&
+                    longAt(seqDq(j), orderIdx, orderType) < thr) {
+                  j += 1
+                }
+                while (j < seqDq.length) { upd(joinedUp(buf, seqDq(j))); j += 1 }
+                val res = evals(fi)(buf)
+                resultRow.update(fi,
+                  InternalRow.copyValue(res.get(0, resultTypes(fi))))
+                q += 1
+              }
+            }
           }
           runRows = rows.toArray
           runIdx = 1
