@@ -42,10 +42,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *     `a PRECEDING AND b FOLLOWING`, pure-following; reach ≤
   *     maxBoundedFrame each side — [[GlobalBoundedAggPlan]]: boundary
   *     tuples per partition, row-local re-fold with a ≤ maxFwd pending
-  *     queue). Anything else — ignore-nulls lag/lead beyond lag-1,
-  *     nth_value(n>1), RANGE value-distance frames — keeps the whole
-  *     Window node untouched: their semantics need the frame, and a
-  *     mixed node must stay one node to compute consistently;
+  *     queue) — or a trailing RANGE VALUE-DISTANCE frame
+  *     (`RANGE Δ PRECEDING AND CURRENT ROW` over an int-backed ascending
+  *     order — [[GlobalRangeAggPlan]]: value-capped boundary harvest).
+  *     `nth_value(n>1)` and ignore-nulls `lag(e, n>1)` ride as
+  *     [[NthFirstRing]]/[[NthLastRing]] value rings. Anything else —
+  *     ignore-nulls lead (needs an unbounded pending queue), n beyond
+  *     [[RingAggs.MaxSlots]], non-literal or calendar RANGE distances —
+  *     keeps the whole Window node untouched: their semantics need the
+  *     frame, and a mixed node must stay one node to compute
+  *     consistently;
   *   - it is NOT directly under a rank-limit filter (`rn <= k` etc.)
   *     when purely ranking:
   *     that shape belongs to Spark's `InferWindowGroupLimit` top-k
@@ -89,7 +95,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
   private case class RngK(ae: AggregateExpression, delta: Long) extends Kind
-  private case class IgnK(in: Expression, default: Expression) extends Kind
+  private case class IgnK(in: Expression, n: Int, default: Expression) extends Kind
 
   /** A conjunct that bounds the rank attr above (the shapes
     * `InferWindowGroupLimit` accepts): `rn < k`, `rn <= k`, `rn = k`.
@@ -118,7 +124,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
             case (ae, lo, up) => BndK(ae, lo, up) })
           .orElse(WindowShapes.rangeTrailingAggOf(fn, spec).map {
             case (ae, d) => RngK(ae, d) })
-          .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
+          .orElse(WindowShapes.ignLagOf(fn).map { case (in, n, d) => IgnK(in, n, d) })
       case _ => None
     }
   }
@@ -198,16 +204,17 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
         // projection grafts the default back (coalesce) under the
         // original exprId
         val ignMap: Map[ExprId, (Attribute, Expression)] =
-          classified.collect { case (attr, IgnK(in, d)) =>
+          classified.collect { case (attr, IgnK(in, _, d)) =>
             attr.exprId -> (AttributeReference(attr.name + "__ignlag",
               in.dataType, nullable = true)() -> d)
           }.toMap
         val runTriples = classified.collect {
           case (attr, RunK(ae, fr)) => (attr, ae, fr)
         } ++ classified.collect {
-          case (attr, IgnK(in, _)) =>
+          case (attr, IgnK(in, n, _)) =>
             (ignMap(attr.exprId)._1,
-              Last(in, ignoreNulls = true).toAggregateExpression(),
+              (if (n == 1) Last(in, ignoreNulls = true) else NthLastRing(in, n))
+                .toAggregateExpression(),
               RunFrame.RowsExclusive: RunFrame)
         }
         val totPairs = classified.collect { case (attr, TotK(ae)) => (attr, ae) }

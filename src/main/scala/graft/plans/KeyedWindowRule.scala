@@ -62,6 +62,23 @@ private[plans] object WindowShapes {
     case _ => None
   }
 
+  /** `nth_value(x, n[, ignoreNulls])` for 2 ≤ n ≤ [[RingAggs.MaxSlots]]
+    * → the [[NthFirstRing]] aggregate: first-n value slots + count, so
+    * the nth-in-frame pick is a buffer read. Mergeable (running frames,
+    * partition-partial prefix merges) AND sequential-fold exact
+    * (bounded/range frames) — see [[RingAggs]]. n = 1 stays on `First`
+    * via [[nthFirstOf]]; larger n keeps Spark's plan. */
+  def nthRingOf(fn: Expression): Option[AggregateExpression] = fn match {
+    case NthValue(in, Literal(n: Int, IntegerType), ignoreNulls)
+        if n > 1 && n <= RingAggs.MaxSlots && in.deterministic =>
+      Some(NthFirstRing(in, n, ignoreNulls).toAggregateExpression())
+    case _ => None
+  }
+
+  /** Any rewritable `nth_value` spelling → its aggregate. */
+  def nthAggOf(fn: Expression): Option[AggregateExpression] =
+    nthFirstOf(fn).orElse(nthRingOf(fn))
+
   /** `agg(x) OVER (… [ROWS|RANGE] UNBOUNDED PRECEDING → CURRENT ROW)`
     * (or the exclusive `… AND 1 PRECEDING`) → (aggregate, frame). */
   def runningAggOf(fn: Expression,
@@ -77,11 +94,12 @@ private[plans] object WindowShapes {
               Literal(-1, IntegerType)))
           if supportedAgg(f) =>
         Some((ae, RunFrame.RowsExclusive))
-      case (nth, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)) =>
-        nthFirstOf(nth).map((_, RunFrame.RowsCurrent))
+      case (nth, SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow)) =>
+        nthAggOf(nth).map((_,
+          if (ft == RowFrame) RunFrame.RowsCurrent else RunFrame.RangeCurrent))
       case (nth, SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
               Literal(-1, IntegerType))) =>
-        nthFirstOf(nth).map((_, RunFrame.RowsExclusive))
+        nthAggOf(nth).map((_, RunFrame.RowsExclusive))
       case _ => None
     }
 
@@ -119,7 +137,7 @@ private[plans] object WindowShapes {
           if supportedAgg(f) || boundedOnlyAgg(f) =>
         bounds.map { case (lo, up) => (ae, lo, up) }
       case _ =>
-        nthFirstOf(fn).flatMap(ae => bounds.map { case (lo, up) => (ae, lo, up) })
+        nthAggOf(fn).flatMap(ae => bounds.map { case (lo, up) => (ae, lo, up) })
     }
   }
 
@@ -141,7 +159,7 @@ private[plans] object WindowShapes {
                 case ae @ AggregateExpression(f, Complete, false, None, _)
                     if supportedAgg(f) || boundedOnlyAgg(f) =>
                   Some((ae, d))
-                case _ => nthFirstOf(fn).map((_, d))
+                case _ => nthAggOf(fn).map((_, d))
               }
             }
           case _ => None
@@ -162,15 +180,21 @@ private[plans] object WindowShapes {
       case _ => None
     }
 
-  /** ignore-nulls `lag(e, 1[, default])` → (input, default): exactly
-    * `last_value(e, ignoreNulls)` over the EXCLUSIVE prefix, with the
-    * default grafted back by a coalesce projection (the lag returns its
-    * default exactly when no preceding non-null value exists). */
-  def ignLagOf(fn: Expression): Option[(Expression, Expression)] =
+  /** ignore-nulls `lag(e, n[, default])` → (input, n, default): exactly
+    * `last_value(e, ignoreNulls)` (n = 1) or the last-n [[NthLastRing]]
+    * (n > 1, the nth-non-null-back pick) over the EXCLUSIVE prefix, with
+    * the default grafted back by a coalesce projection (the lag returns
+    * its default exactly when fewer than n preceding non-null values
+    * exist). ignore-nulls `lead` stays on `WindowExec`: the n-th FUTURE
+    * non-null may sit arbitrarily far ahead (an all-null stretch), so a
+    * streaming rewrite would need an unbounded pending queue — the exact
+    * state class this family exists to avoid. */
+  def ignLagOf(fn: Expression): Option[(Expression, Int, Expression)] =
     fn match {
-      case Lag(in, Literal(1, IntegerType), default, true)
-          if in.deterministic && default.deterministic =>
-        Some((in, default))
+      case Lag(in, Literal(n: Int, IntegerType), default, true)
+          if n >= 1 && n <= RingAggs.MaxSlots &&
+            in.deterministic && default.deterministic =>
+        Some((in, n, default))
       case _ => None
     }
 }
@@ -223,7 +247,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class RankK(k: RankKind) extends Kind
   private case class RunK(ae: AggregateExpression, frame: RunFrame) extends Kind
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
-  private case class IgnK(in: Expression, default: Expression) extends Kind
+  private case class IgnK(in: Expression, n: Int, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
   private case class RngK(ae: AggregateExpression, delta: Long) extends Kind
   private case class TotK(ae: AggregateExpression, orderSensitive: Boolean) extends Kind
@@ -237,7 +261,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           .orElse(
             WindowShapes.runningAggOf(fn, spec).map { case (ae, fr) => RunK(ae, fr) })
           .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
-          .orElse(WindowShapes.ignLagOf(fn).map { case (in, d) => IgnK(in, d) })
+          .orElse(WindowShapes.ignLagOf(fn).map { case (in, n, d) => IgnK(in, n, d) })
           // keyed bounded frames fold backward only (the global exec
           // owns two-sided frames; a keyed FOLLOWING end stays with
           // Spark until the keyed exec grows a pending queue)
@@ -357,16 +381,17 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
       }
       val rankPairs = classified.collect { case (attr, RankK(k)) => (attr, k) }
       val ignMap: Map[ExprId, (Attribute, Expression)] =
-        classified.collect { case (attr, IgnK(in, d)) =>
+        classified.collect { case (attr, IgnK(in, _, d)) =>
           attr.exprId -> (AttributeReference(attr.name + "__ignlag",
             in.dataType, nullable = true)() -> d)
         }.toMap
       val runTriples = classified.collect {
         case (attr, RunK(ae, fr)) => (attr, ae, fr)
       } ++ classified.collect {
-        case (attr, IgnK(in, _)) =>
+        case (attr, IgnK(in, n, _)) =>
           (ignMap(attr.exprId)._1,
-            Last(in, ignoreNulls = true).toAggregateExpression(),
+            (if (n == 1) Last(in, ignoreNulls = true) else NthLastRing(in, n))
+              .toAggregateExpression(),
             RunFrame.RowsExclusive: RunFrame)
       }
       val offQuads = classified.collect {

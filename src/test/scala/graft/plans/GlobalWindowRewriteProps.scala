@@ -61,7 +61,14 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       |  avg(v)   OVER (ORDER BY v, id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS cav,
       |  sum(v)   OVER (ORDER BY v, id ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fsum,
       |  min(v)   OVER (ORDER BY v, id ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING) AS fmn,
-      |  stddev_samp(v) OVER (ORDER BY v, id ROWS BETWEEN 4 PRECEDING AND 1 FOLLOWING) AS bsd
+      |  stddev_samp(v) OVER (ORDER BY v, id ROWS BETWEEN 4 PRECEDING AND 1 FOLLOWING) AS bsd,
+      |  nth_value(v, 3) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n3r,
+      |  nth_value(v, 3) OVER (ORDER BY v, id) AS n3df,
+      |  nth_value(v, 2) IGNORE NULLS OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n2in,
+      |  nth_value(v, 2) OVER (ORDER BY v, id ROWS BETWEEN 4 PRECEDING AND 1 FOLLOWING) AS bn2,
+      |  nth_value(v, 2) IGNORE NULLS OVER (ORDER BY v, id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS bn2in,
+      |  lag(v, 2) IGNORE NULLS OVER (ORDER BY v, id) AS pvn2,
+      |  lag(v, 3, -9) IGNORE NULLS OVER (ORDER BY v, id) AS pvn3d
       |FROM gwr_t""".stripMargin
 
   // RANGE value-distance trailing frames (r11 #1) at a GENERATED Δ: the

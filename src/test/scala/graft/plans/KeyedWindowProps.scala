@@ -59,7 +59,14 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |  first_value(v) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ofv,
        |  last_value(v)  OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS olv
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS olv,
+       |  nth_value(v, 3) OVER w AS n3r,
+       |  nth_value(v, 3) OVER wo AS n3df,
+       |  nth_value(v, 2) IGNORE NULLS OVER w AS n2in,
+       |  nth_value(v, 2) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS bn2,
+       |  lag(v, 2) IGNORE NULLS OVER wo AS pvn2,
+       |  lag(v, 3, -9) IGNORE NULLS OVER wo AS pvn3d
        |FROM kwp_t
        |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v, id
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
