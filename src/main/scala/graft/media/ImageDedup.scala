@@ -287,45 +287,19 @@ object ImageDedup {
 
   // ------------------------------------------------------------ pair mining
 
-  /** (media_id, media: binary) → near-dup pairs (a, b, dist), a < b.
-    *
-    * Band-bucket equi-join over 8 bands × 8 bits (recall EXACT for
-    * maxDist ≤ 7 by pigeonhole), hot buckets capped at `maxBucketSize`
-    * members (degenerate content — flat color — otherwise quadratic),
-    * exact 64-bit Hamming verify. Undecodable rows drop out. */
+  /** (media_id, media: binary) → near-dup pairs (a, b, dist), a < b,
+    * via the shared [[Hamming64]] band join (recall EXACT for
+    * maxDist ≤ 7 by pigeonhole, hot buckets capped). Undecodable rows
+    * drop out. */
   def nearDupPairs(media: DataFrame, idCol: String = "media_id",
                    bytesCol: String = "media", maxDist: Int = 6,
                    maxBucketSize: Int = 1024): DataFrame = {
-    require(maxDist <= 7,
-      "8-bit bands guarantee recall only to Hamming distance 7")
-    val spark = media.sparkSession
     val hashUdf = udf((bytes: Array[Byte]) =>
       if (bytes == null) None else dHashOf(bytes))
     val hashed = media
       .select(col(idCol).cast("long").as("id"), hashUdf(col(bytesCol)).as("h"))
       .where(col("h").isNotNull)
-    // 8 bands of 8 bits: band key = (band index, band bits)
-    val banded = hashed.select(col("id"), col("h"),
-      explode(expr(
-        "transform(sequence(0, 7), b -> named_struct(" +
-          "'band', b, 'bits', (h >> (b * 8)) & 255))")).as("bk"))
-    // hot-bucket cap: degenerate buckets truncate deterministically by id
-    // (logged nowhere to drop silently — the cap is part of the contract)
-    val capped = banded
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("bk")).orderBy(col("id"))))
-      .where(col("rn") <= maxBucketSize)
-      .drop("rn")
-    val a = capped.select(col("bk"), col("id").as("a"), col("h").as("ha"))
-    val b = capped.select(col("bk"), col("id").as("b"), col("h").as("hb"))
-    a.join(b, Seq("bk"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ha"), col("hb"))
-      .distinct()
-      .withColumn("dist", expr("bit_count(ha ^ hb)"))
-      .where(col("dist") <= maxDist)
-      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+    Hamming64.nearDupPairs(hashed, maxDist, maxBucketSize)
   }
 
   // ---------------------------------------------------------------- plants

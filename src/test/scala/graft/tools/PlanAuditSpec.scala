@@ -738,6 +738,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x124: expected RangeAggExec (both arms):\n${p.take(1500)}")
   }
 
+  test("x125 nth/ignore-nulls-lag: the value-ring arms arrive window-free") {
+    // VERDICT r11 #6 end-to-end: nth_value(n>1) (respect + ignore nulls,
+    // running + bounded) and ignore-nulls lag(n>1), global AND keyed —
+    // all ride the ring aggregates on the family's execs, NO Window node
+    val p = plan("x125_nth_ignlag")
+    assert(!p.contains("Window ["),
+      s"x125: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("GlobalRunningAgg") && p.contains("KeyedRunningAgg"),
+      s"x125: expected the running execs (global + keyed):\n${p.take(1500)}")
+  }
+
   test("w2/w4: the low-ndv keyed windows plan through the keyed execs, window-free") {
     // VERDICT r10 #3 end-to-end: w2/w4 are written as the PLAIN windows
     // a user would write; the rolling-stats artifact's ndv hint lets
