@@ -107,6 +107,46 @@ object SparkEntryR12 {
       val media = graft.media.AudioDedup.plantedCorpus(Tables.documents(s, d))
       graft.media.AudioDedup.nearDupPairs(media)
         .orderBy("a", "b")
+    }),
+
+    // ---- X127: two-sided value-distance frames — centered-by-time
+    // smoothing, strictly-preceding baselines, lookahead budgets ----
+    //
+    // The r12 generalization of x124: `a PRECEDING AND b FOLLOWING`
+    // (the rolling(center=True)-by-TIME port), `a PRECEDING AND c
+    // PRECEDING` (exclude-self baselines) and `CURRENT ROW AND b
+    // FOLLOWING` (lookahead), global plus a keyed strictly-preceding
+    // arm. All plan through RangeAggExec: the staging gate keeps
+    // FOLLOWING bounds from over-ingesting, pending runs finalize when
+    // the stream passes v + up (partition tails against the stitched
+    // forward context), and the two-stack fold keeps every arm O(1)
+    // amortized per row. Keyed FOLLOWING refuses (no keyed forward
+    // stitch) — pinned in RangeAggSpec.
+    "x127_value_frames" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_us"))
+        .createOrReplaceTempView("x127_events")
+      s.sql(
+        """SELECT event_id,
+          |  sum(v_us)  OVER wc AS c_sum1d,
+          |  count(*)   OVER wc AS c_n1d,
+          |  min(v_us)  OVER wp AS p_min,
+          |  max(v_us)  OVER wf AS f_max,
+          |  sum(v_us)  OVER wk AS k_prev_sum
+          |FROM x127_events
+          |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+          |WINDOW wc AS (ORDER BY us RANGE BETWEEN 86400000000 PRECEDING
+          |    AND 86400000000 FOLLOWING),
+          |  wp AS (ORDER BY us RANGE BETWEEN 259200000000 PRECEDING
+          |    AND 86400000000 PRECEDING),
+          |  wf AS (ORDER BY us RANGE BETWEEN CURRENT ROW
+          |    AND 172800000000 FOLLOWING),
+          |  wk AS (PARTITION BY event_type ORDER BY us
+          |    RANGE BETWEEN 172800000000 PRECEDING AND 86400000000 PRECEDING)
+          |ORDER BY event_id""".stripMargin)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -172,5 +212,30 @@ object SparkEntryR12 {
         |FROM documents
         |WHERE doc_id % 10 = 1
         |  AND doc_id - 1 IN (SELECT doc_id FROM documents)
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+
+    "x127_value_frames" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS v_us
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  CAST(sum(v_us) OVER wc AS BIGINT) AS c_sum1d,
+        |  CAST(count(*)  OVER wc AS BIGINT) AS c_n1d,
+        |  min(v_us) OVER wp AS p_min,
+        |  max(v_us) OVER wf AS f_max,
+        |  CAST(sum(v_us) OVER wk AS BIGINT) AS k_prev_sum
+        |FROM e
+        |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        |WINDOW wc AS (ORDER BY us RANGE BETWEEN 86400000000 PRECEDING
+        |    AND 86400000000 FOLLOWING),
+        |  wp AS (ORDER BY us RANGE BETWEEN 259200000000 PRECEDING
+        |    AND 86400000000 PRECEDING),
+        |  wf AS (ORDER BY us RANGE BETWEEN CURRENT ROW
+        |    AND 172800000000 FOLLOWING),
+        |  wk AS (PARTITION BY event_type ORDER BY us
+        |    RANGE BETWEEN 172800000000 PRECEDING AND 86400000000 PRECEDING)
+        |ORDER BY event_id""".stripMargin)
 }

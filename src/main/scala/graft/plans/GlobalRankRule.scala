@@ -94,7 +94,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class TotK(ae: AggregateExpression) extends Kind
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
-  private case class RngK(ae: AggregateExpression, delta: Long) extends Kind
+  private case class RngK(ae: AggregateExpression, lo: Long, up: Long) extends Kind
   private case class IgnK(in: Expression, n: Int, default: Expression) extends Kind
 
   /** A conjunct that bounds the rank attr above (the shapes
@@ -122,8 +122,8 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
           .orElse(WindowShapes.offsetOf(fn).map { case (in, o, d) => OffK(in, o, d) })
           .orElse(WindowShapes.boundedAggOf(fn, spec, maxReach).map {
             case (ae, lo, up) => BndK(ae, lo, up) })
-          .orElse(WindowShapes.rangeTrailingAggOf(fn, spec).map {
-            case (ae, d) => RngK(ae, d) })
+          .orElse(WindowShapes.rangeAggOf(fn, spec).map {
+            case (ae, lo, up) => RngK(ae, lo, up) })
           .orElse(WindowShapes.ignLagOf(fn).map { case (in, n, d) => IgnK(in, n, d) })
       case _ => None
     }
@@ -224,8 +224,8 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
         val bndQuads = classified.collect {
           case (attr, BndK(ae, lo, up)) => (attr, ae, lo, up)
         }
-        val rngTriples = classified.collect {
-          case (attr, RngK(ae, d)) => (attr, ae, d)
+        val rngQuads = classified.collect {
+          case (attr, RngK(ae, lo, up)) => (attr, ae, lo, up)
         }
         // stack order: ranks innermost (they, running aggs and offsets
         // share the one range exchange), totals outermost (no
@@ -250,10 +250,10 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
             bndQuads.map(_._1), bndQuads.map(_._2),
             bndQuads.map(_._3), bndQuads.map(_._4), replaced)
         }
-        if (rngTriples.nonEmpty) {
+        if (rngQuads.nonEmpty) {
           replaced = GlobalRangeAggPlan(w.orderSpec,
-            rngTriples.map(_._1), rngTriples.map(_._2: Expression),
-            rngTriples.map(_._3), replaced)
+            rngQuads.map(_._1), rngQuads.map(_._2: Expression),
+            rngQuads.map(_._3), rngQuads.map(_._4), replaced)
         }
         if (totPairs.nonEmpty) {
           // First/Last totals are ORDER-SENSITIVE: carry the window's
@@ -329,10 +329,10 @@ object GlobalRankStrategy extends SparkStrategy {
       GlobalOffsetExec(order, attrs, ins, offs, defs, planLater(child)) :: Nil
     case GlobalBoundedAggPlan(order, attrs, aggs, los, ups, child) =>
       GlobalBoundedAggExec(order, attrs, aggs, los, ups, planLater(child)) :: Nil
-    case GlobalRangeAggPlan(order, attrs, aggs, deltas, child) =>
-      RangeAggExec(Nil, order, attrs, aggs, deltas, planLater(child)) :: Nil
-    case KeyedRangeAggPlan(keys, order, attrs, aggs, deltas, child) =>
-      RangeAggExec(keys, order, attrs, aggs, deltas, planLater(child)) :: Nil
+    case GlobalRangeAggPlan(order, attrs, aggs, los, ups, child) =>
+      RangeAggExec(Nil, order, attrs, aggs, los, ups, planLater(child)) :: Nil
+    case KeyedRangeAggPlan(keys, order, attrs, aggs, los, ups, child) =>
+      RangeAggExec(keys, order, attrs, aggs, los, ups, planLater(child)) :: Nil
     case KeyedRunningAggPlan(keys, order, attrs, aggs, frames, child) =>
       KeyedRunningAggExec(keys, order, attrs, aggs, frames, planLater(child)) :: Nil
     case KeyedOffsetPlan(keys, order, attrs, ins, offs, defs, child) =>

@@ -141,27 +141,32 @@ private[plans] object WindowShapes {
     }
   }
 
-  /** `agg(x) OVER (… ORDER BY t RANGE BETWEEN Δ PRECEDING AND CURRENT
-    * ROW)` — the VALUE-DISTANCE trailing frame (trailing-2-days etc.) →
-    * (aggregate, Δ in order units). One ascending NULLS FIRST order key
-    * of an integer-backed type, literal non-negative distance; the
-    * bounded-only float moments are allowed because [[RangeAggExec]]
-    * re-folds each frame sequentially in `WindowExec`'s own order. */
-  def rangeTrailingAggOf(fn: Expression,
-                         spec: WindowSpecDefinition): Option[(AggregateExpression, Long)] =
+  /** `agg(x) OVER (… ORDER BY t RANGE BETWEEN <lo> AND <up>)` with
+    * literal VALUE-DISTANCE bounds — trailing (`Δ PRECEDING AND CURRENT
+    * ROW`, the trailing-2-days shape), strictly-preceding, CENTERED
+    * (`a PRECEDING AND b FOLLOWING`) and pure-following → (aggregate,
+    * signed lo, signed up) in order units. One ascending NULLS FIRST
+    * order key of an integer-backed type; the bounded-only float moments
+    * are allowed because [[RangeAggExec]] re-folds each frame
+    * sequentially in `WindowExec`'s own order. Callers restrict `up`
+    * (the keyed rule takes up ≤ 0 only — no keyed forward stitch). */
+  def rangeAggOf(fn: Expression,
+                 spec: WindowSpecDefinition): Option[(AggregateExpression, Long, Long)] =
     spec.orderSpec match {
       case Seq(SortOrder(oe, Ascending, NullsFirst, _))
           if RangeFrames.supportedOrderType(oe.dataType) && oe.deterministic =>
         spec.frameSpecification match {
-          case SpecifiedWindowFrame(RangeFrame, lo, CurrentRow) =>
-            RangeFrames.precedingDelta(lo, oe.dataType).flatMap { d =>
-              fn match {
+          case SpecifiedWindowFrame(RangeFrame, loE, upE) =>
+            for {
+              lo <- RangeFrames.signedBound(loE, oe.dataType)
+              up <- RangeFrames.signedBound(upE, oe.dataType)
+              if lo <= up
+              ae <- (fn match {
                 case ae @ AggregateExpression(f, Complete, false, None, _)
-                    if supportedAgg(f) || boundedOnlyAgg(f) =>
-                  Some((ae, d))
-                case _ => nthAggOf(fn).map((_, d))
-              }
-            }
+                    if supportedAgg(f) || boundedOnlyAgg(f) => Some(ae)
+                case _ => nthAggOf(fn)
+              })
+            } yield (ae, lo, up)
           case _ => None
         }
       case _ => None
@@ -249,7 +254,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class IgnK(in: Expression, n: Int, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
-  private case class RngK(ae: AggregateExpression, delta: Long) extends Kind
+  private case class RngK(ae: AggregateExpression, lo: Long, up: Long) extends Kind
   private case class TotK(ae: AggregateExpression, orderSensitive: Boolean) extends Kind
 
   private def classify(ne: NamedExpression): Option[Kind] = {
@@ -267,8 +272,11 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           // Spark until the keyed exec grows a pending queue)
           .orElse(WindowShapes.boundedAggOf(fn, spec, maxReach)
             .filter(_._3 <= 0).map { case (ae, lo, up) => BndK(ae, lo, up) })
-          .orElse(WindowShapes.rangeTrailingAggOf(fn, spec)
-            .map { case (ae, d) => RngK(ae, d) })
+          // keyed value frames: trailing / strictly-preceding only — a
+          // FOLLOWING bound would need per-key forward contexts
+          .orElse(WindowShapes.rangeAggOf(fn, spec)
+            .filter(_._3 <= 0L)
+            .map { case (ae, lo, up) => RngK(ae, lo, up) })
           .orElse(keyedTotalOf(fn, spec).map { case (ae, os) => TotK(ae, os) })
       case _ => None
     }
@@ -425,13 +433,13 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           bndQuads.map(_._1), bndQuads.map(_._2: Expression),
           bndQuads.map(_._3), bndQuads.map(_._4), replaced)
       }
-      val rngTriples = classified.collect {
-        case (attr, RngK(ae, d)) => (attr, ae, d)
+      val rngQuads = classified.collect {
+        case (attr, RngK(ae, lo, up)) => (attr, ae, lo, up)
       }
-      if (rngTriples.nonEmpty) {
+      if (rngQuads.nonEmpty) {
         replaced = KeyedRangeAggPlan(w.partitionSpec, w.orderSpec,
-          rngTriples.map(_._1), rngTriples.map(_._2: Expression),
-          rngTriples.map(_._3), replaced)
+          rngQuads.map(_._1), rngQuads.map(_._2: Expression),
+          rngQuads.map(_._3), rngQuads.map(_._4), replaced)
       }
       if (totPairs.nonEmpty) {
         // outermost: demands nothing (order-insensitive) or the stack's

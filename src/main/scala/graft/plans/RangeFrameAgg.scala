@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.SparkException
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, Literal, MutableProjection, SortOrder, SpecificInternalRow, UnaryMinus, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, CurrentRow, Expression, JoinedRow, Literal, MutableProjection, SortOrder, SpecificInternalRow, UnaryMinus, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, DeclarativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
@@ -14,16 +14,19 @@ import org.apache.spark.sql.types.{DataType, DateType, DayTimeIntervalType, Inte
 /** Shared pieces of the VALUE-DISTANCE (RANGE) frame rewrite — the last
   * common plain-SQL window shape that still planned a one-task (global)
   * or ndv-task (keyed) sort (VERDICT r11 missing #1): `agg(x) OVER
-  * ([PARTITION BY k] ORDER BY t RANGE BETWEEN Δ PRECEDING AND CURRENT
-  * ROW)`, the trailing-by-event-time rolling window of market and
-  * telemetry pipelines (the reference's `w9_window_frames` trailing-2-day
-  * shape, ref `etl/etl_job.py:126-130` is its row-count cousin).
+  * ([PARTITION BY k] ORDER BY t RANGE BETWEEN <lo> AND <up>)` with
+  * value-distance bounds — trailing (`Δ PRECEDING AND CURRENT ROW`, the
+  * reference's `w9_window_frames` trailing-2-day shape, ref
+  * `etl/etl_job.py:126-130` is its row-count cousin), strictly-preceding,
+  * CENTERED (`a PRECEDING AND b FOLLOWING`) and pure-following.
   *
   * Scope: ONE ascending NULLS FIRST order key of an integer-backed type
-  * (int/long/date/timestamp), a literal non-negative PRECEDING distance
-  * (int/long, or a day-time interval over timestamps), upper bound
-  * CURRENT ROW. Anything else — descending orders, following value
-  * bounds, calendar-month intervals — keeps Spark's plan.
+  * (int/long/date/timestamp), literal signed distances (int/long, or a
+  * day-time interval over timestamps) with lo ≤ up. Anything else —
+  * descending orders, non-literal bounds, calendar-month intervals —
+  * keeps Spark's plan. FOLLOWING upper bounds are GLOBAL-only: the keyed
+  * rule restricts to up ≤ 0 (a keyed forward stitch would need per-key
+  * forward contexts — the [[KeyedBoundedAggPlan]] trailing discipline).
   */
 private[plans] object RangeFrames {
 
@@ -34,29 +37,30 @@ private[plans] object RangeFrames {
     case _ => false
   }
 
-  /** The PRECEDING distance (≥ 0, in order units: days for dates, µs for
-    * timestamps) of a RANGE lower bound, when expressible. The parser
-    * spells `Δ PRECEDING` as `UnaryMinus(lit)`; constant folding may
-    * have collapsed it to a negative literal — match both. */
-  def precedingDelta(bound: Expression, orderType: DataType): Option[Long] = {
+  /** SIGNED distance (in order units: days for dates, µs for timestamps)
+    * of a RANGE bound: `Δ PRECEDING` → −Δ (the parser spells it
+    * `UnaryMinus(lit)`; constant folding may have collapsed it to a
+    * negative literal), `CURRENT ROW` → 0, `Δ FOLLOWING` → +Δ. */
+  def signedBound(bound: Expression, orderType: DataType): Option[Long] = {
     def lit(e: Expression): Option[Long] = e match {
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
       case _ => None
     }
-    val typeOk = (orderType, bound.dataType) match {
+    def typeOk(e: Expression): Boolean = (orderType, e.dataType) match {
       case (IntegerType, IntegerType) => true
       case (LongType, IntegerType | LongType) => true
       case (DateType, IntegerType) => true
       case (TimestampType | TimestampNTZType, _: DayTimeIntervalType) => true
       case _ => false
     }
-    if (!typeOk) None
-    else (bound match {
-      case UnaryMinus(e, _) => lit(e).map(v => -v)
-      case e => lit(e)
-    }).filter(_ <= 0L).map(v => -v)
+    bound match {
+      case CurrentRow => Some(0L)
+      case UnaryMinus(e, _) if typeOk(e) => lit(e).map(v => -v)
+      case e if typeOk(e) => lit(e)
+      case _ => None
+    }
   }
 
   /** Sort value of the tuple's order slot as a long. */
@@ -65,37 +69,40 @@ private[plans] object RangeFrames {
     case _ => row.getLong(idx)
   }
 
-  /** `a - d` clamped at Long.MinValue (d ≥ 0). */
-  def satSub(a: Long, d: Long): Long = {
-    val r = a - d
-    if (d > 0 && r > a) Long.MinValue else r
+  /** `a + d` saturating at both Long extremes. */
+  def satAdd(a: Long, d: Long): Long = {
+    val r = a + d
+    if (d > 0 && r < a) Long.MaxValue
+    else if (d < 0 && r > a) Long.MinValue
+    else r
   }
 
-  def overflow(maxHarvest: Int): Nothing = throw new SparkException(
-    s"Range-frame rewrite: more than $maxHarvest rows fell within the " +
-      "RANGE distance of a partition edge, so the boundary harvest cannot " +
-      "serve a neighbouring partition exactly. Raise " +
-      s"${GlobalRankRule.MaxRangeRowsConf} for denser frames, or disable " +
-      s"${GlobalRankRule.RewriteConf} / ${KeyedWindowRule.RewriteConf} " +
-      "for this query.")
+  def overflow(maxHarvest: Int, site: String): Nothing = throw new SparkException(
+    s"Range-frame rewrite ($site): more than $maxHarvest rows fell within " +
+      "the RANGE distance of a partition edge (or of one frame), so the " +
+      "rewrite cannot serve the frame exactly within its row budget. " +
+      s"Raise ${GlobalRankRule.MaxRangeRowsConf} for denser frames, or " +
+      s"disable ${GlobalRankRule.RewriteConf} / " +
+      s"${KeyedWindowRule.RewriteConf} for this query.")
 }
 
-/** Logical plan for the GLOBAL value-distance trailing frame — empty
-  * partition spec. `deltas(i)` is output i's PRECEDING distance in order
-  * units; the frame of a row with order value v is every row with value
-  * in [v − Δ, v] — INCLUDING later peers at exactly v (RANGE CURRENT ROW
-  * semantics), which is safe to compute per partition because the range
-  * partitioner sends equal sort keys (nulls included) to one partition:
-  * peer runs and null groups never straddle a seam, so cross-partition
-  * context only ever serves strictly smaller values. Rows with a NULL
-  * order value form their own peer group (frame = the null group),
-  * matching `WindowExec`.
+/** Logical plan for the GLOBAL value-distance frame — empty partition
+  * spec. `(los(i), ups(i))` are output i's SIGNED frame distances in
+  * order units; the frame of a row with order value v is every row with
+  * value in [v + lo, v + up] — INCLUDING peers at exactly v when the
+  * bound touches 0 (RANGE CURRENT ROW semantics), which is safe to
+  * compute per partition because the range partitioner sends equal sort
+  * keys (nulls included) to one partition: peer runs and null groups
+  * never straddle a seam. Rows with a NULL order value form their own
+  * peer group (frame = the null group), matching `WindowExec`.
   */
 case class GlobalRangeAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
-                              aggs: Seq[Expression], deltas: Seq[Long],
+                              aggs: Seq[Expression],
+                              los: Seq[Long], ups: Seq[Long],
                               child: LogicalPlan) extends UnaryNode {
-  require(aggAttrs.length == aggs.length && aggs.length == deltas.length &&
-    aggs.nonEmpty && deltas.forall(_ >= 0L))
+  require(aggAttrs.length == aggs.length && aggs.length == los.length &&
+    los.length == ups.length && aggs.nonEmpty &&
+    los.zip(ups).forall { case (l, u) => l <= u })
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
   override def maxRows: Option[Long] = child.maxRows
@@ -104,15 +111,17 @@ case class GlobalRangeAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
 }
 
 /** Keyed cousin — `PARTITION BY k` with a provably small ndv
-  * ([[KeyedWindowRule]]'s gate): per-key resets of the sliding window
-  * and the boundary stitch, the [[KeyedBoundedAggPlan]] discipline
-  * transplanted from row counts to value distances. */
+  * ([[KeyedWindowRule]]'s gate) and up ≤ 0 (trailing or strictly
+  * preceding): per-key resets of the sliding structures and the boundary
+  * stitch, the [[KeyedBoundedAggPlan]] discipline transplanted from row
+  * counts to value distances. */
 case class KeyedRangeAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
-                             deltas: Seq[Long],
+                             los: Seq[Long], ups: Seq[Long],
                              child: LogicalPlan) extends UnaryNode {
   require(partKeys.nonEmpty && aggAttrs.length == aggs.length &&
-    aggs.length == deltas.length && aggs.nonEmpty && deltas.forall(_ >= 0L))
+    aggs.length == los.length && los.length == ups.length && aggs.nonEmpty &&
+    los.zip(ups).forall { case (l, u) => l <= u && u <= 0L })
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
   override def maxRows: Option[Long] = child.maxRows
@@ -120,42 +129,50 @@ case class KeyedRangeAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
-/** Physical value-distance trailing aggregate over a range exchange —
+/** Physical value-distance frame aggregate over a range exchange —
   * global when `partKeys` is empty, keyed otherwise. On the
   * `OrderedDistribution(keys ++ order)` sorted output:
   *
-  *   1. a metadata pass keeps, per partition, the trailing tuples whose
-  *      order value lies within Δmax of the partition's LAST value (its
-  *      last key's, when keyed) — a value-retention deque capped at
-  *      `spark.graft.globalRank.maxRangeRows` rows (a cap DROP is
-  *      remembered by its largest dropped value: if a later partition's
-  *      threshold would have qualified a dropped row, the exec refuses
-  *      loudly rather than answer wrong — the run-time analogue of the
-  *      bounded family's plan-time reach cap, since a value frame's row
-  *      count is unknowable at plan time);
-  *   2. the driver walks partitions in order, maintaining the same
-  *      retention deque over harvested tuples (key-reset when keyed),
-  *      and snapshots for each partition the suffix qualifying against
-  *      its FIRST row's value − Δmax — each partition's back context;
-  *   3. the streaming pass keeps the deque per task: evict below the
-  *      current peer run's value − Δmax, ingest the whole run (peers
-  *      share one frame), fold each aggregate over the qualifying deque
-  *      suffix ONCE per run, and emit the run's rows. Null-valued runs
-  *      fold over the retained null group (wholly local, see
-  *      [[GlobalRangeAggPlan]]). Aggregates re-fold SEQUENTIALLY in
-  *      frame order — `WindowExec`'s own operation order — so the
-  *      bounded-only float moments (stddev/corr/covar) stay
-  *      bit-identical, exactly as in [[GlobalBoundedAggExec]].
+  *   1. a metadata pass keeps, per partition, the trailing tuples within
+  *      maxBack of the partition's LAST value (back context for later
+  *      partitions) and — when any frame has a FOLLOWING upper bound —
+  *      the leading non-null tuples within maxFwd of its FIRST non-null
+  *      value (forward context for earlier partitions), each a
+  *      value-retention deque capped at
+  *      `spark.graft.globalRank.maxRangeRows` rows (a cap drop is
+  *      remembered by its most-threatening dropped value: if a
+  *      neighbouring partition's threshold would have qualified a
+  *      dropped row, the exec refuses loudly rather than answer wrong —
+  *      a value frame's row count is unknowable at plan time);
+  *   2. the driver walks partitions forward (back contexts) and backward
+  *      (forward contexts) with the same retention, under the family's
+  *      [[BoundaryBudget]];
+  *   3. the streaming pass runs, per output, a STAGING GATE (a tuple
+  *      enters the fold only once the run being computed has
+  *      v + up ≥ its value) in front of either a TWO-STACK sliding fold
+  *      ([[RangeAggExec]]'s SWAG structure: O(1) amortized updates per
+  *      row for merge-safe aggregates, one merge per peer run) or — for
+  *      the bounded-only float moments — a sequential per-run re-fold in
+  *      `WindowExec`'s own operation order (bit-identity preserved, and
+  *      `WindowExec`'s own cost class). Peer runs with a FOLLOWING bound
+  *      park in a pending queue and finalize when the stream passes
+  *      v + up (partition tails finalize against the stitched forward
+  *      context); up ≤ 0 outputs finalize eagerly, so trailing frames
+  *      stream with zero lag. Null-valued runs fold their own peer group
+  *      (wholly local, see [[GlobalRangeAggPlan]]).
   *
-  * Peak task memory is the deque (the densest Δ window in the task's
-  * range, the same class as `WindowExec`'s own sliding-frame buffer);
-  * driver metadata is O(partitions × maxRangeRows) worst-case, budgeted
-  * by [[BoundaryBudget]] like the rest of the family.
+  * Peak task memory is the densest value window (frame + pending +
+  * staging, each refusing loudly past the row cap — the same class as
+  * `WindowExec`'s own sliding-frame buffer); driver metadata is
+  * O(partitions × maxRangeRows) worst-case, budgeted by
+  * [[BoundaryBudget]] like the rest of the family.
   */
 case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
                         aggAttrs: Seq[Attribute], aggs: Seq[Expression],
-                        deltas: Seq[Long],
+                        los: Seq[Long], ups: Seq[Long],
                         child: SparkPlan) extends UnaryExecNode {
+  require(partKeys.isEmpty || ups.forall(_ <= 0L),
+    "keyed value frames are trailing/strictly-preceding only")
 
   private val full =
     if (partKeys.isEmpty) order else KeyedWindowExec.fullOrder(partKeys, order)
@@ -214,17 +231,24 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       e.transform { case _: AggregateExpression => rb.evaluateExpression }
     }
     val resultTypes = outAttrs.map(_.dataType)
-    val deltaArr = deltas.toArray
-    val maxDelta = deltaArr.max
+    val loArr = los.toArray
+    val upArr = ups.toArray
+    val nAggs = loArr.length
+    // back reach: how far BEHIND a row's value any frame can start;
+    // fwd reach: how far AHEAD any frame can end
+    val maxBack = math.max(0L, -loArr.min)
+    val maxFwd = math.max(0L, upArr.max)
+    val anyFwd = maxFwd > 0L
     val numOutputRows = longMetric("numOutputRows")
 
-    import RangeFrames.{longAt, satSub}
+    import RangeFrames.{longAt, satAdd}
 
-    // ---- pass 1: per-partition boundary harvest --------------------------
-    // (firstKey, firstIsNull, firstVal, lastKey,
-    //  harvest oldest→newest, hasDrop, dropMaxVal)
-    type Boundary =
-      (InternalRow, Boolean, Long, InternalRow, Array[InternalRow], Boolean, Long)
+    // ---- pass 1: per-partition boundary harvests --------------------------
+    // (firstKey, firstIsNull, firstVal, lastKey, lastVal (Long.MinValue =
+    //  no non-null row), back harvest oldest→newest, backDrop, backDropMax,
+    //  fwd harvest oldest→newest, fwdDrop, fwdDropMin)
+    type Boundary = (InternalRow, Boolean, Long, InternalRow, Long,
+      Array[InternalRow], Boolean, Long, Array[InternalRow], Boolean, Long)
     val boundary: Array[Boundary] =
       if (childRdd.getNumPartitions == 0) Array.empty
       else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
@@ -232,13 +256,21 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           if (keyed) UnsafeProjection.create(keyExprs, childOutput) else null
         val proj = UnsafeProjection.create(tupleExprs, childOutput)
         val dq = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+        val fwd = scala.collection.mutable.ArrayDeque.empty[InternalRow]
         var firstKey: InternalRow = null
         var lastKey: UnsafeRow = null
         var firstIsNull = false
         var firstVal = 0L
         var seenFirst = false
-        var hasDrop = false
-        var dropMaxVal = Long.MinValue
+        var lastVal = Long.MinValue
+        var backDrop = false
+        var backDropMax = Long.MinValue
+        var fwdDrop = false
+        var fwdDropMin = Long.MaxValue
+        // fwd harvest state: threshold fixes at the FIRST non-null value
+        var fwdThr = Long.MaxValue
+        var fwdThrSet = false
+        var fwdOpen = anyFwd && !keyed
         while (it.hasNext) {
           val r = it.next()
           if (keyed) {
@@ -247,7 +279,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             else if (!lastKey.equals(k)) {
               lastKey = k.copy()
               dq.clear()
-              hasDrop = false; dropMaxVal = Long.MinValue
+              backDrop = false; backDropMax = Long.MinValue
             }
           }
           val t = proj(r).copy()
@@ -258,37 +290,56 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           }
           if (!t.isNullAt(orderIdx)) {
             val v = longAt(t, orderIdx, orderType)
-            val thr = satSub(v, maxDelta)
+            lastVal = v
+            val thr = satAdd(v, -maxBack)
             // natural retention: provably outside every later threshold
             while (dq.nonEmpty && (dq.head.isNullAt(orderIdx) ||
                 longAt(dq.head, orderIdx, orderType) < thr)) {
               dq.removeHead()
+            }
+            // forward harvest: leading non-null tuples within maxFwd of
+            // the first non-null value (a superset of what any earlier
+            // partition can need, since its last value precedes ours)
+            if (fwdOpen) {
+              if (!fwdThrSet) { fwdThr = satAdd(v, maxFwd); fwdThrSet = true }
+              if (v <= fwdThr) {
+                fwd.append(t)
+                if (fwd.length > maxHarvest) {
+                  val h = fwd.removeLast() // keep the NEAREST tuples
+                  fwdDrop = true
+                  fwdDropMin = math.min(fwdDropMin,
+                    longAt(h, orderIdx, orderType))
+                }
+              } else fwdOpen = false
             }
           }
           dq.append(t)
           if (dq.length > maxHarvest) {
             val h = dq.removeHead()
             if (!h.isNullAt(orderIdx)) {
-              hasDrop = true
-              dropMaxVal = math.max(dropMaxVal, longAt(h, orderIdx, orderType))
+              backDrop = true
+              backDropMax = math.max(backDropMax,
+                longAt(h, orderIdx, orderType))
             }
           }
         }
-        (firstKey, firstIsNull, firstVal, lastKey: InternalRow,
-          dq.toArray, hasDrop, dropMaxVal)
+        (firstKey, firstIsNull, firstVal, lastKey: InternalRow, lastVal,
+          dq.toArray, backDrop, backDropMax, fwd.toArray, fwdDrop, fwdDropMin)
       })
 
-    // ---- driver stitch: forward walk with the same retention -------------
+    // ---- driver stitch ----------------------------------------------------
     val nPart = boundary.length
     val backCtx = new Array[Array[InternalRow]](nPart)
     locally {
+      // forward walk with the same retention → back contexts
       val running = scala.collection.mutable.ArrayDeque.empty[InternalRow]
       var runningKey: InternalRow = null
       var gDrop = false
       var gDropVal = Long.MinValue
       var p = 0
       while (p < nPart) {
-        val (fk, fNull, fVal, lk, harvest, hDrop, hDropVal) = boundary(p)
+        val (fk, fNull, fVal, lk, _, harvest, hDrop, hDropVal, _, _, _) =
+          boundary(p)
         // a partition that saw any row harvests ≥ 1 tuple (the clear at a
         // key change is always followed by that row's append)
         if (harvest.isEmpty) {
@@ -302,8 +353,8 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             // a null first value's peers are wholly local (range
             // partitioning groups equal keys), so no context is correct
           } else {
-            val thr = satSub(fVal, maxDelta)
-            if (gDrop && gDropVal >= thr) RangeFrames.overflow(maxHarvest)
+            val thr = satAdd(fVal, -maxBack)
+            if (gDrop && gDropVal >= thr) RangeFrames.overflow(maxHarvest, "back stitch")
             var i = 0
             while (i < running.length && (running(i).isNullAt(orderIdx) ||
                 longAt(running(i), orderIdx, orderType) < thr)) {
@@ -323,7 +374,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           running.appendAll(harvest)
           val last = running.last
           if (!last.isNullAt(orderIdx)) {
-            val thr = satSub(longAt(last, orderIdx, orderType), maxDelta)
+            val thr = satAdd(longAt(last, orderIdx, orderType), -maxBack)
             while (running.nonEmpty && (running.head.isNullAt(orderIdx) ||
                 longAt(running.head, orderIdx, orderType) < thr)) {
               running.removeHead()
@@ -342,27 +393,64 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         p += 1
       }
     }
+    val fwdCtx = new Array[Array[InternalRow]](nPart)
+    if (anyFwd && nPart > 0) {
+      // backward walk → forward contexts (GLOBAL only: the keyed rule
+      // restricts to up ≤ 0). `coming` = non-null tuples from later
+      // partitions, ascending, nearest first.
+      val coming = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+      var gDrop = false
+      var gDropMin = Long.MaxValue
+      var p = nPart - 1
+      while (p >= 0) {
+        val (_, _, _, _, lastVal, _, _, _, fwdHarvest, fDrop, fDropMin) =
+          boundary(p)
+        if (lastVal == Long.MinValue) {
+          // no non-null row: null frames are local, nothing to serve
+          fwdCtx(p) = Array.empty
+        } else {
+          val thr = satAdd(lastVal, maxFwd)
+          if (gDrop && gDropMin <= thr) RangeFrames.overflow(maxHarvest, "forward stitch")
+          var i = 0
+          while (i < coming.length &&
+              longAt(coming(i), orderIdx, orderType) <= thr) {
+            i += 1
+          }
+          fwdCtx(p) = Array.tabulate(i)(coming(_))
+        }
+        // prepend p's own leading harvest for earlier partitions
+        if (fDrop) { gDrop = true; gDropMin = math.min(gDropMin, fDropMin) }
+        coming.prependAll(fwdHarvest)
+        while (coming.length > maxHarvest) {
+          val h = coming.removeLast()
+          gDrop = true
+          gDropMin = math.min(gDropMin, longAt(h, orderIdx, orderType))
+        }
+        p -= 1
+      }
+    } else {
+      java.util.Arrays.fill(fwdCtx.asInstanceOf[Array[AnyRef]], Array.empty[InternalRow])
+    }
     val ctxB = childRdd.sparkContext.broadcast(backCtx)
+    val fwdB = childRdd.sparkContext.broadcast(fwdCtx)
 
-    // ---- pass 2: per-run sliding folds ------------------------------------
+    // ---- pass 2: staged per-output sliding folds ---------------------------
     //
-    // A value frame's row count is data-determined (x124's 2-day frame
-    // holds thousands of rows), so a per-run RE-fold is O(rows × frame) —
-    // quadratic, the same cost class as `WindowExec`'s own sliding frame.
-    // Merge-safe aggregates instead ride a TWO-STACK sliding fold (the
-    // classic SWAG/DABA structure): a front buffer folds arrivals in
-    // order; evictions pop a back stack of precomputed SUFFIX buffers
-    // (rebuilt from the front at O(1) amortized merges per element); a
-    // frame's value is merge(back-suffix, front) — one merge per peer
-    // run. Merge-association is exactly the family's running-exec
-    // contract. The bounded-only float moments keep the sequential
-    // per-run re-fold (`WindowExec`'s own operation order — and its own
-    // cost class), so their bit-identity guarantee is unchanged.
+    // Merge-safe aggregates ride a TWO-STACK sliding fold (SWAG): a front
+    // buffer folds arrivals in order; evictions pop a back stack of
+    // precomputed SUFFIX buffers (rebuilt from the front at O(1) amortized
+    // merges per element); a frame's value is merge(back-suffix, front) —
+    // one merge per peer run. Merge-association is exactly the family's
+    // running-exec contract. The bounded-only float moments keep a
+    // sequential per-run re-fold (`WindowExec`'s own operation order —
+    // and its own cost class), so their bit-identity guarantee is
+    // unchanged. Each output runs behind a STAGING GATE so FOLLOWING
+    // bounds never over-ingest: a tuple enters output i's fold only once
+    // the run being computed satisfies tuple.val ≤ v + up(i).
     val seqSet = funcs.indices.filter(fi =>
       WindowShapes.boundedOnlyAgg(funcs(fi))).toArray
     val fastSet = funcs.indices.filterNot(fi =>
       WindowShapes.boundedOnlyAgg(funcs(fi))).toArray
-    val maxSeqDelta = if (seqSet.isEmpty) 0L else seqSet.map(deltaArr).max
     val inputBufferAttrs = rebased.map(_.inputAggBufferAttributes)
     val mergeExprsPer = rebased.map(_.mergeExpressions)
 
@@ -377,7 +465,6 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs).target(buf)
         (buf, init, upd)
       }.toArray
-      val resultRow = new SpecificInternalRow(resultTypes)
       val evals = rebased.indices.map { fi =>
         MutableProjection.create(Seq(evalExprs(fi)), bufferAttrs(fi))
       }.toArray
@@ -386,10 +473,10 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       val outProj = UnsafeProjection.create(
         childOutput ++ outAttrs, childOutput ++ outAttrs)
 
-      /** Two-stack sliding fold for output `fi`. Only non-null-ordered
-        * tuples enter (a trailing value frame can never reach the null
-        * group), oldest first. */
-      final class Slider(fi: Int) {
+      /** Two-stack sliding fold for output `fi`, fed through its staging
+        * gate. Only non-null-ordered tuples enter (a value frame can
+        * never reach the null group), oldest first. */
+      final class Slider(val fi: Int) {
         private val types = bufferTypes(fi)
         private val joinedM = new JoinedRow
         private val frontBuf = new SpecificInternalRow(types)
@@ -405,17 +492,24 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         private val mergeProj = MutableProjection.create(
           mergeExprsPer(fi), bufferAttrs(fi) ++ inputBufferAttrs(fi))
         private val mergeTmp = new SpecificInternalRow(types)
+        val staging = scala.collection.mutable.ArrayDeque.empty[InternalRow]
         private val frontTs = scala.collection.mutable.ArrayDeque.empty[InternalRow]
         private val backTs = scala.collection.mutable.ArrayDeque.empty[InternalRow]
         private val backSuf = scala.collection.mutable.ArrayDeque.empty[InternalRow]
         frontInit(InternalRow.empty)
 
         def clear(): Unit = {
-          frontTs.clear(); backTs.clear(); backSuf.clear()
+          staging.clear(); frontTs.clear(); backTs.clear(); backSuf.clear()
           frontInit(InternalRow.empty)
         }
 
-        def push(t: InternalRow): Unit = {
+        def stage(t: InternalRow): Unit = {
+          staging.append(t)
+          if (staging.length > maxHarvest)
+            RangeFrames.overflow(maxHarvest, "slider staging")
+        }
+
+        private def push(t: InternalRow): Unit = {
           frontTs.append(t)
           frontUpd(joinedUp(frontBuf, t))
         }
@@ -444,7 +538,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           frontInit(InternalRow.empty)
         }
 
-        def evictBelow(thr: Long): Unit = {
+        private def evictBelow(thr: Long): Unit = {
           var go = true
           while (go) {
             val oldest =
@@ -460,55 +554,221 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           }
         }
 
-        /** The frame's fold — valid until the next mutation. */
-        def resultBuf(): InternalRow =
+        /** Admit staged tuples with value ≤ `hi` into the fold. Early
+          * admission against the OLDEST pending run's horizon is safe —
+          * later runs' horizons are only larger, and eviction happens at
+          * compute — and is what keeps staging from accumulating the
+          * whole FOLLOWING span between computes. */
+        def drainTo(hi: Long): Unit = {
+          while (staging.nonEmpty &&
+              longAt(staging.head, orderIdx, orderType) <= hi) {
+            push(staging.removeHead())
+          }
+        }
+
+        /** Compute the fold for a run at value `v`: admit staged tuples
+          * ≤ v + up, evict below v + lo, return the frame's buffer
+          * (valid until the next mutation). */
+        def compute(v: Long): InternalRow = {
+          drainTo(satAdd(v, upArr(fi)))
+          evictBelow(satAdd(v, loArr(fi)))
           if (backSuf.isEmpty && frontTs.isEmpty) {
             singleInit(InternalRow.empty); single
           } else if (backSuf.isEmpty) frontBuf
           else if (frontTs.isEmpty) backSuf.head
           else mergeProj.target(mergeTmp)(joinedM(backSuf.head, frontBuf))
+        }
+      }
+
+      /** Sequential re-fold for a bounded-only moment output `fi`,
+        * behind the same staging gate. */
+      final class SeqFold(val fi: Int) {
+        val staging = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+        private val held = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+        def clear(): Unit = { staging.clear(); held.clear() }
+        def stage(t: InternalRow): Unit = {
+          staging.append(t)
+          if (staging.length > maxHarvest)
+            RangeFrames.overflow(maxHarvest, "moment staging")
+        }
+        def drainTo(hi: Long): Unit = {
+          while (staging.nonEmpty &&
+              longAt(staging.head, orderIdx, orderType) <= hi) {
+            held.append(staging.removeHead())
+            if (held.length > maxHarvest)
+              RangeFrames.overflow(maxHarvest, "moment frame")
+          }
+        }
+        def compute(v: Long): InternalRow = {
+          drainTo(satAdd(v, upArr(fi)))
+          val lo = satAdd(v, loArr(fi))
+          while (held.nonEmpty &&
+              longAt(held.head, orderIdx, orderType) < lo) {
+            held.removeHead()
+          }
+          val (buf, init, upd) = updaters(fi)
+          init(InternalRow.empty)
+          var i = 0
+          while (i < held.length) { upd(joinedUp(buf, held(i))); i += 1 }
+          buf
+        }
       }
 
       val sliders = fastSet.map(new Slider(_))
-      // sequential-moment deque: tuples within maxSeqDelta of the newest
-      val seqDq = scala.collection.mutable.ArrayDeque.empty[InternalRow]
-      def seed(ctx: Array[InternalRow]): Unit = {
-        var i = 0
-        while (i < ctx.length) {
-          val t = ctx(i)
-          var s = 0
-          while (s < sliders.length) { sliders(s).push(t); s += 1 }
-          if (seqSet.nonEmpty) seqDq.append(t)
-          i += 1
+      val seqFolds = seqSet.map(new SeqFold(_))
+      def stageAll(t: InternalRow): Unit = {
+        var s = 0
+        while (s < sliders.length) { sliders(s).stage(t); s += 1 }
+        var q = 0
+        while (q < seqFolds.length) { seqFolds(q).stage(t); q += 1 }
+      }
+      def clearAll(): Unit = {
+        sliders.foreach(_.clear()); seqFolds.foreach(_.clear())
+      }
+
+      // a peer run awaiting FOLLOWING-bound outputs; results fill per-fi.
+      // Null runs are computed in full at append time — the cursors skip
+      // them without touching the value-frame structures.
+      final class Run(val v: Long, val isNull: Boolean,
+                      val rows: Array[InternalRow]) {
+        val results = new Array[Any](nAggs)
+        var remaining: Int = nAggs
+      }
+      val pending = scala.collection.mutable.ArrayDeque.empty[Run]
+      var pendingRows = 0
+      // per-output cursor into `pending`: next run index to compute
+      val fastNext = new Array[Int](sliders.length)
+      val seqNext = new Array[Int](seqFolds.length)
+
+      def computeFor(run: Run, fi: Int, buf: InternalRow): Unit = {
+        val res = evals(fi)(buf)
+        run.results(fi) = InternalRow.copyValue(res.get(0, resultTypes(fi)))
+        run.remaining -= 1
+      }
+      /** Advance every output whose horizon `v + up` lies strictly below
+        * `w` (Long.MaxValue at partition end = compute everything), then
+        * early-admit staged tuples against the oldest STILL-pending
+        * run's horizon — otherwise staging would accumulate the whole
+        * FOLLOWING span (plus the seeded back context) between
+        * computes. */
+      def advance(w: Long): Unit = {
+        var s = 0
+        while (s < sliders.length) {
+          val fi = sliders(s).fi
+          var go = true
+          while (go && fastNext(s) < pending.length) {
+            val run = pending(fastNext(s))
+            if (run.isNull) fastNext(s) += 1
+            else if (w == Long.MaxValue || satAdd(run.v, upArr(fi)) < w) {
+              computeFor(run, fi, sliders(s).compute(run.v))
+              fastNext(s) += 1
+            } else go = false
+          }
+          if (fastNext(s) < pending.length && !pending(fastNext(s)).isNull) {
+            sliders(s).drainTo(satAdd(pending(fastNext(s)).v, upArr(fi)))
+          }
+          s += 1
+        }
+        var q = 0
+        while (q < seqFolds.length) {
+          val fi = seqFolds(q).fi
+          var go = true
+          while (go && seqNext(q) < pending.length) {
+            val run = pending(seqNext(q))
+            if (run.isNull) seqNext(q) += 1
+            else if (w == Long.MaxValue || satAdd(run.v, upArr(fi)) < w) {
+              computeFor(run, fi, seqFolds(q).compute(run.v))
+              seqNext(q) += 1
+            } else go = false
+          }
+          if (seqNext(q) < pending.length && !pending(seqNext(q)).isNull) {
+            seqFolds(q).drainTo(satAdd(pending(seqNext(q)).v, upArr(fi)))
+          }
+          q += 1
         }
       }
+
       var curKey: UnsafeRow = null
       var firstKeyOfPartition = true
+      var drainedFwd = false
       val bIt = it.buffered
+      val resultRow = new SpecificInternalRow(resultTypes)
+
       new Iterator[InternalRow] {
-        private var runRows: Array[InternalRow] = Array.empty
-        private var runIdx = 0
-        override def hasNext: Boolean = runIdx < runRows.length || bIt.hasNext
-        override def next(): InternalRow = {
-          if (runIdx < runRows.length) {
-            val r = runRows(runIdx); runIdx += 1
-            numOutputRows += 1L
-            return outProj(joinedOut(r, resultRow))
+        private var emitRun: Run = null
+        private var emitIdx = 0
+
+        private def emitReady: Boolean =
+          emitRun != null ||
+            (pending.nonEmpty && pending.head.remaining == 0)
+
+        override def hasNext: Boolean =
+          emitReady || pending.nonEmpty || bIt.hasNext
+
+        private def startEmit(): Unit = {
+          emitRun = pending.removeHead()
+          pendingRows -= emitRun.rows.length
+          emitIdx = 0
+          // a cursor at 0 never advanced past the (fully-computed-at-
+          // append) null head — it stays at the new head
+          var s = 0
+          while (s < fastNext.length) {
+            fastNext(s) = math.max(0, fastNext(s) - 1); s += 1
           }
-          // start a new peer run
+          var q = 0
+          while (q < seqNext.length) {
+            seqNext(q) = math.max(0, seqNext(q) - 1); q += 1
+          }
+          var fi = 0
+          while (fi < nAggs) {
+            resultRow.update(fi, emitRun.results(fi))
+            fi += 1
+          }
+        }
+
+        override def next(): InternalRow = {
+          while (!emitReady) ingest()
+          if (emitRun == null) startEmit()
+          val r = emitRun.rows(emitIdx)
+          emitIdx += 1
+          if (emitIdx == emitRun.rows.length) emitRun = null
+          numOutputRows += 1L
+          outProj(joinedOut(r, resultRow))
+        }
+
+        /** Read one peer run (or drain the forward context at stream
+          * end), computing every output whose horizon has passed. */
+        private def ingest(): Unit = {
+          if (!bIt.hasNext) {
+            // partition exhausted: admit the stitched forward tuples,
+            // then finalize every pending run
+            if (!drainedFwd) {
+              drainedFwd = true
+              val fwd = fwdB.value(pid)
+              var i = 0
+              while (i < fwd.length) { stageAll(fwd(i)); i += 1 }
+            }
+            advance(Long.MaxValue)
+            return
+          }
           val first = bIt.next().copy()
           if (keyed) {
             val k = keyProj(first)
             if (curKey == null || !curKey.equals(k)) {
+              // keyed frames are trailing-only: nothing can be pending
               curKey = k.copy()
-              var s = 0
-              while (s < sliders.length) { sliders(s).clear(); s += 1 }
-              seqDq.clear()
-              if (firstKeyOfPartition) seed(ctxB.value(pid))
+              clearAll()
+              if (firstKeyOfPartition) {
+                val ctx = ctxB.value(pid)
+                var i = 0
+                while (i < ctx.length) { stageAll(ctx(i)); i += 1 }
+              }
               firstKeyOfPartition = false
             }
           } else if (firstKeyOfPartition) {
-            seed(ctxB.value(pid))
+            val ctx = ctxB.value(pid)
+            var i = 0
+            while (i < ctx.length) { stageAll(ctx(i)); i += 1 }
             firstKeyOfPartition = false
           }
           val t0 = proj(first).copy()
@@ -533,74 +793,50 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             } else more = false
           }
           if (runNull) {
-            // the null peer group IS its frame: fold the run's own rows,
-            // leaving the sliding structures untouched (a later value
-            // frame can never reach back into the null group)
+            // the null peer group IS its frame; nulls sort FIRST, so no
+            // value run can be pending, and null tuples never enter the
+            // value-frame structures
+            val run = new Run(0L, isNull = true, rows.toArray)
             var fi = 0
-            while (fi < updaters.length) {
+            while (fi < nAggs) {
               val (buf, init, upd) = updaters(fi)
               init(InternalRow.empty)
               var i = 0
               while (i < tuples.length) { upd(joinedUp(buf, tuples(i))); i += 1 }
-              val res = evals(fi)(buf)
-              resultRow.update(fi,
-                InternalRow.copyValue(res.get(0, resultTypes(fi))))
+              computeFor(run, fi, buf)
               fi += 1
             }
+            pending.append(run)
+            pendingRows += rows.length
           } else {
-            // merge-safe outputs: evict per-output threshold, push the
-            // run, one merge + evaluate per output
+            var i = 0
+            while (i < tuples.length) { stageAll(tuples(i)); i += 1 }
+            advance(runVal)
+            val run = new Run(runVal, isNull = false, rows.toArray)
+            pending.append(run)
+            pendingRows += rows.length
+            if (pendingRows > maxHarvest) RangeFrames.overflow(maxHarvest, "pending rows")
+            // outputs with up ≤ 0 never wait: every qualifying tuple has
+            // arrived (peers included — the run was fully collected)
             var s = 0
             while (s < sliders.length) {
-              sliders(s).evictBelow(satSub(runVal, deltaArr(fastSet(s))))
+              val fi = sliders(s).fi
+              if (upArr(fi) <= 0L && fastNext(s) == pending.length - 1) {
+                computeFor(run, fi, sliders(s).compute(runVal))
+                fastNext(s) += 1
+              }
               s += 1
             }
-            var i = 0
-            while (i < tuples.length) {
-              var s2 = 0
-              while (s2 < sliders.length) { sliders(s2).push(tuples(i)); s2 += 1 }
-              if (seqSet.nonEmpty) seqDq.append(tuples(i))
-              i += 1
-            }
-            s = 0
-            while (s < sliders.length) {
-              val fi = fastSet(s)
-              val res = evals(fi)(sliders(s).resultBuf())
-              resultRow.update(fi,
-                InternalRow.copyValue(res.get(0, resultTypes(fi))))
-              s += 1
-            }
-            // float moments: retain maxSeqDelta of tuples, re-fold each
-            // output's qualifying suffix sequentially (WindowExec's order)
-            if (seqSet.nonEmpty) {
-              val thrMax = satSub(runVal, maxSeqDelta)
-              while (seqDq.nonEmpty &&
-                  longAt(seqDq.head, orderIdx, orderType) < thrMax) {
-                seqDq.removeHead()
+            var q = 0
+            while (q < seqFolds.length) {
+              val fi = seqFolds(q).fi
+              if (upArr(fi) <= 0L && seqNext(q) == pending.length - 1) {
+                computeFor(run, fi, seqFolds(q).compute(runVal))
+                seqNext(q) += 1
               }
-              var q = 0
-              while (q < seqSet.length) {
-                val fi = seqSet(q)
-                val (buf, init, upd) = updaters(fi)
-                init(InternalRow.empty)
-                val thr = satSub(runVal, deltaArr(fi))
-                var j = 0
-                while (j < seqDq.length &&
-                    longAt(seqDq(j), orderIdx, orderType) < thr) {
-                  j += 1
-                }
-                while (j < seqDq.length) { upd(joinedUp(buf, seqDq(j))); j += 1 }
-                val res = evals(fi)(buf)
-                resultRow.update(fi,
-                  InternalRow.copyValue(res.get(0, resultTypes(fi))))
-                q += 1
-              }
+              q += 1
             }
           }
-          runRows = rows.toArray
-          runIdx = 1
-          numOutputRows += 1L
-          outProj(joinedOut(runRows(0), resultRow))
         }
       }
     }

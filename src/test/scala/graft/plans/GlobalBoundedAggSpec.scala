@@ -262,7 +262,7 @@ class GlobalBoundedAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       offRows.map(_.toString).sorted.toSeq)
   }
 
-  test("ignore-nulls lag(e, 1, default) grafts the default exactly; n > 1 stays untouched") {
+  test("ignore-nulls lag(e, 1, default) grafts the default exactly; n > 1 rides the last-n ring (r12)") {
     fixture.createOrReplaceTempView("gba_ign2")
     // non-null default: returned exactly when NO preceding non-null
     // value exists (the whole-frame head), never for mid-frame gaps
@@ -280,12 +280,15 @@ class GlobalBoundedAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
     assert(onRows.map(_.toString).sorted.toSeq ===
       offRows.map(_.toString).sorted.toSeq)
-    // n > 1 ignore-nulls: unbounded reach — must keep Spark's window
+    // n > 1 ignore-nulls: since round 12 the NthLastRing value-ring
+    // plans it through the running exec (exactness pinned in
+    // NthRingSpec and the props batteries); only the plan shape here
     val n2 = spark.sql(
       """SELECT id, lag(v, 2) IGNORE NULLS OVER (ORDER BY v, id) AS pv2
         |FROM gba_ign2""".stripMargin)
-    assert(nodes(n2).exists(_.isInstanceOf[WindowExec]),
-      s"lag(e,2) ignore-nulls must stay on WindowExec:\n${n2.queryExecution.executedPlan}")
+    assert(!nodes(n2).exists(_.isInstanceOf[WindowExec]),
+      s"lag(e,2) ignore-nulls must ride the ring rewrite:\n${n2.queryExecution.executedPlan}")
+    assert(nodes(n2).exists(_.isInstanceOf[GlobalRunningAggExec]))
   }
 
   test("empty input and a frame larger than the data are exact") {

@@ -71,11 +71,17 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       |  lag(v, 3, -9) IGNORE NULLS OVER (ORDER BY v, id) AS pvn3d
       |FROM gwr_t""".stripMargin
 
-  // RANGE value-distance trailing frames (r11 #1) at a GENERATED Δ: the
-  // frame set is value-determined, so only tie-insensitive outputs (and
-  // first/last of the order column itself) are well-defined under the
-  // tie-heavy single-key order — exactly the RangeAggExec contract
-  private def rangeBattery(d: Long) =
+  // RANGE value-distance frames (r11 #1, two-sided since r12) at
+  // GENERATED signed (lo, up): the frame set is value-determined, so
+  // only tie-insensitive outputs (and first/last of the order column
+  // itself) are well-defined under the tie-heavy single-key order —
+  // exactly the RangeAggExec contract
+  private def rangeSpell(x: Long): String =
+    if (x < 0) s"${-x} PRECEDING"
+    else if (x == 0) "CURRENT ROW"
+    else s"$x FOLLOWING"
+
+  private def rangeBattery(lo: Long, up: Long) =
     s"""SELECT id,
        |  sum(v)   OVER w AS rs,
        |  count(v) OVER w AS rc,
@@ -86,11 +92,18 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
        |  first_value(v) OVER w AS rfv,
        |  last_value(v)  OVER w AS rlv
        |FROM gwr_rt
-       |WINDOW w AS (ORDER BY v RANGE BETWEEN $d PRECEDING AND CURRENT ROW)
+       |WINDOW w AS (ORDER BY v
+       |  RANGE BETWEEN ${rangeSpell(lo)} AND ${rangeSpell(up)})
        |""".stripMargin
 
-  property("RANGE value-distance frames are bit-identical at arbitrary distances") =
-    forAll(rows, parts, Gen.choose(0L, 8L)) { (vs, np, d) =>
+  private val rangeBounds: Gen[(Long, Long)] = for {
+    lo <- Gen.choose(-8L, 8L)
+    up <- Gen.choose(lo, 8L)
+  } yield (lo, up)
+
+  property("RANGE value-distance frames are bit-identical at arbitrary signed bounds") =
+    forAll(rows, parts, rangeBounds) { (vs, np, bounds) =>
+      val (lo, up) = bounds
       import spark.implicits._
       val df = spark.createDataset(
         vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })(
@@ -100,14 +113,15 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       df.createOrReplaceTempView("gwr_rt")
       spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
       try {
-        val on = spark.sql(rangeBattery(d))
+        val on = spark.sql(rangeBattery(lo, up))
         val onRows = on.collect().map(_.toString).sorted.toSeq
         val planned = vs.nonEmpty // empty input may fold the exec away
         val hasExec =
           on.queryExecution.executedPlan.toString.contains("RangeAgg")
         spark.conf.set(GlobalRankRule.RewriteConf, "false")
         val off =
-          try spark.sql(rangeBattery(d)).collect().map(_.toString).sorted.toSeq
+          try spark.sql(rangeBattery(lo, up)).collect()
+            .map(_.toString).sorted.toSeq
           finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
         (!planned || hasExec) && onRows == off
       } finally spark.conf.unset(GlobalRankRule.SmallFrameConf)

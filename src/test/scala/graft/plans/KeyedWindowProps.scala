@@ -73,10 +73,16 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |       wo AS (PARTITION BY pmod(id, $k) ORDER BY v, id)
        |""".stripMargin
 
-  // keyed RANGE value-distance trailing frames (r11 #1): per-key value
-  // windows with key resets across range-partition seams; tie-insensitive
-  // outputs only (the frame SET is value-determined, member order isn't)
-  private def rangeBattery(k: Int, d: Long) =
+  // keyed RANGE value-distance frames (r11 #1; strictly-preceding forms
+  // since r12 — keyed stays up ≤ 0, no keyed forward stitch): per-key
+  // value windows with key resets across range-partition seams;
+  // tie-insensitive outputs only (the frame SET is value-determined,
+  // member order isn't)
+  private def rangeBattery(k: Int, lo: Long, up: Long) = {
+    def spell(x: Long) =
+      if (x < 0) s"${-x} PRECEDING"
+      else if (x == 0) "CURRENT ROW"
+      else s"$x FOLLOWING"
     s"""SELECT id,
        |  sum(v)   OVER w AS rs,
        |  count(v) OVER w AS rc,
@@ -88,11 +94,18 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |  last_value(v)  OVER w AS rlv
        |FROM kwp_rt
        |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v
-       |             RANGE BETWEEN $d PRECEDING AND CURRENT ROW)
+       |  RANGE BETWEEN ${spell(lo)} AND ${spell(up)})
        |""".stripMargin
+  }
+
+  private val keyedRangeBounds: Gen[(Long, Long)] = for {
+    lo <- Gen.choose(-8L, 0L)
+    up <- Gen.choose(lo, 0L)
+  } yield (lo, up)
 
   property("keyed RANGE value-distance frames are bit-identical at arbitrary distances") =
-    forAll(rows, parts, modulus, Gen.choose(0L, 8L)) { (vs, np, k, d) =>
+    forAll(rows, parts, modulus, keyedRangeBounds) { (vs, np, k, bounds) =>
+      val (lo, up) = bounds
       import spark.implicits._
       val df = spark.createDataset(
         vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })(
@@ -102,14 +115,14 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
       df.createOrReplaceTempView("kwp_rt")
       spark.conf.set(GlobalRankRule.SmallFrameConf, "0")
       try {
-        val on = spark.sql(rangeBattery(k, d))
+        val on = spark.sql(rangeBattery(k, lo, up))
         val onRows = on.collect().map(_.toString).sorted.toSeq
         val planned = vs.nonEmpty
         val hasExec =
           on.queryExecution.executedPlan.toString.contains("RangeAgg")
         spark.conf.set(KeyedWindowRule.RewriteConf, "false")
         val off =
-          try spark.sql(rangeBattery(k, d)).collect().map(_.toString).sorted.toSeq
+          try spark.sql(rangeBattery(k, lo, up)).collect().map(_.toString).sorted.toSeq
           finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
         (!planned || hasExec) && onRows == off
       } finally spark.conf.unset(GlobalRankRule.SmallFrameConf)

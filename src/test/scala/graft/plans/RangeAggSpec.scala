@@ -202,7 +202,71 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       offRows.map(_.toString).sorted.toSeq)
   }
 
-  test("refusals: descending, FOLLOWING value bounds, non-literal and month intervals stay on WindowExec") {
+  test("two-sided value frames: centered, strictly-preceding and pure-following are exact (r12)") {
+    fixture.createOrReplaceTempView("rng_two")
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  sum(d)   OVER (ORDER BY t RANGE BETWEEN 5 PRECEDING AND 3 FOLLOWING) AS ctr,
+        |  count(*) OVER (ORDER BY t RANGE BETWEEN 9 PRECEDING AND 2 PRECEDING) AS strict,
+        |  min(id)  OVER (ORDER BY t RANGE BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fwd0,
+        |  max(id)  OVER (ORDER BY t RANGE BETWEEN 2 FOLLOWING AND 6 FOLLOWING) AS fwd2,
+        |  avg(d)   OVER (ORDER BY t RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS peers
+        |FROM rng_two""".stripMargin))
+  }
+
+  test("two-sided interval frame over timestamps; moments fold sequentially") {
+    fixture.createOrReplaceTempView("rng_two_ts")
+    // unique-order moments (ties would leave the intra-peer fold order
+    // arbitrary in either plan — the bounded-moments contract)
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  avg(d) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '2' DAY PRECEDING
+        |    AND INTERVAL '1' DAY FOLLOWING) AS ctr2d
+        |FROM rng_two_ts""".stripMargin))
+    checkRewritten(spark.sql(
+      """SELECT id,
+        |  stddev_samp(d) OVER (ORDER BY id RANGE BETWEEN 9 PRECEDING AND 4 FOLLOWING) AS sd,
+        |  var_pop(t)     OVER (ORDER BY id RANGE BETWEEN 6 PRECEDING AND 2 PRECEDING) AS vp
+        |FROM rng_two_ts""".stripMargin))
+  }
+
+  test("keyed strictly-preceding value frame plans keyed; keyed FOLLOWING refuses") {
+    fixture.createOrReplaceTempView("rng_two_k")
+    checkRewritten(spark.sql(
+      """SELECT id, sum(t) OVER (PARTITION BY pmod(id, 5) ORDER BY t
+        |  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s
+        |FROM rng_two_k""".stripMargin), keyed = true)
+    val fwd = spark.sql(
+      """SELECT id, sum(t) OVER (PARTITION BY pmod(id, 5) ORDER BY t
+        |  RANGE BETWEEN 5 PRECEDING AND 1 FOLLOWING) AS s
+        |FROM rng_two_k""".stripMargin)
+    assert(!nodes(fwd).exists(_.isInstanceOf[RangeAggExec]),
+      "keyed FOLLOWING value bounds must keep Spark's plan (no keyed forward stitch)")
+    assert(nodes(fwd).exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("forward harvest overflow refuses loudly instead of answering wrong") {
+    fixture.createOrReplaceTempView("rng_fovf")
+    spark.conf.set(GlobalRankRule.MaxRangeRowsConf, "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val ex = intercept[SparkException] {
+        spark.sql(
+          """SELECT id, sum(d) OVER (ORDER BY t
+            |  RANGE BETWEEN CURRENT ROW AND 1000 FOLLOWING) AS s
+            |FROM rng_fovf""".stripMargin).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("Range-frame rewrite")),
+        s"unexpected failure: $ex")
+    } finally {
+      spark.conf.unset(GlobalRankRule.MaxRangeRowsConf)
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("refusals: descending, month intervals and non-integer orders stay on WindowExec") {
     fixture.createOrReplaceTempView("rng_ref")
     def staysWindow(sql: String): Unit = {
       val df = spark.sql(sql)
@@ -213,10 +277,6 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     staysWindow(
       """SELECT id, sum(d) OVER (ORDER BY t DESC
         |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s
-        |FROM rng_ref""".stripMargin)
-    staysWindow(
-      """SELECT id, sum(d) OVER (ORDER BY t
-        |  RANGE BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS s
         |FROM rng_ref""".stripMargin)
     staysWindow(
       """SELECT id, sum(d) OVER (ORDER BY ts

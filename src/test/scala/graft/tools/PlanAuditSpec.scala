@@ -738,6 +738,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x124: expected RangeAggExec (both arms):\n${p.take(1500)}")
   }
 
+  test("x127 two-sided value frames arrive window-free") {
+    // r12 generalization: centered / strictly-preceding / pure-following
+    // value-distance frames (global) + keyed strictly-preceding — all on
+    // RangeAggExec, NO Window node
+    val p = plan("x127_value_frames")
+    assert(!p.contains("Window ["),
+      s"x127: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("RangeAgg"),
+      s"x127: expected RangeAggExec:\n${p.take(1500)}")
+  }
+
   test("x125 nth/ignore-nulls-lag: the value-ring arms arrive window-free") {
     // VERDICT r11 #6 end-to-end: nth_value(n>1) (respect + ignore nulls,
     // running + bounded) and ignore-nulls lag(n>1), global AND keyed —
