@@ -84,7 +84,9 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
           if WindowShapes.supportedAgg(f) =>
         Some(ae)
       case (nth, SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing)) =>
-        WindowShapes.nthFirstOf(nth) // first_value in its nth_value(x, 1) spelling
+        // first_value in its nth_value(x, 1) spelling, and the n>1 ring
+        // ("the 3rd event overall" attach — mergeable, order carried)
+        WindowShapes.nthAggOf(nth)
       case _ => None
     }
 
@@ -262,7 +264,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
           // insensitive totals keep the zero-exchange plan
           val orderSensitive = totPairs.exists {
             case (_, ae) => ae.aggregateFunction match {
-              case _: First | _: Last => w.orderSpec.nonEmpty
+              case _: First | _: Last | _: NthFirstRing => w.orderSpec.nonEmpty
               case _ => false
             }
           }

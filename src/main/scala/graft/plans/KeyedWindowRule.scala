@@ -302,7 +302,9 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
         else None
       case (nth, SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))
           if spec.orderSpec.nonEmpty =>
-        WindowShapes.nthFirstOf(nth).map((_, true))
+        // nth_value(x, 1) (the first_value rewrite spelling) AND the
+        // n>1 ring — both order-defined, both mergeable
+        WindowShapes.nthAggOf(nth).map((_, true))
       case _ => None
     }
 

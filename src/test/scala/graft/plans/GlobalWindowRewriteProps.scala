@@ -68,7 +68,9 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       |  nth_value(v, 2) OVER (ORDER BY v, id ROWS BETWEEN 4 PRECEDING AND 1 FOLLOWING) AS bn2,
       |  nth_value(v, 2) IGNORE NULLS OVER (ORDER BY v, id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS bn2in,
       |  lag(v, 2) IGNORE NULLS OVER (ORDER BY v, id) AS pvn2,
-      |  lag(v, 3, -9) IGNORE NULLS OVER (ORDER BY v, id) AS pvn3d
+      |  lag(v, 3, -9) IGNORE NULLS OVER (ORDER BY v, id) AS pvn3d,
+      |  nth_value(v, 3) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n3tot,
+      |  nth_value(v, 2) IGNORE NULLS OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n2totin
       |FROM gwr_t""".stripMargin
 
   // RANGE value-distance frames (r11 #1, two-sided since r12) at

@@ -66,7 +66,9 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |  nth_value(v, 2) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS bn2,
        |  lag(v, 2) IGNORE NULLS OVER wo AS pvn2,
-       |  lag(v, 3, -9) IGNORE NULLS OVER wo AS pvn3d
+       |  lag(v, 3, -9) IGNORE NULLS OVER wo AS pvn3d,
+       |  nth_value(v, 3) OVER (PARTITION BY pmod(id, $k) ORDER BY v, id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n3tot
        |FROM kwp_t
        |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v, id
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
