@@ -115,13 +115,14 @@ object SparkEntryR12 {
     // The r12 generalization of x124: `a PRECEDING AND b FOLLOWING`
     // (the rolling(center=True)-by-TIME port), `a PRECEDING AND c
     // PRECEDING` (exclude-self baselines) and `CURRENT ROW AND b
-    // FOLLOWING` (lookahead), global plus a keyed strictly-preceding
-    // arm. All plan through RangeAggExec: the staging gate keeps
-    // FOLLOWING bounds from over-ingesting, pending runs finalize when
-    // the stream passes v + up (partition tails against the stitched
-    // forward context), and the two-stack fold keeps every arm O(1)
-    // amortized per row. Keyed FOLLOWING refuses (no keyed forward
-    // stitch) — pinned in RangeAggSpec.
+    // FOLLOWING` (lookahead), global plus keyed strictly-preceding AND
+    // keyed centered arms. All plan through RangeAggExec: the staging
+    // gate keeps FOLLOWING bounds from over-ingesting, pending runs
+    // finalize when the stream passes v + up (partition tails against
+    // the stitched forward context — key-scoped for the keyed arms:
+    // contexts chain only through single-key partitions of the same
+    // key), and the two-stack fold keeps every arm O(1) amortized per
+    // row.
     "x127_value_frames" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Tables.events(s, d)
@@ -135,7 +136,8 @@ object SparkEntryR12 {
           |  count(*)   OVER wc AS c_n1d,
           |  min(v_us)  OVER wp AS p_min,
           |  max(v_us)  OVER wf AS f_max,
-          |  sum(v_us)  OVER wk AS k_prev_sum
+          |  sum(v_us)  OVER wk AS k_prev_sum,
+          |  sum(v_us)  OVER wk2 AS k_ctr_sum
           |FROM x127_events
           |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
           |WINDOW wc AS (ORDER BY us RANGE BETWEEN 86400000000 PRECEDING
@@ -145,7 +147,9 @@ object SparkEntryR12 {
           |  wf AS (ORDER BY us RANGE BETWEEN CURRENT ROW
           |    AND 172800000000 FOLLOWING),
           |  wk AS (PARTITION BY event_type ORDER BY us
-          |    RANGE BETWEEN 172800000000 PRECEDING AND 86400000000 PRECEDING)
+          |    RANGE BETWEEN 172800000000 PRECEDING AND 86400000000 PRECEDING),
+          |  wk2 AS (PARTITION BY event_type ORDER BY us
+          |    RANGE BETWEEN 86400000000 PRECEDING AND 86400000000 FOLLOWING)
           |ORDER BY event_id""".stripMargin)
     }))
 
@@ -226,7 +230,8 @@ object SparkEntryR12 {
         |  CAST(count(*)  OVER wc AS BIGINT) AS c_n1d,
         |  min(v_us) OVER wp AS p_min,
         |  max(v_us) OVER wf AS f_max,
-        |  CAST(sum(v_us) OVER wk AS BIGINT) AS k_prev_sum
+        |  CAST(sum(v_us) OVER wk AS BIGINT) AS k_prev_sum,
+        |  CAST(sum(v_us) OVER wk2 AS BIGINT) AS k_ctr_sum
         |FROM e
         |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
         |WINDOW wc AS (ORDER BY us RANGE BETWEEN 86400000000 PRECEDING
@@ -236,6 +241,8 @@ object SparkEntryR12 {
         |  wf AS (ORDER BY us RANGE BETWEEN CURRENT ROW
         |    AND 172800000000 FOLLOWING),
         |  wk AS (PARTITION BY event_type ORDER BY us
-        |    RANGE BETWEEN 172800000000 PRECEDING AND 86400000000 PRECEDING)
+        |    RANGE BETWEEN 172800000000 PRECEDING AND 86400000000 PRECEDING),
+        |  wk2 AS (PARTITION BY event_type ORDER BY us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND 86400000000 FOLLOWING)
         |ORDER BY event_id""".stripMargin)
 }

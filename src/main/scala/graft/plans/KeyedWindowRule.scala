@@ -148,8 +148,7 @@ private[plans] object WindowShapes {
     * signed lo, signed up) in order units. One ascending NULLS FIRST
     * order key of an integer-backed type; the bounded-only float moments
     * are allowed because [[RangeAggExec]] re-folds each frame
-    * sequentially in `WindowExec`'s own order. Callers restrict `up`
-    * (the keyed rule takes up ≤ 0 only — no keyed forward stitch). */
+    * sequentially in `WindowExec`'s own order. */
   def rangeAggOf(fn: Expression,
                  spec: WindowSpecDefinition): Option[(AggregateExpression, Long, Long)] =
     spec.orderSpec match {
@@ -272,10 +271,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           // Spark until the keyed exec grows a pending queue)
           .orElse(WindowShapes.boundedAggOf(fn, spec, maxReach)
             .filter(_._3 <= 0).map { case (ae, lo, up) => BndK(ae, lo, up) })
-          // keyed value frames: trailing / strictly-preceding only — a
-          // FOLLOWING bound would need per-key forward contexts
           .orElse(WindowShapes.rangeAggOf(fn, spec)
-            .filter(_._3 <= 0L)
             .map { case (ae, lo, up) => RngK(ae, lo, up) })
           .orElse(keyedTotalOf(fn, spec).map { case (ae, os) => TotK(ae, os) })
       case _ => None

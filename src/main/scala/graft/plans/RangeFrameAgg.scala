@@ -22,11 +22,11 @@ import org.apache.spark.sql.types.{DataType, DateType, DayTimeIntervalType, Inte
   *
   * Scope: ONE ascending NULLS FIRST order key of an integer-backed type
   * (int/long/date/timestamp), literal signed distances (int/long, or a
-  * day-time interval over timestamps) with lo ≤ up. Anything else —
-  * descending orders, non-literal bounds, calendar-month intervals —
-  * keeps Spark's plan. FOLLOWING upper bounds are GLOBAL-only: the keyed
-  * rule restricts to up ≤ 0 (a keyed forward stitch would need per-key
-  * forward contexts — the [[KeyedBoundedAggPlan]] trailing discipline).
+  * day-time interval over timestamps) with lo ≤ up, global AND keyed
+  * (the keyed forward stitch is key-scoped: contexts chain only through
+  * single-key partitions of the same key). Anything else — descending
+  * orders, non-literal bounds, calendar-month intervals — keeps Spark's
+  * plan.
   */
 private[plans] object RangeFrames {
 
@@ -111,17 +111,18 @@ case class GlobalRangeAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
 }
 
 /** Keyed cousin — `PARTITION BY k` with a provably small ndv
-  * ([[KeyedWindowRule]]'s gate) and up ≤ 0 (trailing or strictly
-  * preceding): per-key resets of the sliding structures and the boundary
-  * stitch, the [[KeyedBoundedAggPlan]] discipline transplanted from row
-  * counts to value distances. */
+  * ([[KeyedWindowRule]]'s gate): per-key resets of the sliding
+  * structures and key-scoped boundary stitches (forward contexts chain
+  * only through single-key partitions of the same key), the
+  * [[KeyedBoundedAggPlan]] discipline transplanted from row counts to
+  * value distances — two-sided included. */
 case class KeyedRangeAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
                              los: Seq[Long], ups: Seq[Long],
                              child: LogicalPlan) extends UnaryNode {
   require(partKeys.nonEmpty && aggAttrs.length == aggs.length &&
     aggs.length == los.length && los.length == ups.length && aggs.nonEmpty &&
-    los.zip(ups).forall { case (l, u) => l <= u && u <= 0L })
+    los.zip(ups).forall { case (l, u) => l <= u })
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
   override def maxRows: Option[Long] = child.maxRows
@@ -171,8 +172,6 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
                         aggAttrs: Seq[Attribute], aggs: Seq[Expression],
                         los: Seq[Long], ups: Seq[Long],
                         child: SparkPlan) extends UnaryExecNode {
-  require(partKeys.isEmpty || ups.forall(_ <= 0L),
-    "keyed value frames are trailing/strictly-preceding only")
 
   private val full =
     if (partKeys.isEmpty) order else KeyedWindowExec.fullOrder(partKeys, order)
@@ -267,10 +266,12 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         var backDropMax = Long.MinValue
         var fwdDrop = false
         var fwdDropMin = Long.MaxValue
-        // fwd harvest state: threshold fixes at the FIRST non-null value
+        // fwd harvest state: threshold fixes at the FIRST non-null value;
+        // keyed, the harvest stops at the first key change (frames never
+        // cross keys, so only the FIRST key can serve earlier partitions)
         var fwdThr = Long.MaxValue
         var fwdThrSet = false
-        var fwdOpen = anyFwd && !keyed
+        var fwdOpen = anyFwd
         while (it.hasNext) {
           val r = it.next()
           if (keyed) {
@@ -280,6 +281,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
               lastKey = k.copy()
               dq.clear()
               backDrop = false; backDropMax = Long.MinValue
+              fwdOpen = false
             }
           }
           val t = proj(r).copy()
@@ -395,18 +397,28 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     }
     val fwdCtx = new Array[Array[InternalRow]](nPart)
     if (anyFwd && nPart > 0) {
-      // backward walk → forward contexts (GLOBAL only: the keyed rule
-      // restricts to up ≤ 0). `coming` = non-null tuples from later
-      // partitions, ascending, nearest first.
+      // backward walk → forward contexts. `coming` = non-null tuples from
+      // later partitions, ascending, nearest first — keyed, all of ONE
+      // key (`comingKey`): a partition's leading harvest is its FIRST
+      // key's tuples, and the chain extends through a partition only
+      // when that partition is single-key and of the same key, since
+      // frames never cross keys.
       val coming = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+      var comingKey: InternalRow = null
       var gDrop = false
       var gDropMin = Long.MaxValue
       var p = nPart - 1
       while (p >= 0) {
-        val (_, _, _, _, lastVal, _, _, _, fwdHarvest, fDrop, fDropMin) =
+        val (fk, _, _, lk, lastVal, _, _, _, fwdHarvest, fDrop, fDropMin) =
           boundary(p)
-        if (lastVal == Long.MinValue) {
-          // no non-null row: null frames are local, nothing to serve
+        val servesP = lastVal != Long.MinValue && coming.nonEmpty &&
+          (!keyed || (lk != null && comingKey != null &&
+            KeyedWindowExec.keyEq(lk, comingKey)))
+        if (!servesP) {
+          // no non-null row (null frames are local), nothing ahead, or
+          // the coming tuples belong to a different key — a drop can
+          // never hide here: drops always leave survivors in `coming`
+          // (the cap trims, never empties) and die with a chain break
           fwdCtx(p) = Array.empty
         } else {
           val thr = satAdd(lastVal, maxFwd)
@@ -418,7 +430,16 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           }
           fwdCtx(p) = Array.tabulate(i)(coming(_))
         }
-        // prepend p's own leading harvest for earlier partitions
+        // p's own leading harvest becomes the nearest context for earlier
+        // partitions; the old chain survives only through a single-key
+        // partition of the same key
+        val chains = !keyed || (fk != null && lk != null &&
+          comingKey != null && KeyedWindowExec.keyEq(fk, lk) &&
+          KeyedWindowExec.keyEq(lk, comingKey))
+        if (!chains) {
+          coming.clear()
+          gDrop = false; gDropMin = Long.MaxValue
+        }
         if (fDrop) { gDrop = true; gDropMin = math.min(gDropMin, fDropMin) }
         coming.prependAll(fwdHarvest)
         while (coming.length > maxHarvest) {
@@ -426,6 +447,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           gDrop = true
           gDropMin = math.min(gDropMin, longAt(h, orderIdx, orderType))
         }
+        if (keyed && fk != null) comingKey = fk
         p -= 1
       }
     } else {
@@ -755,7 +777,9 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           if (keyed) {
             val k = keyProj(first)
             if (curKey == null || !curKey.equals(k)) {
-              // keyed frames are trailing-only: nothing can be pending
+              // the old key can receive no more tuples: finalize its
+              // pending runs (FOLLOWING bounds) before the reset
+              if (curKey != null) advance(Long.MaxValue)
               curKey = k.copy()
               clearAll()
               if (firstKeyOfPartition) {

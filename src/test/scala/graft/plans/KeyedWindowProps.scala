@@ -75,8 +75,8 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |       wo AS (PARTITION BY pmod(id, $k) ORDER BY v, id)
        |""".stripMargin
 
-  // keyed RANGE value-distance frames (r11 #1; strictly-preceding forms
-  // since r12 — keyed stays up ≤ 0, no keyed forward stitch): per-key
+  // keyed RANGE value-distance frames (r11 #1; SIGNED two-sided forms
+  // since r12 — the keyed forward stitch chains key-scoped): per-key
   // value windows with key resets across range-partition seams;
   // tie-insensitive outputs only (the frame SET is value-determined,
   // member order isn't)
@@ -101,8 +101,8 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
   }
 
   private val keyedRangeBounds: Gen[(Long, Long)] = for {
-    lo <- Gen.choose(-8L, 0L)
-    up <- Gen.choose(lo, 0L)
+    lo <- Gen.choose(-8L, 8L)
+    up <- Gen.choose(lo, 8L)
   } yield (lo, up)
 
   property("keyed RANGE value-distance frames are bit-identical at arbitrary distances") =

@@ -230,19 +230,31 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM rng_two_ts""".stripMargin))
   }
 
-  test("keyed strictly-preceding value frame plans keyed; keyed FOLLOWING refuses") {
+  test("keyed two-sided value frames: strictly-preceding, centered and pure-following, per key") {
     fixture.createOrReplaceTempView("rng_two_k")
     checkRewritten(spark.sql(
-      """SELECT id, sum(t) OVER (PARTITION BY pmod(id, 5) ORDER BY t
-        |  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s
-        |FROM rng_two_k""".stripMargin), keyed = true)
-    val fwd = spark.sql(
-      """SELECT id, sum(t) OVER (PARTITION BY pmod(id, 5) ORDER BY t
-        |  RANGE BETWEEN 5 PRECEDING AND 1 FOLLOWING) AS s
-        |FROM rng_two_k""".stripMargin)
-    assert(!nodes(fwd).exists(_.isInstanceOf[RangeAggExec]),
-      "keyed FOLLOWING value bounds must keep Spark's plan (no keyed forward stitch)")
-    assert(nodes(fwd).exists(_.isInstanceOf[WindowExec]))
+      """SELECT id,
+        |  sum(t)   OVER wk AS s_strict,
+        |  sum(d)   OVER (PARTITION BY pmod(id, 5) ORDER BY t
+        |    RANGE BETWEEN 5 PRECEDING AND 3 FOLLOWING) AS s_ctr,
+        |  count(*) OVER (PARTITION BY pmod(id, 5) ORDER BY t
+        |    RANGE BETWEEN 1 FOLLOWING AND 4 FOLLOWING) AS n_fwd
+        |FROM rng_two_k
+        |WINDOW wk AS (PARTITION BY pmod(id, 5) ORDER BY t
+        |  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin),
+      keyed = true)
+    // the IN-filter-pinned string key too: forward contexts must chain
+    // key-scoped across the (k3, ts) range partitions
+    val dir = java.nio.file.Files.createTempDirectory("rng_two_k3").toString
+    fixture.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("rng_two_k3")
+    checkRewritten(spark.sql(
+      """SELECT id, k3,
+        |  avg(d) OVER (PARTITION BY k3 ORDER BY ts
+        |    RANGE BETWEEN INTERVAL '2' DAY PRECEDING
+        |      AND INTERVAL '1' DAY FOLLOWING) AS ctr
+        |FROM rng_two_k3 WHERE k3 IN ('A', 'N', 'R')""".stripMargin),
+      keyed = true)
   }
 
   test("forward harvest overflow refuses loudly instead of answering wrong") {
