@@ -151,6 +151,40 @@ object SparkEntryR12 {
           |  wk2 AS (PARTITION BY event_type ORDER BY us
           |    RANGE BETWEEN 86400000000 PRECEDING AND 86400000000 FOLLOWING)
           |ORDER BY event_id""".stripMargin)
+    }),
+
+    // ---- X128: incremental media near-dup against a persisted hash
+    // index — the media analogue of x37's text lifecycle ----
+    //
+    // The corpus's images decode + dHash ONCE into a persisted
+    // (media_id, h) parquet index (8 bytes per item); an ingest batch —
+    // re-encoded/brightness-shifted near-dups of corpus photos mixed
+    // with genuinely new ones — decodes ONLY itself and probes the index
+    // through the shared Hamming band join + exact verify. O(batch)
+    // nightly gate at any corpus size; the corpus binaries are never
+    // re-read. Constructor inversion makes the expected flag set pure
+    // doc_id arithmetic, and the oracle has no LSH anywhere: a green row
+    // proves index recall AND the exact verify.
+    "x128_incremental_media_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.media.{ImageDedup, MediaHashIndex}
+      import s.implicits._
+      val media = ImageDedup.plantedCorpus(Tables.documents(s, d))
+      val corpus = media.filter(col("media_id") % 10 =!= 1)
+      val fresh = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 2).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id + 500000L,
+            ImageDedup.encodePng(32, 32,
+              ImageDedup.syntheticRgb(id + 500000L, 32, 32, 0)))
+        })
+        .toDF("media_id", "media")
+      val batch = media.filter(col("media_id") % 10 === 1).unionByName(fresh)
+      val idx = MediaHashIndex.ensureIndex(s,
+        ImageDedup.hashed(corpus),
+        Seq(d, Tables.stamp(d, "documents"), "x128_img_mod10"))
+      MediaHashIndex.probeNearDups(ImageDedup.hashed(batch), idx)
+        .select(col("id").as("media_id")).orderBy("media_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -244,5 +278,13 @@ object SparkEntryR12 {
         |    RANGE BETWEEN 172800000000 PRECEDING AND 86400000000 PRECEDING),
         |  wk2 AS (PARTITION BY event_type ORDER BY us
         |    RANGE BETWEEN 86400000000 PRECEDING AND 86400000000 FOLLOWING)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // only the planted near-dups of indexed photos flag; the batch's
+    // fresh photos (distinct content) must pass — doc_id arithmetic
+    "x128_incremental_media_dedup" ->
+      """SELECT doc_id AS media_id FROM documents
+        |WHERE doc_id % 10 = 1
+        |  AND doc_id - 1 IN (SELECT doc_id FROM documents)
+        |ORDER BY media_id""".stripMargin)
 }

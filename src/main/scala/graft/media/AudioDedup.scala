@@ -162,18 +162,24 @@ object AudioDedup {
 
   // ------------------------------------------------------------ pair mining
 
-  /** (media_id, media: binary WAV) → near-dup pairs (a, b, dist), a < b,
-    * via the shared [[Hamming64]] band join. Non-audio rows drop out. */
-  def nearDupPairs(media: DataFrame, idCol: String = "media_id",
-                   bytesCol: String = "media", maxDist: Int = 6,
-                   maxBucketSize: Int = 1024): DataFrame = {
+  /** (media_id, media: binary WAV) → (id, h) envelope-hash table;
+    * non-audio rows drop out. Feeds both the pair miner and the
+    * [[MediaHashIndex]] incremental lifecycle. */
+  def hashed(media: DataFrame, idCol: String = "media_id",
+             bytesCol: String = "media"): DataFrame = {
     val hashUdf = udf((bytes: Array[Byte]) =>
       if (bytes == null) None else envelopeHashOf(bytes))
-    val hashed = media
+    media
       .select(col(idCol).cast("long").as("id"), hashUdf(col(bytesCol)).as("h"))
       .where(col("h").isNotNull)
-    Hamming64.nearDupPairs(hashed, maxDist, maxBucketSize)
   }
+
+  /** (media_id, media: binary WAV) → near-dup pairs (a, b, dist), a < b,
+    * via the shared [[Hamming64]] band join. */
+  def nearDupPairs(media: DataFrame, idCol: String = "media_id",
+                   bytesCol: String = "media", maxDist: Int = 6,
+                   maxBucketSize: Int = 1024): DataFrame =
+    Hamming64.nearDupPairs(hashed(media, idCol, bytesCol), maxDist, maxBucketSize)
 
   // ---------------------------------------------------------------- plants
 

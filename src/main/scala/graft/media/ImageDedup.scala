@@ -291,16 +291,22 @@ object ImageDedup {
     * via the shared [[Hamming64]] band join (recall EXACT for
     * maxDist ≤ 7 by pigeonhole, hot buckets capped). Undecodable rows
     * drop out. */
-  def nearDupPairs(media: DataFrame, idCol: String = "media_id",
-                   bytesCol: String = "media", maxDist: Int = 6,
-                   maxBucketSize: Int = 1024): DataFrame = {
+  /** (media_id, media: binary) → (id, h) dHash table; undecodable rows
+    * drop out. The decode+hash input of both the self-join pair miner
+    * and the [[MediaHashIndex]] incremental lifecycle. */
+  def hashed(media: DataFrame, idCol: String = "media_id",
+             bytesCol: String = "media"): DataFrame = {
     val hashUdf = udf((bytes: Array[Byte]) =>
       if (bytes == null) None else dHashOf(bytes))
-    val hashed = media
+    media
       .select(col(idCol).cast("long").as("id"), hashUdf(col(bytesCol)).as("h"))
       .where(col("h").isNotNull)
-    Hamming64.nearDupPairs(hashed, maxDist, maxBucketSize)
   }
+
+  def nearDupPairs(media: DataFrame, idCol: String = "media_id",
+                   bytesCol: String = "media", maxDist: Int = 6,
+                   maxBucketSize: Int = 1024): DataFrame =
+    Hamming64.nearDupPairs(hashed(media, idCol, bytesCol), maxDist, maxBucketSize)
 
   // ---------------------------------------------------------------- plants
 

@@ -460,6 +460,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("lsh_index"), s"no persisted-index scan in the plan:\n$p")
   }
 
+  test("x128 incremental media dedup probes the PERSISTED hash index") {
+    // the corpus-side hashes must come from the media_hash_index
+    // artifact table on disk — if the plan re-decodes the corpus
+    // binaries for candidates, the O(batch) incremental claim is broken
+    val p = plan("x128_incremental_media_dedup")
+    assert(p.contains("media_hash_index"),
+      s"no persisted-index scan in the plan:\n$p")
+  }
+
   test("x48 boilerplate strip: row-local strip; the corpus never shuffles") {
     // the keyed entry compiles the persisted hot set into the
     // graft_strip_segments kernel, so the whole plan is scan -> project:
