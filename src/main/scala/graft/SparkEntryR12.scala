@@ -185,6 +185,39 @@ object SparkEntryR12 {
         Seq(d, Tables.stamp(d, "documents"), "x128_img_mod10"))
       MediaHashIndex.probeNearDups(ImageDedup.hashed(batch), idx)
         .select(col("id").as("media_id")).orderBy("media_id")
+    }),
+
+    // ---- X129: trailing-calendar-month reporting windows ----
+    //
+    // The monthly-report shape: aggregate a corpus-scale event stream to
+    // a per-(type, day) daily series (one partial-agg shuffle — the only
+    // corpus-scale move), then attach trailing-one-calendar-MONTH totals
+    // per row. Month frames are variable-length, so `RangeAggExec`
+    // evaluates the frame edge per peer run with Spark's OWN
+    // `DateAddYMInterval` arithmetic (clamping and all — bit-identical
+    // to `WindowExec`), while the pass-1 harvests use a conservative
+    // 31-days-per-month reach. Both the global and the keyed (IN-pinned
+    // event_type) arms plan Window-free.
+    "x129_monthly_trailing" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(sum(floor(value * 1000000)) AS BIGINT)").as("v_us"))
+        .createOrReplaceTempView("x129_daily")
+      s.sql(
+        """SELECT event_type, day,
+          |  sum(n_events) OVER wg AS g_month_events,
+          |  sum(v_us)     OVER wg AS g_month_v,
+          |  sum(n_events) OVER wk AS k_month_events,
+          |  count(*)      OVER wk AS k_month_days
+          |FROM x129_daily
+          |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+          |WINDOW wg AS (ORDER BY day
+          |    RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW),
+          |  wk AS (PARTITION BY event_type ORDER BY day
+          |    RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, day""".stripMargin)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -286,5 +319,26 @@ object SparkEntryR12 {
       """SELECT doc_id AS media_id FROM documents
         |WHERE doc_id % 10 = 1
         |  AND doc_id - 1 IN (SELECT doc_id FROM documents)
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+
+    "x129_monthly_trailing" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(floor(value * 1000000)) AS BIGINT) AS v_us
+        |  FROM events
+        |  GROUP BY 1, 2
+        |)
+        |SELECT event_type, day,
+        |  CAST(sum(n_events) OVER wg AS BIGINT) AS g_month_events,
+        |  CAST(sum(v_us)     OVER wg AS BIGINT) AS g_month_v,
+        |  CAST(sum(n_events) OVER wk AS BIGINT) AS k_month_events,
+        |  CAST(count(*)      OVER wk AS BIGINT) AS k_month_days
+        |FROM daily
+        |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        |WINDOW wg AS (ORDER BY day
+        |    RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW),
+        |  wk AS (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin)
 }

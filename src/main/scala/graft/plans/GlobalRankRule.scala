@@ -96,7 +96,7 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class TotK(ae: AggregateExpression) extends Kind
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
-  private case class RngK(ae: AggregateExpression, lo: Long, up: Long) extends Kind
+  private case class RngK(ae: AggregateExpression, lo: RangeFrames.RBound, up: RangeFrames.RBound) extends Kind
   private case class IgnK(in: Expression, n: Int, default: Expression) extends Kind
 
   /** A conjunct that bounds the rank attr above (the shapes

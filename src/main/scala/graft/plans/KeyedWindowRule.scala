@@ -149,8 +149,8 @@ private[plans] object WindowShapes {
     * order key of an integer-backed type; the bounded-only float moments
     * are allowed because [[RangeAggExec]] re-folds each frame
     * sequentially in `WindowExec`'s own order. */
-  def rangeAggOf(fn: Expression,
-                 spec: WindowSpecDefinition): Option[(AggregateExpression, Long, Long)] =
+  def rangeAggOf(fn: Expression, spec: WindowSpecDefinition)
+      : Option[(AggregateExpression, RangeFrames.RBound, RangeFrames.RBound)] =
     spec.orderSpec match {
       case Seq(SortOrder(oe, Ascending, NullsFirst, _))
           if RangeFrames.supportedOrderType(oe.dataType) && oe.deterministic =>
@@ -159,7 +159,7 @@ private[plans] object WindowShapes {
             for {
               lo <- RangeFrames.signedBound(loE, oe.dataType)
               up <- RangeFrames.signedBound(upE, oe.dataType)
-              if lo <= up
+              if RangeFrames.boundsOrdered(lo, up)
               ae <- (fn match {
                 case ae @ AggregateExpression(f, Complete, false, None, _)
                     if supportedAgg(f) || boundedOnlyAgg(f) => Some(ae)
@@ -253,7 +253,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
   private case class OffK(in: Expression, off: Int, default: Expression) extends Kind
   private case class IgnK(in: Expression, n: Int, default: Expression) extends Kind
   private case class BndK(ae: AggregateExpression, lower: Int, upper: Int) extends Kind
-  private case class RngK(ae: AggregateExpression, lo: Long, up: Long) extends Kind
+  private case class RngK(ae: AggregateExpression, lo: RangeFrames.RBound, up: RangeFrames.RBound) extends Kind
   private case class TotK(ae: AggregateExpression, orderSensitive: Boolean) extends Kind
 
   private def classify(ne: NamedExpression): Option[Kind] = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.types.{DataType, DateType, DayTimeIntervalType, IntegerType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DayTimeIntervalType, IntegerType, LongType, TimestampNTZType, TimestampType, YearMonthIntervalType}
 
 /** Shared pieces of the VALUE-DISTANCE (RANGE) frame rewrite — the last
   * common plain-SQL window shape that still planned a one-task (global)
@@ -21,12 +21,13 @@ import org.apache.spark.sql.types.{DataType, DateType, DayTimeIntervalType, Inte
   * CENTERED (`a PRECEDING AND b FOLLOWING`) and pure-following.
   *
   * Scope: ONE ascending NULLS FIRST order key of an integer-backed type
-  * (int/long/date/timestamp), literal signed distances (int/long, or a
-  * day-time interval over timestamps) with lo ≤ up, global AND keyed
-  * (the keyed forward stitch is key-scoped: contexts chain only through
-  * single-key partitions of the same key). Anything else — descending
-  * orders, non-literal bounds, calendar-month intervals — keeps Spark's
-  * plan.
+  * (int/long/date/timestamp), literal signed distances — fixed (int/long,
+  * or a day-time interval over timestamps) or calendar MONTHS (a
+  * year-month interval over date/timestamp orders; edges evaluated per
+  * peer run with Spark's own clamping month arithmetic) — with lo ≤ up,
+  * global AND keyed (the keyed forward stitch is key-scoped: contexts
+  * chain only through single-key partitions of the same key). Anything
+  * else — descending orders, non-literal bounds — keeps Spark's plan.
   */
 private[plans] object RangeFrames {
 
@@ -37,15 +38,23 @@ private[plans] object RangeFrames {
     case _ => false
   }
 
-  /** SIGNED distance (in order units: days for dates, µs for timestamps)
-    * of a RANGE bound: `Δ PRECEDING` → −Δ (the parser spells it
-    * `UnaryMinus(lit)`; constant folding may have collapsed it to a
-    * negative literal), `CURRENT ROW` → 0, `Δ FOLLOWING` → +Δ. */
-  def signedBound(bound: Expression, orderType: DataType): Option[Long] = {
-    def lit(e: Expression): Option[Long] = e match {
-      case Literal(v: Int, IntegerType) => Some(v.toLong)
-      case Literal(v: Long, LongType) => Some(v)
-      case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
+  /** A SIGNED frame-edge distance: fixed (in order units — days for
+    * dates, µs for timestamps) or calendar MONTHS (a YM interval over a
+    * date/timestamp order — variable length, so the edge is computed per
+    * peer run with Spark's own month arithmetic). */
+  sealed trait RBound extends Serializable
+  final case class RFixed(d: Long) extends RBound
+  final case class RMonths(m: Int) extends RBound
+
+  /** `Δ PRECEDING` → negative (the parser spells it `UnaryMinus(lit)`;
+    * constant folding may have collapsed it to a negative literal),
+    * `CURRENT ROW` → fixed 0, `Δ FOLLOWING` → positive. */
+  def signedBound(bound: Expression, orderType: DataType): Option[RBound] = {
+    def lit(e: Expression): Option[RBound] = e match {
+      case Literal(v: Int, IntegerType) => Some(RFixed(v.toLong))
+      case Literal(v: Long, LongType) => Some(RFixed(v))
+      case Literal(v: Long, _: DayTimeIntervalType) => Some(RFixed(v))
+      case Literal(m: Int, _: YearMonthIntervalType) => Some(RMonths(m))
       case _ => None
     }
     def typeOk(e: Expression): Boolean = (orderType, e.dataType) match {
@@ -53,14 +62,57 @@ private[plans] object RangeFrames {
       case (LongType, IntegerType | LongType) => true
       case (DateType, IntegerType) => true
       case (TimestampType | TimestampNTZType, _: DayTimeIntervalType) => true
+      case (DateType | TimestampType | TimestampNTZType,
+            _: YearMonthIntervalType) => true
       case _ => false
     }
+    def neg(b: RBound): RBound = b match {
+      case RFixed(d) => RFixed(-d)
+      case RMonths(m) => RMonths(-m)
+    }
     bound match {
-      case CurrentRow => Some(0L)
-      case UnaryMinus(e, _) if typeOk(e) => lit(e).map(v => -v)
+      case CurrentRow => Some(RFixed(0L))
+      case UnaryMinus(e, _) if typeOk(e) => lit(e).map(neg)
       case e if typeOk(e) => lit(e)
       case _ => None
     }
+  }
+
+  /** `lo ≤ up` when statically comparable; mixed units are accepted —
+    * a per-row inverted frame is simply empty, matching `WindowExec`. */
+  def boundsOrdered(lo: RBound, up: RBound): Boolean = (lo, up) match {
+    case (RFixed(a), RFixed(b)) => a <= b
+    case (RMonths(a), RMonths(b)) => a <= b
+    case _ => true
+  }
+
+  /** CONSERVATIVE reach of a bound in order units (every month is ≤ 31
+    * days; +2 days absorbs DST and clamping slack) — used only for the
+    * pass-1 harvests and driver stitches, which may over-keep; the exact
+    * per-run edges come from [[boundEdgeExpr]]. */
+  def reachOf(b: RBound, orderType: DataType): Long = b match {
+    case RFixed(d) => math.abs(d)
+    case RMonths(m) =>
+      val days = 31L * math.abs(m) + 2L
+      if (orderType == DateType) days else days * 86400000000L
+  }
+
+  /** The order-typed expression computing `orderRef + b` with Spark's
+    * OWN arithmetic — exactly what `WindowExecBase.createBoundOrdering`
+    * would build, so month clamping and timezone semantics are
+    * bit-identical. */
+  def boundEdgeExpr(orderRef: Expression, b: RBound, orderType: DataType,
+                    timeZoneId: String): Option[Expression] = b match {
+    case RFixed(_) => None // fixed edges use saturating long adds
+    case RMonths(m) =>
+      val ym = Literal(m, org.apache.spark.sql.types.YearMonthIntervalType())
+      Some(orderType match {
+        case DateType =>
+          org.apache.spark.sql.catalyst.expressions.DateAddYMInterval(orderRef, ym)
+        case _ =>
+          org.apache.spark.sql.catalyst.expressions.TimestampAddYMInterval(
+            orderRef, ym, Some(timeZoneId))
+      })
   }
 
   /** Sort value of the tuple's order slot as a long. */
@@ -98,11 +150,12 @@ private[plans] object RangeFrames {
   */
 case class GlobalRangeAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
                               aggs: Seq[Expression],
-                              los: Seq[Long], ups: Seq[Long],
+                              los: Seq[RangeFrames.RBound],
+                              ups: Seq[RangeFrames.RBound],
                               child: LogicalPlan) extends UnaryNode {
   require(aggAttrs.length == aggs.length && aggs.length == los.length &&
     los.length == ups.length && aggs.nonEmpty &&
-    los.zip(ups).forall { case (l, u) => l <= u })
+    los.zip(ups).forall { case (l, u) => RangeFrames.boundsOrdered(l, u) })
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
   override def maxRows: Option[Long] = child.maxRows
@@ -118,11 +171,12 @@ case class GlobalRangeAggPlan(order: Seq[SortOrder], aggAttrs: Seq[Attribute],
   * value distances — two-sided included. */
 case class KeyedRangeAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
-                             los: Seq[Long], ups: Seq[Long],
+                             los: Seq[RangeFrames.RBound],
+                             ups: Seq[RangeFrames.RBound],
                              child: LogicalPlan) extends UnaryNode {
   require(partKeys.nonEmpty && aggAttrs.length == aggs.length &&
     aggs.length == los.length && los.length == ups.length && aggs.nonEmpty &&
-    los.zip(ups).forall { case (l, u) => l <= u })
+    los.zip(ups).forall { case (l, u) => RangeFrames.boundsOrdered(l, u) })
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
   override def maxRows: Option[Long] = child.maxRows
@@ -170,7 +224,7 @@ case class KeyedRangeAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
   */
 case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
                         aggAttrs: Seq[Attribute], aggs: Seq[Expression],
-                        los: Seq[Long], ups: Seq[Long],
+                        los: Seq[RangeFrames.RBound], ups: Seq[RangeFrames.RBound],
                         child: SparkPlan) extends UnaryExecNode {
 
   private val full =
@@ -193,7 +247,16 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
   protected override def doExecute(): RDD[InternalRow] = {
     val maxHarvest =
       conf.getConfString(GlobalRankRule.MaxRangeRowsConf, "16384").toInt
-    val childRdd = BoundaryBudget.bound(child.execute(), maxHarvest.toLong,
+    // a partition ships up to maxHarvest BACK tuples plus, when any frame
+    // has a FOLLOWING bound, maxHarvest FORWARD tuples — budget the true
+    // per-partition reach
+    val anyFollowing = ups.exists {
+      case RangeFrames.RFixed(d) => d > 0L
+      case RangeFrames.RMonths(m) => m > 0
+    }
+    val budgetReach =
+      if (anyFollowing) 2L * maxHarvest else maxHarvest.toLong
+    val childRdd = BoundaryBudget.bound(child.execute(), budgetReach,
       conf.getConfString(BoundaryBudget.Conf,
         BoundaryBudget.Default.toString).toLong)
     val childOutput = child.output
@@ -233,11 +296,27 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     val loArr = los.toArray
     val upArr = ups.toArray
     val nAggs = loArr.length
+    val timeZoneId = conf.sessionLocalTimeZone
     // back reach: how far BEHIND a row's value any frame can start;
-    // fwd reach: how far AHEAD any frame can end
-    val maxBack = math.max(0L, -loArr.min)
-    val maxFwd = math.max(0L, upArr.max)
+    // fwd reach: how far AHEAD any frame can end. CONSERVATIVE for
+    // month bounds (≤ 31 days + slack per month — over-keeping is safe,
+    // the exact per-run edges evict the excess in pass 2)
+    def backReach(b: RangeFrames.RBound): Long = b match {
+      case RangeFrames.RFixed(d) => math.max(0L, -d)
+      case RangeFrames.RMonths(m) =>
+        if (m >= 0) 0L else RangeFrames.reachOf(b, orderType)
+    }
+    def fwdReach(b: RangeFrames.RBound): Long = b match {
+      case RangeFrames.RFixed(d) => math.max(0L, d)
+      case RangeFrames.RMonths(m) =>
+        if (m <= 0) 0L else RangeFrames.reachOf(b, orderType)
+    }
+    val maxBack = loArr.map(backReach).max
+    val maxFwd = upArr.map(fwdReach).max
     val anyFwd = maxFwd > 0L
+    // outputs whose frame can never extend past the current run's value:
+    // they finalize eagerly, so pure-trailing nodes stream with zero lag
+    val eagerArr: Array[Boolean] = upArr.map(fwdReach(_) == 0L)
     val numOutputRows = longMetric("numOutputRows")
 
     import RangeFrames.{longAt, satAdd}
@@ -494,6 +573,29 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       val joinedOut = new JoinedRow
       val outProj = UnsafeProjection.create(
         childOutput ++ outAttrs, childOutput ++ outAttrs)
+      // per-output frame-edge evaluators: fixed distances are saturating
+      // long adds; MONTH distances evaluate Spark's own YM-interval
+      // arithmetic per peer run (bit-identical clamping/timezone
+      // semantics, and monotone — the sliding invariants hold)
+      def edgeFn(b: RangeFrames.RBound): Long => Long = b match {
+        case RangeFrames.RFixed(d) => (v: Long) => satAdd(v, d)
+        case _ =>
+          val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
+            0, orderType, nullable = false)
+          val proj = UnsafeProjection.create(Seq(
+            RangeFrames.boundEdgeExpr(ref, b, orderType, timeZoneId).get))
+          val in = new SpecificInternalRow(Seq(orderType))
+          (v: Long) => {
+            orderType match {
+              case DateType => in.setInt(0, v.toInt)
+              case _ => in.setLong(0, v)
+            }
+            val r = proj(in)
+            if (orderType == DateType) r.getInt(0).toLong else r.getLong(0)
+          }
+      }
+      val loAt: Array[Long => Long] = loArr.map(edgeFn)
+      val upAt: Array[Long => Long] = upArr.map(edgeFn)
 
       /** Two-stack sliding fold for output `fi`, fed through its staging
         * gate. Only non-null-ordered tuples enter (a value frame can
@@ -592,8 +694,8 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           * ≤ v + up, evict below v + lo, return the frame's buffer
           * (valid until the next mutation). */
         def compute(v: Long): InternalRow = {
-          drainTo(satAdd(v, upArr(fi)))
-          evictBelow(satAdd(v, loArr(fi)))
+          drainTo(upAt(fi)(v))
+          evictBelow(loAt(fi)(v))
           if (backSuf.isEmpty && frontTs.isEmpty) {
             singleInit(InternalRow.empty); single
           } else if (backSuf.isEmpty) frontBuf
@@ -622,8 +724,8 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           }
         }
         def compute(v: Long): InternalRow = {
-          drainTo(satAdd(v, upArr(fi)))
-          val lo = satAdd(v, loArr(fi))
+          drainTo(upAt(fi)(v))
+          val lo = loAt(fi)(v)
           while (held.nonEmpty &&
               longAt(held.head, orderIdx, orderType) < lo) {
             held.removeHead()
@@ -681,13 +783,13 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           while (go && fastNext(s) < pending.length) {
             val run = pending(fastNext(s))
             if (run.isNull) fastNext(s) += 1
-            else if (w == Long.MaxValue || satAdd(run.v, upArr(fi)) < w) {
+            else if (w == Long.MaxValue || upAt(fi)(run.v) < w) {
               computeFor(run, fi, sliders(s).compute(run.v))
               fastNext(s) += 1
             } else go = false
           }
           if (fastNext(s) < pending.length && !pending(fastNext(s)).isNull) {
-            sliders(s).drainTo(satAdd(pending(fastNext(s)).v, upArr(fi)))
+            sliders(s).drainTo(upAt(fi)(pending(fastNext(s)).v))
           }
           s += 1
         }
@@ -698,13 +800,13 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           while (go && seqNext(q) < pending.length) {
             val run = pending(seqNext(q))
             if (run.isNull) seqNext(q) += 1
-            else if (w == Long.MaxValue || satAdd(run.v, upArr(fi)) < w) {
+            else if (w == Long.MaxValue || upAt(fi)(run.v) < w) {
               computeFor(run, fi, seqFolds(q).compute(run.v))
               seqNext(q) += 1
             } else go = false
           }
           if (seqNext(q) < pending.length && !pending(seqNext(q)).isNull) {
-            seqFolds(q).drainTo(satAdd(pending(seqNext(q)).v, upArr(fi)))
+            seqFolds(q).drainTo(upAt(fi)(pending(seqNext(q)).v))
           }
           q += 1
         }
@@ -845,7 +947,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             var s = 0
             while (s < sliders.length) {
               val fi = sliders(s).fi
-              if (upArr(fi) <= 0L && fastNext(s) == pending.length - 1) {
+              if (eagerArr(fi) && fastNext(s) == pending.length - 1) {
                 computeFor(run, fi, sliders(s).compute(runVal))
                 fastNext(s) += 1
               }
@@ -854,7 +956,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             var q = 0
             while (q < seqFolds.length) {
               val fi = seqFolds(q).fi
-              if (upArr(fi) <= 0L && seqNext(q) == pending.length - 1) {
+              if (eagerArr(fi) && seqNext(q) == pending.length - 1) {
                 computeFor(run, fi, seqFolds(q).compute(runVal))
                 seqNext(q) += 1
               }

@@ -758,6 +758,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x127: expected RangeAggExec:\n${p.take(1500)}")
   }
 
+  test("x129 monthly trailing: calendar-month value frames arrive window-free") {
+    // r12: month edges are evaluated per peer run with Spark's own
+    // DateAddYMInterval arithmetic inside RangeAggExec — global and
+    // keyed arms, NO Window node; the only corpus-scale move is the
+    // daily partial-agg shuffle
+    val p = plan("x129_monthly_trailing")
+    assert(!p.contains("Window ["),
+      s"x129: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("RangeAgg"),
+      s"x129: expected RangeAggExec:\n${p.take(1500)}")
+  }
+
   test("x125 nth/ignore-nulls-lag: the value-ring arms arrive window-free") {
     // VERDICT r11 #6 end-to-end: nth_value(n>1) (respect + ignore nulls,
     // running + bounded) and ignore-nulls lag(n>1), global AND keyed —
