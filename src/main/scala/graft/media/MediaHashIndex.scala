@@ -64,6 +64,23 @@ object MediaHashIndex {
       .write.mode(SaveMode.Append).parquet(dir.getAbsolutePath)
   }
 
+  /** [[appendToIndex]] guarded by a `tag`-named marker file, so repeated
+    * replays of the same batch append at most once — without it a
+    * restart loop grows the persisted index without bound (duplicate
+    * rows stay CORRECT per the duplicate-candidate contract, but the
+    * artifact bloats). A crash between the part files and the marker
+    * re-appends once on the next replay — bounded, still correct. */
+  def appendToIndexOnce(spark: SparkSession, hashed: DataFrame,
+                        corpusKey: Seq[Any], tag: String): Boolean = {
+    val dir = indexDir(spark, corpusKey)
+    val marker = new File(dir, s"_APPEND_$tag")
+    if (marker.exists()) false
+    else {
+      appendToIndex(spark, hashed, corpusKey)
+      marker.createNewFile()
+    }
+  }
+
   def invalidate(spark: SparkSession, corpusKey: Seq[Any]): Unit =
     rmRf(indexDir(spark, corpusKey))
 

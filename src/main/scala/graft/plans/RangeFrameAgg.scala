@@ -46,6 +46,14 @@ private[plans] object RangeFrames {
   final case class RFixed(d: Long) extends RBound
   final case class RMonths(m: Int) extends RBound
 
+  /** Largest |months| the rewrite accepts (10 000 years). Past this —
+    * or at `Int.MinValue`, whose abs stays negative — [[reachOf]]'s
+    * conservative 31-day expansion would overflow Long µs and a
+    * negative reach makes the retention deques evict everything
+    * (silently-wrong cross-partition frames), so [[signedBound]]
+    * refuses the rewrite and keeps Spark's plan instead. */
+  val MaxMonths: Int = 120000
+
   /** `Δ PRECEDING` → negative (the parser spells it `UnaryMinus(lit)`;
     * constant folding may have collapsed it to a negative literal),
     * `CURRENT ROW` → fixed 0, `Δ FOLLOWING` → positive. */
@@ -54,7 +62,8 @@ private[plans] object RangeFrames {
       case Literal(v: Int, IntegerType) => Some(RFixed(v.toLong))
       case Literal(v: Long, LongType) => Some(RFixed(v))
       case Literal(v: Long, _: DayTimeIntervalType) => Some(RFixed(v))
-      case Literal(m: Int, _: YearMonthIntervalType) => Some(RMonths(m))
+      case Literal(m: Int, _: YearMonthIntervalType)
+          if m != Int.MinValue && math.abs(m) <= MaxMonths => Some(RMonths(m))
       case _ => None
     }
     def typeOk(e: Expression): Boolean = (orderType, e.dataType) match {
@@ -91,10 +100,16 @@ private[plans] object RangeFrames {
     * pass-1 harvests and driver stitches, which may over-keep; the exact
     * per-run edges come from [[boundEdgeExpr]]. */
   def reachOf(b: RBound, orderType: DataType): Long = b match {
-    case RFixed(d) => math.abs(d)
+    case RFixed(d) => if (d == Long.MinValue) Long.MaxValue else math.abs(d)
     case RMonths(m) =>
-      val days = 31L * math.abs(m) + 2L
-      if (orderType == DateType) days else days * 86400000000L
+      // |m| ≤ MaxMonths by [[signedBound]]'s gate, so neither multiply
+      // can overflow (31 * 120000 + 2 days ≈ 3.2e17 µs ≪ Long.MaxValue);
+      // the guards are defense-in-depth for any future caller.
+      val am = if (m == Int.MinValue) Int.MaxValue.toLong else math.abs(m.toLong)
+      val days = 31L * am + 2L
+      if (orderType == DateType) days
+      else if (days > Long.MaxValue / 86400000000L) Long.MaxValue
+      else days * 86400000000L
   }
 
   /** The order-typed expression computing `orderRef + b` with Spark's
@@ -217,8 +232,11 @@ case class KeyedRangeAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
   *      (wholly local, see [[GlobalRangeAggPlan]]).
   *
   * Peak task memory is the densest value window (frame + pending +
-  * staging, each refusing loudly past the row cap — the same class as
-  * `WindowExec`'s own sliding-frame buffer); driver metadata is
+  * staging — pending and staging refuse loudly past the row cap; the
+  * moment path caps its held frame exactly, the two-stack path at 2×
+  * the cap since its deques also span the capped pending runs — the
+  * same class as `WindowExec`'s own sliding-frame buffer); driver
+  * metadata is
   * O(partitions × maxRangeRows) worst-case, budgeted by
   * [[BoundaryBudget]] like the rest of the family.
   */
@@ -488,8 +506,15 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       var gDropMin = Long.MaxValue
       var p = nPart - 1
       while (p >= 0) {
-        val (fk, _, _, lk, lastVal, _, _, _, fwdHarvest, fDrop, fDropMin) =
+        val (fk, _, _, lk, lastVal, harvest, _, _, fwdHarvest, fDrop, fDropMin) =
           boundary(p)
+        if (harvest.isEmpty) {
+          // the partition saw no rows — pass through untouched (coming /
+          // comingKey / gDrop survive), mirroring the forward walk's
+          // harvest.isEmpty handling: an empty partition inside a key's
+          // run must not break the chain for earlier partitions
+          fwdCtx(p) = Array.empty
+        } else {
         val servesP = lastVal != Long.MinValue && coming.nonEmpty &&
           (!keyed || (lk != null && comingKey != null &&
             KeyedWindowExec.keyEq(lk, comingKey)))
@@ -527,6 +552,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           gDropMin = math.min(gDropMin, longAt(h, orderIdx, orderType))
         }
         if (keyed && fk != null) comingKey = fk
+        }
         p -= 1
       }
     } else {
@@ -635,6 +661,12 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
 
         private def push(t: InternalRow): Unit = {
           frontTs.append(t)
+          // the held span is frame-of-last-computed-run + pending span;
+          // pendingRows is separately capped at maxHarvest, so 2× here
+          // can only trip when the FRAME itself exceeds the row cap —
+          // the same refusal the moment path makes exactly
+          if (frontTs.length + backTs.length > 2 * maxHarvest)
+            RangeFrames.overflow(maxHarvest, "slider frame")
           frontUpd(joinedUp(frontBuf, t))
         }
 

@@ -28,9 +28,12 @@ import graft.media.{Hamming64, ImageDedup, MediaHashIndex}
   * Crash/replay contract mirrors [[IncrementalIngest]]: the sink commit
   * is the atomic point; a replayed batchId re-appends the admitted
   * (id, h) rows from the sink's own delta dir — no re-decode, since the
-  * hashes were committed alongside the bytes — and appends are
-  * idempotent-for-correctness (duplicate index rows only produce
-  * duplicate candidates, collapsed before the exact verify).
+  * hashes were committed alongside the bytes — and the append is
+  * idempotent IN STORAGE (a batchId-tagged marker in the index dir), so
+  * a restart loop cannot grow the persisted index without bound; the
+  * one crash window (part files before marker) re-appends at most once,
+  * which stays correct (duplicate index rows only produce duplicate
+  * candidates, collapsed before the exact verify).
   *
   * The hash stage is a parameter (`hasher`), so one operator serves
   * images (dHash) and audio (envelope hash) — the modality IS the hash
@@ -54,11 +57,13 @@ object StreamingMediaIngest {
 
     if (SnapshotSink.commits(spark, sinkRoot).exists(_._1 == batchId)) {
       // replay of a committed batch: heal the commit->append crash
-      // window from the sink's own delta dir (idempotent), touch nothing
-      // else — the committed hashes make this a metadata-only job
+      // window from the sink's own delta dir, touch nothing else — the
+      // committed hashes make this a metadata-only job, and the
+      // batchId-tagged marker makes it idempotent IN STORAGE (repeated
+      // restarts must not grow the persisted index without bound)
       val admitted = SnapshotSink.readBatch(spark, sinkRoot, batchId)
         .select(col(idCol).as("id"), col("__h").as("h"))
-      MediaHashIndex.appendToIndex(spark, admitted, corpusKey)
+      MediaHashIndex.appendToIndexOnce(spark, admitted, corpusKey, s"batch$batchId")
       return false
     }
 
@@ -85,7 +90,7 @@ object StreamingMediaIngest {
     if (committed) {
       val rows = SnapshotSink.readBatch(spark, sinkRoot, batchId)
         .select(col(idCol).as("id"), col("__h").as("h"))
-      MediaHashIndex.appendToIndex(spark, rows, corpusKey)
+      MediaHashIndex.appendToIndexOnce(spark, rows, corpusKey, s"batch$batchId")
     }
     committed
   }

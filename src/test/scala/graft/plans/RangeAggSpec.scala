@@ -329,6 +329,17 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT id, sum(d) OVER (ORDER BY CAST(t AS DOUBLE)
         |  RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) AS s
         |FROM rng_ref""".stripMargin)
+    // absurd month interval (> MaxMonths): reachOf's conservative 31-day
+    // expansion would overflow Long µs — the rewrite must refuse and let
+    // Spark answer rather than evict-everything silently (ADVICE r12)
+    spark.range(0, 20, 1, 2)
+      .select(col("id"), col("id").cast("decimal(10,2)").as("d"),
+        timestamp_seconds(col("id") * 86400 + lit(1704412800L)).as("ts"))
+      .createOrReplaceTempView("rng_mon_ref")
+    staysWindow(
+      """SELECT id, sum(d) OVER (ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '5000000' MONTH PRECEDING AND CURRENT ROW) AS s
+        |FROM rng_mon_ref""".stripMargin)
   }
 
   test("harvest overflow refuses loudly instead of answering wrong") {

@@ -58,9 +58,15 @@ class StreamingMediaIngestSpec extends AnyFunSuite {
       201L -> png(300)               // new -> admitted
     ).toDF("media_id", "media"), 1L, root, baseHashed, key))
     // at-least-once delivery replays batch 0 with stale rows: table
-    // unchanged, index healed idempotently from the committed hashes
+    // unchanged, index healed idempotently from the committed hashes —
+    // and idempotently IN STORAGE: a restart loop (repeated replays)
+    // must not grow the persisted index (ADVICE r12)
+    val indexRows = MediaHashIndex.ensureIndex(spark, baseHashed, key).count()
     assert(!StreamingMediaIngest.processBatch(
       Seq(999L -> png(999)).toDF("media_id", "media"), 0L, root, baseHashed, key))
+    assert(!StreamingMediaIngest.processBatch(
+      Seq(999L -> png(999)).toDF("media_id", "media"), 0L, root, baseHashed, key))
+    assert(MediaHashIndex.ensureIndex(spark, baseHashed, key).count() === indexRows)
     val admitted = SnapshotSink.readCommitted(spark, root)
       .select("media_id").as[Long].collect().toSet
     assert(admitted === Set(100L, 201L))
