@@ -224,14 +224,18 @@ object MarketEtl {
       r.getLong(3), r.getLong(4))
   }
 
-  /** Cardinality-adaptive W1 (VERDICT r2 #2): picks the finest time-bucket
-    * granularity (month → year → none) whose every (key, bucket) group
-    * provably satisfies `rollingMeanBucketed`'s ≥ n-1-rows precondition AND
-    * which actually multiplies window parallelism — otherwise falls back to
-    * the plain per-key window. With few huge keys (the flagship fixture: 3
-    * assets) this turns 3 serial sort tasks into #keys × #buckets; with
-    * many small keys it correctly stays plain (the per-key window already
-    * parallelizes, and bucketing would only add boundary machinery).
+  /** Cardinality-adaptive W1 (VERDICT r2 #2). With a single low-ndv key
+    * (the flagship fixture: 3 assets) the measured key count is
+    * registered as a [[graft.plans.KeyedWindowRule]] ndv hint and the
+    * PLAIN window is emitted — the rule re-plans it as
+    * `KeyedBoundedAggExec` (range exchange on (key, order), parallelism
+    * bounded by data, no bucket machinery). Otherwise: the finest
+    * time-bucket granularity (month → year → none) whose every (key,
+    * bucket) group provably satisfies `rollingMeanBucketed`'s
+    * ≥ n-1-rows precondition AND which actually multiplies window
+    * parallelism — else the plain per-key window (many small keys
+    * already parallelize, and bucketing would only add boundary
+    * machinery).
     *
     * Cost: `stats` if supplied (the table-stats lifecycle — compute once,
     * window many), else one single-job column-pruned pass (`rollingStats`).
@@ -245,7 +249,25 @@ object MarketEtl {
                           out: String, timeCol: Column,
                           stats: Option[RollingStats] = None): DataFrame = {
     val st = stats.getOrElse(rollingStats(df, partitionCols, timeCol))
-    if (st.minMonth >= n - 1 && st.monthGroups > st.keys)
+    val spark = df.sparkSession
+    val ruleOn = spark.conf.get(
+      graft.plans.KeyedWindowRule.RewriteConf, "true") == "true"
+    val maxNdv = spark.conf.get(
+      graft.plans.KeyedWindowRule.MaxNdvConf, "64").toLong
+    if (ruleOn && partitionCols.length == 1 && st.keys > 0 && st.keys <= maxNdv) {
+      // Since the keyed rewrite exists (round 11), the measured key count
+      // doubles as its PROOF: register the hint and emit the PLAIN window
+      // — KeyedWindowRule re-plans it as KeyedBoundedAggExec (one range
+      // exchange on (key, order), parallelism bounded by data), strictly
+      // less machinery than hand-bucketing + boundary corrections.
+      // Single-key only: the hint records the COMBINED count, exact for
+      // one column but a per-column over-bound for composites (the rule
+      // multiplies per-key bounds, which could push a provably-small
+      // composite past maxNdv and land on the unhealed hash window).
+      graft.plans.KeyedWindowRule.registerNdvHint(
+        spark, partitionCols.head, st.keys)
+      rollingMean(df, partitionCols, orderCols, valueCol, n, out)
+    } else if (st.minMonth >= n - 1 && st.monthGroups > st.keys)
       rollingMeanBucketed(df, partitionCols, orderCols, valueCol, n, out,
         date_trunc("month", timeCol))
     else if (st.minYear >= n - 1 && st.yearGroups > st.keys)

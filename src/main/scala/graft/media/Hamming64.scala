@@ -32,7 +32,10 @@ object Hamming64 {
         "transform(sequence(0, 7), b -> named_struct(" +
           "'band', b, 'bits', (h >> (b * 8)) & 255))")).as("bk"))
     // hot-bucket cap: degenerate buckets truncate deterministically by id
-    // (logged nowhere to drop silently — the cap is part of the contract)
+    // (logged nowhere to drop silently — the cap is part of the contract).
+    // Callers default the cap to 1000 = Spark's WindowGroupLimit
+    // threshold, so the rank filter prunes map-side BEFORE the band
+    // exchange — past it, every hot bucket's full membership shuffles.
     val capped = banded
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window

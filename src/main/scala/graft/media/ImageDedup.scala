@@ -305,7 +305,7 @@ object ImageDedup {
 
   def nearDupPairs(media: DataFrame, idCol: String = "media_id",
                    bytesCol: String = "media", maxDist: Int = 6,
-                   maxBucketSize: Int = 1024): DataFrame =
+                   maxBucketSize: Int = 1000): DataFrame =
     Hamming64.nearDupPairs(hashed(media, idCol, bytesCol), maxDist, maxBucketSize)
 
   // ---------------------------------------------------------------- plants

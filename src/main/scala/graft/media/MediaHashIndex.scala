@@ -90,7 +90,7 @@ object MediaHashIndex {
     * O(batch) work against the KB/GB-scale index — the corpus binaries
     * are never touched. */
   def probeNearDups(batchHashed: DataFrame, index: DataFrame,
-                    maxDist: Int = 6, maxBucketSize: Int = 1024): DataFrame = {
+                    maxDist: Int = 6, maxBucketSize: Int = 1000): DataFrame = {
     require(maxDist <= 7,
       "8-bit bands guarantee recall only to Hamming distance 7")
     def banded(df: DataFrame, idAs: String, hAs: String): DataFrame = {

@@ -335,16 +335,16 @@ object GlobalRankStrategy extends SparkStrategy {
       RangeAggExec(Nil, order, attrs, aggs, los, ups, planLater(child)) :: Nil
     case KeyedRangeAggPlan(keys, order, attrs, aggs, los, ups, child) =>
       RangeAggExec(keys, order, attrs, aggs, los, ups, planLater(child)) :: Nil
-    case KeyedRunningAggPlan(keys, order, attrs, aggs, frames, child) =>
-      KeyedRunningAggExec(keys, order, attrs, aggs, frames, planLater(child)) :: Nil
+    case KeyedRunningAggPlan(keys, order, attrs, aggs, frames, child, opt) =>
+      KeyedRunningAggExec(keys, order, attrs, aggs, frames, planLater(child), opt) :: Nil
     case KeyedOffsetPlan(keys, order, attrs, ins, offs, defs, child) =>
       KeyedOffsetExec(keys, order, attrs, ins, offs, defs, planLater(child)) :: Nil
     case KeyedBoundedAggPlan(keys, order, attrs, aggs, los, ups, child) =>
       KeyedBoundedAggExec(keys, order, attrs, aggs, los, ups, planLater(child)) :: Nil
-    case KeyedTotalAggPlan(keys, attrs, aggs, order, child) =>
-      KeyedTotalAggExec(keys, attrs, aggs, order, planLater(child)) :: Nil
-    case KeyedRankPlan(keys, order, attrs, kinds, child) =>
-      KeyedRankExec(keys, order, attrs, kinds, planLater(child)) :: Nil
+    case KeyedTotalAggPlan(keys, attrs, aggs, order, child, opt) =>
+      KeyedTotalAggExec(keys, attrs, aggs, order, planLater(child), opt) :: Nil
+    case KeyedRankPlan(keys, order, attrs, kinds, child, opt) =>
+      KeyedRankExec(keys, order, attrs, kinds, planLater(child), opt) :: Nil
     case _ => Nil
   }
 }

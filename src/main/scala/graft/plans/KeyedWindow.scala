@@ -44,7 +44,8 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   */
 case class KeyedRunningAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
                                aggAttrs: Seq[Attribute], aggs: Seq[Expression],
-                               frames: Seq[RunFrame], child: LogicalPlan)
+                               frames: Seq[RunFrame], child: LogicalPlan,
+                               optimistic: Boolean = false)
     extends UnaryNode {
   require(partKeys.nonEmpty && aggAttrs.length == aggs.length &&
     aggs.length == frames.length && aggs.nonEmpty)
@@ -91,13 +92,68 @@ private[plans] object KeyedWindowExec {
     case (ua: UnsafeRow, ub: UnsafeRow) => ua.equals(ub)
     case _ => a == b
   }
+
+  /** Runtime key-run budget for OPTIMISTIC keyed rewrites (the rule
+    * fired without a plan-time ndv proof): a COUNT-ONLY pre-pass over
+    * the sorted child — O(1) task memory, one Long per partition on the
+    * driver — refuses loudly BEFORE the buffer pass runs, so the driver
+    * can never accumulate per-run metadata on a surprise high-ndv key.
+    * The pre-pass costs one extra scan of the (reused) shuffle output,
+    * paid only by optimistic plans; proven plans skip it entirely. */
+  def enforceRunBudget(childRdd: RDD[InternalRow], keyExprs: Seq[Expression],
+                       childOutput: Seq[Attribute], maxRuns: Long,
+                       site: String): Unit = {
+    if (childRdd.getNumPartitions == 0) return
+    val counts = childRdd.sparkContext.runJob(childRdd,
+      (it: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        var n = 0L
+        var curKey: UnsafeRow = null
+        while (it.hasNext) {
+          val k = keyProj(it.next())
+          if (curKey == null || !curKey.equals(k)) { n += 1L; curKey = k.copy() }
+        }
+        n
+      })
+    val total = counts.sum
+    if (total > maxRuns) KeyedWindowRule.runsOverflow(site, maxRuns, total)
+  }
+
+  /** The unsorted-input variant ([[KeyedTotalAggExec]] without an ORDER
+    * BY): per-partition DISTINCT-key counts via an in-task key set,
+    * itself capped at the budget (so a task can never build an unbounded
+    * map either); the driver sum is conservative — a key present in many
+    * partitions counts once per partition — which can only refuse early,
+    * never admit late. */
+  def enforceDistinctBudget(childRdd: RDD[InternalRow], keyExprs: Seq[Expression],
+                            childOutput: Seq[Attribute], maxRuns: Long,
+                            site: String): Unit = {
+    if (childRdd.getNumPartitions == 0) return
+    val counts = childRdd.sparkContext.runJob(childRdd,
+      (it: Iterator[InternalRow]) => {
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val seen = scala.collection.mutable.HashSet.empty[UnsafeRow]
+        while (it.hasNext) {
+          val k = keyProj(it.next())
+          if (!seen.contains(k)) {
+            if (seen.size.toLong >= maxRuns)
+              KeyedWindowRule.runsOverflow(site, maxRuns, seen.size.toLong + 1L)
+            seen.add(k.copy())
+          }
+        }
+        seen.size.toLong
+      })
+    val total = counts.sum
+    if (total > maxRuns) KeyedWindowRule.runsOverflow(site, maxRuns, total)
+  }
 }
 
 /** Physical per-key running aggregate without per-key task clustering —
   * see [[KeyedRunningAggPlan]]. */
 case class KeyedRunningAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
                                aggAttrs: Seq[Attribute], aggs: Seq[Expression],
-                               frames: Seq[RunFrame], child: SparkPlan)
+                               frames: Seq[RunFrame], child: SparkPlan,
+                               optimistic: Boolean = false)
     extends UnaryExecNode {
 
   private val full = KeyedWindowExec.fullOrder(partKeys, order)
@@ -137,9 +193,19 @@ case class KeyedRunningAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     val frameArr = frames.toArray
     val numOutputRows = longMetric("numOutputRows")
 
+    // optimistic fire (no plan-time ndv proof): count-only pre-pass
+    // refuses past the run budget before any buffer metadata exists
+    if (optimistic) {
+      KeyedWindowExec.enforceRunBudget(childRdd, keyExprs, childOutput,
+        conf.getConfString(KeyedWindowRule.MaxRunsConf,
+          KeyedWindowRule.MaxRunsDefault.toString).toLong,
+        "running key-runs")
+    }
+
     // pass 1: one partial buffer per KEY-RUN per partition (sorted on
     // keys first → a key is one contiguous run; driver state is
-    // O(partitions + ndv), the gate's contract)
+    // O(partitions + ndv), the gate's contract — ndv proven at plan
+    // time or enforced by the pre-pass budget)
     val runs: Array[Array[(InternalRow, InternalRow)]] =
       if (childRdd.getNumPartitions == 0) Array.empty
       else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
@@ -886,7 +952,8 @@ case class KeyedBoundedAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
 case class KeyedTotalAggPlan(partKeys: Seq[Expression],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
                              order: Seq[SortOrder],
-                             child: LogicalPlan) extends UnaryNode {
+                             child: LogicalPlan,
+                             optimistic: Boolean = false) extends UnaryNode {
   require(partKeys.nonEmpty && aggAttrs.length == aggs.length && aggs.nonEmpty)
   override def output: Seq[Attribute] = child.output ++ aggAttrs
   override def producedAttributes: AttributeSet = AttributeSet(aggAttrs)
@@ -907,7 +974,8 @@ case class KeyedTotalAggPlan(partKeys: Seq[Expression],
 case class KeyedTotalAggExec(partKeys: Seq[Expression],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
                              order: Seq[SortOrder],
-                             child: SparkPlan) extends UnaryExecNode {
+                             child: SparkPlan,
+                             optimistic: Boolean = false) extends UnaryExecNode {
 
   private val full =
     if (order.isEmpty) Nil else KeyedWindowExec.fullOrder(partKeys, order)
@@ -944,6 +1012,20 @@ case class KeyedTotalAggExec(partKeys: Seq[Expression],
     val updateExprs = funcs.flatMap(_.updateExpressions)
     val resultTypes = outAttrs.map(_.dataType)
     val numOutputRows = longMetric("numOutputRows")
+
+    // optimistic fire (no plan-time ndv proof): budget pre-pass — run
+    // counts on a sorted child, capped distinct-key sets otherwise
+    if (optimistic) {
+      val maxRuns = conf.getConfString(KeyedWindowRule.MaxRunsConf,
+        KeyedWindowRule.MaxRunsDefault.toString).toLong
+      if (order.isEmpty) {
+        KeyedWindowExec.enforceDistinctBudget(childRdd, keyExprs, childOutput,
+          maxRuns, "total distinct keys")
+      } else {
+        KeyedWindowExec.enforceRunBudget(childRdd, keyExprs, childOutput,
+          maxRuns, "total key-runs")
+      }
+    }
 
     // pass 1: per partition, key → partial buffer (ndv-bounded map)
     val partials: Array[Array[(UnsafeRow, InternalRow)]] =
@@ -1033,7 +1115,8 @@ case class KeyedTotalAggExec(partKeys: Seq[Expression],
   */
 case class KeyedRankPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
                          rankAttrs: Seq[Attribute], rankKinds: Seq[RankKind],
-                         child: LogicalPlan) extends UnaryNode {
+                         child: LogicalPlan,
+                         optimistic: Boolean = false) extends UnaryNode {
   require(partKeys.nonEmpty && rankAttrs.length == rankKinds.length &&
     rankAttrs.nonEmpty)
   override def output: Seq[Attribute] = child.output ++ rankAttrs
@@ -1049,7 +1132,8 @@ case class KeyedRankPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
   * ranks never straddle a seam. */
 case class KeyedRankExec(partKeys: Seq[Expression], order: Seq[SortOrder],
                          rankAttrs: Seq[Attribute], rankKinds: Seq[RankKind],
-                         child: SparkPlan) extends UnaryExecNode {
+                         child: SparkPlan,
+                         optimistic: Boolean = false) extends UnaryExecNode {
 
   private val full = KeyedWindowExec.fullOrder(partKeys, order)
 
@@ -1084,6 +1168,15 @@ case class KeyedRankExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       case _ => false
     }
     val numOutputRows = longMetric("numOutputRows")
+
+    // optimistic fire (no plan-time ndv proof): count-only pre-pass
+    // refuses past the run budget before any per-run metadata exists
+    if (optimistic) {
+      KeyedWindowExec.enforceRunBudget(childRdd, keyExprs, childOutput,
+        conf.getConfString(KeyedWindowRule.MaxRunsConf,
+          KeyedWindowRule.MaxRunsDefault.toString).toLong,
+        "rank key-runs")
+    }
 
     // pass 1: per key-run (key, rows, tie runs) — pure metadata,
     // O(partitions + ndv) entries

@@ -235,10 +235,17 @@ private[plans] object WindowShapes {
   *     plans in the same session. Hints match by column NAME, so they
   *     are session-scoped facts the caller vouches for.
   *
-  * A too-high or unprovable ndv leaves the plan with Spark: hash
-  * clustering at high ndv is already parallel, and the rewrite's range
-  * sampling job + boundary metadata would be pure overhead. Frames with
-  * a small `maxRows` proof keep Spark's plan too (the
+  * A PROVABLY-high ndv leaves the plan with Spark: hash clustering at
+  * high ndv is already parallel, and the rewrite's range sampling job +
+  * boundary metadata would be pure overhead. An UNPROVABLE ndv — the
+  * stats-less ad-hoc `spark.read.parquet` lineage, no bound, pin, stats,
+  * or hint — fires OPTIMISTICALLY by default (VERDICT r12 #1,
+  * `spark.graft.keyedWindow.optimistic`): the ndv-dependent execs run a
+  * count-only pre-pass and refuse loudly past the runtime
+  * `spark.graft.keyedWindow.maxRuns` budget, so `PARTITION BY language`
+  * over an ad-hoc read heals while a surprise `PARTITION BY id` aborts
+  * with a remedy message instead of OOMing the driver. Frames with a
+  * small `maxRows` proof keep Spark's plan too (the
   * [[GlobalRankRule.SmallFrameConf]] cost guard, same threshold).
   * Disable with `spark.graft.keyedWindow.rewrite=false`.
   */
@@ -322,6 +329,20 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** The OPTIMISTIC arm (VERDICT r12 #1): some key's ndv has NO plan-time
+    * evidence at all — the stats-less ad-hoc lineage. Fires the rewrite
+    * under the runtime [[KeyedWindowRule.MaxRunsConf]] budget (the execs
+    * run a count-only pre-pass and refuse loudly past it). A key whose
+    * ndv IS provable but too high does NOT reach here: known-high ndv
+    * means Spark's hash clustering is the right plan, and staying put is
+    * the correct answer, not a gap. */
+  private def ndvUnprovable(keys: Seq[Expression], child: LogicalPlan): Boolean = {
+    session.conf.get(OptimisticConf, "true") == "true" && {
+      val hints = parseHints(session.conf.get(NdvHintsConf, ""))
+      keys.exists(ndvBound(_, child, hints).isEmpty)
+    }
+  }
+
   /** Everything but the on/off conf: would this node re-plan? Exposed
     * for the PlanAuditSpec sweep (detector self-check plants a probe
     * with the rewrite off and must still SEE it). */
@@ -333,7 +354,8 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           // whole-frame totals need no order; every other shape is
           // position-dependent and needs the ORDER BY to range-partition
           (w.orderSpec.nonEmpty || kinds.forall(_.exists(_.isInstanceOf[TotK]))) &&
-          ndvOk(w.partitionSpec, w.child)
+          (ndvOk(w.partitionSpec, w.child) ||
+            ndvUnprovable(w.partitionSpec, w.child))
       }
 
   private def rewritable(w: Window): Boolean =
@@ -385,6 +407,9 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
       val classified = w.windowExpressions.map { ne =>
         (ne.toAttribute, classify(ne).get)
       }
+      // fired without a plan-time ndv proof → the ndv-dependent execs
+      // (running/total/rank per-run metadata) enforce the runtime budget
+      val optimistic = !ndvOk(w.partitionSpec, w.child)
       val rankPairs = classified.collect { case (attr, RankK(k)) => (attr, k) }
       val ignMap: Map[ExprId, (Attribute, Expression)] =
         classified.collect { case (attr, IgnK(in, _, d)) =>
@@ -414,12 +439,12 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
       var replaced: LogicalPlan = w.child
       if (rankPairs.nonEmpty) {
         replaced = KeyedRankPlan(w.partitionSpec, w.orderSpec,
-          rankPairs.map(_._1), rankPairs.map(_._2), replaced)
+          rankPairs.map(_._1), rankPairs.map(_._2), replaced, optimistic)
       }
       if (runTriples.nonEmpty) {
         replaced = KeyedRunningAggPlan(w.partitionSpec, w.orderSpec,
           runTriples.map(_._1), runTriples.map(_._2: Expression),
-          runTriples.map(_._3), replaced)
+          runTriples.map(_._3), replaced, optimistic)
       }
       if (offQuads.nonEmpty) {
         replaced = KeyedOffsetPlan(w.partitionSpec, w.orderSpec,
@@ -444,7 +469,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
         // shared (keys ++ order) range exchange (First/Last with ORDER)
         replaced = KeyedTotalAggPlan(w.partitionSpec,
           totPairs.map(_._1), totPairs.map(_._2: Expression),
-          if (totOrderSensitive) w.orderSpec else Nil, replaced)
+          if (totOrderSensitive) w.orderSpec else Nil, replaced, optimistic)
       }
       if (ignMap.isEmpty && replaced.output == w.output) replaced
       else Project(w.output.map { a =>
@@ -580,6 +605,32 @@ object KeyedWindowRule {
   /** Rewrite fires only when the partition keys' combined ndv is
     * provably at or under this. */
   val MaxNdvConf = "spark.graft.keyedWindow.maxNdv"
+  /** When a key's ndv is UNPROVABLE (no domain bound, filter pin,
+    * stats, or hint — the ad-hoc `spark.read.parquet` shape), fire the
+    * rewrite anyway under the runtime [[MaxRunsConf]] budget (default
+    * on). Keys whose ndv is PROVEN above [[MaxNdvConf]] still keep
+    * Spark's plan — known-high ndv means hash clustering is already
+    * parallel and the rewrite would be pure overhead. */
+  val OptimisticConf = "spark.graft.keyedWindow.optimistic"
+  /** Runtime budget for OPTIMISTIC rewrites: total PARTITION BY key
+    * runs (sorted execs) or summed per-partition distinct keys
+    * (unsorted totals) the metadata pass may produce. Enforced by a
+    * count-only pre-pass BEFORE buffer metadata is collected, so a
+    * surprise high-ndv key refuses loudly instead of OOMing the driver.
+    * The default bounds driver metadata at ~1M (key, buffer) tuples —
+    * the [[BoundaryBudget]] tuple class. */
+  val MaxRunsConf = "spark.graft.keyedWindow.maxRuns"
+  val MaxRunsDefault: Long = 1000000L
+
+  def runsOverflow(site: String, maxRuns: Long, seen: Long): Nothing =
+    throw new org.apache.spark.SparkException(
+      s"Keyed-window rewrite ($site): $seen PARTITION BY key runs at " +
+        s"runtime, over the $MaxRunsConf budget of $maxRuns. The rewrite " +
+        "fired OPTIMISTICALLY (the keys' ndv was not provable at plan " +
+        "time) and refuses rather than accumulate unbounded driver " +
+        s"metadata. Raise $MaxRunsConf, prove the ndv (ANALYZE TABLE … " +
+        "FOR COLUMNS, a literal filter pin, or registerNdvHint), or set " +
+        s"$OptimisticConf=false to keep Spark's plan for unprovable keys.")
   /** Session ndv hints: `name=ndv[,name=ndv…]` — the runtime-stats
     * handoff (see the rule scaladoc). */
   val NdvHintsConf = "spark.graft.keyedWindow.ndvHints"

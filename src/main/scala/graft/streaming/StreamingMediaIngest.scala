@@ -74,7 +74,7 @@ object StreamingMediaIngest {
       .join(hashed, "id")
 
     // (2) within-batch near-dup dedup: min-id survivor per pair
-    val selfPairs = Hamming64.nearDupPairs(hashed, maxDist, maxBucketSize = 1024)
+    val selfPairs = Hamming64.nearDupPairs(hashed, maxDist, maxBucketSize = 1000)
     val selfDeduped = withBytes.join(
       selfPairs.select(col("b").as("id")).distinct(), Seq("id"), "left_anti")
 

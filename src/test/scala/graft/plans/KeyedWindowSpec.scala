@@ -169,12 +169,15 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
         |FROM kw_t6p WHERE k3 IN ('A', 'N', 'R')""".stripMargin),
       classOf[KeyedRunningAggExec])
-    // without the filter the same raw column is unprovable → untouched
+    // without the filter the same raw column is unprovable → fires only
+    // OPTIMISTICALLY (budget-guarded), never as a proven plan
     val bare = spark.sql(
       """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
         |FROM kw_t6p""".stripMargin)
-    assert(!nodes(bare).exists(_.isInstanceOf[KeyedRunningAggExec]))
+    assert(nodes(bare).collect {
+      case k: KeyedRunningAggExec => k.optimistic }.forall(_ == true),
+      s"filter-less key must not plan as PROVEN:\n${bare.queryExecution.executedPlan}")
   }
 
   test("a session ndv hint proves a raw data column (the rollingStats handoff)") {
@@ -189,13 +192,17 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
         |FROM kw_t7""".stripMargin
-    // no evidence → untouched
+    // no evidence → only the budget-guarded OPTIMISTIC plan may fire;
+    // with that arm parked the unproved key keeps Spark's plan
     spark.conf.unset(KeyedWindowRule.NdvHintsConf)
-    val bare = spark.sql(q)
-    assert(!nodes(bare).exists(_.isInstanceOf[KeyedRunningAggExec]),
-      s"unprovable ndv must keep Spark's plan:\n${bare.queryExecution.executedPlan}")
-    assert(nodes(bare).exists(_.isInstanceOf[WindowExec]))
-    // hint registered → rewritten, bit-identical
+    spark.conf.set(KeyedWindowRule.OptimisticConf, "false")
+    try {
+      val bare = spark.sql(q)
+      assert(!nodes(bare).exists(_.isInstanceOf[KeyedRunningAggExec]),
+        s"unprovable ndv must keep Spark's plan:\n${bare.queryExecution.executedPlan}")
+      assert(nodes(bare).exists(_.isInstanceOf[WindowExec]))
+    } finally spark.conf.unset(KeyedWindowRule.OptimisticConf)
+    // hint registered → rewritten AS PROVEN (no runtime budget pre-pass)
     KeyedWindowRule.registerNdvHint(spark, "k3", 3L)
     try {
       checkRewritten(spark.sql(q), classOf[KeyedRunningAggExec])
@@ -223,7 +230,10 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
           |FROM (SELECT id, v, concat(k3, CAST(id AS STRING)) AS k3
           |      FROM kw_t7c)""".stripMargin)
-      assert(!nodes(computed).exists(_.isInstanceOf[KeyedRunningAggExec]),
+      // a leak would plan it as PROVEN (optimistic=false, no runtime
+      // budget): the computed column must only ever fire budget-guarded
+      assert(nodes(computed).collect {
+        case k: KeyedRunningAggExec => k.optimistic }.forall(_ == true),
         s"hint leaked onto a computed column:\n${computed.queryExecution.executedPlan}")
     } finally spark.conf.unset(KeyedWindowRule.NdvHintsConf)
   }
@@ -235,18 +245,20 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory("kw_conj").toString
     fixture.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).createOrReplaceTempView("kw_t7n")
-    val negated = spark.sql(
+    // a false proof would plan these PROVEN (optimistic=false, budget
+    // skipped) — they must only ever fire budget-guarded
+    def onlyOptimistic(df: DataFrame, what: String): Unit =
+      assert(nodes(df).collect {
+        case k: KeyedRunningAggExec => k.optimistic }.forall(_ == true),
+        s"$what must not prove ndv:\n${df.queryExecution.executedPlan}")
+    onlyOptimistic(spark.sql(
       """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
-        |FROM kw_t7n WHERE NOT (k3 IN ('A', 'N'))""".stripMargin)
-    assert(!nodes(negated).exists(_.isInstanceOf[KeyedRunningAggExec]),
-      s"NOT(IN) must not prove ndv:\n${negated.queryExecution.executedPlan}")
-    val disjunct = spark.sql(
+        |FROM kw_t7n WHERE NOT (k3 IN ('A', 'N'))""".stripMargin), "NOT(IN)")
+    onlyOptimistic(spark.sql(
       """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
-        |FROM kw_t7n WHERE k3 = 'A' OR v > 5""".stripMargin)
-    assert(!nodes(disjunct).exists(_.isInstanceOf[KeyedRunningAggExec]),
-      s"an OR disjunct must not prove ndv:\n${disjunct.queryExecution.executedPlan}")
+        |FROM kw_t7n WHERE k3 = 'A' OR v > 5""".stripMargin), "an OR disjunct")
     // the conjunct form still proves (regression guard for the fix)
     checkRewritten(spark.sql(
       """SELECT id, sum(v) OVER (PARTITION BY k3 ORDER BY v, id
@@ -289,17 +301,23 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
         |FROM kw_dim""".stripMargin
     try {
-      val bare = spark.sql(q)
-      assert(!nodes(bare).exists(_.isInstanceOf[KeyedRunningAggExec]),
-        s"unanalyzed column must refuse:\n${bare.queryExecution.executedPlan}")
-      // size-gate guard: a 0 budget disables the stats pass → still refuses
-      spark.conf.set(graft.pipeline.BatchPipeline.AutoAnalyzeBytesConf, "0")
-      try graft.pipeline.BatchPipeline.autoAnalyzeSmall(spark, "kw_dim")
-      finally spark.conf.unset(graft.pipeline.BatchPipeline.AutoAnalyzeBytesConf)
-      assert(!nodes(spark.sql(q)).exists(_.isInstanceOf[KeyedRunningAggExec]))
-      // the real step: stats land, the keyed rewrite fires, bit-identical
-      graft.pipeline.BatchPipeline.autoAnalyzeSmall(spark, "kw_dim")
-      checkRewritten(spark.sql(q), classOf[KeyedRunningAggExec])
+      // this test pins the PROOF path — park the optimistic arm (which
+      // would heal the unanalyzed column at runtime, see the dedicated
+      // optimistic test) so the refusal asserts isolate the stats gate
+      spark.conf.set(KeyedWindowRule.OptimisticConf, "false")
+      try {
+        val bare = spark.sql(q)
+        assert(!nodes(bare).exists(_.isInstanceOf[KeyedRunningAggExec]),
+          s"unanalyzed column must refuse:\n${bare.queryExecution.executedPlan}")
+        // size-gate guard: a 0 budget disables the stats pass → still refuses
+        spark.conf.set(graft.pipeline.BatchPipeline.AutoAnalyzeBytesConf, "0")
+        try graft.pipeline.BatchPipeline.autoAnalyzeSmall(spark, "kw_dim")
+        finally spark.conf.unset(graft.pipeline.BatchPipeline.AutoAnalyzeBytesConf)
+        assert(!nodes(spark.sql(q)).exists(_.isInstanceOf[KeyedRunningAggExec]))
+        // the real step: stats land, the keyed rewrite fires, bit-identical
+        graft.pipeline.BatchPipeline.autoAnalyzeSmall(spark, "kw_dim")
+        checkRewritten(spark.sql(q), classOf[KeyedRunningAggExec])
+      } finally spark.conf.unset(KeyedWindowRule.OptimisticConf)
     } finally spark.sql("DROP TABLE IF EXISTS kw_dim")
   }
 
@@ -320,12 +338,17 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
           |FROM kw_t8""".stripMargin))
         .exists(_.isInstanceOf[KeyedRunningAggExec]))
     } finally spark.conf.unset(KeyedWindowRule.MaxNdvConf)
-    // raw id: unprovable → untouched
-    val raw = spark.sql(
-      """SELECT id, sum(v) OVER (PARTITION BY id ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
-        |FROM kw_t8""".stripMargin)
-    assert(!nodes(raw).exists(_.isInstanceOf[KeyedRunningAggExec]))
+    // raw id: unprovable → heals OPTIMISTICALLY by default (r12 #1, the
+    // dedicated optimistic test owns that path); with the optimistic arm
+    // off, the proof-less key refuses exactly as before
+    spark.conf.set(KeyedWindowRule.OptimisticConf, "false")
+    try {
+      val raw = spark.sql(
+        """SELECT id, sum(v) OVER (PARTITION BY id ORDER BY v
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          |FROM kw_t8""".stripMargin)
+      assert(!nodes(raw).exists(_.isInstanceOf[KeyedRunningAggExec]))
+    } finally spark.conf.unset(KeyedWindowRule.OptimisticConf)
     // bounded keyed frames beyond the reach cap stay with Spark
     spark.conf.set(GlobalRankRule.MaxBoundedFrameConf, "8")
     try {
@@ -536,5 +559,69 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT id, avg(d) OVER (PARTITION BY pmod(id, 3) ORDER BY id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad
         |FROM kw_t9""".stripMargin), classOf[KeyedRunningAggExec])
+  }
+
+  test("optimistic heal: a stats-less 25-ndv lineage plans the keyed execs under the runtime budget (r12 #1)") {
+    // the ad-hoc shape: a freshly-written parquet read with NO catalog
+    // entry, stats, filter pin, or hint — every prior evidence arm
+    // refuses, so only the optimistic arm can heal it
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_kw_opt-${System.nanoTime()}")
+    spark.range(0, 1000, 1, 4)
+      .selectExpr("id", "concat('lang', pmod(id * 13, 25)) AS language",
+        "pmod(id * 37, 97) AS v")
+      .write.parquet(dir.getAbsolutePath)
+    try {
+      spark.read.parquet(dir.getAbsolutePath)
+        .createOrReplaceTempView("kw_opt")
+      // running + rank + total, all three ndv-dependent exec families
+      checkRewritten(spark.sql(
+        """SELECT id, sum(v) OVER (PARTITION BY language ORDER BY v, id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          |FROM kw_opt""".stripMargin), classOf[KeyedRunningAggExec])
+      checkRewritten(spark.sql(
+        """SELECT id, dense_rank() OVER (PARTITION BY language
+          |  ORDER BY v, id) AS dr
+          |FROM kw_opt""".stripMargin), classOf[KeyedRankExec])
+      checkRewritten(spark.sql(
+        """SELECT id, sum(v) OVER (PARTITION BY language) AS tot
+          |FROM kw_opt""".stripMargin), classOf[KeyedTotalAggExec])
+      // the adversarial twin: a high-ndv key over the same stats-less
+      // read fires optimistically too, and the runtime budget refuses
+      // LOUDLY (site-named, remedy-bearing) before any per-run buffer
+      // metadata reaches the driver
+      spark.conf.set(KeyedWindowRule.MaxRunsConf, "100")
+      try {
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        val exRun = intercept[Exception] {
+          spark.sql(
+            """SELECT id, sum(v) OVER (PARTITION BY id ORDER BY v
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+              |FROM kw_opt""".stripMargin).collect()
+        }
+        assert(msgs(exRun).exists(m => m.contains("Keyed-window rewrite") &&
+          m.contains(KeyedWindowRule.OptimisticConf)), s"unexpected: $exRun")
+        val exTot = intercept[Exception] {
+          spark.sql(
+            "SELECT id, count(*) OVER (PARTITION BY id) AS c FROM kw_opt")
+            .collect()
+        }
+        assert(msgs(exTot).exists(_.contains("Keyed-window rewrite")),
+          s"unexpected: $exTot")
+        // at a budget the data fits, the same high-ndv frame completes
+        spark.conf.set(KeyedWindowRule.MaxRunsConf, "100000")
+        checkRewritten(spark.sql(
+          """SELECT id, sum(v) OVER (PARTITION BY id ORDER BY v
+            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+            |FROM kw_opt""".stripMargin), classOf[KeyedRunningAggExec])
+      } finally spark.conf.unset(KeyedWindowRule.MaxRunsConf)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }
   }
 }

@@ -42,22 +42,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("flagship window re-buckets on (asset, time bucket); asset-only exchanges are post-agg") {
-    // VERDICT r2 #2: the headline window must never serialize into
-    // #assets sort tasks. The adaptive path re-partitions the window on
-    // (ativo, __bucket) — parallelism #assets × #buckets — and every
-    // exchange keyed on ativo alone may carry only aggregated (tiny)
-    // frames: boundary corrections (one row per bucket) or the partial
-    // per-asset aggregate.
-    val p = plan("flagship_etl").linesIterator.toSeq
-    val winLine = p.find(l => l.contains("avg(close_price") &&
-      l.contains("windowspecdefinition"))
-    assert(winLine.exists(_.contains("__bucket")),
-      s"rolling-mean window is not bucket-partitioned: $winLine")
-    val shuffles = p.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
-    assert(shuffles.nonEmpty)
-    shuffles.filterNot(_._1.contains("__bucket")).foreach { case (line, i) =>
-      val below = p.drop(i + 1).take(2).mkString
+  test("flagship window rides the keyed exec (range exchange); asset-only exchanges are post-agg") {
+    // VERDICT r2 #2 evolved (r13): the headline window must never
+    // serialize into #assets sort tasks. Since the keyed rewrite exists,
+    // the adaptive path registers the measured 3-key ndv and emits the
+    // PLAIN window, which KeyedWindowRule re-plans as KeyedBoundedAggExec
+    // over a range exchange on (ativo, order) — parallelism bounded by
+    // data, no bucket-correction machinery. Every exchange keyed on
+    // ativo alone may carry only aggregated (tiny) frames (the partial
+    // per-asset aggregate).
+    val p = plan("flagship_etl")
+    assert(p.contains("KeyedBoundedAgg"),
+      s"flagship rolling mean did not plan the keyed exec:\n${p.take(1500)}")
+    assert(!p.contains("Window ["),
+      s"flagship still plans a hash-clustered window:\n${p.take(1500)}")
+    val lines = p.linesIterator.toSeq
+    val shuffles = lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+    shuffles.foreach { case (line, i) =>
+      val below = lines.drop(i + 1).take(2).mkString
       assert(below.contains("Aggregate"),
         s"asset-only exchange carries unaggregated data: $line\n$below")
     }
