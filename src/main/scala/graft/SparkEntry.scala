@@ -77,7 +77,8 @@ object SparkEntry {
       SparkEntryR8d.queries ++ SparkEntryR8e.queries ++
       SparkEntryR8f.queries ++ SparkEntryR8g.queries ++
       SparkEntryR8h.queries ++ SparkEntryR9.queries ++ SparkEntryR9b.queries ++
-      SparkEntryR10.queries ++ SparkEntryR11.queries ++ SparkEntryR12.queries
+      SparkEntryR10.queries ++ SparkEntryR11.queries ++ SparkEntryR12.queries ++
+      SparkEntryR13.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -851,5 +852,6 @@ object SparkEntry {
     SparkEntryR8d.oracleSql ++ SparkEntryR8e.oracleSql ++
     SparkEntryR8f.oracleSql ++ SparkEntryR8g.oracleSql ++
     SparkEntryR8h.oracleSql ++ SparkEntryR9.oracleSql ++ SparkEntryR9b.oracleSql ++
-    SparkEntryR10.oracleSql ++ SparkEntryR11.oracleSql ++ SparkEntryR12.oracleSql
+    SparkEntryR10.oracleSql ++ SparkEntryR11.oracleSql ++ SparkEntryR12.oracleSql ++
+    SparkEntryR13.oracleSql
 }

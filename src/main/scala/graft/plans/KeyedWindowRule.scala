@@ -156,13 +156,51 @@ private[plans] object WindowShapes {
           if RangeFrames.supportedOrderType(oe.dataType) && oe.deterministic =>
         spec.frameSpecification match {
           case SpecifiedWindowFrame(RangeFrame, loE, upE) =>
+            // HALF-unbounded sides (r12 verdict #3) ride prefix/suffix
+            // seeds — merge-safe aggregates only (the seeds are driver-
+            // merged partials; the float moments' sequential-fold
+            // guarantee cannot survive an unbounded frame). Both-
+            // unbounded is the whole-frame total (TotK / the global
+            // total plan), and `UNBOUNDED PRECEDING AND CURRENT ROW`
+            // was already taken by the running arm upstream.
+            //
+            // The partner bound must NOT cut into the seeded side:
+            // a prefix seed is the WHOLE earlier chain, exact only when
+            // every local frame still covers it — up ≥ 0 (the head run's
+            // horizon v+up then clears the previous partition's tail);
+            // mirrored, a suffix seed needs lo ≤ 0. The excluded shapes
+            // (`UNBOUNDED PRECEDING AND k PRECEDING`, `k FOLLOWING AND
+            // UNBOUNDED FOLLOWING`) would need band-split seed
+            // accounting — they keep Spark's plan (SURVEY §7.4).
+            def nonNegative(b: RangeFrames.RBound): Boolean = b match {
+              case RangeFrames.RFixed(d) => d >= 0L
+              case RangeFrames.RMonths(m) => m >= 0
+              case RangeFrames.RUnbounded => false
+            }
+            def nonPositive(b: RangeFrames.RBound): Boolean = b match {
+              case RangeFrames.RFixed(d) => d <= 0L
+              case RangeFrames.RMonths(m) => m <= 0
+              case RangeFrames.RUnbounded => false
+            }
+            val loOpt = loE match {
+              case UnboundedPreceding => Some(RangeFrames.RUnbounded)
+              case e => RangeFrames.signedBound(e, oe.dataType)
+            }
+            val upOpt = upE match {
+              case UnboundedFollowing => Some(RangeFrames.RUnbounded)
+              case e => RangeFrames.signedBound(e, oe.dataType)
+            }
             for {
-              lo <- RangeFrames.signedBound(loE, oe.dataType)
-              up <- RangeFrames.signedBound(upE, oe.dataType)
+              lo <- loOpt
+              up <- upOpt
+              if !(lo == RangeFrames.RUnbounded && up == RangeFrames.RUnbounded)
+              if lo != RangeFrames.RUnbounded || nonNegative(up)
+              if up != RangeFrames.RUnbounded || nonPositive(lo)
               if RangeFrames.boundsOrdered(lo, up)
+              anyUnb = lo == RangeFrames.RUnbounded || up == RangeFrames.RUnbounded
               ae <- (fn match {
                 case ae @ AggregateExpression(f, Complete, false, None, _)
-                    if supportedAgg(f) || boundedOnlyAgg(f) => Some(ae)
+                    if supportedAgg(f) || (boundedOnlyAgg(f) && !anyUnb) => Some(ae)
                 case _ => nthAggOf(fn)
               })
             } yield (ae, lo, up)
@@ -337,7 +375,13 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
     * means Spark's hash clustering is the right plan, and staying put is
     * the correct answer, not a gap. */
   private def ndvUnprovable(keys: Seq[Expression], child: LogicalPlan): Boolean = {
-    session.conf.get(OptimisticConf, "true") == "true" && {
+    session.conf.get(OptimisticConf, "true") == "true" &&
+      // `__`-prefixed columns are the library's own derived plumbing
+      // (e.g. the hand-bucketed constructs' `__bucket`): those plans are
+      // already skew-healed by construction, and an optimistic re-plan
+      // on top would only stack a second exchange + stitch over the
+      // first heal — leave them exactly as built
+      !keys.exists(_.references.exists(_.name.startsWith("__"))) && {
       val hints = parseHints(session.conf.get(NdvHintsConf, ""))
       keys.exists(ndvBound(_, child, hints).isEmpty)
     }

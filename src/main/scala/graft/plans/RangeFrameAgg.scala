@@ -41,10 +41,22 @@ private[plans] object RangeFrames {
   /** A SIGNED frame-edge distance: fixed (in order units — days for
     * dates, µs for timestamps) or calendar MONTHS (a YM interval over a
     * date/timestamp order — variable length, so the edge is computed per
-    * peer run with Spark's own month arithmetic). */
+    * peer run with Spark's own month arithmetic); or UNBOUNDED (r12
+    * verdict #3 — the half-unbounded shapes `UNBOUNDED PRECEDING AND Δ
+    * FOLLOWING` / `Δ PRECEDING AND UNBOUNDED FOLLOWING`; both-unbounded
+    * is the whole-frame total and never reaches here). An unbounded side
+    * is served by PREFIX/SUFFIX SEEDS (per-partition partial buffers,
+    * driver-merged along the partition chain — the running exec's merge
+    * contract) rather than row harvests, so only merge-safe aggregates
+    * ride it. NULL-ordered rows: a bounded RANGE frame of a value row
+    * excludes the null group (null < v+lo), but an UNBOUNDED side
+    * includes it — `UNBOUNDED PRECEDING` starts at the partition head
+    * (where nulls sort), and a null row's `v+lo` bound is null, below
+    * everything (exactly `WindowExec`'s RangeBoundOrdering arithmetic). */
   sealed trait RBound extends Serializable
   final case class RFixed(d: Long) extends RBound
   final case class RMonths(m: Int) extends RBound
+  case object RUnbounded extends RBound
 
   /** Largest |months| the rewrite accepts (10 000 years). Past this —
     * or at `Int.MinValue`, whose abs stays negative — [[reachOf]]'s
@@ -92,7 +104,7 @@ private[plans] object RangeFrames {
   def boundsOrdered(lo: RBound, up: RBound): Boolean = (lo, up) match {
     case (RFixed(a), RFixed(b)) => a <= b
     case (RMonths(a), RMonths(b)) => a <= b
-    case _ => true
+    case _ => true // RUnbounded on either side is always ordered
   }
 
   /** CONSERVATIVE reach of a bound in order units (every month is ≤ 31
@@ -100,6 +112,7 @@ private[plans] object RangeFrames {
     * pass-1 harvests and driver stitches, which may over-keep; the exact
     * per-run edges come from [[boundEdgeExpr]]. */
   def reachOf(b: RBound, orderType: DataType): Long = b match {
+    case RUnbounded => 0L // served by prefix/suffix seeds, not harvests
     case RFixed(d) => if (d == Long.MinValue) Long.MaxValue else math.abs(d)
     case RMonths(m) =>
       // |m| ≤ MaxMonths by [[signedBound]]'s gate, so neither multiply
@@ -118,7 +131,7 @@ private[plans] object RangeFrames {
     * bit-identical. */
   def boundEdgeExpr(orderRef: Expression, b: RBound, orderType: DataType,
                     timeZoneId: String): Option[Expression] = b match {
-    case RFixed(_) => None // fixed edges use saturating long adds
+    case RFixed(_) | RUnbounded => None // saturating long edges
     case RMonths(m) =>
       val ym = Literal(m, org.apache.spark.sql.types.YearMonthIntervalType())
       Some(orderType match {
@@ -239,6 +252,23 @@ case class KeyedRangeAggPlan(partKeys: Seq[Expression], order: Seq[SortOrder],
   * metadata is
   * O(partitions × maxRangeRows) worst-case, budgeted by
   * [[BoundaryBudget]] like the rest of the family.
+  *
+  * HALF-UNBOUNDED frames (r12 #3, merge-safe aggregates only):
+  * `UNBOUNDED PRECEDING AND Δ FOLLOWING` outputs fold a PREFIX buffer —
+  * no row retention, seeded with driver-merged per-partition segment
+  * totals (the running exec's merge contract, key-scoped) — and stream
+  * with Δ lag, so cumulative-with-lookahead scales exactly like the
+  * trailing frames. `Δ PRECEDING AND UNBOUNDED FOLLOWING` outputs hold
+  * every run pending until the partition/key flush and merge a SUFFIX
+  * seed (the mirror stitch): their memory is the key's span — O(rows
+  * per key) keyed, O(rows per partition) global — held in-heap under
+  * the same loud row cap; `WindowExec` buffers the same span, spillably,
+  * in ONE task. Unbounded sides include the NULL GROUP (Spark's
+  * RangeBoundOrdering arithmetic: `UNBOUNDED PRECEDING` starts at the
+  * partition head where nulls sort, and a null row's `v + lo` bound is
+  * null, below everything), so null tuples feed the prefix/suffix
+  * structures — never the bounded ones — and a suffix output's null
+  * run finalizes at the flush with everything from its group head.
   */
 case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
                         aggAttrs: Seq[Attribute], aggs: Seq[Expression],
@@ -271,6 +301,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     val anyFollowing = ups.exists {
       case RangeFrames.RFixed(d) => d > 0L
       case RangeFrames.RMonths(m) => m > 0
+      case RangeFrames.RUnbounded => false // suffix ships seeds, not harvests
     }
     val budgetReach =
       if (anyFollowing) 2L * maxHarvest else maxHarvest.toLong
@@ -320,11 +351,13 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     // month bounds (≤ 31 days + slack per month — over-keeping is safe,
     // the exact per-run edges evict the excess in pass 2)
     def backReach(b: RangeFrames.RBound): Long = b match {
+      case RangeFrames.RUnbounded => 0L // prefix seeds, not harvests
       case RangeFrames.RFixed(d) => math.max(0L, -d)
       case RangeFrames.RMonths(m) =>
         if (m >= 0) 0L else RangeFrames.reachOf(b, orderType)
     }
     def fwdReach(b: RangeFrames.RBound): Long = b match {
+      case RangeFrames.RUnbounded => 0L // suffix seeds, not harvests
       case RangeFrames.RFixed(d) => math.max(0L, d)
       case RangeFrames.RMonths(m) =>
         if (m <= 0) 0L else RangeFrames.reachOf(b, orderType)
@@ -332,9 +365,21 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     val maxBack = loArr.map(backReach).max
     val maxFwd = upArr.map(fwdReach).max
     val anyFwd = maxFwd > 0L
+    // half-unbounded outputs (r12 #3): unbounded-PRECEDING outputs fold a
+    // seeded prefix buffer (no row retention); unbounded-FOLLOWING outputs
+    // hold runs pending until the partition/key flush and merge a suffix
+    // seed. Both need per-partition SEGMENT TOTALS (pass-1 partials of the
+    // first/last key segment, ALL rows incl. null-ordered) driver-merged
+    // along the partition chain — the running exec's merge contract.
+    val prefixArr: Array[Boolean] = loArr.map(_ == RangeFrames.RUnbounded)
+    val suffixArr: Array[Boolean] = upArr.map(_ == RangeFrames.RUnbounded)
+    val anyPrefix = prefixArr.exists(identity)
+    val anySuffix = suffixArr.exists(identity)
+    val needSegs = anyPrefix || anySuffix
     // outputs whose frame can never extend past the current run's value:
     // they finalize eagerly, so pure-trailing nodes stream with zero lag
-    val eagerArr: Array[Boolean] = upArr.map(fwdReach(_) == 0L)
+    val eagerArr: Array[Boolean] = upArr.map(u =>
+      u != RangeFrames.RUnbounded && fwdReach(u) == 0L)
     val numOutputRows = longMetric("numOutputRows")
 
     import RangeFrames.{longAt, satAdd}
@@ -342,9 +387,13 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     // ---- pass 1: per-partition boundary harvests --------------------------
     // (firstKey, firstIsNull, firstVal, lastKey, lastVal (Long.MinValue =
     //  no non-null row), back harvest oldest→newest, backDrop, backDropMax,
-    //  fwd harvest oldest→newest, fwdDrop, fwdDropMin)
+    //  fwd harvest oldest→newest, fwdDrop, fwdDropMin,
+    //  segFirst, segLast: per-fi partial buffers of the FIRST / LAST key
+    //  segment (ALL rows incl. null-ordered; equal when single-key/global;
+    //  null when no half-unbounded output needs them))
     type Boundary = (InternalRow, Boolean, Long, InternalRow, Long,
-      Array[InternalRow], Boolean, Long, Array[InternalRow], Boolean, Long)
+      Array[InternalRow], Boolean, Long, Array[InternalRow], Boolean, Long,
+      Array[InternalRow], Array[InternalRow])
     val boundary: Array[Boundary] =
       if (childRdd.getNumPartitions == 0) Array.empty
       else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
@@ -363,6 +412,22 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         var backDropMax = Long.MinValue
         var fwdDrop = false
         var fwdDropMin = Long.MaxValue
+        // segment totals for the half-unbounded seeds: fold EVERY tuple
+        // (null-ordered included — unbounded sides include the null
+        // group) of the current key segment; remember the first segment
+        val segUpd = if (!needSegs) null else rebased.indices.map { fi =>
+          val buf = new SpecificInternalRow(bufferTypes(fi))
+          val init = MutableProjection.create(initExprs(fi), Nil).target(buf)
+          val upd = MutableProjection.create(
+            updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs).target(buf)
+          init(InternalRow.empty)
+          (buf, init, upd)
+        }.toArray
+        val segJoin = new JoinedRow
+        var segFirst: Array[InternalRow] = null
+        def segSnapshot(): Array[InternalRow] =
+          segUpd.map(_._1.copy(): InternalRow)
+        def segReset(): Unit = segUpd.foreach(_._2(InternalRow.empty))
         // fwd harvest state: threshold fixes at the FIRST non-null value;
         // keyed, the harvest stops at the first key change (frames never
         // cross keys, so only the FIRST key can serve earlier partitions)
@@ -379,9 +444,19 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
               dq.clear()
               backDrop = false; backDropMax = Long.MinValue
               fwdOpen = false
+              if (needSegs) {
+                if (segFirst == null) segFirst = segSnapshot()
+                segReset()
+              }
             }
           }
           val t = proj(r).copy()
+          if (needSegs) {
+            var fi = 0
+            while (fi < segUpd.length) {
+              segUpd(fi)._3(segJoin(segUpd(fi)._1, t)); fi += 1
+            }
+          }
           if (!seenFirst) {
             seenFirst = true
             firstIsNull = t.isNullAt(orderIdx)
@@ -422,8 +497,10 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             }
           }
         }
+        val segLast = if (needSegs && seenFirst) segSnapshot() else null
         (firstKey, firstIsNull, firstVal, lastKey: InternalRow, lastVal,
-          dq.toArray, backDrop, backDropMax, fwd.toArray, fwdDrop, fwdDropMin)
+          dq.toArray, backDrop, backDropMax, fwd.toArray, fwdDrop, fwdDropMin,
+          if (segFirst != null) segFirst else segLast, segLast)
       })
 
     // ---- driver stitch ----------------------------------------------------
@@ -437,7 +514,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       var gDropVal = Long.MinValue
       var p = 0
       while (p < nPart) {
-        val (fk, fNull, fVal, lk, _, harvest, hDrop, hDropVal, _, _, _) =
+        val (fk, fNull, fVal, lk, _, harvest, hDrop, hDropVal, _, _, _, _, _) =
           boundary(p)
         // a partition that saw any row harvests ≥ 1 tuple (the clear at a
         // key change is always followed by that row's append)
@@ -506,8 +583,8 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       var gDropMin = Long.MaxValue
       var p = nPart - 1
       while (p >= 0) {
-        val (fk, _, _, lk, lastVal, harvest, _, _, fwdHarvest, fDrop, fDropMin) =
-          boundary(p)
+        val (fk, _, _, lk, lastVal, harvest, _, _, fwdHarvest, fDrop, fDropMin,
+          _, _) = boundary(p)
         if (harvest.isEmpty) {
           // the partition saw no rows — pass through untouched (coming /
           // comingKey / gDrop survive), mirroring the forward walk's
@@ -558,6 +635,73 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     } else {
       java.util.Arrays.fill(fwdCtx.asInstanceOf[Array[AnyRef]], Array.empty[InternalRow])
     }
+
+    // ---- seed stitches for the half-unbounded outputs ---------------------
+    // prefix seed of partition p = driver-merged segment totals of the
+    // chain of SAME-KEY partitions before p (global: all partitions
+    // before p); suffix seed = the mirror over partitions after p. The
+    // merges replay the aggregates' own mergeExpressions in partition-
+    // index order — the running exec's contract, so First/Last and
+    // order-sensitive buffers stay exact. Per-fi entries are null when
+    // that output needs no seed or no chain exists.
+    val inputBufferAttrs = rebased.map(_.inputAggBufferAttributes)
+    val mergeExprsPer = rebased.map(_.mergeExpressions)
+    val prefixSeed = new Array[Array[InternalRow]](nPart)
+    val suffixSeed = new Array[Array[InternalRow]](nPart)
+    if (needSegs && nPart > 0) {
+      val mergeProjs = rebased.indices.map { fi =>
+        MutableProjection.create(
+          mergeExprsPer(fi), bufferAttrs(fi) ++ inputBufferAttrs(fi))
+      }.toArray
+      val joinedM = new JoinedRow
+      def mergeAll(a: Array[InternalRow], b: Array[InternalRow]): Array[InternalRow] =
+        rebased.indices.map { fi =>
+          mergeProjs(fi).target(new SpecificInternalRow(bufferTypes(fi)))(
+            joinedM(a(fi), b(fi))).copy(): InternalRow
+        }.toArray
+      if (anyPrefix) {
+        var acc: Array[InternalRow] = null
+        var accKey: InternalRow = null
+        var p = 0
+        while (p < nPart) {
+          val (fk, _, _, lk, _, harvest, _, _, _, _, _, segF, segL) = boundary(p)
+          if (harvest.nonEmpty) {
+            val continues = !keyed ||
+              (accKey != null && fk != null && KeyedWindowExec.keyEq(fk, accKey))
+            if (continues && acc != null) prefixSeed(p) = acc
+            val singleKey = !keyed || KeyedWindowExec.keyEq(fk, lk)
+            acc =
+              if (singleKey && continues && acc != null) mergeAll(acc, segL)
+              else segL // chain restarts at p's last key's own segment
+            accKey = lk
+          }
+          p += 1
+        }
+        // a multi-key partition's segF is never accumulated forward: its
+        // first key ENDS inside p, so no later partition seeds from it
+      }
+      if (anySuffix) {
+        var acc: Array[InternalRow] = null
+        var accKey: InternalRow = null
+        var p = nPart - 1
+        while (p >= 0) {
+          val (fk, _, _, lk, _, harvest, _, _, _, _, _, segF, _) = boundary(p)
+          if (harvest.nonEmpty) {
+            val continues = !keyed ||
+              (accKey != null && lk != null && KeyedWindowExec.keyEq(lk, accKey))
+            if (continues && acc != null) suffixSeed(p) = acc
+            val singleKey = !keyed || KeyedWindowExec.keyEq(fk, lk)
+            acc =
+              if (singleKey && continues && acc != null) mergeAll(segF, acc)
+              else segF // chain restarts at p's first key's own segment
+            accKey = fk
+          }
+          p -= 1
+        }
+      }
+    }
+    val preSeedB = childRdd.sparkContext.broadcast(prefixSeed)
+    val sufSeedB = childRdd.sparkContext.broadcast(suffixSeed)
     val ctxB = childRdd.sparkContext.broadcast(backCtx)
     val fwdB = childRdd.sparkContext.broadcast(fwdCtx)
 
@@ -576,10 +720,12 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     // the run being computed satisfies tuple.val ≤ v + up(i).
     val seqSet = funcs.indices.filter(fi =>
       WindowShapes.boundedOnlyAgg(funcs(fi))).toArray
+    val preSet = funcs.indices.filter(prefixArr(_)).toArray
+    val sufSet = funcs.indices.filter(fi =>
+      suffixArr(fi) && !prefixArr(fi)).toArray
     val fastSet = funcs.indices.filterNot(fi =>
-      WindowShapes.boundedOnlyAgg(funcs(fi))).toArray
-    val inputBufferAttrs = rebased.map(_.inputAggBufferAttributes)
-    val mergeExprsPer = rebased.map(_.mergeExpressions)
+      WindowShapes.boundedOnlyAgg(funcs(fi)) || prefixArr(fi) || suffixArr(fi))
+      .toArray
 
     childRdd.mapPartitionsWithIndex { (pid, it) =>
       val keyProj =
@@ -603,7 +749,12 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       // long adds; MONTH distances evaluate Spark's own YM-interval
       // arithmetic per peer run (bit-identical clamping/timezone
       // semantics, and monotone — the sliding invariants hold)
-      def edgeFn(b: RangeFrames.RBound): Long => Long = b match {
+      def edgeFn(b: RangeFrames.RBound, upper: Boolean): Long => Long = b match {
+        // an unbounded edge saturates: the lower never evicts, the upper
+        // admits every staged tuple immediately
+        case RangeFrames.RUnbounded =>
+          val sat = if (upper) Long.MaxValue else Long.MinValue
+          (_: Long) => sat
         case RangeFrames.RFixed(d) => (v: Long) => satAdd(v, d)
         case _ =>
           val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
@@ -620,8 +771,8 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             if (orderType == DateType) r.getInt(0).toLong else r.getLong(0)
           }
       }
-      val loAt: Array[Long => Long] = loArr.map(edgeFn)
-      val upAt: Array[Long => Long] = upArr.map(edgeFn)
+      val loAt: Array[Long => Long] = loArr.map(edgeFn(_, upper = false))
+      val upAt: Array[Long => Long] = upArr.map(edgeFn(_, upper = true))
 
       /** Two-stack sliding fold for output `fi`, fed through its staging
         * gate. Only non-null-ordered tuples enter (a value frame can
@@ -701,8 +852,11 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
               if (backTs.nonEmpty) backTs.head
               else if (frontTs.nonEmpty) frontTs.head
               else null
-            if (oldest == null ||
-                longAt(oldest, orderIdx, orderType) >= thr) go = false
+            // null-ordered heads (pushed only into SUFFIX sliders, whose
+            // null-run frames include the null group) sort below every
+            // value threshold — a value run's frame evicts them first
+            if (oldest == null || (!oldest.isNullAt(orderIdx) &&
+                longAt(oldest, orderIdx, orderType) >= thr)) go = false
             else {
               if (backTs.isEmpty) flip()
               backTs.removeHead(); backSuf.removeHead()
@@ -725,15 +879,28 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         /** Compute the fold for a run at value `v`: admit staged tuples
           * ≤ v + up, evict below v + lo, return the frame's buffer
           * (valid until the next mutation). */
-        def compute(v: Long): InternalRow = {
+        def compute(v: Long): InternalRow = computeFrame(v, isNullRun = false)
+
+        /** [[compute]], with the null-run variant for SUFFIX sliders: a
+          * null run's unbounded-following frame starts at its own group
+          * head, so nothing evicts — the fold is everything held. */
+        def computeFrame(v: Long, isNullRun: Boolean): InternalRow = {
           drainTo(upAt(fi)(v))
-          evictBelow(loAt(fi)(v))
+          if (!isNullRun) evictBelow(loAt(fi)(v))
           if (backSuf.isEmpty && frontTs.isEmpty) {
             singleInit(InternalRow.empty); single
           } else if (backSuf.isEmpty) frontBuf
           else if (frontTs.isEmpty) backSuf.head
           else mergeProj.target(mergeTmp)(joinedM(backSuf.head, frontBuf))
         }
+
+        private val seedTmp = new SpecificInternalRow(types)
+        private val joinedS = new JoinedRow
+        /** merge(frame, suffix seed) — operand order keeps the seed's
+          * rows AFTER the local frame's, the partition-index order the
+          * driver stitched them in. */
+        def mergedWith(frame: InternalRow, seed: InternalRow): InternalRow =
+          mergeProj.target(seedTmp)(joinedS(frame, seed))
       }
 
       /** Sequential re-fold for a bounded-only moment output `fi`,
@@ -770,16 +937,104 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         }
       }
 
+      /** Seeded prefix fold for an UNBOUNDED-PRECEDING output (r12 #3):
+        * no row retention — the frame is one running buffer, seeded with
+        * the driver-merged totals of the earlier same-chain partitions.
+        * Null-ordered tuples fold immediately (null sorts below every
+        * horizon, and they only ever arrive at the chain head, before
+        * anything can be staged); value tuples wait behind the same
+        * staging gate as the sliders. */
+      final class PrefixFold(val fi: Int) {
+        private val types = bufferTypes(fi)
+        private val buf = new SpecificInternalRow(types)
+        private val init = MutableProjection.create(initExprs(fi), Nil).target(buf)
+        private val upd = MutableProjection.create(
+          updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs).target(buf)
+        private val mergeProj = MutableProjection.create(
+          mergeExprsPer(fi), bufferAttrs(fi) ++ inputBufferAttrs(fi))
+        private val mergeTmp = new SpecificInternalRow(types)
+        private val joinedM = new JoinedRow
+        val staging = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+        init(InternalRow.empty)
+
+        def clear(seed: InternalRow): Unit = {
+          staging.clear()
+          init(InternalRow.empty)
+          if (seed != null) {
+            // buf := merge(init, seed), copied back into the working
+            // buffer (the update projection's target is fixed to `buf`)
+            val m = mergeProj.target(mergeTmp)(joinedM(buf, seed))
+            var i = 0
+            while (i < types.length) {
+              buf.update(i, InternalRow.copyValue(m.get(i, types(i))))
+              i += 1
+            }
+          }
+        }
+        def stage(t: InternalRow): Unit = {
+          if (t.isNullAt(orderIdx)) upd(joinedUp(buf, t))
+          else {
+            staging.append(t)
+            if (staging.length > maxHarvest)
+              RangeFrames.overflow(maxHarvest, "prefix staging")
+          }
+        }
+        def drainTo(hi: Long): Unit = {
+          while (staging.nonEmpty &&
+              longAt(staging.head, orderIdx, orderType) <= hi) {
+            upd(joinedUp(buf, staging.removeHead()))
+          }
+        }
+        def compute(v: Long): InternalRow = { drainTo(upAt(fi)(v)); buf }
+      }
+
       val sliders = fastSet.map(new Slider(_))
       val seqFolds = seqSet.map(new SeqFold(_))
+      val preFolds = preSet.map(new PrefixFold(_))
+      val sufSliders = sufSet.map(new Slider(_))
+      // staging routes (r12 #3): in-stream VALUE tuples feed everyone;
+      // NULL tuples feed only the unbounded sides (their frames include
+      // the null group; bounded value frames never do); BACK ctx rows
+      // feed the bounded-lo structures (the prefix's history is its
+      // SEED); FWD ctx rows feed the bounded-up structures (the suffix's
+      // future is its SEED) — each row reaches each output exactly once.
       def stageAll(t: InternalRow): Unit = {
         var s = 0
         while (s < sliders.length) { sliders(s).stage(t); s += 1 }
         var q = 0
         while (q < seqFolds.length) { seqFolds(q).stage(t); q += 1 }
+        var p = 0
+        while (p < preFolds.length) { preFolds(p).stage(t); p += 1 }
+        var u = 0
+        while (u < sufSliders.length) { sufSliders(u).stage(t); u += 1 }
       }
-      def clearAll(): Unit = {
+      def stageNull(t: InternalRow): Unit = {
+        var p = 0
+        while (p < preFolds.length) { preFolds(p).stage(t); p += 1 }
+        var u = 0
+        while (u < sufSliders.length) { sufSliders(u).stage(t); u += 1 }
+      }
+      def stageBackCtx(t: InternalRow): Unit = {
+        var s = 0
+        while (s < sliders.length) { sliders(s).stage(t); s += 1 }
+        var q = 0
+        while (q < seqFolds.length) { seqFolds(q).stage(t); q += 1 }
+        var u = 0
+        while (u < sufSliders.length) { sufSliders(u).stage(t); u += 1 }
+      }
+      def stageFwdCtx(t: InternalRow): Unit = {
+        var s = 0
+        while (s < sliders.length) { sliders(s).stage(t); s += 1 }
+        var q = 0
+        while (q < seqFolds.length) { seqFolds(q).stage(t); q += 1 }
+        var p = 0
+        while (p < preFolds.length) { preFolds(p).stage(t); p += 1 }
+      }
+      def clearAll(preSeeds: Array[InternalRow]): Unit = {
         sliders.foreach(_.clear()); seqFolds.foreach(_.clear())
+        sufSliders.foreach(_.clear())
+        preFolds.foreach(f =>
+          f.clear(if (preSeeds != null) preSeeds(f.fi) else null))
       }
 
       // a peer run awaiting FOLLOWING-bound outputs; results fill per-fi.
@@ -795,6 +1050,12 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       // per-output cursor into `pending`: next run index to compute
       val fastNext = new Array[Int](sliders.length)
       val seqNext = new Array[Int](seqFolds.length)
+      val preNext = new Array[Int](preFolds.length)
+      val sufNext = new Array[Int](sufSliders.length)
+      // set just before the stream-end advance: ONLY then do suffix
+      // outputs merge their driver seed (an interior keyed flush is a
+      // wholly-local key — no later partition continues it)
+      var atStreamEnd = false
 
       def computeFor(run: Run, fi: Int, buf: InternalRow): Unit = {
         val res = evals(fi)(buf)
@@ -842,6 +1103,48 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           }
           q += 1
         }
+        var p = 0
+        while (p < preFolds.length) {
+          val fi = preFolds(p).fi
+          var go = true
+          while (go && preNext(p) < pending.length) {
+            val run = pending(preNext(p))
+            if (run.isNull) preNext(p) += 1
+            else if (w == Long.MaxValue || upAt(fi)(run.v) < w) {
+              computeFor(run, fi, preFolds(p).compute(run.v))
+              preNext(p) += 1
+            } else go = false
+          }
+          if (preNext(p) < pending.length && !pending(preNext(p)).isNull) {
+            preFolds(p).drainTo(upAt(fi)(pending(preNext(p)).v))
+          }
+          p += 1
+        }
+        var u = 0
+        while (u < sufSliders.length) {
+          val fi = sufSliders(u).fi
+          if (w == Long.MaxValue) {
+            // unbounded-FOLLOWING outputs finalize only here (stream end
+            // or keyed interior flush); null runs compute too — their
+            // frame is everything from their own group head
+            val seeds = if (atStreamEnd) sufSeedB.value(pid) else null
+            val seed = if (seeds != null) seeds(fi) else null
+            while (sufNext(u) < pending.length) {
+              val run = pending(sufNext(u))
+              val frame = sufSliders(u).computeFrame(run.v, run.isNull)
+              val res =
+                if (seed != null) sufSliders(u).mergedWith(frame, seed)
+                else frame
+              computeFor(run, fi, res)
+              sufNext(u) += 1
+            }
+          } else {
+            // admit arrivals immediately: every tuple qualifies for every
+            // pending unbounded-following frame at or before its value
+            sufSliders(u).drainTo(Long.MaxValue)
+          }
+          u += 1
+        }
       }
 
       var curKey: UnsafeRow = null
@@ -875,6 +1178,14 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           while (q < seqNext.length) {
             seqNext(q) = math.max(0, seqNext(q) - 1); q += 1
           }
+          var p = 0
+          while (p < preNext.length) {
+            preNext(p) = math.max(0, preNext(p) - 1); p += 1
+          }
+          var u = 0
+          while (u < sufNext.length) {
+            sufNext(u) = math.max(0, sufNext(u) - 1); u += 1
+          }
           var fi = 0
           while (fi < nAggs) {
             resultRow.update(fi, emitRun.results(fi))
@@ -896,13 +1207,15 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           * end), computing every output whose horizon has passed. */
         private def ingest(): Unit = {
           if (!bIt.hasNext) {
-            // partition exhausted: admit the stitched forward tuples,
-            // then finalize every pending run
+            // partition exhausted: admit the stitched forward tuples
+            // (bounded-up structures only — the suffix side's future is
+            // its SEED), then finalize every pending run with the seeds
             if (!drainedFwd) {
               drainedFwd = true
+              atStreamEnd = true
               val fwd = fwdB.value(pid)
               var i = 0
-              while (i < fwd.length) { stageAll(fwd(i)); i += 1 }
+              while (i < fwd.length) { stageFwdCtx(fwd(i)); i += 1 }
             }
             advance(Long.MaxValue)
             return
@@ -915,18 +1228,20 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
               // pending runs (FOLLOWING bounds) before the reset
               if (curKey != null) advance(Long.MaxValue)
               curKey = k.copy()
-              clearAll()
+              clearAll(if (firstKeyOfPartition) preSeedB.value(pid) else null)
               if (firstKeyOfPartition) {
                 val ctx = ctxB.value(pid)
                 var i = 0
-                while (i < ctx.length) { stageAll(ctx(i)); i += 1 }
+                while (i < ctx.length) { stageBackCtx(ctx(i)); i += 1 }
               }
               firstKeyOfPartition = false
             }
           } else if (firstKeyOfPartition) {
+            val seeds = preSeedB.value(pid)
+            if (seeds != null) preFolds.foreach(f => f.clear(seeds(f.fi)))
             val ctx = ctxB.value(pid)
             var i = 0
-            while (i < ctx.length) { stageAll(ctx(i)); i += 1 }
+            while (i < ctx.length) { stageBackCtx(ctx(i)); i += 1 }
             firstKeyOfPartition = false
           }
           val t0 = proj(first).copy()
@@ -951,21 +1266,35 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             } else more = false
           }
           if (runNull) {
-            // the null peer group IS its frame; nulls sort FIRST, so no
-            // value run can be pending, and null tuples never enter the
-            // value-frame structures
+            // the null peer group IS its frame for every BOUNDED output
+            // (computed at append); nulls sort FIRST, so no value run can
+            // be pending, and null tuples never enter the bounded value-
+            // frame structures. The UNBOUNDED sides differ: the null
+            // group belongs to later value runs' prefix frames (fold into
+            // prefix buffers / suffix sliders), and a SUFFIX output's
+            // null-run frame is everything from the group head — those
+            // results wait for the final advance.
             val run = new Run(0L, isNull = true, rows.toArray)
+            var i0 = 0
+            while (i0 < tuples.length) { stageNull(tuples(i0)); i0 += 1 }
             var fi = 0
             while (fi < nAggs) {
-              val (buf, init, upd) = updaters(fi)
-              init(InternalRow.empty)
-              var i = 0
-              while (i < tuples.length) { upd(joinedUp(buf, tuples(i))); i += 1 }
-              computeFor(run, fi, buf)
+              if (!suffixArr(fi)) {
+                val (buf, init, upd) = updaters(fi)
+                init(InternalRow.empty)
+                var i = 0
+                while (i < tuples.length) { upd(joinedUp(buf, tuples(i))); i += 1 }
+                computeFor(run, fi, buf)
+              }
               fi += 1
             }
             pending.append(run)
             pendingRows += rows.length
+            // without a suffix output the null run emits immediately
+            // (remaining hits 0 above) — only the held-to-end case needs
+            // the pending-row cap
+            if (anySuffix && pendingRows > maxHarvest)
+              RangeFrames.overflow(maxHarvest, "pending rows")
           } else {
             var i = 0
             while (i < tuples.length) { stageAll(tuples(i)); i += 1 }
@@ -993,6 +1322,15 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
                 seqNext(q) += 1
               }
               q += 1
+            }
+            var p2 = 0
+            while (p2 < preFolds.length) {
+              val fi = preFolds(p2).fi
+              if (eagerArr(fi) && preNext(p2) == pending.length - 1) {
+                computeFor(run, fi, preFolds(p2).compute(runVal))
+                preNext(p2) += 1
+              }
+              p2 += 1
             }
           }
         }

@@ -83,7 +83,10 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
     else if (x == 0) "CURRENT ROW"
     else s"$x FOLLOWING"
 
-  private def rangeBattery(lo: Long, up: Long) =
+  // None = the half-unbounded arm (r12 #3): UNBOUNDED PRECEDING as a
+  // lower bound / UNBOUNDED FOLLOWING as an upper bound; both-None is
+  // excluded (that is the whole-frame total, a different rewrite)
+  private def rangeBattery(lo: Option[Long], up: Option[Long]) =
     s"""SELECT id,
        |  sum(v)   OVER w AS rs,
        |  count(v) OVER w AS rc,
@@ -95,17 +98,37 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
        |  last_value(v)  OVER w AS rlv
        |FROM gwr_rt
        |WINDOW w AS (ORDER BY v
-       |  RANGE BETWEEN ${rangeSpell(lo)} AND ${rangeSpell(up)})
+       |  RANGE BETWEEN ${lo.map(rangeSpell).getOrElse("UNBOUNDED PRECEDING")}
+       |    AND ${up.map(rangeSpell).getOrElse("UNBOUNDED FOLLOWING")})
        |""".stripMargin
 
-  private val rangeBounds: Gen[(Long, Long)] = for {
-    lo <- Gen.choose(-8L, 8L)
-    up <- Gen.choose(lo, 8L)
+  // unbounded arms respect the rewrite's seed constraint: a prefix's
+  // partner up ≥ 0, a suffix's partner lo ≤ 0 (outside that the rule
+  // keeps Spark's plan, pinned in RangeAggSpec)
+  private val rangeBounds: Gen[(Option[Long], Option[Long])] = for {
+    lo <- Gen.frequency(3 -> Gen.choose(-8L, 8L).map(Some(_): Option[Long]),
+      1 -> Gen.const(None: Option[Long]))
+    up <- lo match {
+      case Some(l) if l <= 0L =>
+        Gen.frequency(3 -> Gen.choose(l, 8L).map(Some(_): Option[Long]),
+          1 -> Gen.const(None: Option[Long]))
+      case Some(l) => Gen.choose(l, 8L).map(Some(_): Option[Long])
+      case None => Gen.choose(0L, 8L).map(Some(_): Option[Long])
+    }
   } yield (lo, up)
 
   property("RANGE value-distance frames are bit-identical at arbitrary signed bounds") =
     forAll(rows, parts, rangeBounds) { (vs, np, bounds) =>
       val (lo, up) = bounds
+      // shrinking ignores generator constraints: skip combos the rewrite
+      // refuses by design (both-unbounded, inverted, seed-cutting)
+      val valid = (lo, up) match {
+        case (None, None) => false
+        case (None, Some(u)) => u >= 0L
+        case (Some(l), None) => l <= 0L
+        case (Some(l), Some(u)) => l <= u
+      }
+      if (!valid) true else {
       import spark.implicits._
       val df = spark.createDataset(
         vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })(
@@ -118,8 +141,11 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
         val on = spark.sql(rangeBattery(lo, up))
         val onRows = on.collect().map(_.toString).sorted.toSeq
         val planned = vs.nonEmpty // empty input may fold the exec away
-        val hasExec =
-          on.queryExecution.executedPlan.toString.contains("RangeAgg")
+        // UNBOUNDED PRECEDING AND CURRENT ROW is the running shape,
+        // captured by the (cheaper) running arm upstream of the range arm
+        val planStr = on.queryExecution.executedPlan.toString
+        val hasExec = planStr.contains("RangeAgg") ||
+          (lo.isEmpty && up.contains(0L) && planStr.contains("RunningAgg"))
         spark.conf.set(GlobalRankRule.RewriteConf, "false")
         val off =
           try spark.sql(rangeBattery(lo, up)).collect()
@@ -127,6 +153,7 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
           finally spark.conf.set(GlobalRankRule.RewriteConf, "true")
         (!planned || hasExec) && onRows == off
       } finally spark.conf.unset(GlobalRankRule.SmallFrameConf)
+      }
     }
 
   property("the full battery is bit-identical to WindowExec on arbitrary input") =

@@ -80,7 +80,10 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
   // value windows with key resets across range-partition seams;
   // tie-insensitive outputs only (the frame SET is value-determined,
   // member order isn't)
-  private def rangeBattery(k: Int, lo: Long, up: Long) = {
+  // None = the half-unbounded arm (r12 #3): key-scoped prefix/suffix
+  // seeds across range-partition seams; both-None excluded (whole-frame
+  // total, a different rewrite)
+  private def rangeBattery(k: Int, lo: Option[Long], up: Option[Long]) = {
     def spell(x: Long) =
       if (x < 0) s"${-x} PRECEDING"
       else if (x == 0) "CURRENT ROW"
@@ -96,18 +99,37 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |  last_value(v)  OVER w AS rlv
        |FROM kwp_rt
        |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v
-       |  RANGE BETWEEN ${spell(lo)} AND ${spell(up)})
+       |  RANGE BETWEEN ${lo.map(spell).getOrElse("UNBOUNDED PRECEDING")}
+       |    AND ${up.map(spell).getOrElse("UNBOUNDED FOLLOWING")})
        |""".stripMargin
   }
 
-  private val keyedRangeBounds: Gen[(Long, Long)] = for {
-    lo <- Gen.choose(-8L, 8L)
-    up <- Gen.choose(lo, 8L)
+  // unbounded arms respect the rewrite's seed constraint (prefix partner
+  // up ≥ 0, suffix partner lo ≤ 0 — RangeAggSpec pins the refusals)
+  private val keyedRangeBounds: Gen[(Option[Long], Option[Long])] = for {
+    lo <- Gen.frequency(3 -> Gen.choose(-8L, 8L).map(Some(_): Option[Long]),
+      1 -> Gen.const(None: Option[Long]))
+    up <- lo match {
+      case Some(l) if l <= 0L =>
+        Gen.frequency(3 -> Gen.choose(l, 8L).map(Some(_): Option[Long]),
+          1 -> Gen.const(None: Option[Long]))
+      case Some(l) => Gen.choose(l, 8L).map(Some(_): Option[Long])
+      case None => Gen.choose(0L, 8L).map(Some(_): Option[Long])
+    }
   } yield (lo, up)
 
   property("keyed RANGE value-distance frames are bit-identical at arbitrary distances") =
     forAll(rows, parts, modulus, keyedRangeBounds) { (vs, np, k, bounds) =>
       val (lo, up) = bounds
+      // shrinking ignores generator constraints: skip combos the rewrite
+      // refuses by design (both-unbounded, inverted, seed-cutting)
+      val valid = (lo, up) match {
+        case (None, None) => false
+        case (None, Some(u)) => u >= 0L
+        case (Some(l), None) => l <= 0L
+        case (Some(l), Some(u)) => l <= u
+      }
+      if (!valid) true else {
       import spark.implicits._
       val df = spark.createDataset(
         vs.zipWithIndex.map { case (v, i) => (i.toLong, v) })(
@@ -120,14 +142,18 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
         val on = spark.sql(rangeBattery(k, lo, up))
         val onRows = on.collect().map(_.toString).sorted.toSeq
         val planned = vs.nonEmpty
-        val hasExec =
-          on.queryExecution.executedPlan.toString.contains("RangeAgg")
+        // UNBOUNDED PRECEDING AND CURRENT ROW is the running shape,
+        // captured by the (cheaper) running arm upstream of the range arm
+        val planStr = on.queryExecution.executedPlan.toString
+        val hasExec = planStr.contains("RangeAgg") ||
+          (lo.isEmpty && up.contains(0L) && planStr.contains("RunningAgg"))
         spark.conf.set(KeyedWindowRule.RewriteConf, "false")
         val off =
           try spark.sql(rangeBattery(k, lo, up)).collect().map(_.toString).sorted.toSeq
           finally spark.conf.set(KeyedWindowRule.RewriteConf, "true")
         (!planned || hasExec) && onRows == off
       } finally spark.conf.unset(GlobalRankRule.SmallFrameConf)
+      }
     }
 
   property("the keyed battery is bit-identical to WindowExec on arbitrary input") =

@@ -342,6 +342,78 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM rng_mon_ref""".stripMargin)
   }
 
+  test("half-unbounded RANGE frames: prefix/suffix seeds, global + keyed, nulls exact (r12 #3)") {
+    // seams must be real or the seeds are never exercised: keep the tiny
+    // shuffle at its full partition count
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      fixture.createOrReplaceTempView("rng_hu")
+      // global: cumulative-with-lookahead (streams with Δ lag), eager
+      // strictly-preceding prefix, remaining-mass suffix, and a bounded
+      // frame mixed into the same exec node; t's nulls pin the null-
+      // group-included semantics of both unbounded sides
+      checkRewritten(spark.sql(
+        """SELECT id,
+          |  sum(t)   OVER (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+          |    AND 5 FOLLOWING) AS pre5,
+          |  count(*) OVER (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+          |    AND 0 FOLLOWING) AS pre0,
+          |  avg(d)   OVER (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+          |    AND 3 FOLLOWING) AS pread,
+          |  sum(t)   OVER (ORDER BY t RANGE BETWEEN 5 PRECEDING
+          |    AND UNBOUNDED FOLLOWING) AS suf5,
+          |  count(t) OVER (ORDER BY t RANGE BETWEEN 0 PRECEDING
+          |    AND UNBOUNDED FOLLOWING) AS sufc,
+          |  min(id)  OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING
+          |    AND CURRENT ROW) AS b3
+          |FROM rng_hu""".stripMargin))
+      // keyed: the seeds chain key-scoped across partition seams
+      checkRewritten(spark.sql(
+        """SELECT id,
+          |  sum(t)   OVER (PARTITION BY k3 ORDER BY t
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING) AS kpre,
+          |  count(*) OVER (PARTITION BY k3 ORDER BY t
+          |    RANGE BETWEEN 5 PRECEDING AND UNBOUNDED FOLLOWING) AS ksuf
+          |FROM rng_hu""".stripMargin), keyed = true)
+      // calendar-month lookahead over timestamps composes with the
+      // prefix buffer (per-run YM edges stay monotone)
+      checkRewritten(spark.sql(
+        """SELECT id, sum(d) OVER (ORDER BY ts
+          |  RANGE BETWEEN UNBOUNDED PRECEDING
+          |  AND INTERVAL '1' MONTH FOLLOWING) AS mpre
+          |FROM rng_hu""".stripMargin))
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("half-unbounded refusals: moments, and partner bounds that cut into the seeded side") {
+    fixture.createOrReplaceTempView("rng_hu_ref")
+    def staysWindow(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assert(!nodes(df).exists(_.isInstanceOf[RangeAggExec]),
+        s"must refuse:\n${df.queryExecution.executedPlan}")
+      assert(nodes(df).exists(_.isInstanceOf[WindowExec]))
+    }
+    // float moments need the bounded sequential fold
+    staysWindow(
+      """SELECT id, stddev_samp(d) OVER (ORDER BY t
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING) AS sd
+        |FROM rng_hu_ref""".stripMargin)
+    // a NEGATIVE upper bound excludes the previous partition's tail,
+    // which the all-or-nothing prefix seed bakes in — refuse (the shape
+    // needs band-split seed accounting, SURVEY §7.4)
+    staysWindow(
+      """SELECT id, count(*) OVER (ORDER BY t
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS c
+        |FROM rng_hu_ref""".stripMargin)
+    // mirrored: a POSITIVE lower bound cuts into the suffix seed
+    staysWindow(
+      """SELECT id, sum(t) OVER (ORDER BY t
+        |  RANGE BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS s
+        |FROM rng_hu_ref""".stripMargin)
+  }
+
   test("harvest overflow refuses loudly instead of answering wrong") {
     // Δ spans the WHOLE value domain (every row within distance of every
     // later partition edge) at a 16-row cap: pass 1 must record the drop

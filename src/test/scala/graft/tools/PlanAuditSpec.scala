@@ -772,6 +772,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x129: expected RangeAggExec:\n${p.take(1500)}")
   }
 
+  test("x131 half-unbounded value frames arrive window-free") {
+    // r13 (VERDICT r12 #3): cumulative-with-lookahead (prefix seeds) and
+    // remaining-mass (suffix seeds), global AND keyed, all planning
+    // RangeAggExec — NO Window node, no one-task sort
+    val p = plan("x131_half_unbounded")
+    assert(!p.contains("Window ["),
+      s"x131: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("RangeAgg"),
+      s"x131: expected RangeAggExec:\n${p.take(1500)}")
+  }
+
   test("x125 nth/ignore-nulls-lag: the value-ring arms arrive window-free") {
     // VERDICT r11 #6 end-to-end: nth_value(n>1) (respect + ignore nulls,
     // running + bounded) and ignore-nulls lag(n>1), global AND keyed —
