@@ -27,6 +27,27 @@ object SparkEntryR13 {
     // capped. Integer sums/counts → fold-order-independent, engine-
     // exact. The keyed ndv proof is the language IN filter;
     // `PlanAuditSpec` pins all four windows Window-free.
+    // ---- X130: content-level VIDEO near-dup — the last metadata-deep
+    // modality gets its signal path ----
+    //
+    // The x119/x126 discipline for footage: a pure-JVM uncompressed-DIB
+    // RIFF/AVI codec (the planted-fixture discipline of the WAV/BMP
+    // paths), per-frame rasters through ImageDedup's luma path, a 65-slot
+    // brightness-envelope temporal difference hash (brightness shifts,
+    // resolution upsamples and frame-rate resamples land at Hamming
+    // distance 0), and the shared Hamming64 band join — recall exact to
+    // distance 7 by pigeonhole, hot buckets capped, never all-pairs.
+    // Constructor inversion: every planted near-dup is a re-master of
+    // doc_id-1's clip (+6 brightness for even groups, 2x resolution +
+    // 2x frame rate for odd), so the expected pair set is pure doc_id
+    // arithmetic. At 100 TB decode+hash ride the scan row-locally; the
+    // only exchange is the band-key equi-join.
+    "x130_video_neardup" -> ((s, d) => {
+      val media = graft.media.VideoDedup.plantedCorpus(Tables.documents(s, d))
+      graft.media.VideoDedup.nearDupPairs(media)
+        .orderBy("a", "b")
+    }),
+
     "x131_half_unbounded" -> ((s, d) => {
       Tables.documents(s, d).createOrReplaceTempView("x131_documents")
       s.sql(
@@ -49,6 +70,16 @@ object SparkEntryR13 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // constructor inversion (the x119/x126 contract): planted re-masters
+    // land at Hamming distance 0, everything else stays out
+    "x130_video_neardup" ->
+      """SELECT CAST(doc_id - 1 AS BIGINT) AS a, doc_id AS b,
+        |       CAST(0 AS INT) AS dist
+        |FROM documents
+        |WHERE doc_id % 10 = 1
+        |  AND doc_id - 1 IN (SELECT doc_id FROM documents)
+        |ORDER BY a, b""".stripMargin,
+
     // DuckDB widens sum(INT) to HUGEINT → cast back; counts are BIGINT
     // on both engines
     "x131_half_unbounded" ->
