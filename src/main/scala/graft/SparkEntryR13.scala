@@ -48,6 +48,57 @@ object SparkEntryR13 {
         .orderBy("a", "b")
     }),
 
+    // ---- X132: greatest-n-per-group self-join, AUTOMATICALLY healed ----
+    //
+    // "Latest order per customer" written the way SQL users actually
+    // write it — a self-join against `GROUP BY … max(…)` — which Spark
+    // plans as TWO full scans of the fact table, an aggregate exchange
+    // and a join exchange. `ArgMaxJoinRule` (ON by default) collapses it
+    // to a single-scan windowed filter, and because the window it emits
+    // is a plain UNBOUNDED-BOTH total, the keyed-window family can then
+    // take it the rest of the way. The oracle runs the IDENTICAL join
+    // SQL in DuckDB, so the row set proves the rewrite's join-for-filter
+    // equivalence (ties at the max date kept, null keys dropped) — and
+    // `PlanAuditSpec` pins the plan join-free with exactly one scan.
+    "x132_argmax_join" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("x132_orders")
+      s.sql(
+        """SELECT t.o_orderkey, t.o_custkey, t.o_orderdate,
+          |       t.o_totalprice, a.last_date
+          |FROM x132_orders t
+          |JOIN (SELECT o_custkey, max(o_orderdate) AS last_date
+          |      FROM x132_orders GROUP BY o_custkey) a
+          |ON t.o_custkey = a.o_custkey AND t.o_orderdate = a.last_date
+          |ORDER BY t.o_custkey, t.o_orderkey""".stripMargin)
+    }),
+
+    // ---- X133: plan linter — the repo's plan-audit discipline as a
+    // user-facing operator ----
+    //
+    // `PlanLint.lint(df)` walks the PRE-execution physical plan (AQE
+    // initial plan) and reports the scale traps this library's own CI
+    // pins: cartesian products, nested-loop joins, one-task windows,
+    // unpushed scan filters, plus a shuffle census — zero jobs, tiny
+    // driver-side metadata, deterministic exprId-free rows. The query
+    // lints a DELIBERATELY bad pipeline (no-equi-key join + an
+    // untranslatable scan predicate + an unpartitioned window with the
+    // heal switched off, i.e. a stock-Spark user's plan); the oracle is
+    // the CONSTANT findings table — constructor inversion: the traps
+    // were planted, the linter must name exactly them.
+    "x133_plan_lint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      import org.apache.spark.sql.functions._
+      val prev = s.conf.get("spark.graft.globalRank.rewrite", "true")
+      s.conf.set("spark.graft.globalRank.rewrite", "false")
+      try {
+        val bad = Tables.lineitem(s, d)
+          .filter(abs(col("l_quantity")) > 30)
+          .crossJoin(Tables.region(s, d))
+          .withColumn("rn", row_number().over(W.orderBy("l_orderkey")))
+        graft.tools.PlanLint.lint(bad)(s)
+      } finally s.conf.set("spark.graft.globalRank.rewrite", prev)
+    }),
+
     "x131_half_unbounded" -> ((s, d) => {
       Tables.documents(s, d).createOrReplaceTempView("x131_documents")
       s.sql(
@@ -70,6 +121,17 @@ object SparkEntryR13 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the IDENTICAL join SQL — DuckDB executes the join as written while
+    // the Spark side runs the rule's single-scan windowed rewrite
+    "x132_argmax_join" ->
+      """SELECT t.o_orderkey, t.o_custkey, t.o_orderdate,
+        |       t.o_totalprice, a.last_date
+        |FROM orders t
+        |JOIN (SELECT o_custkey, max(o_orderdate) AS last_date
+        |      FROM orders GROUP BY o_custkey) a
+        |ON t.o_custkey = a.o_custkey AND t.o_orderdate = a.last_date
+        |ORDER BY t.o_custkey, t.o_orderkey""".stripMargin,
+
     // constructor inversion (the x119/x126 contract): planted re-masters
     // land at Hamming distance 0, everything else stays out
     "x130_video_neardup" ->
@@ -79,6 +141,21 @@ object SparkEntryR13 {
         |WHERE doc_id % 10 = 1
         |  AND doc_id - 1 IN (SELECT doc_id FROM documents)
         |ORDER BY a, b""".stripMargin,
+
+    // constructor inversion: the linted pipeline PLANTED exactly these
+    // traps (a cross join, an unpartitioned window with the heal off, an
+    // untranslatable abs() scan predicate, one shuffle), so the findings
+    // table is a constant the linter must reproduce verbatim
+    "x133_plan_lint" ->
+      """SELECT * FROM (VALUES
+        |  ('nested-loop-join', 'warn', 'BroadcastNestedLoopJoin',
+        |   'cross join with no equi-key; whole side broadcast + per-row loop'),
+        |  ('shuffle-census', 'info', 'plan', '1 shuffle exchange(s)'),
+        |  ('unpartitioned-window', 'error', 'Window',
+        |   'no PARTITION BY: one task sorts and folds the entire input'),
+        |  ('unpushed-scan-filter', 'warn', 'Scan',
+        |   '1 of 2 scan filter(s) not pushed down: predicate runs post-materialization on every row read')
+        |) AS t(rule, severity, node, detail)""".stripMargin,
 
     // DuckDB widens sum(INT) to HUGEINT → cast back; counts are BIGINT
     // on both engines

@@ -1,0 +1,382 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: eliminate the greatest-n-per-group SELF-JOIN — the
+  * single most common hand-written SQL anti-pattern at lake scale:
+  *
+  * {{{
+  *   SELECT t.* FROM t
+  *   JOIN (SELECT k, max(v) AS m FROM t GROUP BY k) a
+  *     ON t.k = a.k AND t.v = a.m
+  * }}}
+  *
+  * (and the `(k, v) IN (SELECT k, max(v) … GROUP BY k)` spelling, which
+  * the analyzer rewrites to a LeftSemi join of the same shape). Spark
+  * plans this as written: TWO full scans of `t`, an aggregate exchange,
+  * and a join exchange — at 100 TB that is two 100 TB reads plus two
+  * corpus shuffles to answer a question one windowed pass answers. The
+  * rewrite replaces the join with
+  *
+  * {{{
+  *   SELECT … FROM (SELECT t.*, max(v) OVER (PARTITION BY k) __m FROM t)
+  *   WHERE k IS NOT NULL AND v = __m
+  * }}}
+  *
+  * which is ONE scan and one hash-cluster exchange — and because it is
+  * emitted as a plain logical `Window` with the UNBOUNDED-BOTH frame, the
+  * existing rewrite family then heals it further in the same optimizer
+  * fixed point: provably-low-ndv keys plan the ZERO-exchange
+  * `KeyedTotalAggExec`, and the global form (`ON t.v = a.m` against an
+  * ungrouped aggregate) plans `GlobalTotalAggExec` with no exchange at
+  * all.
+  *
+  * Equivalence argument, row by row: the inner join keeps a probe row
+  * exactly when (1) its key equals some group key — nulls never equal, so
+  * null-key rows drop, which the added `k IS NOT NULL` reproduces — and
+  * (2) its compared column equals the group's aggregate value, which
+  * `v = agg OVER (PARTITION BY k)` reproduces including the null case
+  * (`v = NULL` is NULL → filtered). The aggregate side emits exactly one
+  * row per group (`GROUP BY k` output is key-distinct), so the join never
+  * replicates probe rows and the filter form is multiplicity-exact; ties
+  * at the aggregate value survive in both forms. Aggregate columns the
+  * join exposed are re-emitted from the probe side under the original
+  * exprIds (`m` = the compared probe column, group keys = their probe
+  * twins — equal on every surviving row by the join condition itself).
+  *
+  * Guards (all refusals leave the plan untouched):
+  *  - both sides must peel (through attribute-only Projects and
+  *    IsNotNull-only Filters) to CANONICALLY EQUAL deterministic batch
+  *    subtrees — a genuine self-join of the same lineage;
+  *  - peeled IsNotNull filters are tolerated only on the grouping twins
+  *    and (for null-ignoring aggregates) the aggregate inputs, where they
+  *    provably cannot change any surviving group's aggregate value — the
+  *    exact set `InferFiltersFromConstraints` derives from this join
+  *    shape, so the rule still fires in the post-inference batch;
+  *  - the aggregate is a single non-DISTINCT, unfiltered Max/Min/Sum/
+  *    Average/Count over attribute (or literal) children, every grouping
+  *    expression is a bare attribute, and the join condition is exactly
+  *    {every grouping key = its probe twin} plus {probe column = the
+  *    aggregate output} — anything else (extra predicates, HAVING
+  *    residue, computed keys, non-twin pairings) refuses;
+  *  - the probe side must still expose the grouping/aggregate input
+  *    columns (column pruning can legally drop them from the probe
+  *    projection when the outer query doesn't read them — then the window
+  *    has nothing to partition on and the rule refuses).
+  *
+  * ON by default; opt out with `spark.graft.argmaxJoin.rewrite=false`.
+  * Idempotent: the rewritten plan contains no join, so it cannot
+  * re-match. Registered via `spark.sql.extensions=graft.GraftExtensions`.
+  */
+case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import ArgMaxJoinRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!session.conf.get(RewriteConf, "true").toBoolean) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        rewrite(left, right, cond, aggOnRight = true, semi = false)
+          .orElse(rewrite(right, left, cond, aggOnRight = false, semi = false))
+          .getOrElse(j)
+      case j @ Join(left, right, LeftSemi, Some(cond), _) =>
+        rewrite(left, right, cond, aggOnRight = true, semi = true).getOrElse(j)
+      // the IN-subquery spelling: `(k, v) IN (SELECT k, max(v) … GROUP BY
+      // k)` only becomes a LeftSemi join in the RewriteSubquery batch,
+      // which runs AFTER the operator-optimization fixed point this rule
+      // lives in — so match the Filter(InSubquery) form directly
+      case f @ Filter(cond, child) =>
+        rewriteInFilter(child, cond).getOrElse(f)
+    }
+  }
+
+  private def rewriteInFilter(child: LogicalPlan,
+                              cond: Expression): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    conjuncts.zipWithIndex.collectFirst {
+      case (InSubquery(values, lq: ListQuery), idx)
+          if lq.outerAttrs.isEmpty && lq.joinCond.isEmpty &&
+            values.length == lq.plan.output.length =>
+        val synth = values.zip(lq.plan.output)
+          .map { case (v, o) => EqualTo(v, o): Expression }.reduce(And)
+        rewrite(child, lq.plan, synth, aggOnRight = true, semi = true).map { r =>
+          val rest = conjuncts.zipWithIndex.collect {
+            case (c, i) if i != idx => c
+          }
+          if (rest.isEmpty) r else Filter(rest.reduce(And), r)
+        }
+    }.flatten
+  }
+
+  /** One peeled side: the base subtree, a map from exposed output attr →
+    * base attr, and the base attrs whose IsNotNull filters were stripped.
+    */
+  private case class Peeled(base: LogicalPlan,
+                            toBase: Map[ExprId, Attribute],
+                            strippedNotNull: Set[ExprId])
+
+  /** Peel attribute-only Projects and IsNotNull-only Filters, composing
+    * the attr rename map (and the stripped-filter attrs) down to the base
+    * plan's attribute space. Stops at the first node that is neither.
+    */
+  private def peel(plan: LogicalPlan): Peeled = {
+    var cur = plan
+    var map: Map[ExprId, Attribute] = plan.output.map(a => a.exprId -> a).toMap
+    var stripped = Set.empty[Attribute]
+    var done = false
+    while (!done) {
+      cur match {
+        case Project(list, child) if list.forall {
+              case _: AttributeReference => true
+              case Alias(_: AttributeReference, _) => true
+              case _ => false
+            } =>
+          val lower: Map[ExprId, Attribute] = list.map {
+            case a: AttributeReference => a.exprId -> a
+            case al @ Alias(ar: AttributeReference, _) => al.exprId -> ar
+          }.toMap
+          def down(a: Attribute): Attribute = lower.getOrElse(a.exprId, a)
+          map = map.map { case (k, v) => k -> down(v) }
+          stripped = stripped.map(down)
+          cur = child
+        case Filter(pred, child) if splitConjunctivePredicates(pred).forall {
+              case IsNotNull(_: AttributeReference) => true
+              case _ => false
+            } =>
+          stripped ++= splitConjunctivePredicates(pred).collect {
+            case IsNotNull(a: AttributeReference) => a
+          }
+          cur = child
+        case _ => done = true
+      }
+    }
+    Peeled(cur, map, stripped.map(_.exprId))
+  }
+
+  private def deterministicTree(p: LogicalPlan): Boolean =
+    p.find(n => n.expressions.exists(e => !e.deterministic)).isEmpty
+
+  /** Null-ignoring aggregate over attribute/literal children? */
+  private def supportedAgg(f: AggregateFunction): Boolean = f match {
+    case _: Max | _: Min | _: Sum | _: Average | _: Count =>
+      f.children.forall {
+        case _: AttributeReference => true
+        case _: Literal => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def rewrite(probe: LogicalPlan, aggSide: LogicalPlan,
+                      cond: Expression, aggOnRight: Boolean,
+                      semi: Boolean): Option[LogicalPlan] = {
+    // ---- 1. shape of the aggregate side -------------------------------
+    val aggPeel = peel(aggSide)
+    val agg = aggPeel.base match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    if (agg.groupingExpressions.exists(!_.isInstanceOf[AttributeReference]))
+      return None
+    val groupAttrs = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+
+    // exactly one aggregate output; the rest must be bare grouping attrs
+    var aggVal: Option[(ExprId, AggregateFunction)] = None // output id -> fn
+    var groupOut = Map.empty[ExprId, Attribute] // output id -> grouping attr
+    agg.aggregateExpressions.foreach {
+      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
+        groupOut += a.exprId -> a
+      case al @ Alias(a: AttributeReference, _)
+          if groupAttrs.exists(_.exprId == a.exprId) =>
+        groupOut += al.exprId -> a
+      case al @ Alias(AggregateExpression(f, Complete, false, None, _), _)
+          if supportedAgg(f) && aggVal.isEmpty =>
+        aggVal = Some(al.exprId -> f)
+      case _ => return None
+    }
+    val (mOutId, aggFn) = aggVal.getOrElse(return None)
+
+    // the aggregate-side FILTER strips must be on grouping keys or (for
+    // input-null-ignoring fns, i.e. all supported ones with attr inputs)
+    // the aggregate inputs
+    val aggInputIds = aggFn.children.collect {
+      case a: AttributeReference => a.exprId
+    }.toSet
+    val aggChildPeel = peel(agg.child)
+    // strips above the Aggregate are in agg-output space: group-key
+    // outputs are fine (our filter re-adds IsNotNull on the twins), and
+    // isnotnull(m) is fine (the join equality drops null-m groups anyway)
+    if (!aggPeel.strippedNotNull.forall(id =>
+          id == mOutId || groupOut.contains(id))) return None
+    if (!aggChildPeel.strippedNotNull.forall(id =>
+          groupAttrs.exists(_.exprId == id) || aggInputIds.contains(id)))
+      return None
+
+    // ---- 2. the probe side must be the same lineage -------------------
+    val probePeel = peel(probe)
+    val baseA = aggChildPeel.base
+    val baseP = probePeel.base
+    if (baseA.output.length != baseP.output.length) return None
+    if (baseA.canonicalized != baseP.canonicalized) return None
+    if (baseA.isStreaming || baseP.isStreaming) return None
+    if (!deterministicTree(baseP)) return None
+
+    // positional base correspondence aggChild-base attr -> probe-base attr
+    val posMap: Map[ExprId, Attribute] =
+      baseA.output.zip(baseP.output).map { case (a, p) => a.exprId -> p }.toMap
+    // probe base attr -> probe OUTPUT attr (inverse of the probe peel map)
+    val baseToProbeOut: Map[ExprId, Attribute] = probePeel.toBase.flatMap {
+      case (outId, baseAttr) =>
+        probe.output.find(_.exprId == outId).map(out => baseAttr.exprId -> out)
+    }
+    // grouping attr / agg input (aggChild space) -> probe output attr
+    def probeTwin(aggSpaceId: ExprId): Option[Attribute] = for {
+      baseAttr <- aggChildPeel.toBase.get(aggSpaceId)
+      pBase <- posMap.get(baseAttr.exprId)
+      pOut <- baseToProbeOut.get(pBase.exprId)
+    } yield pOut
+
+    // probe-side strips: must be twins of grouping keys or agg inputs
+    val allowedProbeStripBase: Set[ExprId] =
+      (groupAttrs.map(_.exprId).toSet ++ aggInputIds).flatMap { id =>
+        for {
+          baseAttr <- aggChildPeel.toBase.get(id)
+          pBase <- posMap.get(baseAttr.exprId)
+        } yield pBase.exprId
+      }
+    if (!probePeel.strippedNotNull.forall(allowedProbeStripBase.contains))
+      return None
+
+    // ---- 3. the join condition ----------------------------------------
+    // aggSide output attr -> underlying agg output id
+    val aggSideOutToAggOut: Map[ExprId, ExprId] = aggPeel.toBase.map {
+      case (outId, baseAttr) => outId -> baseAttr.exprId
+    }
+    var coveredGroups = Set.empty[ExprId] // grouping attr ids matched
+    var mPartners = Seq.empty[Expression] // probe exprs compared to m
+    var keyPairs = Seq.empty[(Attribute, Attribute)] // (probe twin, aggSide out)
+    splitConjunctivePredicates(cond).foreach { c =>
+      // the agg side of each equality must be a bare output attr; the
+      // probe side may be any deterministic expression over probe attrs
+      // (the analyzer inserts casts around the compared column when the
+      // aggregate widens its type, e.g. avg(int) → double)
+      val (pExpr, aAttr) = c match {
+        case EqualTo(x, y: AttributeReference)
+            if x.deterministic && x.references.nonEmpty &&
+              x.references.subsetOf(probe.outputSet) &&
+              aggSide.outputSet.contains(y) =>
+          (x, y)
+        case EqualTo(x: AttributeReference, y)
+            if y.deterministic && y.references.nonEmpty &&
+              y.references.subsetOf(probe.outputSet) &&
+              aggSide.outputSet.contains(x) =>
+          (y, x)
+        case _ => return None
+      }
+      aggSideOutToAggOut.get(aAttr.exprId) match {
+        case Some(aggOutId) if aggOutId == mOutId =>
+          mPartners :+= pExpr
+        case Some(aggOutId) =>
+          groupOut.get(aggOutId) match {
+            case Some(gAttr) =>
+              // must be the bare positional twin, not an arbitrary column
+              (pExpr, probeTwin(gAttr.exprId)) match {
+                case (p: AttributeReference, Some(twin))
+                    if twin.exprId == p.exprId =>
+                  coveredGroups += gAttr.exprId
+                  keyPairs :+= (p, aAttr)
+                case _ => return None
+              }
+            case None => return None
+          }
+        case None => return None
+      }
+    }
+    if (mPartners.isEmpty) return None
+    if (coveredGroups != groupAttrs.map(_.exprId).toSet) return None
+
+    // ---- 4. build the windowed single-pass form ------------------------
+    val partitionAttrs: Seq[Attribute] = keyPairs.map(_._1).distinct
+    // aggregate inputs the probe projection pruned away (legal when the
+    // outer query never reads them): rebuild the probe from its base —
+    // the peeled layers were exactly attr-renames + IsNotNull filters, so
+    // Project(probe outputs re-aliased ++ missing base attrs,
+    //         Filter(stripped IsNotNulls, base)) is row- and
+    // column-equivalent with the extra inputs along for the window.
+    var missingBase = Seq.empty[Attribute]
+    val newChildren = aggFn.children.map {
+      case a: AttributeReference =>
+        probeTwin(a.exprId) match {
+          case Some(t) => t
+          case None =>
+            val b = (for {
+              baseAttr <- aggChildPeel.toBase.get(a.exprId)
+              pBase <- posMap.get(baseAttr.exprId)
+            } yield pBase).getOrElse(return None)
+            if (!missingBase.exists(_.exprId == b.exprId)) missingBase :+= b
+            b
+        }
+      case lit: Literal => lit
+      case _ => return None
+    }
+    val winChild: LogicalPlan =
+      if (missingBase.isEmpty) probe
+      else {
+        val preds = probePeel.strippedNotNull.toSeq
+          .flatMap(id => baseP.output.find(_.exprId == id))
+          .map(IsNotNull(_): Expression)
+        val flt = if (preds.isEmpty) baseP else Filter(preds.reduce(And), baseP)
+        val passthrough: Seq[NamedExpression] = probe.output.map { o =>
+          val b = probePeel.toBase(o.exprId)
+          if (b.exprId == o.exprId) b
+          else Alias(b, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }
+        Project(passthrough ++ missingBase, flt)
+      }
+    val winFn = aggFn.withNewChildren(newChildren).asInstanceOf[AggregateFunction]
+    val winExpr = WindowExpression(
+      AggregateExpression(winFn, Complete, isDistinct = false, filter = None),
+      WindowSpecDefinition(partitionAttrs, Nil,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)))
+    val winAlias = Alias(winExpr, "__graft_argmax")()
+    val win = Window(Seq(winAlias), partitionAttrs, Nil, winChild)
+    val filterPred = (partitionAttrs.map(IsNotNull(_): Expression) ++
+      mPartners.map(p => EqualTo(p, winAlias.toAttribute): Expression))
+      .reduce(And)
+    val filtered = Filter(filterPred, win)
+
+    if (semi) {
+      Some(Project(probe.output, filtered))
+    } else {
+      // re-emit the aggregate side's columns from probe values under the
+      // join's original exprIds (equal on every surviving row)
+      val aggSideAliases: Seq[NamedExpression] = aggSide.output.map { out =>
+        aggSideOutToAggOut.get(out.exprId) match {
+          case Some(id) if id == mOutId =>
+            Alias(mPartners.head, out.name)(exprId = out.exprId,
+              qualifier = out.qualifier)
+          case Some(id) =>
+            val g = groupOut.getOrElse(id, return None)
+            val twin = probeTwin(g.exprId).getOrElse(return None)
+            Alias(twin, out.name)(exprId = out.exprId, qualifier = out.qualifier)
+          case None => return None
+        }
+      }
+      val projList: Seq[NamedExpression] =
+        if (aggOnRight) probe.output ++ aggSideAliases
+        else aggSideAliases ++ probe.output
+      Some(Project(projList, filtered))
+    }
+  }
+}
+
+object ArgMaxJoinRule {
+  /** ON by default; set false to keep Spark's join plan. */
+  val RewriteConf = "spark.graft.argmaxJoin.rewrite"
+}

@@ -1,0 +1,226 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The greatest-n-per-group self-join elimination (`ArgMaxJoinRule`).
+  *
+  * Every parity test runs the SAME SQL twice — rule on (the session
+  * default) vs `spark.graft.argmaxJoin.rewrite=false` — and compares full
+  * row MULTISETS, so tie duplication and null semantics are checked
+  * exactly, not just counts.
+  */
+class ArgMaxJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val fixture: Unit = {
+    // parquet-backed (like real usage): LocalRelation fixtures get pruned
+    // INSIDE the relation node, which hides the self-join lineage
+    val dir = java.nio.file.Files.createTempDirectory("amx_").toString
+    // null keys, null values, ties at the max, a single-row group
+    val rows = Seq[(Option[Int], Option[Int], Long)](
+      (Some(1), Some(10), 1L), (Some(1), Some(10), 2L), (Some(1), Some(3), 3L),
+      (Some(2), Some(7), 4L), (Some(2), None, 5L),
+      (Some(3), None, 6L), // all-null group: max is NULL, joins nothing
+      (None, Some(99), 7L), // null key: joins nothing
+      (Some(4), Some(0), 8L))
+    rows.toDF("k", "v", "id").write.parquet(s"$dir/amx")
+    spark.read.parquet(s"$dir/amx").createOrReplaceTempView("amx")
+    val big = (1 to 2000).map(i => (i % 37, i % 101, i.toLong))
+    big.toDF("k", "v", "id").write.parquet(s"$dir/amx_big")
+    spark.read.parquet(s"$dir/amx_big").createOrReplaceTempView("amx_big")
+  }
+
+  private def multiset(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.toString).groupBy(identity).map { case (s, a) => s -> a.length }
+
+  /** Runs sql with the rule on and off; asserts identical multisets and
+    * returns whether the optimized (rule-on) plan is join-free.
+    */
+  private def parity(sql: String): Boolean = {
+    fixture
+    val on = spark.sql(sql)
+    val joinFree = on.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty
+    val got = multiset(on)
+    spark.conf.set(ArgMaxJoinRule.RewriteConf, "false")
+    try {
+      val want = multiset(spark.sql(sql))
+      assert(got === want, s"rule-on result diverged for:\n$sql")
+    } finally spark.conf.set(ArgMaxJoinRule.RewriteConf, "true")
+    joinFree
+  }
+
+  test("inner greatest-n-per-group join rewrites to a join-free plan") {
+    assert(parity(
+      """SELECT t.id, t.k, t.v, a.m
+        |FROM amx t JOIN (SELECT k, max(v) AS m FROM amx GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m""".stripMargin),
+      "expected the join to be eliminated")
+  }
+
+  test("ties at the max all survive, exactly like the join") {
+    fixture
+    val rows = spark.sql(
+      """SELECT t.id FROM amx t
+        |JOIN (SELECT k, max(v) AS m FROM amx GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m WHERE t.k = 1""".stripMargin)
+      .as[Long].collect().sorted
+    assert(rows === Array(1L, 2L))
+  }
+
+  test("agg side on the LEFT of the join rewrites too") {
+    assert(parity(
+      """SELECT a.k AS gk, a.m, t.id
+        |FROM (SELECT k, max(v) AS m FROM amx GROUP BY k) a JOIN amx t
+        |ON t.k = a.k AND t.v = a.m""".stripMargin),
+      "expected the mirrored join to be eliminated")
+  }
+
+  test("IN-subquery spelling (LeftSemi) rewrites") {
+    assert(parity(
+      """SELECT id, k, v FROM amx
+        |WHERE (k, v) IN (SELECT k, max(v) FROM amx GROUP BY k)""".stripMargin),
+      "expected the semi join to be eliminated")
+  }
+
+  test("global (ungrouped) max join rewrites") {
+    assert(parity(
+      """SELECT t.id, t.v FROM amx_big t
+        |JOIN (SELECT max(v) AS m FROM amx_big) a ON t.v = a.m""".stripMargin),
+      "expected the global-max join to be eliminated")
+  }
+
+  test("min / sum / count / avg all hold parity") {
+    for (fn <- Seq("min(v)", "sum(v)", "count(v)", "count(*)", "avg(v)")) {
+      // compared column must match the aggregate's type
+      val cmp = fn match {
+        case "sum(v)" | "count(v)" | "count(*)" => "CAST(t.id AS BIGINT)"
+        case "avg(v)" => "CAST(t.v AS DOUBLE)"
+        case _ => "t.v"
+      }
+      assert(parity(
+        s"""SELECT t.id, t.k FROM amx_big t
+           |JOIN (SELECT k, $fn AS m FROM amx_big GROUP BY k) a
+           |ON t.k = a.k AND $cmp = a.m""".stripMargin),
+        s"expected elimination for $fn")
+    }
+  }
+
+  test("multi-key grouping rewrites") {
+    assert(parity(
+      """SELECT t.id FROM amx_big t
+        |JOIN (SELECT k, v % 3 AS ignored_probe, max(id) AS m
+        |      FROM amx_big GROUP BY k, v % 3) a
+        |ON t.k = a.k AND t.id = a.m""".stripMargin) === false)
+    // computed grouping key → refusal (plan keeps its join) but results
+    // must still match — the parity call above already asserted that.
+  }
+
+  test("refusals: different lineages, extra predicates, non-twin keys, DISTINCT, HAVING") {
+    fixture
+    val refusals = Seq(
+      // different tables
+      """SELECT t.id FROM amx t
+        |JOIN (SELECT k, max(v) AS m FROM amx_big GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m""".stripMargin,
+      // extra join predicate
+      """SELECT t.id FROM amx_big t
+        |JOIN (SELECT k, max(v) AS m FROM amx_big GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m AND t.id > 5""".stripMargin,
+      // non-twin key pairing (t.v against the group key)
+      """SELECT t.id FROM amx_big t
+        |JOIN (SELECT k, max(id) AS m FROM amx_big GROUP BY k) a
+        |ON t.v = a.k AND t.id = a.m""".stripMargin,
+      // DISTINCT aggregate (window functions cannot run DISTINCT)
+      """SELECT t.id FROM amx_big t
+        |JOIN (SELECT k, count(DISTINCT v) AS m FROM amx_big GROUP BY k) a
+        |ON t.k = a.k AND CAST(t.id AS BIGINT) = a.m""".stripMargin,
+      // HAVING residue above the aggregate
+      """SELECT t.id FROM amx_big t
+        |JOIN (SELECT k, max(v) AS m FROM amx_big GROUP BY k HAVING max(v) > 50) a
+        |ON t.k = a.k AND t.v = a.m""".stripMargin)
+    refusals.foreach { sql =>
+      assert(parity(sql) === false, s"rule must refuse but keep parity:\n$sql")
+    }
+  }
+
+  test("nondeterministic lineage refuses") {
+    fixture
+    val df = spark.sql("SELECT k, v, id, rand() AS r FROM amx_big")
+    df.createOrReplaceTempView("amx_rand")
+    val q = spark.sql(
+      """SELECT t.id FROM amx_rand t
+        |JOIN (SELECT k, max(r) AS m FROM amx_rand GROUP BY k) a
+        |ON t.k = a.k AND t.r = a.m""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty,
+      "must not collapse a nondeterministic self-join")
+  }
+
+  test("opt-out conf keeps Spark's join plan") {
+    fixture
+    spark.conf.set(ArgMaxJoinRule.RewriteConf, "false")
+    try {
+      val q = spark.sql(
+        """SELECT t.id FROM amx t
+          |JOIN (SELECT k, max(v) AS m FROM amx GROUP BY k) a
+          |ON t.k = a.k AND t.v = a.m""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.collect { case j: Join => j }.nonEmpty)
+    } finally spark.conf.set(ArgMaxJoinRule.RewriteConf, "true")
+  }
+
+  test("randomized parity battery: seeded data x {max,min,sum,count}, on == off") {
+    val dir = java.nio.file.Files.createTempDirectory("amx_rand_").toString
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val rows = (1 to 400).map { i =>
+        val k = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(12))
+        val v = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(40))
+        (k, v, i.toLong)
+      }
+      rows.toDF("k", "v", "id").write.mode("overwrite").parquet(s"$dir/t$seed")
+      spark.read.parquet(s"$dir/t$seed").createOrReplaceTempView("amx_rnd")
+      for (fn <- Seq("max(v)", "min(v)", "sum(v)", "count(v)")) {
+        val cmp = fn match {
+          case "sum(v)" | "count(v)" => "CAST(t.id AS BIGINT)"
+          case _ => "t.v"
+        }
+        val joinFree = parity(
+          s"""SELECT t.id, t.k, t.v, a.m FROM amx_rnd t
+             |JOIN (SELECT k, $fn AS m FROM amx_rnd GROUP BY k) a
+             |ON t.k = a.k AND $cmp = a.m""".stripMargin)
+        assert(joinFree, s"seed=$seed fn=$fn did not eliminate the join")
+      }
+    }
+  }
+
+  test("parquet-backed latest-order-per-customer plans one scan, no join") {
+    val orders = spark.read.parquet(s"${TestSpark.Sf0001}/orders.parquet")
+    orders.createOrReplaceTempView("amx_orders")
+    val q = spark.sql(
+      """SELECT t.o_orderkey, t.o_custkey, t.o_orderdate
+        |FROM amx_orders t
+        |JOIN (SELECT o_custkey, max(o_orderdate) AS m
+        |      FROM amx_orders GROUP BY o_custkey) a
+        |ON t.o_custkey = a.o_custkey AND t.o_orderdate = a.m""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"join survived:\n${q.queryExecution.optimizedPlan}")
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected exactly one scan:\n${q.queryExecution.executedPlan}")
+    // cross-check against the join form with the rule off
+    spark.conf.set(ArgMaxJoinRule.RewriteConf, "false")
+    try {
+      val want = multiset(spark.sql(
+        """SELECT t.o_orderkey, t.o_custkey, t.o_orderdate
+          |FROM amx_orders t
+          |JOIN (SELECT o_custkey, max(o_orderdate) AS m
+          |      FROM amx_orders GROUP BY o_custkey) a
+          |ON t.o_custkey = a.o_custkey AND t.o_orderdate = a.m""".stripMargin))
+      assert(multiset(q) === want)
+    } finally spark.conf.set(ArgMaxJoinRule.RewriteConf, "true")
+  }
+}

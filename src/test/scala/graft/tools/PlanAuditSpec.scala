@@ -783,6 +783,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x131: expected RangeAggExec:\n${p.take(1500)}")
   }
 
+  test("x132 argmax self-join is eliminated: no join, exactly one scan") {
+    // r13: the greatest-n-per-group anti-pattern (two scans + aggregate
+    // exchange + join exchange as written) collapses to ONE scan through
+    // ArgMaxJoinRule — at 100 TB that is one corpus read instead of two
+    // plus a join shuffle
+    val p = plan("x132_argmax_join")
+    assert(!p.contains("Join"), s"x132: the self-join survived:\n${p.take(1500)}")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"x132: expected exactly one scan, got $scans:\n${p.take(1500)}")
+  }
+
   test("x125 nth/ignore-nulls-lag: the value-ring arms arrive window-free") {
     // VERDICT r11 #6 end-to-end: nth_value(n>1) (respect + ignore nulls,
     // running + bounded) and ignore-nulls lag(n>1), global AND keyed —

@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("lint_").toString
+    (1 to 500).map(i => (i.toLong, i % 7, i % 50)).toDF("id", "k", "v")
+      .write.parquet(s"$d/t")
+    d
+  }
+
+  private def t = spark.read.parquet(s"$dir/t")
+
+  private def rules(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    PlanLint.findings(df).map(_.rule)
+
+  test("a clean aggregate reports only the shuffle census") {
+    val f = PlanLint.findings(t.groupBy("k").agg(sum("v")))
+    assert(f.map(_.rule) === Seq("shuffle-census"))
+    assert(f.head.detail.startsWith("1 shuffle"))
+  }
+
+  test("cartesian product is an error finding") {
+    val big = t
+    val other = t.withColumnRenamed("id", "id2")
+      .withColumnRenamed("k", "k2").withColumnRenamed("v", "v2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val f = PlanLint.findings(big.crossJoin(other))
+      assert(f.exists(x => x.rule == "cartesian-product" && x.severity == "error"),
+        f.mkString("\n"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("broadcast nested-loop join is a warn finding") {
+    val small = Seq((1, "a")).toDF("sk", "sv")
+    val f = PlanLint.findings(t.crossJoin(small))
+    assert(f.exists(x => x.rule == "nested-loop-join" && x.severity == "warn"),
+      f.mkString("\n"))
+  }
+
+  test("unpartitioned window is an error; healed plan is clean") {
+    val w = Window.orderBy("id")
+    val q = t.withColumn("rn", row_number().over(w))
+    // with the extensions active the rewrite family heals it — no finding
+    assert(!rules(q).contains("unpartitioned-window"), rules(q).mkString(","))
+    spark.conf.set("spark.graft.globalRank.rewrite", "false")
+    try {
+      val f = PlanLint.findings(t.withColumn("rn", row_number().over(w)))
+      assert(f.exists(x => x.rule == "unpartitioned-window" && x.severity == "error"),
+        f.mkString("\n"))
+    } finally spark.conf.set("spark.graft.globalRank.rewrite", "true")
+  }
+
+  test("a surviving keyed window is an info finding") {
+    spark.conf.set("spark.graft.keyedWindow.rewrite", "false")
+    try {
+      val w = Window.partitionBy("k").orderBy("id")
+      val f = PlanLint.findings(t.withColumn("s", sum("v").over(w)))
+      assert(f.exists(x => x.rule == "keyed-window" && x.severity == "info"),
+        f.mkString("\n"))
+    } finally spark.conf.set("spark.graft.keyedWindow.rewrite", "true")
+  }
+
+  test("untranslatable scan predicate reports an unpushed filter; pushable one does not") {
+    val f1 = PlanLint.findings(t.filter(abs($"v") > 30))
+    assert(f1.exists(_.rule == "unpushed-scan-filter"), f1.mkString("\n"))
+    val f2 = PlanLint.findings(t.filter($"v" > 30))
+    assert(!f2.exists(_.rule == "unpushed-scan-filter"), f2.mkString("\n"))
+  }
+
+  test("findings are deterministic and exprId-free") {
+    spark.conf.set("spark.graft.globalRank.rewrite", "false")
+    try {
+      def bad = t.filter(abs($"v") > 30)
+        .withColumn("rn", row_number().over(Window.orderBy("id")))
+      val a = PlanLint.findings(bad)
+      val b = PlanLint.findings(bad)
+      assert(a === b)
+      assert(!a.exists(_.detail.matches(".*#\\d+.*")), a.mkString("\n"))
+    } finally spark.conf.set("spark.graft.globalRank.rewrite", "true")
+  }
+}

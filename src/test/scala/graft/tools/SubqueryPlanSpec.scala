@@ -51,9 +51,17 @@ class SubqueryPlanSpec extends AnyFunSuite {
     noProduct(p, "q22")
   }
 
-  test("q2 per-nation max decorrelates to aggregate + equi-join") {
+  test("q2 per-nation max decorrelates, then the argmax join is eliminated (r13)") {
+    // Catalyst decorrelates the per-nation max scalar subquery into an
+    // aggregate + equi-join on s_nationkey; since round 13,
+    // ArgMaxJoinRule collapses THAT into a single-scan windowed filter,
+    // which the keyed-window family plans as the zero-exchange
+    // KeyedTotalAgg — the supplier table is read ONCE and never joined
+    // against its own aggregate
     val p = plan("q2_top_supplier_per_nation")
-    assert(p.contains("HashAggregate"), "no decorrelated aggregate")
+    assert(p.contains("KeyedTotalAgg"), s"expected the argmax heal:\n$p")
+    assert(p.linesIterator.count(_.contains("supplier.parquet")) === 1,
+      "supplier must be scanned exactly once")
     noProduct(p, "q2")
   }
 
