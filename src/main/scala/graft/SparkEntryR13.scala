@@ -99,6 +99,41 @@ object SparkEntryR13 {
       } finally s.conf.set("spark.graft.globalRank.rewrite", prev)
     }),
 
+    // ---- X134: INWARD half-unbounded value frames — the RANGE bound
+    // lattice completed (SURVEY §7.4.11 lifted) ----
+    //
+    // `UNBOUNDED PRECEDING AND k PRECEDING` ("strict history": everything
+    // except the trailing k-band — audit views that must exclude a
+    // settlement window) and `k FOLLOWING AND UNBOUNDED FOLLOWING`
+    // ("strict future": mass at least k ahead — lockup/cooldown views).
+    // With x131's outward shapes and the whole-frame total, EVERY RANGE
+    // bound combination now heals. The inward seeds are BAND-SPLIT:
+    // pass-1 segment totals cut at the harvest boundary, rows leaving
+    // the driver's context retention folded into the seed, band rows
+    // travelling as ordinary context tuples admitted per run. The keyed
+    // arms prove the key-scoped chaining; `PlanAuditSpec` pins all four
+    // windows Window-free.
+    "x134_range_lattice" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("x134_documents")
+      s.sql(
+        """SELECT doc_id,
+          |  sum(n_chars) OVER (ORDER BY n_chars
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND 100 PRECEDING)
+          |    AS hist100,
+          |  count(*) OVER (ORDER BY n_chars
+          |    RANGE BETWEEN 50 FOLLOWING AND UNBOUNDED FOLLOWING)
+          |    AS fut50,
+          |  sum(n_chars) OVER wk AS lang_hist,
+          |  count(*) OVER wf AS lang_fut
+          |FROM x134_documents
+          |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+          |WINDOW wk AS (PARTITION BY lang ORDER BY n_chars
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND 100 PRECEDING),
+          |  wf AS (PARTITION BY lang ORDER BY n_chars
+          |    RANGE BETWEEN 50 FOLLOWING AND UNBOUNDED FOLLOWING)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     "x131_half_unbounded" -> ((s, d) => {
       Tables.documents(s, d).createOrReplaceTempView("x131_documents")
       s.sql(
@@ -156,6 +191,26 @@ object SparkEntryR13 {
         |  ('unpushed-scan-filter', 'warn', 'Scan',
         |   '1 of 2 scan filter(s) not pushed down: predicate runs post-materialization on every row read')
         |) AS t(rule, severity, node, detail)""".stripMargin,
+
+    // DuckDB widens sum(INT) to HUGEINT → cast back; an empty inward
+    // frame sums to NULL and counts 0 on both engines
+    "x134_range_lattice" ->
+      """SELECT doc_id,
+        |  CAST(sum(n_chars) OVER (ORDER BY n_chars
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 100 PRECEDING)
+        |    AS BIGINT) AS hist100,
+        |  count(*) OVER (ORDER BY n_chars
+        |    RANGE BETWEEN 50 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |    AS fut50,
+        |  CAST(sum(n_chars) OVER wk AS BIGINT) AS lang_hist,
+        |  count(*) OVER wf AS lang_fut
+        |FROM documents
+        |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        |WINDOW wk AS (PARTITION BY lang ORDER BY n_chars
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 100 PRECEDING),
+        |  wf AS (PARTITION BY lang ORDER BY n_chars
+        |    RANGE BETWEEN 50 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |ORDER BY doc_id""".stripMargin,
 
     // DuckDB widens sum(INT) to HUGEINT → cast back; counts are BIGINT
     // on both engines

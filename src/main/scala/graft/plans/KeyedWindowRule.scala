@@ -164,14 +164,24 @@ private[plans] object WindowShapes {
             // total plan), and `UNBOUNDED PRECEDING AND CURRENT ROW`
             // was already taken by the running arm upstream.
             //
-            // The partner bound must NOT cut into the seeded side:
-            // a prefix seed is the WHOLE earlier chain, exact only when
-            // every local frame still covers it — up ≥ 0 (the head run's
-            // horizon v+up then clears the previous partition's tail);
-            // mirrored, a suffix seed needs lo ≤ 0. The excluded shapes
-            // (`UNBOUNDED PRECEDING AND k PRECEDING`, `k FOLLOWING AND
-            // UNBOUNDED FOLLOWING`) would need band-split seed
-            // accounting — they keep Spark's plan (SURVEY §7.4).
+            // A partner bound that CUTS INTO the seeded side (r13, the
+            // last two cells of the RANGE bound lattice): `UNBOUNDED
+            // PRECEDING AND k PRECEDING` excludes the previous chain's
+            // trailing k-band from the prefix seed, and `k FOLLOWING AND
+            // UNBOUNDED FOLLOWING` excludes the following chain's head
+            // band from the suffix seed. These now heal via BAND-SPLIT
+            // seeds: pass 1 cuts each partition's segment total at its
+            // harvest boundary, the driver folds rows leaving the
+            // context retention into the seed accumulators (FIFO, below
+            // every later consumer's frame edge by the retention
+            // invariant), and the band rows travel as the SAME boundary
+            // context tuples the bounded frames already ship, admitted
+            // per run by the staging gate / slider eviction. Because
+            // band rows reach the seed through eviction paths whose
+            // stream order the suffix mirror cannot always keep, the
+            // inward shapes are restricted to COMMUTATIVE-fold
+            // aggregates (sum/count/min/max/avg); First/Last and the
+            // nth rings keep Spark's plan there.
             def nonNegative(b: RangeFrames.RBound): Boolean = b match {
               case RangeFrames.RFixed(d) => d >= 0L
               case RangeFrames.RMonths(m) => m >= 0
@@ -181,6 +191,11 @@ private[plans] object WindowShapes {
               case RangeFrames.RFixed(d) => d <= 0L
               case RangeFrames.RMonths(m) => m <= 0
               case RangeFrames.RUnbounded => false
+            }
+            def commutativeAgg(f: AggregateFunction): Boolean = f match {
+              case _: Sum | _: Min | _: Max | _: Count | _: Average =>
+                f.isInstanceOf[DeclarativeAggregate]
+              case _ => false
             }
             val loOpt = loE match {
               case UnboundedPreceding => Some(RangeFrames.RUnbounded)
@@ -194,14 +209,17 @@ private[plans] object WindowShapes {
               lo <- loOpt
               up <- upOpt
               if !(lo == RangeFrames.RUnbounded && up == RangeFrames.RUnbounded)
-              if lo != RangeFrames.RUnbounded || nonNegative(up)
-              if up != RangeFrames.RUnbounded || nonPositive(lo)
               if RangeFrames.boundsOrdered(lo, up)
               anyUnb = lo == RangeFrames.RUnbounded || up == RangeFrames.RUnbounded
+              inward = (lo == RangeFrames.RUnbounded && !nonNegative(up)) ||
+                (up == RangeFrames.RUnbounded && !nonPositive(lo))
               ae <- (fn match {
                 case ae @ AggregateExpression(f, Complete, false, None, _)
-                    if supportedAgg(f) || (boundedOnlyAgg(f) && !anyUnb) => Some(ae)
-                case _ => nthAggOf(fn)
+                    if (if (inward) commutativeAgg(f)
+                        else supportedAgg(f) || (boundedOnlyAgg(f) && !anyUnb)) =>
+                  Some(ae)
+                case _ if !inward => nthAggOf(fn)
+                case _ => None
               })
             } yield (ae, lo, up)
           case _ => None

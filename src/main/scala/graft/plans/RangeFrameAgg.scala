@@ -295,16 +295,49 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
   protected override def doExecute(): RDD[InternalRow] = {
     val maxHarvest =
       conf.getConfString(GlobalRankRule.MaxRangeRowsConf, "16384").toInt
-    // a partition ships up to maxHarvest BACK tuples plus, when any frame
-    // has a FOLLOWING bound, maxHarvest FORWARD tuples — budget the true
-    // per-partition reach
-    val anyFollowing = ups.exists {
-      case RangeFrames.RFixed(d) => d > 0L
-      case RangeFrames.RMonths(m) => m > 0
-      case RangeFrames.RUnbounded => false // suffix ships seeds, not harvests
+    val orderExprEarly = order.head.child
+    val orderTypeEarly = orderExprEarly.dataType
+    // half-unbounded classification is needed up front: INWARD shapes
+    // (r13 — a partner bound that cuts into the seeded side) extend the
+    // harvest reaches, which feed the shipping budget below
+    val prefixArr: Array[Boolean] = los.map(_ == RangeFrames.RUnbounded).toArray
+    val suffixArr: Array[Boolean] = ups.map(_ == RangeFrames.RUnbounded).toArray
+    def backReachOf(b: RangeFrames.RBound): Long = b match {
+      case RangeFrames.RUnbounded => 0L // prefix seeds, not harvests
+      case RangeFrames.RFixed(d) => math.max(0L, -d)
+      case RangeFrames.RMonths(m) =>
+        if (m >= 0) 0L else RangeFrames.reachOf(b, orderTypeEarly)
     }
+    def fwdReachOf(b: RangeFrames.RBound): Long = b match {
+      case RangeFrames.RUnbounded => 0L // suffix seeds, not harvests
+      case RangeFrames.RFixed(d) => math.max(0L, d)
+      case RangeFrames.RMonths(m) =>
+        if (m <= 0) 0L else RangeFrames.reachOf(b, orderTypeEarly)
+    }
+    // INWARD prefix (`UNBOUNDED PRECEDING AND k PRECEDING`): the previous
+    // chain's trailing k-band must travel as BACK context (the seed is
+    // band-cut), so a negative upper bound contributes back reach.
+    // Mirrored, an inward suffix's positive lower bound contributes
+    // forward reach.
+    val preInArr: Array[Boolean] = prefixArr.zip(ups).map {
+      case (true, u) => backReachOf(u) > 0L
+      case _ => false
+    }
+    val sufInArr: Array[Boolean] = suffixArr.zip(los).map {
+      case (true, l) => fwdReachOf(l) > 0L
+      case _ => false
+    }
+    val anyPreIn = preInArr.exists(identity)
+    val anySufIn = sufInArr.exists(identity)
+    val maxBack = (los.map(backReachOf) ++
+      ups.zip(prefixArr).collect { case (u, true) => backReachOf(u) }).max
+    val maxFwd = (ups.map(fwdReachOf) ++
+      los.zip(suffixArr).collect { case (l, true) => fwdReachOf(l) }).max
+    // a partition ships up to maxHarvest BACK tuples plus, when anything
+    // needs a forward harvest, maxHarvest FORWARD tuples — budget the
+    // true per-partition reach
     val budgetReach =
-      if (anyFollowing) 2L * maxHarvest else maxHarvest.toLong
+      if (maxFwd > 0L) 2L * maxHarvest else maxHarvest.toLong
     val childRdd = BoundaryBudget.bound(child.execute(), budgetReach,
       conf.getConfString(BoundaryBudget.Conf,
         BoundaryBudget.Default.toString).toLong)
@@ -312,8 +345,8 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = partKeys
     val keyed = keyExprs.nonEmpty
     val outAttrs = aggAttrs
-    val orderExpr = order.head.child
-    val orderType = orderExpr.dataType
+    val orderExpr = orderExprEarly
+    val orderType = orderTypeEarly
     val funcs: Seq[DeclarativeAggregate] =
       aggs.map(GlobalRunningAggExec.innerAggregate(_).aggregateFunction
         .asInstanceOf[DeclarativeAggregate])
@@ -346,40 +379,23 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     val upArr = ups.toArray
     val nAggs = loArr.length
     val timeZoneId = conf.sessionLocalTimeZone
-    // back reach: how far BEHIND a row's value any frame can start;
-    // fwd reach: how far AHEAD any frame can end. CONSERVATIVE for
-    // month bounds (≤ 31 days + slack per month — over-keeping is safe,
-    // the exact per-run edges evict the excess in pass 2)
-    def backReach(b: RangeFrames.RBound): Long = b match {
-      case RangeFrames.RUnbounded => 0L // prefix seeds, not harvests
-      case RangeFrames.RFixed(d) => math.max(0L, -d)
-      case RangeFrames.RMonths(m) =>
-        if (m >= 0) 0L else RangeFrames.reachOf(b, orderType)
-    }
-    def fwdReach(b: RangeFrames.RBound): Long = b match {
-      case RangeFrames.RUnbounded => 0L // suffix seeds, not harvests
-      case RangeFrames.RFixed(d) => math.max(0L, d)
-      case RangeFrames.RMonths(m) =>
-        if (m <= 0) 0L else RangeFrames.reachOf(b, orderType)
-    }
-    val maxBack = loArr.map(backReach).max
-    val maxFwd = upArr.map(fwdReach).max
     val anyFwd = maxFwd > 0L
     // half-unbounded outputs (r12 #3): unbounded-PRECEDING outputs fold a
     // seeded prefix buffer (no row retention); unbounded-FOLLOWING outputs
     // hold runs pending until the partition/key flush and merge a suffix
     // seed. Both need per-partition SEGMENT TOTALS (pass-1 partials of the
-    // first/last key segment, ALL rows incl. null-ordered) driver-merged
-    // along the partition chain — the running exec's merge contract.
-    val prefixArr: Array[Boolean] = loArr.map(_ == RangeFrames.RUnbounded)
-    val suffixArr: Array[Boolean] = upArr.map(_ == RangeFrames.RUnbounded)
+    // first/last key segment) driver-merged along the partition chain —
+    // the running exec's merge contract. INWARD shapes (r13) BAND-CUT
+    // those segments at the harvest boundary: the band rows travel as
+    // the ordinary boundary context tuples and the driver folds rows
+    // leaving the context retention into the seed accumulators.
     val anyPrefix = prefixArr.exists(identity)
     val anySuffix = suffixArr.exists(identity)
     val needSegs = anyPrefix || anySuffix
     // outputs whose frame can never extend past the current run's value:
     // they finalize eagerly, so pure-trailing nodes stream with zero lag
     val eagerArr: Array[Boolean] = upArr.map(u =>
-      u != RangeFrames.RUnbounded && fwdReach(u) == 0L)
+      u != RangeFrames.RUnbounded && fwdReachOf(u) == 0L)
     val numOutputRows = longMetric("numOutputRows")
 
     import RangeFrames.{longAt, satAdd}
@@ -428,6 +444,26 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         def segSnapshot(): Array[InternalRow] =
           segUpd.map(_._1.copy(): InternalRow)
         def segReset(): Unit = segUpd.foreach(_._2(InternalRow.empty))
+        def segFold(fi: Int, t: InternalRow): Unit =
+          segUpd(fi)._3(segJoin(segUpd(fi)._1, t))
+        // inward band-cut folds: a row evicted from the BACK harvest is
+        // provably below every later consumer's frame edge (retention
+        // invariant, maxBack ≥ each inward |up|), so it belongs in the
+        // inward-prefix segments — FIFO, so even order-sensitive buffers
+        // would stay exact; cap evictions are guarded by the stitch's
+        // existing drop refusal
+        def foldPreIn(t: InternalRow): Unit = {
+          var fi = 0
+          while (fi < preInArr.length) {
+            if (preInArr(fi)) segFold(fi, t); fi += 1
+          }
+        }
+        def foldSufIn(t: InternalRow): Unit = {
+          var fi = 0
+          while (fi < sufInArr.length) {
+            if (sufInArr(fi)) segFold(fi, t); fi += 1
+          }
+        }
         // fwd harvest state: threshold fixes at the FIRST non-null value;
         // keyed, the harvest stops at the first key change (frames never
         // cross keys, so only the FIRST key can serve earlier partitions)
@@ -451,12 +487,12 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             }
           }
           val t = proj(r).copy()
-          if (needSegs) {
-            var fi = 0
-            while (fi < segUpd.length) {
-              segUpd(fi)._3(segJoin(segUpd(fi)._1, t)); fi += 1
-            }
-          }
+          // routing (r13 inward band-split): inward-PREFIX segments take
+          // rows only as they LEAVE the back harvest (the retained band
+          // is context, not seed); inward-SUFFIX segments take rows that
+          // never enter (or are cap-popped from) the forward harvest;
+          // everything else folds at arrival, as before
+          var addedFwd = false
           if (!seenFirst) {
             seenFirst = true
             firstIsNull = t.isNullAt(orderIdx)
@@ -469,7 +505,8 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             // natural retention: provably outside every later threshold
             while (dq.nonEmpty && (dq.head.isNullAt(orderIdx) ||
                 longAt(dq.head, orderIdx, orderType) < thr)) {
-              dq.removeHead()
+              val e = dq.removeHead()
+              if (anyPreIn && needSegs) foldPreIn(e)
             }
             // forward harvest: leading non-null tuples within maxFwd of
             // the first non-null value (a superset of what any earlier
@@ -478,18 +515,31 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
               if (!fwdThrSet) { fwdThr = satAdd(v, maxFwd); fwdThrSet = true }
               if (v <= fwdThr) {
                 fwd.append(t)
+                addedFwd = true
                 if (fwd.length > maxHarvest) {
                   val h = fwd.removeLast() // keep the NEAREST tuples
                   fwdDrop = true
                   fwdDropMin = math.min(fwdDropMin,
                     longAt(h, orderIdx, orderType))
+                  // the popped row (the just-appended, farthest one)
+                  // leaves the harvest — inward-suffix segments take it
+                  // here; the fwd-stitch drop refusal guards the serve
+                  if (anySufIn && needSegs) foldSufIn(h)
                 }
               } else fwdOpen = false
+            }
+          }
+          if (needSegs) {
+            var fi = 0
+            while (fi < segUpd.length) {
+              if (!preInArr(fi) && !(sufInArr(fi) && addedFwd)) segFold(fi, t)
+              fi += 1
             }
           }
           dq.append(t)
           if (dq.length > maxHarvest) {
             val h = dq.removeHead()
+            if (anyPreIn && needSegs) foldPreIn(h)
             if (!h.isNullAt(orderIdx)) {
               backDrop = true
               backDropMax = math.max(backDropMax,
@@ -506,10 +556,19 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     // ---- driver stitch ----------------------------------------------------
     val nPart = boundary.length
     val backCtx = new Array[Array[InternalRow]](nPart)
+    // inward-prefix band accounting (r13): rows the context retention
+    // lets go of are provably below every later consumer's frame edge
+    // (retention invariant: value < fVal − maxBack ≤ fVal + up for every
+    // inward up), so they move from CONTEXT to SEED — logged per served
+    // partition and folded into the inward seed slots by the prefix-seed
+    // walk below. A chain break discards the log with the retention.
+    val preInLog: Array[Array[InternalRow]] =
+      if (anyPreIn) new Array[Array[InternalRow]](nPart) else null
     locally {
       // forward walk with the same retention → back contexts
       val running = scala.collection.mutable.ArrayDeque.empty[InternalRow]
       var runningKey: InternalRow = null
+      val letGo = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       var gDrop = false
       var gDropVal = Long.MinValue
       var p = 0
@@ -520,14 +579,26 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         // key change is always followed by that row's append)
         if (harvest.isEmpty) {
           backCtx(p) = Array.empty
+          if (anyPreIn) preInLog(p) = Array.empty
         } else {
           val continues = !keyed ||
             (runningKey != null && fk != null &&
               KeyedWindowExec.keyEq(fk, runningKey))
-          if (!continues || fNull || running.isEmpty) {
+          if (!continues || running.isEmpty) {
             backCtx(p) = Array.empty
+            if (anyPreIn) preInLog(p) = Array.empty
+          } else if (fNull) {
             // a null first value's peers are wholly local (range
-            // partitioning groups equal keys), so no context is correct
+            // partitioning groups equal keys), so no context is correct —
+            // but for INWARD-prefix outputs the earlier chain (all null-
+            // ordered rows, since nulls sort first) belongs in the seed
+            backCtx(p) = Array.empty
+            if (anyPreIn) {
+              letGo ++= running
+              running.clear()
+              preInLog(p) = letGo.toArray
+              letGo.clear()
+            }
           } else {
             val thr = satAdd(fVal, -maxBack)
             if (gDrop && gDropVal >= thr) RangeFrames.overflow(maxHarvest, "back stitch")
@@ -537,6 +608,15 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
               i += 1
             }
             backCtx(p) = Array.tabulate(running.length - i)(j => running(i + j))
+            if (anyPreIn) {
+              // below-threshold rows will never serve a later context
+              // either (thresholds are monotone) — fold them into the
+              // inward seeds now and drop them from the retention
+              var j = 0
+              while (j < i) { letGo += running.removeHead(); j += 1 }
+              preInLog(p) = letGo.toArray
+              letGo.clear()
+            }
           }
         }
         // fold p's harvest into the running deque (key-aware)
@@ -544,6 +624,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           if (keyed &&
               (runningKey == null || !KeyedWindowExec.keyEq(lk, runningKey))) {
             running.clear()
+            letGo.clear()
             gDrop = false; gDropVal = Long.MinValue
           }
           if (hDrop) { gDrop = true; gDropVal = math.max(gDropVal, hDropVal) }
@@ -553,11 +634,13 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             val thr = satAdd(longAt(last, orderIdx, orderType), -maxBack)
             while (running.nonEmpty && (running.head.isNullAt(orderIdx) ||
                 longAt(running.head, orderIdx, orderType) < thr)) {
-              running.removeHead()
+              val e = running.removeHead()
+              if (anyPreIn) letGo += e
             }
           }
           while (running.length > maxHarvest) {
             val h = running.removeHead()
+            if (anyPreIn) letGo += h
             if (!h.isNullAt(orderIdx)) {
               gDrop = true
               gDropVal = math.max(gDropVal,
@@ -570,6 +653,13 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       }
     }
     val fwdCtx = new Array[Array[InternalRow]](nPart)
+    // inward-suffix band accounting (r13, mirror of preInLog): rows the
+    // forward retention lets go of sit ABOVE every earlier consumer's
+    // frame start (value > lastVal + maxFwd ≥ lastVal + lo for every
+    // inward lo), so they move from CONTEXT to SEED — logged per served
+    // partition and folded by the suffix-seed walk below.
+    val sufInLog: Array[Array[InternalRow]] =
+      if (anySufIn) new Array[Array[InternalRow]](nPart) else null
     if (anyFwd && nPart > 0) {
       // backward walk → forward contexts. `coming` = non-null tuples from
       // later partitions, ascending, nearest first — keyed, all of ONE
@@ -579,6 +669,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       // frames never cross keys.
       val coming = scala.collection.mutable.ArrayDeque.empty[InternalRow]
       var comingKey: InternalRow = null
+      val letGoS = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       var gDrop = false
       var gDropMin = Long.MaxValue
       var p = nPart - 1
@@ -591,6 +682,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           // harvest.isEmpty handling: an empty partition inside a key's
           // run must not break the chain for earlier partitions
           fwdCtx(p) = Array.empty
+          if (anySufIn) sufInLog(p) = Array.empty
         } else {
         val servesP = lastVal != Long.MinValue && coming.nonEmpty &&
           (!keyed || (lk != null && comingKey != null &&
@@ -601,6 +693,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           // never hide here: drops always leave survivors in `coming`
           // (the cap trims, never empties) and die with a chain break
           fwdCtx(p) = Array.empty
+          if (anySufIn) sufInLog(p) = Array.empty
         } else {
           val thr = satAdd(lastVal, maxFwd)
           if (gDrop && gDropMin <= thr) RangeFrames.overflow(maxHarvest, "forward stitch")
@@ -610,6 +703,14 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             i += 1
           }
           fwdCtx(p) = Array.tabulate(i)(coming(_))
+          if (anySufIn) {
+            // above-threshold rows can serve no earlier context either
+            // (thresholds shrink walking backward) — move them from the
+            // retention into the inward suffix seeds
+            while (coming.length > i) { letGoS += coming.removeLast() }
+            sufInLog(p) = letGoS.toArray
+            letGoS.clear()
+          }
         }
         // p's own leading harvest becomes the nearest context for earlier
         // partitions; the old chain survives only through a single-key
@@ -619,12 +720,14 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           KeyedWindowExec.keyEq(lk, comingKey))
         if (!chains) {
           coming.clear()
+          letGoS.clear()
           gDrop = false; gDropMin = Long.MaxValue
         }
         if (fDrop) { gDrop = true; gDropMin = math.min(gDropMin, fDropMin) }
         coming.prependAll(fwdHarvest)
         while (coming.length > maxHarvest) {
           val h = coming.removeLast()
+          if (anySufIn) letGoS += h
           gDrop = true
           gDropMin = math.min(gDropMin, longAt(h, orderIdx, orderType))
         }
@@ -659,17 +762,58 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           mergeProjs(fi).target(new SpecificInternalRow(bufferTypes(fi)))(
             joinedM(a(fi), b(fi))).copy(): InternalRow
         }.toArray
+      // fold band-log TUPLES into the INWARD slots of an accumulator
+      // (r13): inward shapes are commutative-fold aggregates, so the
+      // interleaving of log rows with segment merges cannot move a value
+      val joinedF = new JoinedRow
+      def foldInward(acc: Array[InternalRow], idxs: Array[Int],
+                     rows: scala.collection.Seq[InternalRow]): Array[InternalRow] =
+        if (rows.isEmpty) acc
+        else {
+          val out = acc.clone()
+          var k = 0
+          while (k < idxs.length) {
+            val fi = idxs(k)
+            val types = bufferTypes(fi)
+            val buf = new SpecificInternalRow(types)
+            var c = 0
+            while (c < types.length) {
+              buf.update(c, InternalRow.copyValue(acc(fi).get(c, types(c))))
+              c += 1
+            }
+            val upd = MutableProjection.create(
+              updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs).target(buf)
+            var r = 0
+            while (r < rows.length) { upd(joinedF(buf, rows(r))); r += 1 }
+            out(fi) = buf
+            k += 1
+          }
+          out
+        }
+      val preInIdx = rebased.indices.filter(preInArr(_)).toArray
+      val sufInIdx = rebased.indices.filter(sufInArr(_)).toArray
       if (anyPrefix) {
         var acc: Array[InternalRow] = null
         var accKey: InternalRow = null
+        val carry = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         var p = 0
         while (p < nPart) {
           val (fk, _, _, lk, _, harvest, _, _, _, _, _, segF, segL) = boundary(p)
+          if (anyPreIn && preInLog(p) != null) carry ++= preInLog(p)
           if (harvest.nonEmpty) {
             val continues = !keyed ||
               (accKey != null && fk != null && KeyedWindowExec.keyEq(fk, accKey))
-            if (continues && acc != null) prefixSeed(p) = acc
+            if (continues && acc != null) {
+              // rows that left the context retention join the inward
+              // seed slots here — and stay in acc for later partitions
+              if (anyPreIn && carry.nonEmpty) {
+                acc = foldInward(acc, preInIdx, carry)
+                carry.clear()
+              }
+              prefixSeed(p) = acc
+            }
             val singleKey = !keyed || KeyedWindowExec.keyEq(fk, lk)
+            if (!(singleKey && continues && acc != null)) carry.clear()
             acc =
               if (singleKey && continues && acc != null) mergeAll(acc, segL)
               else segL // chain restarts at p's last key's own segment
@@ -683,14 +827,23 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       if (anySuffix) {
         var acc: Array[InternalRow] = null
         var accKey: InternalRow = null
+        val carry = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         var p = nPart - 1
         while (p >= 0) {
           val (fk, _, _, lk, _, harvest, _, _, _, _, _, segF, _) = boundary(p)
+          if (anySufIn && sufInLog(p) != null) carry ++= sufInLog(p)
           if (harvest.nonEmpty) {
             val continues = !keyed ||
               (accKey != null && lk != null && KeyedWindowExec.keyEq(lk, accKey))
-            if (continues && acc != null) suffixSeed(p) = acc
+            if (continues && acc != null) {
+              if (anySufIn && carry.nonEmpty) {
+                acc = foldInward(acc, sufInIdx, carry)
+                carry.clear()
+              }
+              suffixSeed(p) = acc
+            }
             val singleKey = !keyed || KeyedWindowExec.keyEq(fk, lk)
+            if (!(singleKey && continues && acc != null)) carry.clear()
             acc =
               if (singleKey && continues && acc != null) mergeAll(segF, acc)
               else segF // chain restarts at p's first key's own segment
@@ -992,12 +1145,16 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       val seqFolds = seqSet.map(new SeqFold(_))
       val preFolds = preSet.map(new PrefixFold(_))
       val sufSliders = sufSet.map(new Slider(_))
-      // staging routes (r12 #3): in-stream VALUE tuples feed everyone;
-      // NULL tuples feed only the unbounded sides (their frames include
-      // the null group; bounded value frames never do); BACK ctx rows
-      // feed the bounded-lo structures (the prefix's history is its
-      // SEED); FWD ctx rows feed the bounded-up structures (the suffix's
-      // future is its SEED) — each row reaches each output exactly once.
+      // staging routes (r12 #3, r13 inward): in-stream VALUE tuples feed
+      // everyone; NULL tuples feed only the unbounded sides (their
+      // frames include the null group; bounded value frames never do).
+      // BACK ctx rows feed the bounded-lo structures AND the INWARD
+      // prefixes (whose seeds are band-cut: the previous chain's tail
+      // band arrives as context, admitted per run by the staging gate);
+      // an OUTWARD prefix's history is wholly its seed. FWD ctx rows
+      // mirror: bounded-up structures + INWARD suffixes (per-run slider
+      // eviction applies the k FOLLOWING start exactly), never outward
+      // prefixes/suffixes — each row reaches each output exactly once.
       def stageAll(t: InternalRow): Unit = {
         var s = 0
         while (s < sliders.length) { sliders(s).stage(t); s += 1 }
@@ -1019,6 +1176,10 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         while (s < sliders.length) { sliders(s).stage(t); s += 1 }
         var q = 0
         while (q < seqFolds.length) { seqFolds(q).stage(t); q += 1 }
+        var p = 0
+        while (p < preFolds.length) {
+          if (preInArr(preFolds(p).fi)) preFolds(p).stage(t); p += 1
+        }
         var u = 0
         while (u < sufSliders.length) { sufSliders(u).stage(t); u += 1 }
       }
@@ -1028,7 +1189,13 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         var q = 0
         while (q < seqFolds.length) { seqFolds(q).stage(t); q += 1 }
         var p = 0
-        while (p < preFolds.length) { preFolds(p).stage(t); p += 1 }
+        while (p < preFolds.length) {
+          if (!preInArr(preFolds(p).fi)) preFolds(p).stage(t); p += 1
+        }
+        var u = 0
+        while (u < sufSliders.length) {
+          if (sufInArr(sufSliders(u).fi)) sufSliders(u).stage(t); u += 1
+        }
       }
       def clearAll(preSeeds: Array[InternalRow]): Unit = {
         sliders.foreach(_.clear()); seqFolds.foreach(_.clear())

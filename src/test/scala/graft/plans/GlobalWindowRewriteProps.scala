@@ -85,35 +85,42 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
 
   // None = the half-unbounded arm (r12 #3): UNBOUNDED PRECEDING as a
   // lower bound / UNBOUNDED FOLLOWING as an upper bound; both-None is
-  // excluded (that is the whole-frame total, a different rewrite)
-  private def rangeBattery(lo: Option[Long], up: Option[Long]) =
+  // excluded (that is the whole-frame total, a different rewrite).
+  // INWARD arms (r13 — the partner bound cuts into the seeded side)
+  // are commutative-fold-only, so first/last drop out of their battery
+  private def rangeBattery(lo: Option[Long], up: Option[Long]) = {
+    val inward = (lo.isEmpty && up.exists(_ < 0L)) ||
+      (up.isEmpty && lo.exists(_ > 0L))
+    val firstLast =
+      if (inward) ""
+      else """|  first_value(v) OVER w AS rfv,
+              |  last_value(v)  OVER w AS rlv,""".stripMargin + "\n"
     s"""SELECT id,
-       |  sum(v)   OVER w AS rs,
+       |$firstLast  sum(v)   OVER w AS rs,
        |  count(v) OVER w AS rc,
        |  count(*) OVER w AS rcs,
        |  min(id)  OVER w AS rmn,
        |  max(id)  OVER w AS rmx,
-       |  avg(v)   OVER w AS rav,
-       |  first_value(v) OVER w AS rfv,
-       |  last_value(v)  OVER w AS rlv
+       |  avg(v)   OVER w AS rav
        |FROM gwr_rt
        |WINDOW w AS (ORDER BY v
        |  RANGE BETWEEN ${lo.map(rangeSpell).getOrElse("UNBOUNDED PRECEDING")}
        |    AND ${up.map(rangeSpell).getOrElse("UNBOUNDED FOLLOWING")})
        |""".stripMargin
+  }
 
-  // unbounded arms respect the rewrite's seed constraint: a prefix's
-  // partner up ≥ 0, a suffix's partner lo ≤ 0 (outside that the rule
-  // keeps Spark's plan, pinned in RangeAggSpec)
+  // unbounded arms since r13 take ANY partner bound: outward partners
+  // ride the all-covering seeds, inward partners (up < 0 with an
+  // unbounded lower / lo > 0 with an unbounded upper) the band-split
+  // seeds
   private val rangeBounds: Gen[(Option[Long], Option[Long])] = for {
     lo <- Gen.frequency(3 -> Gen.choose(-8L, 8L).map(Some(_): Option[Long]),
       1 -> Gen.const(None: Option[Long]))
     up <- lo match {
-      case Some(l) if l <= 0L =>
+      case Some(l) =>
         Gen.frequency(3 -> Gen.choose(l, 8L).map(Some(_): Option[Long]),
           1 -> Gen.const(None: Option[Long]))
-      case Some(l) => Gen.choose(l, 8L).map(Some(_): Option[Long])
-      case None => Gen.choose(0L, 8L).map(Some(_): Option[Long])
+      case None => Gen.choose(-8L, 8L).map(Some(_): Option[Long])
     }
   } yield (lo, up)
 
@@ -121,11 +128,11 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
     forAll(rows, parts, rangeBounds) { (vs, np, bounds) =>
       val (lo, up) = bounds
       // shrinking ignores generator constraints: skip combos the rewrite
-      // refuses by design (both-unbounded, inverted, seed-cutting)
+      // refuses by design (both-unbounded, inverted)
       val valid = (lo, up) match {
         case (None, None) => false
-        case (None, Some(u)) => u >= 0L
-        case (Some(l), None) => l <= 0L
+        case (None, Some(_)) => true
+        case (Some(_), None) => true
         case (Some(l), Some(u)) => l <= u
       }
       if (!valid) true else {

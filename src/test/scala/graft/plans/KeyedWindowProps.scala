@@ -88,15 +88,20 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
       if (x < 0) s"${-x} PRECEDING"
       else if (x == 0) "CURRENT ROW"
       else s"$x FOLLOWING"
+    // INWARD arms (r13) are commutative-fold-only: first/last drop out
+    val inward = (lo.isEmpty && up.exists(_ < 0L)) ||
+      (up.isEmpty && lo.exists(_ > 0L))
+    val firstLast =
+      if (inward) ""
+      else """|  first_value(v) OVER w AS rfv,
+              |  last_value(v)  OVER w AS rlv,""".stripMargin + "\n"
     s"""SELECT id,
-       |  sum(v)   OVER w AS rs,
+       |$firstLast  sum(v)   OVER w AS rs,
        |  count(v) OVER w AS rc,
        |  count(*) OVER w AS rcs,
        |  min(id)  OVER w AS rmn,
        |  max(id)  OVER w AS rmx,
-       |  avg(v)   OVER w AS rav,
-       |  first_value(v) OVER w AS rfv,
-       |  last_value(v)  OVER w AS rlv
+       |  avg(v)   OVER w AS rav
        |FROM kwp_rt
        |WINDOW w AS (PARTITION BY pmod(id, $k) ORDER BY v
        |  RANGE BETWEEN ${lo.map(spell).getOrElse("UNBOUNDED PRECEDING")}
@@ -104,17 +109,17 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
        |""".stripMargin
   }
 
-  // unbounded arms respect the rewrite's seed constraint (prefix partner
-  // up ≥ 0, suffix partner lo ≤ 0 — RangeAggSpec pins the refusals)
+  // unbounded arms since r13 take ANY partner bound: outward partners
+  // ride the all-covering key-scoped seeds, inward partners the
+  // band-split seeds
   private val keyedRangeBounds: Gen[(Option[Long], Option[Long])] = for {
     lo <- Gen.frequency(3 -> Gen.choose(-8L, 8L).map(Some(_): Option[Long]),
       1 -> Gen.const(None: Option[Long]))
     up <- lo match {
-      case Some(l) if l <= 0L =>
+      case Some(l) =>
         Gen.frequency(3 -> Gen.choose(l, 8L).map(Some(_): Option[Long]),
           1 -> Gen.const(None: Option[Long]))
-      case Some(l) => Gen.choose(l, 8L).map(Some(_): Option[Long])
-      case None => Gen.choose(0L, 8L).map(Some(_): Option[Long])
+      case None => Gen.choose(-8L, 8L).map(Some(_): Option[Long])
     }
   } yield (lo, up)
 
@@ -122,11 +127,11 @@ object KeyedWindowProps extends Properties("KeyedWindowRewrite") {
     forAll(rows, parts, modulus, keyedRangeBounds) { (vs, np, k, bounds) =>
       val (lo, up) = bounds
       // shrinking ignores generator constraints: skip combos the rewrite
-      // refuses by design (both-unbounded, inverted, seed-cutting)
+      // refuses by design (both-unbounded, inverted)
       val valid = (lo, up) match {
         case (None, None) => false
-        case (None, Some(u)) => u >= 0L
-        case (Some(l), None) => l <= 0L
+        case (None, Some(_)) => true
+        case (Some(_), None) => true
         case (Some(l), Some(u)) => l <= u
       }
       if (!valid) true else {

@@ -387,7 +387,7 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("half-unbounded refusals: moments, and partner bounds that cut into the seeded side") {
+  test("half-unbounded refusals: moments, and non-commutative aggregates on inward shapes") {
     fixture.createOrReplaceTempView("rng_hu_ref")
     def staysWindow(sql: String): Unit = {
       val df = spark.sql(sql)
@@ -400,18 +400,64 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT id, stddev_samp(d) OVER (ORDER BY t
         |  RANGE BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING) AS sd
         |FROM rng_hu_ref""".stripMargin)
-    // a NEGATIVE upper bound excludes the previous partition's tail,
-    // which the all-or-nothing prefix seed bakes in — refuse (the shape
-    // needs band-split seed accounting, SURVEY §7.4)
+    // INWARD shapes (r13) ride band-split seeds whose eviction-path
+    // folds the suffix mirror cannot keep stream-ordered — first/last
+    // (order-sensitive buffers) refuse there, commutative folds heal
     staysWindow(
-      """SELECT id, count(*) OVER (ORDER BY t
-        |  RANGE BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS c
+      """SELECT id, first(d) OVER (ORDER BY t
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS f
         |FROM rng_hu_ref""".stripMargin)
-    // mirrored: a POSITIVE lower bound cuts into the suffix seed
     staysWindow(
-      """SELECT id, sum(t) OVER (ORDER BY t
-        |  RANGE BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS s
+      """SELECT id, last(d) OVER (ORDER BY t
+        |  RANGE BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS l
         |FROM rng_hu_ref""".stripMargin)
+  }
+
+  test("INWARD half-unbounded RANGE frames: band-split seeds, global + keyed (r13)") {
+    // `UNBOUNDED PRECEDING AND k PRECEDING` (strict-history running
+    // totals) and `k FOLLOWING AND UNBOUNDED FOLLOWING` (strict-future
+    // remaining mass) — the last two cells of the RANGE bound lattice.
+    // Seams must be real or the band-split seeds are never exercised.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      fixture.createOrReplaceTempView("rng_in")
+      checkRewritten(spark.sql(
+        """SELECT id,
+          |  sum(t)   OVER (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+          |    AND 2 PRECEDING) AS hist2,
+          |  count(*) OVER (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+          |    AND 7 PRECEDING) AS hist7,
+          |  avg(d)   OVER (ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+          |    AND 1 PRECEDING) AS hista,
+          |  sum(t)   OVER (ORDER BY t RANGE BETWEEN 2 FOLLOWING
+          |    AND UNBOUNDED FOLLOWING) AS fut2,
+          |  count(t) OVER (ORDER BY t RANGE BETWEEN 11 FOLLOWING
+          |    AND UNBOUNDED FOLLOWING) AS fut11,
+          |  min(id)  OVER (ORDER BY t RANGE BETWEEN 3 PRECEDING
+          |    AND CURRENT ROW) AS b3
+          |FROM rng_in""".stripMargin))
+      // keyed: the band-cut seeds chain key-scoped across seams
+      checkRewritten(spark.sql(
+        """SELECT id,
+          |  sum(t)   OVER (PARTITION BY k3 ORDER BY t
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND 4 PRECEDING) AS khist,
+          |  count(*) OVER (PARTITION BY k3 ORDER BY t
+          |    RANGE BETWEEN 4 FOLLOWING AND UNBOUNDED FOLLOWING) AS kfut
+          |FROM rng_in""".stripMargin), keyed = true)
+      // inward + outward + bounded mixed in one node, and a
+      // calendar-month inward edge (per-run YM arithmetic on the gate)
+      checkRewritten(spark.sql(
+        """SELECT id,
+          |  sum(d) OVER (ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING
+          |    AND INTERVAL '1' MONTH PRECEDING) AS mhist,
+          |  count(*) OVER (ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING
+          |    AND INTERVAL '5' DAY FOLLOWING) AS pre5,
+          |  max(d) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '2' DAY FOLLOWING
+          |    AND UNBOUNDED FOLLOWING) AS dfut
+          |FROM rng_in""".stripMargin))
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
   }
 
   test("harvest overflow refuses loudly instead of answering wrong") {
@@ -434,6 +480,39 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(ex).exists(_.contains("Range-frame rewrite")),
         s"unexpected failure: $ex")
+    } finally {
+      spark.conf.unset(GlobalRankRule.MaxRangeRowsConf)
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("inward band overflow refuses loudly instead of answering wrong (r13)") {
+    // an inward |up| spanning the whole value domain forces every row
+    // into the band: the 16-row cap drops rows whose band membership a
+    // later partition's cutoff could still need — the stitch must refuse
+    // (dropped rows were folded into the band-cut seed, and the existing
+    // back-stitch guard fires exactly when that fold could be wrong),
+    // never answer with a silently mis-split seed/context.
+    fixture.createOrReplaceTempView("rng_in_ovf")
+    spark.conf.set(GlobalRankRule.MaxRangeRowsConf, "16")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val ex = intercept[SparkException] {
+        spark.sql(
+          """SELECT id, sum(t) OVER (ORDER BY t
+            |  RANGE BETWEEN UNBOUNDED PRECEDING AND 1000 PRECEDING) AS s
+            |FROM rng_in_ovf""".stripMargin).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("Range-frame rewrite")),
+        s"unexpected failure: $ex")
+      // and at a workable cap the same shape answers exactly
+      spark.conf.set(GlobalRankRule.MaxRangeRowsConf, "16384")
+      checkRewritten(spark.sql(
+        """SELECT id, sum(t) OVER (ORDER BY t
+          |  RANGE BETWEEN UNBOUNDED PRECEDING AND 1000 PRECEDING) AS s
+          |FROM rng_in_ovf""".stripMargin))
     } finally {
       spark.conf.unset(GlobalRankRule.MaxRangeRowsConf)
       spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")

@@ -783,6 +783,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x131: expected RangeAggExec:\n${p.take(1500)}")
   }
 
+  test("x134 inward half-unbounded value frames arrive window-free") {
+    // r13 (§7.4.11 lifted): strict-history and strict-future frames,
+    // global AND keyed, all planning RangeAggExec via band-split seeds —
+    // NO Window node, no one-task sort
+    val p = plan("x134_range_lattice")
+    assert(!p.contains("Window ["),
+      s"x134: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("RangeAgg"),
+      s"x134: expected RangeAggExec:\n${p.take(1500)}")
+  }
+
   test("x132 argmax self-join is eliminated: no join, exactly one scan") {
     // r13: the greatest-n-per-group anti-pattern (two scans + aggregate
     // exchange + join exchange as written) collapses to ONE scan through
