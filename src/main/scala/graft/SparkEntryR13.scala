@@ -124,7 +124,13 @@ object SparkEntryR13 {
           |    RANGE BETWEEN 50 FOLLOWING AND UNBOUNDED FOLLOWING)
           |    AS fut50,
           |  sum(n_chars) OVER wk AS lang_hist,
-          |  count(*) OVER wf AS lang_fut
+          |  count(*) OVER wf AS lang_fut,
+          |  sum(n_chars) OVER (ORDER BY n_chars, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 5 PRECEDING)
+          |    AS rows_hist,
+          |  count(*) OVER (ORDER BY n_chars, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 7 FOLLOWING)
+          |    AS rows_look
           |FROM x134_documents
           |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
           |WINDOW wk AS (PARTITION BY lang ORDER BY n_chars
@@ -203,7 +209,13 @@ object SparkEntryR13 {
         |    RANGE BETWEEN 50 FOLLOWING AND UNBOUNDED FOLLOWING)
         |    AS fut50,
         |  CAST(sum(n_chars) OVER wk AS BIGINT) AS lang_hist,
-        |  count(*) OVER wf AS lang_fut
+        |  count(*) OVER wf AS lang_fut,
+        |  CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 5 PRECEDING)
+        |    AS BIGINT) AS rows_hist,
+        |  count(*) OVER (ORDER BY n_chars, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 7 FOLLOWING)
+        |    AS rows_look
         |FROM documents
         |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
         |WINDOW wk AS (PARTITION BY lang ORDER BY n_chars

@@ -167,6 +167,56 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
 
+  private def rowsShiftTargets(w: Window): Seq[(Alias, AggregateExpression, Int)] =
+    w.windowExpressions.collect {
+      case al @ Alias(WindowExpression(fn, spec), _)
+          if WindowShapes.rowsShiftOf(fn, spec).isDefined =>
+        val (ae, k) = WindowShapes.rowsShiftOf(fn, spec).get
+        (al, ae, k)
+    }
+
+  /** Rewrite the ROWS-shifted prefixes of `w` into the two-level
+    * lag/lead-over-running composition (see the apply-site comment);
+    * untouched window expressions ride the outer node unchanged. Falls
+    * back to `w` when an empty-frame default cannot fold constant. */
+  private def composeRowsShift(w: Window): LogicalPlan = {
+    val targets = rowsShiftTargets(w)
+    val empties = targets.map { case (_, ae, k) =>
+      if (k < 0) WindowShapes.emptyFrameValue(ae)
+      else Some(Literal(null)) // unused for the lead form
+    }
+    if (empties.exists(_.isEmpty)) return w
+    val runFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val totFrame =
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+    val runSpec = WindowSpecDefinition(w.partitionSpec, w.orderSpec, runFrame)
+    val totSpec = WindowSpecDefinition(w.partitionSpec, w.orderSpec, totFrame)
+    val runAliases = targets.map { case (al, ae, _) =>
+      Alias(WindowExpression(ae, runSpec), al.name + "__run")()
+    }
+    val totByTarget: Map[ExprId, Alias] = targets.collect {
+      case (al, ae, k) if k > 0 =>
+        al.exprId -> Alias(WindowExpression(ae, totSpec), al.name + "__tot")()
+    }.toMap
+    val w1 = Window(runAliases ++ totByTarget.values.toSeq,
+      w.partitionSpec, w.orderSpec, w.child)
+    val shifted: Seq[NamedExpression] = targets.zipWithIndex.map {
+      case ((al, _, k), i) =>
+        val rAttr = runAliases(i).toAttribute
+        val fn =
+          if (k < 0) Lag(rAttr, Literal(-k), empties(i).get, false)
+          else Lead(rAttr, Literal(k),
+            totByTarget(al.exprId).toAttribute, false)
+        Alias(WindowExpression(fn,
+          WindowSpecDefinition(w.partitionSpec, w.orderSpec, fn.frame)),
+          al.name)(exprId = al.exprId, qualifier = al.qualifier)
+    }
+    val others = w.windowExpressions.filterNot(ne =>
+      targets.exists(_._1.exprId == ne.exprId))
+    val w2 = Window(shifted ++ others, w.partitionSpec, w.orderSpec, w1)
+    Project(w.output, w2)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (session.conf.get(RewriteConf, "true") != "true") return plan
     // leave top-k shapes to InferWindowGroupLimit (see scaladoc): collect
@@ -195,6 +245,19 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => ()
     }
     plan.transformUp {
+      // ROWS half-unbounded cells (r13): `agg OVER (ROWS UNBOUNDED
+      // PRECEDING AND k PRECEDING/FOLLOWING)` beyond the running arms is
+      // a row-SHIFTED prefix, so it composes from pieces the family
+      // already heals — `lag(running, k, empty-frame value)` backward,
+      // `lead(running, k, total)` forward (lead's default fires exactly
+      // when the shifted frame clamps to the whole partition). The
+      // composed Windows rewrite in the same fixed point and share one
+      // range exchange. Global-only: for a keyed window Spark's hash
+      // clustering is already parallel, and stacking two windows there
+      // without a guaranteed heal would be a pessimization.
+      case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+          !provablySmall(w.child) && rowsShiftTargets(w).nonEmpty =>
+        composeRowsShift(w)
       case w: Window if rewritable(w) &&
           !keep.contains(w.windowExpressions.map(_.exprId)) =>
         val classified = w.windowExpressions.map { ne =>

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, DeclarativeAggregate, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
@@ -226,6 +227,38 @@ private[plans] object WindowShapes {
         }
       case _ => None
     }
+
+  /** `agg(x) OVER (… ROWS BETWEEN UNBOUNDED PRECEDING AND k PRECEDING/
+    * FOLLOWING)` with |k| beyond the running arms (k ≤ −2 or k ≥ 1) —
+    * the ROWS cells of the half-unbounded lattice (r13). Served by
+    * COMPOSITION, not a new exec: the frame is a row-shifted prefix, so
+    * `lag(running, k, empty-frame value)` / `lead(running, k, total)`
+    * reproduce it exactly (lead's default fires precisely when the
+    * shifted frame clamps to the whole partition), and both pieces are
+    * shapes the family already heals over one exchange. */
+  def rowsShiftOf(fn: Expression, spec: WindowSpecDefinition)
+      : Option[(AggregateExpression, Int)] =
+    (fn, spec.frameSpecification) match {
+      case (ae @ AggregateExpression(f, Complete, false, None, _),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              Literal(k: Int, IntegerType)))
+          if supportedAgg(f) && (k <= -2 || k >= 1) =>
+        Some((ae, k))
+      case _ => None
+    }
+
+  /** The aggregate's value over an EMPTY frame (count → 0, sum/min/max/
+    * avg → null, …): `evaluateExpression` folded over `initialValues`.
+    * None when the fold cannot be evaluated constant (refuse then). */
+  def emptyFrameValue(ae: AggregateExpression): Option[Literal] = {
+    val f = ae.aggregateFunction.asInstanceOf[DeclarativeAggregate]
+    val byAttr = f.aggBufferAttributes.map(_.exprId).zip(f.initialValues).toMap
+    val folded = f.evaluateExpression.transform {
+      case a: AttributeReference if byAttr.contains(a.exprId) => byAttr(a.exprId)
+    }
+    scala.util.Try(Literal.create(folded.eval(InternalRow.empty), f.dataType))
+      .toOption
+  }
 
   /** Literal-offset respect-nulls lag/lead → (input, SIGNED offset,
     * default). */

@@ -70,7 +70,9 @@ object GlobalWindowRewriteProps extends Properties("GlobalWindowRewrite") {
       |  lag(v, 2) IGNORE NULLS OVER (ORDER BY v, id) AS pvn2,
       |  lag(v, 3, -9) IGNORE NULLS OVER (ORDER BY v, id) AS pvn3d,
       |  nth_value(v, 3) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n3tot,
-      |  nth_value(v, 2) IGNORE NULLS OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n2totin
+      |  nth_value(v, 2) IGNORE NULLS OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n2totin,
+      |  sum(v) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND 3 PRECEDING) AS rsh3,
+      |  count(*) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS rlk2
       |FROM gwr_t""".stripMargin
 
   // RANGE value-distance frames (r11 #1, two-sided since r12) at
