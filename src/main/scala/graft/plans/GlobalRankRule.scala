@@ -194,11 +194,12 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
     val runAliases = targets.map { case (al, ae, _) =>
       Alias(WindowExpression(ae, runSpec), al.name + "__run")()
     }
-    val totByTarget: Map[ExprId, Alias] = targets.collect {
+    val totPairs: Seq[(ExprId, Alias)] = targets.collect {
       case (al, ae, k) if k > 0 =>
         al.exprId -> Alias(WindowExpression(ae, totSpec), al.name + "__tot")()
-    }.toMap
-    val w1 = Window(runAliases ++ totByTarget.values.toSeq,
+    }
+    val totByTarget = totPairs.toMap
+    val w1 = Window(runAliases ++ totPairs.map(_._2),
       w.partitionSpec, w.orderSpec, w.child)
     val shifted: Seq[NamedExpression] = targets.zipWithIndex.map {
       case ((al, _, k), i) =>
