@@ -9,6 +9,49 @@ object SparkEntryR13 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- X135: DISTINCT-count window attach — the aggregate Spark's
+    // window surface cannot express at all ----
+    //
+    // `count(DISTINCT x) OVER (PARTITION BY k)` is an ANALYSIS ERROR in
+    // Spark (DISTINCT is not allowed in window functions), yet it is the
+    // everyday "how many distinct sources does my language have, on
+    // every row" enrichment. The scale-correct spelling is one
+    // partial-aggregable two-phase distinct (`groupBy(k).agg(
+    // countDistinct(x))` — a |k|-row frame) broadcast-joined back, so
+    // the corpus is scanned once and never sorted. The DuckDB oracle
+    // runs the REAL windowed-DISTINCT SQL — proving the attach equals
+    // the window semantics an engine that supports them produces.
+    "x135_distinct_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val per = docs.groupBy("lang")
+        .agg(countDistinct(col("source")).as("lang_sources"))
+      docs.join(broadcast(per), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("lang_sources"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- X136: deterministic per-group mode (most frequent value) ----
+    //
+    // The categorical summary built-ins disagree on: both engines HAVE
+    // a `mode()` aggregate but neither pins tie-breaks, so the op is
+    // spelled from primitives with an EXPLICIT total tie order — count
+    // desc, then value asc — making it engine-exact: one (k, v)
+    // partial-agg count shuffle into a bounded frame, then a
+    // partial-aggregable `min_by` argmax per key. Never a per-group
+    // sort, never a window over the corpus.
+    "x136_group_mode" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(min_by(struct(col("event_type"), col("n")),
+          struct(negate(col("n")), col("event_type"))).as("top"))
+        .select(col("user_id"), col("top.event_type").as("mode_event"),
+          col("top.n").as("mode_n"))
+        .orderBy("user_id")
+    }),
+
     // ---- X131: HALF-unbounded value-distance frames — cumulative-with-
     // lookahead and remaining-mass through the plain SQL surface ----
     //
@@ -162,6 +205,28 @@ object SparkEntryR13 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB SUPPORTS windowed DISTINCT aggregates — the oracle runs the
+    // real window form the Spark analyzer refuses, proving the
+    // broadcast-attach spelling equals the window semantics
+    "x135_distinct_window" ->
+      """SELECT doc_id, lang,
+        |  count(DISTINCT source) OVER (PARTITION BY lang) AS lang_sources
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical explicit tie order (count desc, value asc) on both
+    // engines — the built-in mode()s are NOT cross-engine deterministic
+    "x136_group_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_event, n AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // the IDENTICAL join SQL — DuckDB executes the join as written while
     // the Spark side runs the rule's single-scan windowed rewrite
     "x132_argmax_join" ->

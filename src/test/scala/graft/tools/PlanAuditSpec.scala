@@ -794,6 +794,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x134: expected RangeAggExec:\n${p.take(1500)}")
   }
 
+  test("x135/x136: distinct-window attach broadcasts; group mode plans no window") {
+    // r13: the count(DISTINCT) OVER workaround must attach the |langs|-
+    // row frame by BROADCAST (never shuffle the corpus for the join),
+    // and the deterministic mode must be partial-agg argmax — no
+    // per-group sort, no window over the corpus
+    val p135 = plan("x135_distinct_window")
+    assert(p135.contains("BroadcastHashJoin"),
+      s"x135: expected the broadcast attach:\n${p135.take(1200)}")
+    assert(!p135.contains("Window ["), s"x135: no window expected:\n${p135.take(1200)}")
+    val p136 = plan("x136_group_mode")
+    assert(!p136.contains("Window [") && !p136.contains("WindowExec"),
+      s"x136: no window expected:\n${p136.take(1200)}")
+    assert(p136.contains("min_by") || p136.contains("minby") ||
+      p136.contains("HashAggregate"),
+      s"x136: expected the partial-agg argmax:\n${p136.take(1200)}")
+  }
+
   test("x132 argmax self-join is eliminated: no join, exactly one scan") {
     // r13: the greatest-n-per-group anti-pattern (two scans + aggregate
     // exchange + join exchange as written) collapses to ONE scan through
