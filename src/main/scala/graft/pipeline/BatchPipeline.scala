@@ -189,6 +189,14 @@ object BatchPipeline {
     */
   def run(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
     val refined = refine(readRaw(spark, cfg.rawDir), cfg.window)
+    // pre-write plan gate (r13): the refined plan must be free of the
+    // scale traps PlanLint flags as errors (cartesian products, one-task
+    // windows) before a single byte is written — the engine holds its
+    // own submissions to the standard the test suite holds the query
+    // library to. Zero jobs; opt out with spark.graft.planLint.gate.
+    if (spark.conf.get(graft.tools.PlanLint.GateConf, "true").toBoolean) {
+      graft.tools.PlanLint.gate(refined)
+    }
     writeRefined(refined, cfg.refinedDir, cfg.processingDate)
     cfg.refinedTable.foreach(t => registerRefined(spark, t, cfg.refinedDir))
     spark.read.parquet(cfg.refinedDir)

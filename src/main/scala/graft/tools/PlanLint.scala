@@ -119,4 +119,26 @@ object PlanLint {
     import spark.implicits._
     findings(df).toDF()
   }
+
+  /** CI-gate form: throw (listing the findings) when any finding at one
+    * of the `failOn` severities survives; return the full findings
+    * otherwise. `BatchPipeline.run` gates its refined plan on this
+    * before writing (opt out with `spark.graft.planLint.gate=false`) —
+    * the engine holds its own submissions to the standard its test
+    * suite holds the query library to.
+    */
+  def gate(df: Dataset[_],
+           failOn: Set[String] = Set("error")): Seq[Finding] = {
+    val fs = findings(df)
+    val bad = fs.filter(f => failOn.contains(f.severity))
+    if (bad.nonEmpty) throw new org.apache.spark.SparkException(
+      "PlanLint gate: the plan contains scale traps:\n" +
+        bad.map(f => s"  [${f.severity}] ${f.rule} (${f.node}): ${f.detail}")
+          .mkString("\n") +
+        "\nFix the plan, or disable the gate with spark.graft.planLint.gate=false.")
+    fs
+  }
+
+  /** Conf key for the pipeline's pre-write gate. */
+  val GateConf = "spark.graft.planLint.gate"
 }

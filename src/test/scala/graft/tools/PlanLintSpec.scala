@@ -77,6 +77,21 @@ class PlanLintSpec extends AnyFunSuite {
     assert(!f2.exists(_.rule == "unpushed-scan-filter"), f2.mkString("\n"))
   }
 
+  test("gate: clean plans pass and return findings; error findings throw with the list") {
+    val clean = PlanLint.gate(t.groupBy("k").agg(sum("v")))
+    assert(clean.map(_.rule) === Seq("shuffle-census"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val other = t.withColumnRenamed("id", "id2")
+        .withColumnRenamed("k", "k2").withColumnRenamed("v", "v2")
+      val ex = intercept[org.apache.spark.SparkException] {
+        PlanLint.gate(t.crossJoin(other))
+      }
+      assert(ex.getMessage.contains("cartesian-product"), ex.getMessage)
+      assert(ex.getMessage.contains(PlanLint.GateConf), ex.getMessage)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("findings are deterministic and exprId-free") {
     spark.conf.set("spark.graft.globalRank.rewrite", "false")
     try {
