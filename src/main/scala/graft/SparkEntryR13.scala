@@ -7,6 +7,9 @@ import graft.tables.Tables
 /** Round-13 query entries. §2.12 extension operators. */
 object SparkEntryR13 {
 
+  private def barsGen2Sql: String =
+    graft.MarketPanel.barsGenSql(graft.MarketPanel.tickers2)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- X135: DISTINCT-count window attach — the aggregate Spark's
@@ -50,6 +53,53 @@ object SparkEntryR13 {
         .select(col("user_id"), col("top.event_type").as("mode_event"),
           col("top.n").as("mode_n"))
         .orderBy("user_id")
+    }),
+
+    // ---- X137: distributed linear interpolation (pandas
+    // `interpolate()` parity — w10's ffill completes to the full
+    // pandas gap-repair pair) ----
+    //
+    // Missing calendar days (the x83 plant: days ≡ 5 mod 13 dropped)
+    // are rebuilt by LINEAR interpolation between the surrounding known
+    // closes, in EXACT integer cents: the increment is the
+    // cross-multiplied floor division (n − pmod(n, dd)) div dd — spelled
+    // identically in DuckDB — so negative price slopes round the same
+    // way in both engines (a float lerp could never hash-match). Shape:
+    // one per-asset lag window pairs each known point with its
+    // predecessor, holes explode row-locally into their interior days —
+    // work scales with MISSING days, never the series length; no
+    // ignore-nulls lead, no grid-wide window.
+    "x137_linear_interp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      import org.apache.spark.sql.functions._
+      val known = graft.MarketPanel.centsPanel(s, graft.MarketPanel.tickers2)
+        .select(col("ativo"), col("dt").cast("date").as("day"),
+          col("cents").as("c_cents"))
+        .where(pmod(datediff(col("day"),
+          lit(graft.MarketPanel.StartDate).cast("date")), lit(13)) =!= 5)
+      val w = W.partitionBy("ativo").orderBy("day")
+      val seg = known
+        .withColumn("prev_day", lag(col("day"), 1).over(w))
+        .withColumn("prev_c", lag(col("c_cents"), 1).over(w))
+      val interp = seg
+        .where(col("prev_day").isNotNull &&
+          datediff(col("day"), col("prev_day")) > 1)
+        .select(col("ativo"), col("prev_day"), col("prev_c"),
+          col("day").as("next_day"), col("c_cents").as("next_c"),
+          explode(sequence(date_add(col("prev_day"), 1),
+            date_add(col("day"), -1))).as("day"))
+        .select(col("ativo"), col("day"),
+          (col("prev_c") + expr(
+            """(((next_c - prev_c) * CAST(datediff(day, prev_day) AS BIGINT))
+              | - pmod((next_c - prev_c) * CAST(datediff(day, prev_day) AS BIGINT),
+              |        CAST(datediff(next_day, prev_day) AS BIGINT)))
+              | div CAST(datediff(next_day, prev_day) AS BIGINT)""".stripMargin))
+            .as("c_cents"),
+          lit("interp").as("src"))
+      known.select(col("ativo"), col("day"), col("c_cents"),
+          lit("known").as("src"))
+        .unionByName(interp)
+        .orderBy("ativo", "day")
     }),
 
     // ---- X131: HALF-unbounded value-distance frames — cumulative-with-
@@ -205,6 +255,48 @@ object SparkEntryR13 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // identical integer-lerp replay: the cross-multiplied floor division
+    // is spelled with an explicit positive mod in BOTH engines, so
+    // negative slopes round identically; the gap plant is x83's
+    "x137_linear_interp" ->
+      s"""WITH bars AS (
+         |$barsGen2Sql),
+         |known AS (
+         |  SELECT ativo, CAST(date AS DATE) AS day,
+         |         CAST(round(Close * 100) AS BIGINT) AS c_cents
+         |  FROM bars
+         |  WHERE date_diff('day',
+         |          DATE '${graft.MarketPanel.StartDate}',
+         |          CAST(date AS DATE)) % 13 <> 5),
+         |seg AS (
+         |  SELECT ativo, day, c_cents,
+         |         lag(day) OVER (PARTITION BY ativo ORDER BY day)
+         |           AS prev_day,
+         |         lag(c_cents) OVER (PARTITION BY ativo ORDER BY day)
+         |           AS prev_c
+         |  FROM known),
+         |holes AS (
+         |  SELECT ativo, prev_day, prev_c, day AS next_day,
+         |         c_cents AS next_c,
+         |         unnest(generate_series(1,
+         |           date_diff('day', prev_day, day) - 1)) AS off
+         |  FROM seg
+         |  WHERE prev_day IS NOT NULL
+         |    AND date_diff('day', prev_day, day) > 1),
+         |interp AS (
+         |  SELECT ativo, prev_day + CAST(off AS INTEGER) AS day,
+         |         prev_c + (n - (((n % dd) + dd) % dd)) // dd AS c_cents,
+         |         'interp' AS src
+         |  FROM (SELECT ativo, prev_day, prev_c, off,
+         |               (next_c - prev_c) * off AS n,
+         |               CAST(date_diff('day', prev_day, next_day)
+         |                 AS BIGINT) AS dd
+         |        FROM holes))
+         |SELECT ativo, day, c_cents, 'known' AS src FROM known
+         |UNION ALL
+         |SELECT ativo, day, c_cents, src FROM interp
+         |ORDER BY ativo, day""".stripMargin,
+
     // DuckDB SUPPORTS windowed DISTINCT aggregates — the oracle runs the
     // real window form the Spark analyzer refuses, proving the
     // broadcast-attach spelling equals the window semantics
