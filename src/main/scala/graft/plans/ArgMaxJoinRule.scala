@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -82,11 +82,18 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     if (!session.conf.get(RewriteConf, "true").toBoolean) plan
     else plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _) =>
-        rewrite(left, right, cond, aggOnRight = true, semi = false)
-          .orElse(rewrite(right, left, cond, aggOnRight = false, semi = false))
+        rewrite(left, right, cond, aggOnRight = true, Mode.Inner)
+          .orElse(rewrite(right, left, cond, aggOnRight = false, Mode.Inner))
           .getOrElse(j)
       case j @ Join(left, right, LeftSemi, Some(cond), _) =>
-        rewrite(left, right, cond, aggOnRight = true, semi = true).getOrElse(j)
+        rewrite(left, right, cond, aggOnRight = true, Mode.Semi).getOrElse(j)
+      // the "flag the latest row per group" spelling: LEFT OUTER against
+      // the group aggregate keeps every probe row and nulls the
+      // aggregate columns off the match — a windowed If, no filter
+      case j @ Join(left, right, LeftOuter, Some(cond), _) =>
+        rewrite(left, right, cond, aggOnRight = true, Mode.Outer).getOrElse(j)
+      case j @ Join(left, right, RightOuter, Some(cond), _) =>
+        rewrite(right, left, cond, aggOnRight = false, Mode.Outer).getOrElse(j)
       // the IN-subquery spelling: `(k, v) IN (SELECT k, max(v) … GROUP BY
       // k)` only becomes a LeftSemi join in the RewriteSubquery batch,
       // which runs AFTER the operator-optimization fixed point this rule
@@ -105,7 +112,7 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
             values.length == lq.plan.output.length =>
         val synth = values.zip(lq.plan.output)
           .map { case (v, o) => EqualTo(v, o): Expression }.reduce(And)
-        rewrite(child, lq.plan, synth, aggOnRight = true, semi = true).map { r =>
+        rewrite(child, lq.plan, synth, aggOnRight = true, Mode.Semi).map { r =>
           val rest = conjuncts.zipWithIndex.collect {
             case (c, i) if i != idx => c
           }
@@ -175,7 +182,7 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
 
   private def rewrite(probe: LogicalPlan, aggSide: LogicalPlan,
                       cond: Expression, aggOnRight: Boolean,
-                      semi: Boolean): Option[LogicalPlan] = {
+                      mode: Mode): Option[LogicalPlan] = {
     // ---- 1. shape of the aggregate side -------------------------------
     val aggPeel = peel(aggSide)
     val agg = aggPeel.base match {
@@ -346,32 +353,45 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)))
     val winAlias = Alias(winExpr, "__graft_argmax")()
     val win = Window(Seq(winAlias), partitionAttrs, Nil, winChild)
-    val filterPred = (partitionAttrs.map(IsNotNull(_): Expression) ++
+    val matchPred = (partitionAttrs.map(IsNotNull(_): Expression) ++
       mPartners.map(p => EqualTo(p, winAlias.toAttribute): Expression))
       .reduce(And)
-    val filtered = Filter(filterPred, win)
 
-    if (semi) {
-      Some(Project(probe.output, filtered))
-    } else {
-      // re-emit the aggregate side's columns from probe values under the
-      // join's original exprIds (equal on every surviving row)
-      val aggSideAliases: Seq[NamedExpression] = aggSide.output.map { out =>
-        aggSideOutToAggOut.get(out.exprId) match {
-          case Some(id) if id == mOutId =>
-            Alias(mPartners.head, out.name)(exprId = out.exprId,
-              qualifier = out.qualifier)
-          case Some(id) =>
-            val g = groupOut.getOrElse(id, return None)
-            val twin = probeTwin(g.exprId).getOrElse(return None)
-            Alias(twin, out.name)(exprId = out.exprId, qualifier = out.qualifier)
-          case None => return None
-        }
+    // the probe-side expression carrying each aggregate-side output
+    // (equal on every MATCHED row by the join condition itself)
+    def carried(out: Attribute): Option[Expression] =
+      aggSideOutToAggOut.get(out.exprId) match {
+        case Some(id) if id == mOutId => Some(mPartners.head)
+        case Some(id) =>
+          groupOut.get(id).flatMap(g => probeTwin(g.exprId))
+        case None => None
       }
-      val projList: Seq[NamedExpression] =
-        if (aggOnRight) probe.output ++ aggSideAliases
-        else aggSideAliases ++ probe.output
-      Some(Project(projList, filtered))
+
+    mode match {
+      case Mode.Semi =>
+        Some(Project(probe.output, Filter(matchPred, win)))
+      case Mode.Inner =>
+        val aggSideAliases: Seq[NamedExpression] = aggSide.output.map { out =>
+          val e = carried(out).getOrElse(return None)
+          Alias(e, out.name)(exprId = out.exprId, qualifier = out.qualifier)
+        }
+        val projList: Seq[NamedExpression] =
+          if (aggOnRight) probe.output ++ aggSideAliases
+          else aggSideAliases ++ probe.output
+        Some(Project(projList, Filter(matchPred, win)))
+      case Mode.Outer =>
+        // every probe row survives; the aggregate columns null off the
+        // match (the right side is key-distinct, so a LEFT OUTER join
+        // never replicates either) — a windowed If, no Filter at all
+        val aggSideAliases: Seq[NamedExpression] = aggSide.output.map { out =>
+          val e = carried(out).getOrElse(return None)
+          Alias(If(matchPred, e, Literal(null, out.dataType)),
+            out.name)(exprId = out.exprId, qualifier = out.qualifier)
+        }
+        val projList: Seq[NamedExpression] =
+          if (aggOnRight) probe.output ++ aggSideAliases
+          else aggSideAliases ++ probe.output
+        Some(Project(projList, win))
     }
   }
 }
@@ -379,4 +399,11 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
 object ArgMaxJoinRule {
   /** ON by default; set false to keep Spark's join plan. */
   val RewriteConf = "spark.graft.argmaxJoin.rewrite"
+
+  private[plans] sealed trait Mode
+  private[plans] object Mode {
+    case object Inner extends Mode
+    case object Semi extends Mode
+    case object Outer extends Mode
+  }
 }

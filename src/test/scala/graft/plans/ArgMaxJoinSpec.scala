@@ -87,6 +87,25 @@ class ArgMaxJoinSpec extends AnyFunSuite {
       "expected the semi join to be eliminated")
   }
 
+  test("LEFT OUTER against the group max keeps all rows, nulls off the match") {
+    // the "flag the latest row per group" spelling: every probe row
+    // survives, aggregate columns null where v != max(v)
+    assert(parity(
+      """SELECT t.id, t.k, t.v, a.m,
+        |  CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END AS is_max
+        |FROM amx t LEFT JOIN (SELECT k, max(v) AS m FROM amx GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m""".stripMargin),
+      "expected the left-outer join to be eliminated")
+  }
+
+  test("RIGHT OUTER with the aggregate on the left mirrors") {
+    assert(parity(
+      """SELECT a.k AS gk, a.m, t.id
+        |FROM (SELECT k, max(v) AS m FROM amx GROUP BY k) a RIGHT JOIN amx t
+        |ON t.k = a.k AND t.v = a.m""".stripMargin),
+      "expected the right-outer join to be eliminated")
+  }
+
   test("global (ungrouped) max join rewrites") {
     assert(parity(
       """SELECT t.id, t.v FROM amx_big t
@@ -193,6 +212,11 @@ class ArgMaxJoinSpec extends AnyFunSuite {
              |JOIN (SELECT k, $fn AS m FROM amx_rnd GROUP BY k) a
              |ON t.k = a.k AND $cmp = a.m""".stripMargin)
         assert(joinFree, s"seed=$seed fn=$fn did not eliminate the join")
+        val outerFree = parity(
+          s"""SELECT t.id, t.k, t.v, a.m FROM amx_rnd t
+             |LEFT JOIN (SELECT k, $fn AS m FROM amx_rnd GROUP BY k) a
+             |ON t.k = a.k AND $cmp = a.m""".stripMargin)
+        assert(outerFree, s"seed=$seed fn=$fn did not eliminate the left join")
       }
     }
   }
