@@ -693,7 +693,23 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           // never hide here: drops always leave survivors in `coming`
           // (the cap trims, never empties) and die with a chain break
           fwdCtx(p) = Array.empty
-          if (anySufIn) sufInLog(p) = Array.empty
+          if (anySufIn) {
+            // an ALL-NULL partition (nulls sort first, so a dense null
+            // group can own a whole range partition) has no value
+            // threshold to serve context with, but its null runs'
+            // unbounded-following frames span EVERY later same-chain
+            // row — the retained head-band rows (excluded from the cut
+            // segments) move to its seed wholesale, or they would be
+            // lost when the chain ends here
+            if (lastVal == Long.MinValue && coming.nonEmpty &&
+                (!keyed || (lk != null && comingKey != null &&
+                  KeyedWindowExec.keyEq(lk, comingKey)))) {
+              letGoS ++= coming
+              coming.clear()
+              sufInLog(p) = letGoS.toArray
+              letGoS.clear()
+            } else sufInLog(p) = Array.empty
+          }
         } else {
           val thr = satAdd(lastVal, maxFwd)
           if (gDrop && gDropMin <= thr) RangeFrames.overflow(maxHarvest, "forward stitch")
