@@ -32,6 +32,15 @@ object SparkEntryPipeline {
     s"${System.getProperty("java.io.tmpdir")}/graft_pipeline/$leaf/$name"
   }
 
+  /** Ensure the s12 vintage trees exist and return their root — shared
+    * with x138's schema-contract check (r13), which diffs the two
+    * vintages' footer schemas without reading a row. */
+  def s12VintageRoot(s: SparkSession, d: String): String = {
+    queries("s12_schema_evolution")(s, d) // builds + memoizes the trees
+    val stamp = Tables.stamp(d, "lineitem")
+    s"${base(d, "s12")}-v1-$stamp"
+  }
+
   /** Daily bars: unique per (ativo, Date); MAX close / SUM volume are
     * order-independent so Spark and DuckDB agree bit-for-bit.
     */

@@ -55,6 +55,30 @@ object SparkEntryR13 {
         .orderBy("user_id")
     }),
 
+    // ---- X138: ingest schema-contract check (the write-time complement
+    // of s12/s13's read-time evolution) ----
+    //
+    // Before a vintage is admitted, its parquet-footer schema diffs
+    // against the contract: nullable additions are allowed (old files
+    // read NULL — exactly s12/s13's law), removals and type changes are
+    // violations. Pure driver metadata (footers only, zero data jobs).
+    // Both directions over the s12 vintage trees: v1→v2 (the `volume`
+    // addition admits) and v2→v1 (the removal refuses) — constructor
+    // inversion, so the oracle is the constant verdict table.
+    "x138_schema_contract" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = SparkEntryPipeline.s12VintageRoot(s, d)
+      val v1 = s.read.parquet(s"$root/vintage1").schema
+      val v2 = s.read.parquet(s"$root/vintage2").schema
+      val fwd = graft.pipeline.SchemaContract.report(v1, v2)(s)
+        .withColumn("direction", lit("v1_to_v2"))
+      val back = graft.pipeline.SchemaContract.report(v2, v1)(s)
+        .withColumn("direction", lit("v2_to_v1"))
+      fwd.unionByName(back)
+        .select("direction", "column", "dtype", "status", "allowed")
+        .orderBy("direction", "column")
+    }),
+
     // ---- X137: distributed linear interpolation (pandas
     // `interpolate()` parity — w10's ffill completes to the full
     // pandas gap-repair pair) ----
@@ -255,6 +279,21 @@ object SparkEntryR13 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // constructor inversion: the s12 vintages differ by exactly the
+    // nullable `volume` addition, so the verdict table is a constant
+    "x138_schema_contract" ->
+      """SELECT * FROM (VALUES
+        |  ('v1_to_v2', 'ativo',  'string',    'ok',      true),
+        |  ('v1_to_v2', 'close',  'double',    'ok',      true),
+        |  ('v1_to_v2', 'date',   'timestamp_ntz', 'ok',  true),
+        |  ('v1_to_v2', 'volume', 'bigint',    'added',   true),
+        |  ('v2_to_v1', 'ativo',  'string',    'ok',      true),
+        |  ('v2_to_v1', 'close',  'double',    'ok',      true),
+        |  ('v2_to_v1', 'date',   'timestamp_ntz', 'ok',  true),
+        |  ('v2_to_v1', 'volume', 'bigint',    'removed', false)
+        |) AS t(direction, "column", dtype, status, allowed)
+        |ORDER BY direction, "column"""".stripMargin,
+
     // identical integer-lerp replay: the cross-multiplied floor division
     // is spelled with an explicit positive mod in BOTH engines, so
     // negative slopes round identically; the gap plant is x83's
