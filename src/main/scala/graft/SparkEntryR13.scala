@@ -79,6 +79,42 @@ object SparkEntryR13 {
         .orderBy("direction", "column")
     }),
 
+    // ---- X139: latest-order customer panel — the round-13 capstone
+    // composition: three r13 operators in ONE lazy plan ----
+    //
+    // (1) latest order per customer written as the greatest-n-per-group
+    // SELF-JOIN → ArgMaxJoinRule collapses it to a single orders scan;
+    // (2) per-segment distinct-nation counts attached by the x135
+    // broadcast spelling; (3) "revenue booked more than 30 days before
+    // this latest order" — the G14 strict-history INWARD frame over the
+    // panel. Money in integer cents; plan pinned: ONE orders scan, no
+    // self-join, no Window node, broadcast attaches only.
+    "x139_latest_order_panel" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("x139_orders")
+      Tables.customer(s, d).createOrReplaceTempView("x139_customer")
+      s.sql(
+        """WITH latest AS (
+          |  SELECT t.o_orderkey, t.o_custkey, t.o_orderdate,
+          |         CAST(round(t.o_totalprice * 100) AS BIGINT)
+          |           AS price_cents
+          |  FROM x139_orders t
+          |  JOIN (SELECT o_custkey, max(o_orderdate) AS m
+          |        FROM x139_orders GROUP BY o_custkey) a
+          |    ON t.o_custkey = a.o_custkey AND t.o_orderdate = a.m)
+          |SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, l.price_cents,
+          |       c.c_mktsegment, seg.seg_nations,
+          |       sum(l.price_cents) OVER (ORDER BY l.o_orderdate
+          |         RANGE BETWEEN UNBOUNDED PRECEDING
+          |           AND INTERVAL '30' DAY PRECEDING) AS booked_hist
+          |FROM latest l
+          |JOIN x139_customer c ON l.o_custkey = c.c_custkey
+          |JOIN (SELECT c_mktsegment,
+          |             count(DISTINCT c_nationkey) AS seg_nations
+          |      FROM x139_customer GROUP BY c_mktsegment) seg
+          |  ON c.c_mktsegment = seg.c_mktsegment
+          |ORDER BY l.o_custkey, l.o_orderkey""".stripMargin)
+    }),
+
     // ---- X137: distributed linear interpolation (pandas
     // `interpolate()` parity — w10's ffill completes to the full
     // pandas gap-repair pair) ----
@@ -279,6 +315,31 @@ object SparkEntryR13 {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the identical composition in DuckDB (which runs the self-join as
+    // written and supports the inward frame natively); HUGEINT sums cast
+    // back, empty inward frames NULL on both engines
+    "x139_latest_order_panel" ->
+      """WITH latest AS (
+        |  SELECT t.o_orderkey, t.o_custkey, t.o_orderdate,
+        |         CAST(round(t.o_totalprice * 100) AS BIGINT)
+        |           AS price_cents
+        |  FROM orders t
+        |  JOIN (SELECT o_custkey, max(o_orderdate) AS m
+        |        FROM orders GROUP BY o_custkey) a
+        |    ON t.o_custkey = a.o_custkey AND t.o_orderdate = a.m)
+        |SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, l.price_cents,
+        |       c.c_mktsegment, seg.seg_nations,
+        |       CAST(sum(l.price_cents) OVER (ORDER BY l.o_orderdate
+        |         RANGE BETWEEN UNBOUNDED PRECEDING
+        |           AND INTERVAL 30 DAY PRECEDING) AS BIGINT) AS booked_hist
+        |FROM latest l
+        |JOIN customer c ON l.o_custkey = c.c_custkey
+        |JOIN (SELECT c_mktsegment,
+        |             count(DISTINCT c_nationkey) AS seg_nations
+        |      FROM customer GROUP BY c_mktsegment) seg
+        |  ON c.c_mktsegment = seg.c_mktsegment
+        |ORDER BY l.o_custkey, l.o_orderkey""".stripMargin,
+
     // constructor inversion: the s12 vintages differ by exactly the
     // nullable `volume` addition, so the verdict table is a constant
     "x138_schema_contract" ->

@@ -811,6 +811,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x136: expected the partial-agg argmax:\n${p136.take(1200)}")
   }
 
+  test("x139 capstone: one orders scan, no self-join, no Window, broadcast attaches") {
+    // r13 composition: the argmax self-join is eliminated (orders read
+    // ONCE), the strict-history inward frame plans RangeAggExec (no
+    // Window node), and both dimension attaches broadcast
+    val p = plan("x139_latest_order_panel")
+    assert(p.linesIterator.count(_.contains("orders.parquet")) === 1,
+      s"x139: orders must be scanned exactly once:\n${p.take(1500)}")
+    assert(!p.contains("Window ["), s"x139: a window survived:\n${p.take(1500)}")
+    assert(p.contains("RangeAgg"), s"x139: expected the inward frame exec:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), s"x139: expected broadcast attaches:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"x139: no shuffle join expected:\n${p.take(1500)}")
+  }
+
   test("x132 argmax self-join is eliminated: no join, exactly one scan") {
     // r13: the greatest-n-per-group anti-pattern (two scans + aggregate
     // exchange + join exchange as written) collapses to ONE scan through
