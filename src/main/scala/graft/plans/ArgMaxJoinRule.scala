@@ -49,6 +49,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * exprIds (`m` = the compared probe column, group keys = their probe
   * twins — equal on every surviving row by the join condition itself).
   *
+  * LEFT/RIGHT OUTER (the "flag the latest row per group" spelling) keeps
+  * every probe row instead: key-distinctness again rules out
+  * replication, so a probe row either matched its group row (the same
+  * predicate as above holds TRUE — three-valued NULL evaluates to the
+  * unmatched branch, exactly the ON-clause law) or carries NULLs in the
+  * aggregate columns; the rewrite is the same projection with each
+  * re-emitted column wrapped in `If(matched, …, NULL)` and NO filter.
+  * A vanished group — one an IsNotNull strip below the Aggregate removed
+  * whole — yields a NULL windowed value for every supported function
+  * EXCEPT Count (0 over an empty input), which is why Count's inputs are
+  * excluded from that strip whitelist below.
+  *
   * Guards (all refusals leave the plan untouched):
   *  - both sides must peel (through attribute-only Projects and
   *    IsNotNull-only Filters) to CANONICALLY EQUAL deterministic batch
@@ -221,8 +233,18 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     // isnotnull(m) is fine (the join equality drops null-m groups anyway)
     if (!aggPeel.strippedNotNull.forall(id =>
           id == mOutId || groupOut.contains(id))) return None
+    // BELOW the Aggregate, an IsNotNull strip on the aggregate's input is
+    // value-neutral (all supported functions ignore null inputs) but NOT
+    // existence-neutral: a group whose inputs are ALL null vanishes from
+    // the agg side entirely. For Max/Min/Sum/Avg the vanished group's
+    // windowed value is NULL too (equality never matches — same rows),
+    // but Count yields a non-NULL 0 over the unfiltered probe, so the
+    // rewrite could match rows the real join does not: Count's inputs
+    // are excluded from the whitelist.
+    val inputStripOk = !aggFn.isInstanceOf[Count]
     if (!aggChildPeel.strippedNotNull.forall(id =>
-          groupAttrs.exists(_.exprId == id) || aggInputIds.contains(id)))
+          groupAttrs.exists(_.exprId == id) ||
+            (inputStripOk && aggInputIds.contains(id))))
       return None
 
     // ---- 2. the probe side must be the same lineage -------------------
@@ -370,28 +392,26 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     mode match {
       case Mode.Semi =>
         Some(Project(probe.output, Filter(matchPred, win)))
-      case Mode.Inner =>
+      case Mode.Inner | Mode.Outer =>
+        // Inner filters to the matched rows; Outer keeps every probe row
+        // and nulls the aggregate columns off the match instead (the
+        // right side is key-distinct, so a LEFT OUTER join never
+        // replicates either) — same re-emission either way, the Outer
+        // form just If-wraps it and drops the Filter
+        val wrap: Expression => Expression =
+          if (mode == Mode.Outer)
+            e => If(matchPred, e, Literal(null, e.dataType))
+          else identity
         val aggSideAliases: Seq[NamedExpression] = aggSide.output.map { out =>
           val e = carried(out).getOrElse(return None)
-          Alias(e, out.name)(exprId = out.exprId, qualifier = out.qualifier)
+          Alias(wrap(e), out.name)(exprId = out.exprId,
+            qualifier = out.qualifier)
         }
         val projList: Seq[NamedExpression] =
           if (aggOnRight) probe.output ++ aggSideAliases
           else aggSideAliases ++ probe.output
-        Some(Project(projList, Filter(matchPred, win)))
-      case Mode.Outer =>
-        // every probe row survives; the aggregate columns null off the
-        // match (the right side is key-distinct, so a LEFT OUTER join
-        // never replicates either) — a windowed If, no Filter at all
-        val aggSideAliases: Seq[NamedExpression] = aggSide.output.map { out =>
-          val e = carried(out).getOrElse(return None)
-          Alias(If(matchPred, e, Literal(null, out.dataType)),
-            out.name)(exprId = out.exprId, qualifier = out.qualifier)
-        }
-        val projList: Seq[NamedExpression] =
-          if (aggOnRight) probe.output ++ aggSideAliases
-          else aggSideAliases ++ probe.output
-        Some(Project(projList, win))
+        val child = if (mode == Mode.Outer) win else Filter(matchPred, win)
+        Some(Project(projList, child))
     }
   }
 }

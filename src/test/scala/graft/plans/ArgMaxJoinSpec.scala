@@ -167,6 +167,32 @@ class ArgMaxJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("agg-side IsNotNull on Count's input refuses: a vanished group must stay vanished") {
+    // WHERE v IS NOT NULL inside the subquery removes an ALL-NULL group
+    // entirely; count(v) over the unfiltered probe would yield 0 (the
+    // one non-NULL empty-group value among the supported aggregates), so
+    // the rewrite could match rows the real join does not — it must
+    // refuse. k=3 is the all-null group in the fixture; probe rows with
+    // id matching 0 would be phantom matches.
+    fixture
+    for (join <- Seq("JOIN", "LEFT JOIN")) {
+      val sql =
+        s"""SELECT t.id, t.k, a.c FROM amx t
+           |$join (SELECT k, count(v) AS c FROM amx
+           |       WHERE v IS NOT NULL GROUP BY k) a
+           |ON t.k = a.k AND CAST(t.id AS BIGINT) = a.c""".stripMargin
+      assert(parity(sql) === false, s"must refuse but keep parity:\n$sql")
+    }
+    // the same strip under max stays eliminated: a vanished group's
+    // windowed max is NULL and never matches, so the strip is safe there
+    assert(parity(
+      """SELECT t.id, t.k, a.m FROM amx t
+        |JOIN (SELECT k, max(v) AS m FROM amx
+        |      WHERE v IS NOT NULL GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m""".stripMargin),
+      "max with the same strip should still eliminate")
+  }
+
   test("nondeterministic lineage refuses") {
     fixture
     val df = spark.sql("SELECT k, v, id, rand() AS r FROM amx_big")
