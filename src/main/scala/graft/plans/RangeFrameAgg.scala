@@ -70,10 +70,16 @@ private[plans] object RangeFrames {
     * constant folding may have collapsed it to a negative literal),
     * `CURRENT ROW` → fixed 0, `Δ FOLLOWING` → positive. */
   def signedBound(bound: Expression, orderType: DataType): Option[RBound] = {
+    // Long.MinValue is refused like RMonths' Int.MinValue: its negation
+    // overflows (math.abs stays negative), so the sign-based inward/
+    // outward classification and the reach arithmetic would both
+    // misread it — Spark's plan answers the absurd literal correctly
     def lit(e: Expression): Option[RBound] = e match {
       case Literal(v: Int, IntegerType) => Some(RFixed(v.toLong))
-      case Literal(v: Long, LongType) => Some(RFixed(v))
-      case Literal(v: Long, _: DayTimeIntervalType) => Some(RFixed(v))
+      case Literal(v: Long, LongType)
+          if v != Long.MinValue => Some(RFixed(v))
+      case Literal(v: Long, _: DayTimeIntervalType)
+          if v != Long.MinValue => Some(RFixed(v))
       case Literal(m: Int, _: YearMonthIntervalType)
           if m != Int.MinValue && math.abs(m) <= MaxMonths => Some(RMonths(m))
       case _ => None
@@ -584,21 +590,16 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           val continues = !keyed ||
             (runningKey != null && fk != null &&
               KeyedWindowExec.keyEq(fk, runningKey))
-          if (!continues || running.isEmpty) {
+          if (!continues || running.isEmpty || fNull) {
+            // !continues / empty: chain break or chain head. fNull: a
+            // null first value's peers are wholly local, and the branch
+            // can only be reached with an EMPTY retention anyway — a
+            // key's null group never straddles partitions (equal sort
+            // keys co-partition) and nothing of the same key can sort
+            // below it, so a continuing chain before a null-headed
+            // partition holds no rows
             backCtx(p) = Array.empty
             if (anyPreIn) preInLog(p) = Array.empty
-          } else if (fNull) {
-            // a null first value's peers are wholly local (range
-            // partitioning groups equal keys), so no context is correct —
-            // but for INWARD-prefix outputs the earlier chain (all null-
-            // ordered rows, since nulls sort first) belongs in the seed
-            backCtx(p) = Array.empty
-            if (anyPreIn) {
-              letGo ++= running
-              running.clear()
-              preInLog(p) = letGo.toArray
-              letGo.clear()
-            }
           } else {
             val thr = satAdd(fVal, -maxBack)
             if (gDrop && gDropVal >= thr) RangeFrames.overflow(maxHarvest, "back stitch")
@@ -780,8 +781,18 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         }.toArray
       // fold band-log TUPLES into the INWARD slots of an accumulator
       // (r13): inward shapes are commutative-fold aggregates, so the
-      // interleaving of log rows with segment merges cannot move a value
+      // interleaving of log rows with segment merges cannot move a
+      // value. One update projection per inward fi, hoisted out of the
+      // per-partition walk (codegen compiles once) and retargeted per
+      // call — the mergeProjs discipline.
       val joinedF = new JoinedRow
+      val preInIdx = rebased.indices.filter(preInArr(_)).toArray
+      val sufInIdx = rebased.indices.filter(sufInArr(_)).toArray
+      val inwardUpd: Map[Int, MutableProjection] =
+        (preInIdx ++ sufInIdx).map { fi =>
+          fi -> MutableProjection.create(
+            updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs)
+        }.toMap
       def foldInward(acc: Array[InternalRow], idxs: Array[Int],
                      rows: scala.collection.Seq[InternalRow]): Array[InternalRow] =
         if (rows.isEmpty) acc
@@ -797,8 +808,7 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
               buf.update(c, InternalRow.copyValue(acc(fi).get(c, types(c))))
               c += 1
             }
-            val upd = MutableProjection.create(
-              updateExprs(fi), bufferAttrs(fi) ++ tupleAttrs).target(buf)
+            val upd = inwardUpd(fi).target(buf)
             var r = 0
             while (r < rows.length) { upd(joinedF(buf, rows(r))); r += 1 }
             out(fi) = buf
@@ -806,8 +816,6 @@ case class RangeAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
           }
           out
         }
-      val preInIdx = rebased.indices.filter(preInArr(_)).toArray
-      val sufInIdx = rebased.indices.filter(sufInArr(_)).toArray
       if (anyPrefix) {
         var acc: Array[InternalRow] = null
         var accKey: InternalRow = null

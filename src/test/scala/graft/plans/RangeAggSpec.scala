@@ -329,6 +329,19 @@ class RangeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT id, sum(d) OVER (ORDER BY CAST(t AS DOUBLE)
         |  RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) AS s
         |FROM rng_ref""".stripMargin)
+    // Long.MinValue distance: negation overflows, so the sign-based
+    // inward/outward classification would misread it — signedBound must
+    // refuse (the RMonths Int.MinValue discipline; review r13)
+    assert(RangeFrames.signedBound(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        Long.MinValue, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.LongType).isEmpty,
+      "RFixed(Long.MinValue) must refuse")
+    staysWindow(
+      s"""SELECT id, sum(d) OVER (ORDER BY t
+         |  RANGE BETWEEN UNBOUNDED PRECEDING
+         |  AND CAST(${Long.MinValue}L AS BIGINT) FOLLOWING) AS s
+         |FROM rng_ref""".stripMargin)
     // absurd month interval (> MaxMonths): reachOf's conservative 31-day
     // expansion would overflow Long µs — the rewrite must refuse and let
     // Spark answer rather than evict-everything silently (ADVICE r12)
