@@ -36,6 +36,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * ungrouped aggregate) plans `GlobalTotalAggExec` with no exchange at
   * all.
   *
+  * Since round 14 the grouping keys may be COMPUTED — the everyday
+  * latest-per-(key, period) spelling `GROUP BY o_custkey,
+  * date_trunc('month', o_orderdate)` — provided each key is a
+  * deterministic expression whose probe-side twin in the join condition
+  * is CANONICALLY EQUAL after both are rebased to the shared base
+  * relation's attribute space; the emitted Window then partitions on the
+  * probe-side expressions. Catalyst's `PullOutGroupingExpressions`
+  * extracts such keys into a Project below the Aggregate
+  * (`_groupingexpression#N`), so the rule inlines one level of
+  * expression-defining Project on the aggregate side before matching.
+  *
   * Equivalence argument, row by row: the inner join keeps a probe row
   * exactly when (1) its key equals some group key — nulls never equal, so
   * null-key rows drop, which the added `k IS NOT NULL` reproduces — and
@@ -48,6 +59,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * join exposed are re-emitted from the probe side under the original
   * exprIds (`m` = the compared probe column, group keys = their probe
   * twins — equal on every surviving row by the join condition itself).
+  * For an expression key the window's PARTITION BY groups probe rows by
+  * the expression's VALUE — the same equivalence classes `GROUP BY`
+  * builds (both use grouping equality, so float normalization agrees).
   *
   * LEFT/RIGHT OUTER (the "flag the latest row per group" spelling) keeps
   * every probe row instead: key-distinctness again rules out
@@ -65,17 +79,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - both sides must peel (through attribute-only Projects and
   *    IsNotNull-only Filters) to CANONICALLY EQUAL deterministic batch
   *    subtrees — a genuine self-join of the same lineage;
-  *  - peeled IsNotNull filters are tolerated only on the grouping twins
-  *    and (for null-ignoring aggregates) the aggregate inputs, where they
-  *    provably cannot change any surviving group's aggregate value — the
-  *    exact set `InferFiltersFromConstraints` derives from this join
-  *    shape, so the rule still fires in the post-inference batch;
+  *  - peeled IsNotNull filters are tolerated only where they provably
+  *    cannot change a surviving group's aggregate value: on columns some
+  *    grouping key NULL-FORCES (null column ⇒ null key along a
+  *    `nullIntolerant` expression path — for a bare-attribute key, the
+  *    key itself), and (for null-ignoring aggregates other than Count)
+  *    on the aggregate inputs — the exact set
+  *    `InferFiltersFromConstraints` derives from this join shape, so the
+  *    rule still fires in the post-inference batch;
   *  - the aggregate is a single non-DISTINCT, unfiltered Max/Min/Sum/
   *    Average/Count over attribute (or literal) children, every grouping
-  *    expression is a bare attribute, and the join condition is exactly
-  *    {every grouping key = its probe twin} plus {probe column = the
-  *    aggregate output} — anything else (extra predicates, HAVING
-  *    residue, computed keys, non-twin pairings) refuses;
+  *    key is a bare attribute or a deterministic expression with a
+  *    canonical probe twin, and the join condition is exactly {every
+  *    grouping key = its probe twin} plus {probe column = the aggregate
+  *    output} — anything else (extra predicates, HAVING residue,
+  *    nondeterministic keys, non-twin pairings) refuses;
   *  - the probe side must still expose the grouping/aggregate input
   *    columns (column pruning can legally drop them from the probe
   *    projection when the outer query doesn't read them — then the window
@@ -192,31 +210,126 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     case _ => false
   }
 
+  /** Rebase an expression's attribute references through `m`; None if any
+    * reference has no mapping (the expression reads a column the target
+    * space does not expose).
+    */
+  private def mapAttrs(e: Expression,
+                       m: Map[ExprId, Attribute]): Option[Expression] = {
+    var ok = true
+    val out = e.transformUp {
+      case a: AttributeReference =>
+        m.get(a.exprId) match {
+          case Some(b) => b
+          case None => ok = false; a
+        }
+    }
+    if (ok) Some(out) else None
+  }
+
+  /** Does a NULL in column `id` force `e` to NULL? True when `id` is
+    * reachable from the root through `nullIntolerant` nodes only (a bare
+    * attribute trivially forces itself). Used to whitelist IsNotNull
+    * strips on columns a grouping key null-forces: the removed rows all
+    * sit in the null-key group, which the join can never match.
+    */
+  private def nullForcing(e: Expression, id: ExprId): Boolean = e match {
+    case a: AttributeReference => a.exprId == id
+    case _ if e.nullIntolerant => e.children.exists(nullForcing(_, id))
+    case _ => false
+  }
+
+  /** Inline ONE level of expression-defining Project below the Aggregate
+    * — the shape Catalyst's `PullOutGroupingExpressions` produces for
+    * computed grouping keys (`_groupingexpression#N`). Substitutes the
+    * Project's definitions into the grouping keys and aggregate
+    * expressions (preserving output exprIds) and re-parents the
+    * Aggregate onto the Project's child. None when the child is not such
+    * a Project or a definition is nondeterministic.
+    */
+  private def inlineGroupingProject(agg: Aggregate): Option[Aggregate] =
+    agg.child match {
+      case Project(list, pchild)
+          if list.exists {
+            case _: AttributeReference => false
+            case Alias(_: AttributeReference, _) => false
+            case _ => true
+          } && list.forall(_.deterministic) =>
+        val subst: Map[ExprId, Expression] = list.map {
+          case a: AttributeReference => a.exprId -> (a: Expression)
+          case al @ Alias(e, _) => al.exprId -> e
+        }.toMap
+        def sub(e: Expression): Option[Expression] = {
+          var ok = true
+          val r = e.transformUp {
+            case a: AttributeReference =>
+              subst.get(a.exprId) match {
+                case Some(x) => x
+                case None => ok = false; a
+              }
+          }
+          if (ok) Some(r) else None
+        }
+        val newKeys = agg.groupingExpressions.map(g => sub(g).getOrElse(return None))
+        val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+          case a: AttributeReference =>
+            sub(a).getOrElse(return None) match {
+              case b: AttributeReference if b.exprId == a.exprId => b
+              case e => Alias(e, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+            }
+          case al @ Alias(e, name) =>
+            Alias(sub(e).getOrElse(return None), name)(
+              exprId = al.exprId, qualifier = al.qualifier)
+          case _ => return None
+        }
+        Some(Aggregate(newKeys, newAggs, pchild))
+      case _ => None
+    }
+
   private def rewrite(probe: LogicalPlan, aggSide: LogicalPlan,
                       cond: Expression, aggOnRight: Boolean,
                       mode: Mode): Option[LogicalPlan] = {
-    // ---- 1. shape of the aggregate side -------------------------------
     val aggPeel = peel(aggSide)
-    val agg = aggPeel.base match {
+    val agg0 = aggPeel.base match {
       case a: Aggregate => a
       case _ => return None
     }
-    if (agg.groupingExpressions.exists(!_.isInstanceOf[AttributeReference]))
-      return None
-    val groupAttrs = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    // try the Aggregate as written; when its child is the
+    // PullOutGroupingExpressions Project, retry with the definitions
+    // inlined so the grouping keys surface as the user's expressions
+    rewriteWithAgg(probe, aggSide, aggPeel, agg0, cond, aggOnRight, mode)
+      .orElse(inlineGroupingProject(agg0).flatMap(a =>
+        rewriteWithAgg(probe, aggSide, aggPeel, a, cond, aggOnRight, mode)))
+  }
 
-    // exactly one aggregate output; the rest must be bare grouping attrs
+  private def rewriteWithAgg(probe: LogicalPlan, aggSide: LogicalPlan,
+                             aggPeel: Peeled, agg: Aggregate,
+                             cond: Expression, aggOnRight: Boolean,
+                             mode: Mode): Option[LogicalPlan] = {
+    // ---- 1. shape of the aggregate side -------------------------------
+    // grouping keys: bare attributes, or deterministic expressions over
+    // the aggregate child's columns (round 14: `GROUP BY k,
+    // date_trunc('month', d)` — the latest-per-(key, period) spelling)
+    val groupKeys: Seq[Expression] = agg.groupingExpressions
+    if (groupKeys.exists(g => !g.deterministic || g.references.isEmpty ||
+          !g.references.subsetOf(agg.child.outputSet))) return None
+
+    def keyIdx(e: Expression): Option[Int] =
+      groupKeys.zipWithIndex.collectFirst {
+        case (g, i) if g.semanticEquals(e) => i
+      }
+
+    // exactly one aggregate output; the rest must re-emit grouping keys
     var aggVal: Option[(ExprId, AggregateFunction)] = None // output id -> fn
-    var groupOut = Map.empty[ExprId, Attribute] // output id -> grouping attr
+    var groupOut = Map.empty[ExprId, Int] // output id -> grouping key index
     agg.aggregateExpressions.foreach {
-      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
-        groupOut += a.exprId -> a
-      case al @ Alias(a: AttributeReference, _)
-          if groupAttrs.exists(_.exprId == a.exprId) =>
-        groupOut += al.exprId -> a
+      case a: AttributeReference if keyIdx(a).isDefined =>
+        groupOut += a.exprId -> keyIdx(a).get
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), _)
           if supportedAgg(f) && aggVal.isEmpty =>
         aggVal = Some(al.exprId -> f)
+      case al @ Alias(e, _) if keyIdx(e).isDefined =>
+        groupOut += al.exprId -> keyIdx(e).get
       case _ => return None
     }
     val (mOutId, aggFn) = aggVal.getOrElse(return None)
@@ -233,6 +346,13 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     // isnotnull(m) is fine (the join equality drops null-m groups anyway)
     if (!aggPeel.strippedNotNull.forall(id =>
           id == mOutId || groupOut.contains(id))) return None
+
+    // grouping keys and aggregate inputs rebased to the aggregate
+    // child's BASE attribute space (where peeled strips live)
+    val keysInBaseA: Seq[Expression] = groupKeys.map(g =>
+      mapAttrs(g, aggChildPeel.toBase).getOrElse(return None))
+    val aggInputBaseA: Set[ExprId] =
+      aggInputIds.flatMap(aggChildPeel.toBase.get).map(_.exprId)
     // BELOW the Aggregate, an IsNotNull strip on the aggregate's input is
     // value-neutral (all supported functions ignore null inputs) but NOT
     // existence-neutral: a group whose inputs are ALL null vanishes from
@@ -240,11 +360,12 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     // windowed value is NULL too (equality never matches — same rows),
     // but Count yields a non-NULL 0 over the unfiltered probe, so the
     // rewrite could match rows the real join does not: Count's inputs
-    // are excluded from the whitelist.
+    // are excluded from the whitelist. Strips on a column some grouping
+    // key NULL-FORCES only move rows of the never-matching null-key group.
     val inputStripOk = !aggFn.isInstanceOf[Count]
     if (!aggChildPeel.strippedNotNull.forall(id =>
-          groupAttrs.exists(_.exprId == id) ||
-            (inputStripOk && aggInputIds.contains(id))))
+          keysInBaseA.exists(nullForcing(_, id)) ||
+            (inputStripOk && aggInputBaseA.contains(id))))
       return None
 
     // ---- 2. the probe side must be the same lineage -------------------
@@ -271,15 +392,21 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
       pOut <- baseToProbeOut.get(pBase.exprId)
     } yield pOut
 
-    // probe-side strips: must be twins of grouping keys or agg inputs
-    val allowedProbeStripBase: Set[ExprId] =
-      (groupAttrs.map(_.exprId).toSet ++ aggInputIds).flatMap { id =>
-        for {
-          baseAttr <- aggChildPeel.toBase.get(id)
-          pBase <- posMap.get(baseAttr.exprId)
-        } yield pBase.exprId
-      }
-    if (!probePeel.strippedNotNull.forall(allowedProbeStripBase.contains))
+    // grouping keys in the PROBE base space — the space join-condition
+    // twins are compared in
+    val keysInBaseP: Seq[Expression] = keysInBaseA.map(g =>
+      mapAttrs(g, posMap).getOrElse(return None))
+
+    // probe-side strips: tolerated on columns some grouping key
+    // null-forces, and on twins of the aggregate inputs
+    val aggInputBaseP: Set[ExprId] = aggInputIds.flatMap { id =>
+      for {
+        baseAttr <- aggChildPeel.toBase.get(id)
+        pBase <- posMap.get(baseAttr.exprId)
+      } yield pBase.exprId
+    }
+    if (!probePeel.strippedNotNull.forall(id =>
+          keysInBaseP.exists(nullForcing(_, id)) || aggInputBaseP.contains(id)))
       return None
 
     // ---- 3. the join condition ----------------------------------------
@@ -287,9 +414,9 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     val aggSideOutToAggOut: Map[ExprId, ExprId] = aggPeel.toBase.map {
       case (outId, baseAttr) => outId -> baseAttr.exprId
     }
-    var coveredGroups = Set.empty[ExprId] // grouping attr ids matched
+    var coveredKeys = Set.empty[Int] // grouping key indices matched
     var mPartners = Seq.empty[Expression] // probe exprs compared to m
-    var keyPairs = Seq.empty[(Attribute, Attribute)] // (probe twin, aggSide out)
+    var keyProbe = Map.empty[Int, Expression] // key index -> probe twin
     splitConjunctivePredicates(cond).foreach { c =>
       // the agg side of each equality must be a bare output attr; the
       // probe side may be any deterministic expression over probe attrs
@@ -313,25 +440,35 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
           mPartners :+= pExpr
         case Some(aggOutId) =>
           groupOut.get(aggOutId) match {
-            case Some(gAttr) =>
-              // must be the bare positional twin, not an arbitrary column
-              (pExpr, probeTwin(gAttr.exprId)) match {
-                case (p: AttributeReference, Some(twin))
-                    if twin.exprId == p.exprId =>
-                  coveredGroups += gAttr.exprId
-                  keyPairs :+= (p, aAttr)
-                case _ => return None
-              }
+            case Some(idx) =>
+              // the probe expression must be the CANONICAL TWIN of the
+              // grouping key: both rebased to the shared probe-base
+              // attribute space and compared semantically (for a bare
+              // attribute key this degenerates to the positional twin)
+              val pInBase = mapAttrs(pExpr, probePeel.toBase)
+                .getOrElse(return None)
+              if (!keysInBaseP(idx).semanticEquals(pInBase)) return None
+              coveredKeys += idx
+              if (!keyProbe.contains(idx)) keyProbe += idx -> pExpr
             case None => return None
           }
         case None => return None
       }
     }
     if (mPartners.isEmpty) return None
-    if (coveredGroups != groupAttrs.map(_.exprId).toSet) return None
+    if (coveredKeys != groupKeys.indices.toSet) return None
 
     // ---- 4. build the windowed single-pass form ------------------------
-    val partitionAttrs: Seq[Attribute] = keyPairs.map(_._1).distinct
+    // partition on the probe-side twin expressions (deduped semantically)
+    val partitionExprs: Seq[Expression] = {
+      val buf = Seq.newBuilder[Expression]
+      var seen = Seq.empty[Expression]
+      groupKeys.indices.foreach { i =>
+        val e = keyProbe(i)
+        if (!seen.exists(_.semanticEquals(e))) { seen :+= e; buf += e }
+      }
+      buf.result()
+    }
     // aggregate inputs the probe projection pruned away (legal when the
     // outer query never reads them): rebuild the probe from its base —
     // the peeled layers were exactly attr-renames + IsNotNull filters, so
@@ -371,11 +508,11 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     val winFn = aggFn.withNewChildren(newChildren).asInstanceOf[AggregateFunction]
     val winExpr = WindowExpression(
       AggregateExpression(winFn, Complete, isDistinct = false, filter = None),
-      WindowSpecDefinition(partitionAttrs, Nil,
+      WindowSpecDefinition(partitionExprs, Nil,
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)))
     val winAlias = Alias(winExpr, "__graft_argmax")()
-    val win = Window(Seq(winAlias), partitionAttrs, Nil, winChild)
-    val matchPred = (partitionAttrs.map(IsNotNull(_): Expression) ++
+    val win = Window(Seq(winAlias), partitionExprs, Nil, winChild)
+    val matchPred = (partitionExprs.map(IsNotNull(_): Expression) ++
       mPartners.map(p => EqualTo(p, winAlias.toAttribute): Expression))
       .reduce(And)
 
@@ -384,8 +521,7 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     def carried(out: Attribute): Option[Expression] =
       aggSideOutToAggOut.get(out.exprId) match {
         case Some(id) if id == mOutId => Some(mPartners.head)
-        case Some(id) =>
-          groupOut.get(id).flatMap(g => probeTwin(g.exprId))
+        case Some(id) => groupOut.get(id).flatMap(keyProbe.get)
         case None => None
       }
 

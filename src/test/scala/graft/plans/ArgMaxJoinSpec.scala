@@ -135,8 +135,113 @@ class ArgMaxJoinSpec extends AnyFunSuite {
         |JOIN (SELECT k, v % 3 AS ignored_probe, max(id) AS m
         |      FROM amx_big GROUP BY k, v % 3) a
         |ON t.k = a.k AND t.id = a.m""".stripMargin) === false)
-    // computed grouping key → refusal (plan keeps its join) but results
-    // must still match — the parity call above already asserted that.
+    // the computed key `v % 3` is NOT paired in the join condition, so
+    // the join is not a per-group filter (any group with the same k and
+    // max could match) → refusal; results must still match — the parity
+    // call above already asserted that.
+  }
+
+  test("computed grouping key with its canonical probe twin eliminates (r14)") {
+    // the same query with the expression key PAIRED: since round 14 the
+    // rule accepts deterministic expression keys whose probe-side twins
+    // are canonically equal after the base mapping, and partitions the
+    // emitted Window on the probe-side expressions
+    assert(parity(
+      """SELECT t.id, t.k, t.v, a.bucket, a.m FROM amx_big t
+        |JOIN (SELECT k, v % 3 AS bucket, max(id) AS m
+        |      FROM amx_big GROUP BY k, v % 3) a
+        |ON t.k = a.k AND t.v % 3 = a.bucket AND t.id = a.m""".stripMargin),
+      "expected the expression-key join to be eliminated")
+  }
+
+  test("latest-per-(customer, month): date_trunc grouping key eliminates (r14)") {
+    val orders = spark.read.parquet(s"${TestSpark.Sf0001}/orders.parquet")
+    orders.createOrReplaceTempView("amx_orders_m")
+    val sql =
+      """SELECT t.o_orderkey, t.o_custkey, t.o_orderdate, a.mon
+        |FROM amx_orders_m t
+        |JOIN (SELECT o_custkey,
+        |             CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |             max(o_orderdate) AS m
+        |      FROM amx_orders_m
+        |      GROUP BY o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE)) a
+        |ON t.o_custkey = a.o_custkey
+        |AND CAST(date_trunc('month', t.o_orderdate) AS DATE) = a.mon
+        |AND t.o_orderdate = a.m""".stripMargin
+    val q = spark.sql(sql)
+    assert(q.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      s"month-bucketed join survived:\n${q.queryExecution.optimizedPlan}")
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected exactly one scan:\n${q.queryExecution.executedPlan}")
+    spark.conf.set(ArgMaxJoinRule.RewriteConf, "false")
+    try assert(multiset(q) === multiset(spark.sql(sql)))
+    finally spark.conf.set(ArgMaxJoinRule.RewriteConf, "true")
+  }
+
+  test("expression keys: outer join, null buckets, and semi spelling hold parity") {
+    fixture
+    // v is nullable: v % 3 null-buckets drop on the inner/semi forms and
+    // null-extend on the outer form, exactly like the join
+    assert(parity(
+      """SELECT t.id, t.k, t.v, a.bucket, a.m FROM amx t
+        |LEFT JOIN (SELECT k, v % 3 AS bucket, max(id) AS m
+        |           FROM amx GROUP BY k, v % 3) a
+        |ON t.k = a.k AND t.v % 3 = a.bucket AND t.id = a.m""".stripMargin),
+      "expected the outer expression-key join to be eliminated")
+    assert(parity(
+      """SELECT id, k, v FROM amx
+        |WHERE (k, v % 3, id) IN
+        |  (SELECT k, v % 3, max(id) FROM amx GROUP BY k, v % 3)""".stripMargin),
+      "expected the expression-key IN spelling to be eliminated")
+  }
+
+  test("expression-key refusals: mismatched twin, wrong column") {
+    fixture
+    val refusals = Seq(
+      // probe pairs v % 4 against the v % 3 key — not a canonical twin
+      """SELECT t.id FROM amx_big t
+        |JOIN (SELECT k, v % 3 AS bucket, max(id) AS m
+        |      FROM amx_big GROUP BY k, v % 3) a
+        |ON t.k = a.k AND t.v % 4 = a.bucket AND t.id = a.m""".stripMargin,
+      // probe computes the key over a DIFFERENT column (id, not v)
+      """SELECT t.id FROM amx_big t
+        |JOIN (SELECT k, v % 3 AS bucket, max(id) AS m
+        |      FROM amx_big GROUP BY k, v % 3) a
+        |ON t.k = a.k AND t.id % 3 = a.bucket AND t.id = a.m""".stripMargin)
+    refusals.foreach { sql =>
+      assert(parity(sql) === false, s"rule must refuse but keep parity:\n$sql")
+    }
+    // a nondeterministic grouping key is unreachable through analysis
+    // (Spark extracts rand() into a projection and then rejects the
+    // GROUP BY), so the rule's determinism guard is belt-and-braces; the
+    // nondeterministic-LINEAGE refusal test above covers the reachable
+    // nondeterminism path.
+  }
+
+  test("randomized expression-key parity battery: seeded data, on == off") {
+    val dir = java.nio.file.Files.createTempDirectory("amx_expr_").toString
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val rows = (1 to 400).map { i =>
+        val k = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(8))
+        val v = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(40))
+        (k, v, i.toLong)
+      }
+      rows.toDF("k", "v", "id").write.mode("overwrite").parquet(s"$dir/t$seed")
+      spark.read.parquet(s"$dir/t$seed").createOrReplaceTempView("amx_expr")
+      for ((fn, cmp) <- Seq("max(id)" -> "t.id", "min(id)" -> "t.id",
+                            "sum(id)" -> "CAST(t.id AS BIGINT)")) {
+        for (join <- Seq("JOIN", "LEFT JOIN")) {
+          val joinFree = parity(
+            s"""SELECT t.id, t.k, t.v, a.bucket, a.m FROM amx_expr t
+               |$join (SELECT k, v % 3 AS bucket, $fn AS m
+               |       FROM amx_expr GROUP BY k, v % 3) a
+               |ON t.k = a.k AND t.v % 3 = a.bucket AND $cmp = a.m""".stripMargin)
+          assert(joinFree, s"seed=$seed fn=$fn $join did not eliminate")
+        }
+      }
+    }
   }
 
   test("refusals: different lineages, extra predicates, non-twin keys, DISTINCT, HAVING") {
