@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // one-scan windowed filter, which the window-rewrite family below then
     // heals further; opt out with spark.graft.argmaxJoin.rewrite=false
     ext.injectOptimizerRule(session => graft.plans.ArgMaxJoinRule(session))
+    // ON-by-default top-n-per-group correlated-count collapse: the
+    // `WHERE (SELECT count(*) … WHERE k=k AND v>v) < n` spelling becomes a
+    // one-scan rank-window filter BEFORE Catalyst's quadratic domain-join
+    // decorrelation can fire; opt out with spark.graft.topn.rewrite=false
+    ext.injectPlanNormalizationRule(session => graft.plans.TopNSubqueryRule(session))
     // ON-by-default rewrite of unpartitioned ranking windows into the
     // range-partitioned GlobalRank plan (VERDICT r9 #1); opt out with
     // spark.graft.globalRank.rewrite=false
