@@ -1,0 +1,103 @@
+package graft.stats
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** `RunningDistinct.attach` — the count(DISTINCT x) OVER (PARTITION BY k
+  * ORDER BY t) composition (x141) — against a brute-force replay of the
+  * windowed-DISTINCT law, with the tie/null edges the fixture-backed
+  * oracle (unique doc_id) cannot exercise; plus the theta-sketch twin's
+  * exact-under-capacity pin and the x141 plan shape.
+  */
+class RunningDistinctSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (k, t, x, id): time ties introducing SEVERAL new values at once, a
+  // value re-seen later (contributes nothing), null x (never counted,
+  // row kept), null k (its own partition), two rows of the SAME new
+  // value at its first timestamp (must count once)
+  private val rows = Seq[(Option[String], Int, Option[String], Long)](
+    (Some("a"), 1, Some("u"), 1L),
+    (Some("a"), 1, Some("v"), 2L), // tie: two new values at t=1
+    (Some("a"), 2, Some("u"), 3L), // re-seen: no contribution
+    (Some("a"), 2, None, 4L), // null x: kept, counts nothing
+    (Some("a"), 3, Some("w"), 5L),
+    (Some("a"), 3, Some("w"), 6L), // same new value twice at its first t
+    (Some("b"), 1, Some("u"), 7L),
+    (None, 1, Some("z"), 8L), // null key partition
+    (None, 2, Some("z"), 9L))
+
+  /** The windowed-DISTINCT law, computed naively: distinct non-null x in
+    * the row's k-partition whose first time is <= the row's t.
+    */
+  private def expected: Map[Long, Long] = {
+    val byK = rows.groupBy(_._1)
+    rows.map { case (k, t, _, id) =>
+      val firsts = byK(k).collect { case (_, ft, Some(x), _) => (x, ft) }
+        .groupBy(_._1).map { case (x, g) => x -> g.map(_._2).min }
+      id -> firsts.count { case (_, ft) => ft <= t }.toLong
+    }.toMap
+  }
+
+  test("attach matches the brute-force windowed-DISTINCT law on ties and nulls") {
+    val df = rows.toDF("k", "t", "x", "id")
+    val got = RunningDistinct.attach(df, "k", "t", "x", "id", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("peers share the running value (RANGE semantics)") {
+    val df = rows.toDF("k", "t", "x", "id")
+    val got = RunningDistinct.attach(df, "k", "t", "x", "id", "cum")
+      .select("k", "t", "cum").distinct().collect()
+    // every (k, t) pair maps to exactly one running value
+    val pairs = got.map(r => (r.get(0), r.get(1))).toSeq
+    assert(pairs.distinct.length === pairs.length,
+      "two peers at the same (k, t) disagreed on the running value")
+  }
+
+  test("x141 plans the keyed running heal: no WindowExec, broadcast flag attach") {
+    val p = SparkEntry.queries("x141_running_distinct")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["),
+      s"x141: a window survived the rewrite family:\n${p.take(1500)}")
+    assert(p.contains("KeyedRunningAgg"),
+      s"x141: expected the keyed running heal:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"x141: the first-occurrence attach should broadcast:\n${p.take(1500)}")
+  }
+
+  test("x141b sketch twin is EXACT under capacity and equals the exact cumulative") {
+    // 20 sources « 2^12: the theta sketches never enter estimation mode,
+    // so the running-union estimates must EQUAL the exact cumulative
+    // distinct counts per (lang, bucket) — the x3/x29 discipline
+    val sf = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("x141b_running_distinct_sketch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("lang", "doc_id", "source")
+      .collect().map(r => (r.getString(0), (r.getLong(1) / 100).toInt, r.getString(2)))
+    val exact = docs.map { case (l, b, _) => (l, b) }.distinct.map { case (l, b) =>
+      (l, b) -> docs.collect { case (l2, b2, s2) if l2 == l && b2 <= b => s2 }
+        .distinct.length.toLong
+    }.toMap
+    assert(approx === exact)
+  }
+
+  test("x140/x142 plan join-free with the keyed heals") {
+    val p140 = SparkEntry.queries("x140_argmax_month")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(p140.contains("KeyedTotalAgg") && !p140.contains("Join"),
+      s"x140: expected the zero-exchange keyed total, no join:\n${p140.take(1500)}")
+    assert(p140.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"x140: expected one scan:\n${p140.take(1500)}")
+    val p142 = SparkEntry.queries("x142_topn_correlated")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(p142.contains("KeyedRank") && !p142.contains("Join"),
+      s"x142: expected the keyed rank collapse, no join:\n${p142.take(1500)}")
+    assert(p142.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"x142: expected one scan:\n${p142.take(1500)}")
+  }
+}

@@ -811,6 +811,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x136: expected the partial-agg argmax:\n${p136.take(1200)}")
   }
 
+  test("x143 capstone: two orders scans, no Window, keyed heals, broadcast flag join") {
+    // r14 composition: the computed-key argmax join collapses to one
+    // scan (KeyedTotalAgg over the month expression), the correlated
+    // top-2 collapses to a second scan (KeyedRank), and the flag join
+    // broadcasts the tiny top-2 set — stock Spark pays FIVE orders
+    // scans for the same SQL (two for the self-join, three for the
+    // correlated domain join)
+    val p = plan("x143_monthly_top_panel")
+    assert(p.linesIterator.count(_.contains("orders.parquet")) === 2,
+      s"x143: orders must be scanned exactly twice:\n${p.take(2000)}")
+    assert(!p.contains("Window ["), s"x143: a window survived:\n${p.take(2000)}")
+    assert(p.contains("KeyedTotalAgg"),
+      s"x143: expected the argmax keyed total:\n${p.take(2000)}")
+    assert(p.contains("KeyedRank"),
+      s"x143: expected the top-n keyed rank:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"x143: the flag join must broadcast:\n${p.take(2000)}")
+  }
+
   test("x139 capstone: one orders scan, no self-join, no Window, broadcast attaches") {
     // r13 composition: the argmax self-join is eliminated (orders read
     // ONCE), the strict-history inward frame plans RangeAggExec (no
