@@ -149,11 +149,18 @@ object SparkEntryR13 {
           explode(sequence(date_add(col("prev_day"), 1),
             date_add(col("day"), -1))).as("day"))
         .select(col("ativo"), col("day"),
+          // ADVICE r13: guard the BIGINT product — Spark's non-ANSI
+          // multiply wraps silently where DuckDB (HUGEINT) keeps
+          // computing, so a magnitude check in DOUBLE raises loudly
+          // before the engines could diverge; the fixture never trips it
           (col("prev_c") + expr(
-            """(((next_c - prev_c) * CAST(datediff(day, prev_day) AS BIGINT))
+            """CASE WHEN abs(CAST(next_c - prev_c AS DOUBLE)
+              |             * CAST(datediff(day, prev_day) AS DOUBLE)) > 9.0e18
+              |     THEN raise_error('x137: lerp product would overflow BIGINT')
+              |     ELSE (((next_c - prev_c) * CAST(datediff(day, prev_day) AS BIGINT))
               | - pmod((next_c - prev_c) * CAST(datediff(day, prev_day) AS BIGINT),
               |        CAST(datediff(next_day, prev_day) AS BIGINT)))
-              | div CAST(datediff(next_day, prev_day) AS BIGINT)""".stripMargin))
+              | div CAST(datediff(next_day, prev_day) AS BIGINT) END""".stripMargin))
             .as("c_cents"),
           lit("interp").as("src"))
       known.select(col("ativo"), col("day"), col("c_cents"),

@@ -8,7 +8,14 @@ import org.apache.spark.sql.types.StructType
   * is admitted to a landing zone, its (footer) schema is diffed against
   * the table's contract and each column gets a verdict:
   *
-  *  - `ok`            in both, same type — always allowed;
+  *  - `ok`            in both, same type, nullability compatible —
+  *                    always allowed;
+  *  - `nullability_relaxed` in both, same type, but the contract
+  *                    promises NON-NULL and the arriving vintage is
+  *                    nullable — refused (ADVICE r13: readers relying on
+  *                    the contract's non-null promise would start seeing
+  *                    NULLs); tightening (nullable contract, non-null
+  *                    arrival) is fine and stays `ok`;
   *  - `added`         only in the arriving vintage — allowed iff
   *                    nullable (old files read NULL through mergeSchema
   *                    / the evolved catalog, exactly s12/s13's law; a
@@ -37,7 +44,10 @@ object SchemaContract {
     names.map { n =>
       (c.get(n), a.get(n)) match {
         case (Some(cf), Some(af)) if cf.dataType == af.dataType =>
-          Check(n, cf.dataType.simpleString, "ok", allowed = true)
+          if (!cf.nullable && af.nullable)
+            Check(n, cf.dataType.simpleString, "nullability_relaxed",
+              allowed = false)
+          else Check(n, cf.dataType.simpleString, "ok", allowed = true)
         case (Some(cf), Some(af)) =>
           Check(n, s"${cf.dataType.simpleString}->${af.dataType.simpleString}",
             "type_changed", allowed = false)

@@ -167,6 +167,18 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
 
+  /** ADVICE r13: only split a window for the rows-shift composition when
+    * every OTHER expression on the node is itself a shape the family
+    * heals — otherwise the split leaves a residual one-task `WindowExec`
+    * PLUS an extra window stage, a strict pessimization over leaving
+    * Spark's single window intact.
+    */
+  private def residualHealable(w: Window): Boolean = {
+    val shiftIds = rowsShiftTargets(w).map(_._1.exprId).toSet
+    w.windowExpressions.filterNot(ne => shiftIds.contains(ne.exprId))
+      .forall(ne => classify(ne).isDefined)
+  }
+
   private def rowsShiftTargets(w: Window): Seq[(Alias, AggregateExpression, Int)] =
     w.windowExpressions.collect {
       case al @ Alias(WindowExpression(fn, spec), _)
@@ -257,7 +269,8 @@ case class GlobalRankRule(session: SparkSession) extends Rule[LogicalPlan]
       // clustering is already parallel, and stacking two windows there
       // without a guaranteed heal would be a pessimization.
       case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-          !provablySmall(w.child) && rowsShiftTargets(w).nonEmpty =>
+          !provablySmall(w.child) && rowsShiftTargets(w).nonEmpty &&
+          residualHealable(w) =>
         composeRowsShift(w)
       case w: Window if rewritable(w) &&
           !keep.contains(w.windowExpressions.map(_.exprId)) =>

@@ -969,7 +969,10 @@ case class KeyedTotalAggPlan(partKeys: Seq[Expression],
   * key-run, so the gate's product is the bound whatever the child's
   * partitioning). The scale profile is a partial-aggregate `groupBy`
   * without its exchange, plus a broadcast-joined map lookup — there is
-  * no cheaper correct plan for a low-ndv keyed total.
+  * no cheaper correct plan for a low-ndv keyed total. Optimistic fires
+  * (r14) enforce the run budget inside pass 1 — task-side map cap +
+  * incremental driver-merge cap, the same arrival bound as the former
+  * dedicated pre-pass at one full child scan less.
   */
 case class KeyedTotalAggExec(partKeys: Seq[Expression],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
@@ -1013,19 +1016,17 @@ case class KeyedTotalAggExec(partKeys: Seq[Expression],
     val resultTypes = outAttrs.map(_.dataType)
     val numOutputRows = longMetric("numOutputRows")
 
-    // optimistic fire (no plan-time ndv proof): budget pre-pass — run
-    // counts on a sorted child, capped distinct-key sets otherwise
-    if (optimistic) {
-      val maxRuns = conf.getConfString(KeyedWindowRule.MaxRunsConf,
+    // optimistic fire (no plan-time ndv proof): the run budget is
+    // enforced INSIDE pass 1 (r14, closing the soak's 3-scan finding):
+    // each task aborts when ITS key map exceeds maxRuns, and the driver
+    // merge below aborts incrementally before accumulating past it —
+    // the same worst-case arrival bound as the old dedicated pre-pass
+    // (per-partition maps never exceed the budget either way), one full
+    // child scan cheaper.
+    val maxRuns: Long =
+      if (optimistic) conf.getConfString(KeyedWindowRule.MaxRunsConf,
         KeyedWindowRule.MaxRunsDefault.toString).toLong
-      if (order.isEmpty) {
-        KeyedWindowExec.enforceDistinctBudget(childRdd, keyExprs, childOutput,
-          maxRuns, "total distinct keys")
-      } else {
-        KeyedWindowExec.enforceRunBudget(childRdd, keyExprs, childOutput,
-          maxRuns, "total key-runs")
-      }
-    }
+      else Long.MaxValue
 
     // pass 1: per partition, key → partial buffer (ndv-bounded map)
     val partials: Array[Array[(UnsafeRow, InternalRow)]] =
@@ -1043,6 +1044,9 @@ case class KeyedTotalAggExec(partKeys: Seq[Expression],
           val buf = map.get(k) match { // lookups need no copy — only inserts
             case Some(b) => b
             case None =>
+              if (map.size.toLong >= maxRuns)
+                KeyedWindowRule.runsOverflow("total distinct keys (task)",
+                  maxRuns, map.size.toLong + 1L)
               val b = new SpecificInternalRow(bufferTypes)
               init.target(b)(InternalRow.empty)
               map.put(k.copy(), b)
@@ -1071,7 +1075,11 @@ case class KeyedTotalAggExec(partKeys: Seq[Expression],
           case Some(prev) =>
             acc(k) = merge.target(new SpecificInternalRow(bufferTypes))(
               joined(prev, p)).copy()
-          case None => acc(k) = p
+          case None =>
+            if (acc.size.toLong >= maxRuns)
+              KeyedWindowRule.runsOverflow("total distinct keys",
+                maxRuns, acc.size.toLong + 1L)
+            acc(k) = p
         }
       }
       val eval = MutableProjection.create(evalExprs, bufferAttrs)

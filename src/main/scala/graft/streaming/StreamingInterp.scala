@@ -33,10 +33,14 @@ object StreamingInterp {
 
   /** Exact integer lerp at `day` between (d0, v0) and (d1, v1):
     * `v0 + (n − pmod(n, dd)) div dd` with n = (v1−v0)·(day−d0),
-    * dd = d1−d0 — floor division, engine-portable. */
+    * dd = d1−d0 — floor division, engine-portable. ADVICE r13: the
+    * product is computed with `multiplyExact`, so an extreme cents delta
+    * times a wide hole FAILS LOUDLY instead of wrapping silently where
+    * DuckDB (HUGEINT) would keep computing — the remaining terms cannot
+    * overflow: |n−m| ≤ |n| and the quotient lands between v0 and v1. */
   private[streaming] def lerp(d0: Int, v0: Long, d1: Int, v1: Long,
                               day: Int): Long = {
-    val n = (v1 - v0) * (day - d0).toLong
+    val n = Math.multiplyExact(Math.subtractExact(v1, v0), (day - d0).toLong)
     val dd = (d1 - d0).toLong
     val m = ((n % dd) + dd) % dd
     v0 + (n - m) / dd

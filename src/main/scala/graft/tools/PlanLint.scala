@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Scale-trap linter: the library's own plan-audit discipline
@@ -34,6 +35,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - `unpushed-scan-filter` (warn): a parquet scan carrying data filters
   *    the source could not translate (`PushedFilters` misses them) — the
   *    predicate runs post-materialization on every row read.
+  *  - `self-join-aggregate` (info): a join whose two sides scan the same
+  *    relation with an aggregate on one side — the greatest-n-per-group /
+  *    top-n anti-pattern; in a stock session the fix is registering the
+  *    graft extensions (`ArgMaxJoinRule` / `TopNSubqueryRule` collapse it
+  *    to one windowed scan), in a session WITH them a surviving instance
+  *    means the rules refused the exact shape.
   *  - `shuffle-census` (info): total shuffle-exchange count — the number
   *    a reviewer sanity-checks against the query's minimum.
   *
@@ -57,28 +64,14 @@ object PlanLint {
       case p => p
     }
 
-  /** Count the filters listed in a scan's `PushedFilters: [...]` metadata
-    * (zero for `[]`).
+  /** Data filters the source could NOT translate into pushed-down source
+    * filters — computed with the same `translateFilter` the scan's own
+    * `pushedDownFilters` uses, instead of string-parsing the
+    * `PushedFilters` metadata (ADVICE r13: filter values containing
+    * parens/commas miscounted there).
     */
-  private def pushedCount(scan: FileSourceScanExec): Int =
-    scan.metadata.get("PushedFilters") match {
-      case Some(s) =>
-        val body = s.stripPrefix("[").stripSuffix("]").trim
-        if (body.isEmpty) 0
-        // count top-level commas only: And(a,b) etc. nest commas inside
-        // parens, and each top-level element is one pushed filter
-        else {
-          var depth = 0; var n = 1
-          body.foreach {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case ',' if depth == 0 => n += 1
-            case _ =>
-          }
-          n
-        }
-      case None => 0
-    }
+  private def unpushedCount(scan: FileSourceScanExec): Int =
+    math.max(0, org.apache.spark.sql.graft.ColumnBridge.unpushedScanFilters(scan))
 
   def findings(df: Dataset[_]): Seq[Finding] = {
     val plan = planOf(df)
@@ -100,13 +93,31 @@ object PlanLint {
           s"partition keys: ${w.partitionSpec.size}; parallelism capped " +
             "at ndv(keys) and the rewrite family refused this shape")
       case s: FileSourceScanExec =>
-        val unpushed = s.dataFilters.size - pushedCount(s)
+        val unpushed = unpushedCount(s)
         if (unpushed > 0)
           out += Finding("unpushed-scan-filter", "warn", "Scan",
             s"$unpushed of ${s.dataFilters.size} scan filter(s) not pushed " +
               "down: predicate runs post-materialization on every row read")
       case _: ShuffleExchangeExec =>
         shuffles += 1
+      case j: BaseJoinExec =>
+        // self-join against an aggregate of the SAME relation (r14): the
+        // greatest-n-per-group / top-n anti-pattern a stock session (no
+        // graft extensions) pays as two scans + join; with the
+        // extensions on, a SURVIVING instance means the rewrite rules
+        // refused (the keyed-window precedent) — worth a look either way
+        def scanLocs(p: SparkPlan): Set[String] = p.collect {
+          case s: FileSourceScanExec => s.metadata.getOrElse("Location", "")
+        }.filter(_.nonEmpty).toSet
+        def hasAgg(p: SparkPlan): Boolean =
+          p.exists { case _: BaseAggregateExec => true; case _ => false }
+        if (scanLocs(j.left).intersect(scanLocs(j.right)).nonEmpty &&
+            (hasAgg(j.left) || hasAgg(j.right)))
+          out += Finding("self-join-aggregate", "info", j.nodeName,
+            "both join sides scan the same relation and one aggregates " +
+              "it; a greatest-n-per-group or top-n spelling collapses to " +
+              "one windowed scan (ArgMaxJoinRule / TopNSubqueryRule, " +
+              "spark.graft.argmaxJoin.rewrite / spark.graft.topn.rewrite)")
       case _ =>
     }
     out += Finding("shuffle-census", "info", "plan",

@@ -14,6 +14,22 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The data filters a file scan could NOT translate into source
+    * filters — `translateFilter` is the exact function
+    * `FileSourceScanLike.pushedDownFilters` maps with (that member is
+    * `protected`, hence this bridge), so the difference is the
+    * untranslatable count (ADVICE r13: replaces string-parsing the
+    * `PushedFilters` metadata, which miscounted on values containing
+    * parens or commas).
+    */
+  def unpushedScanFilters(
+      scan: org.apache.spark.sql.execution.FileSourceScanExec): Int = {
+    import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, DataSourceUtils}
+    val nested = DataSourceUtils.supportNestedPredicatePushdown(scan.relation)
+    scan.dataFilters.size -
+      scan.dataFilters.flatMap(DataSourceStrategy.translateFilter(_, nested)).size
+  }
+
   /** Register the graft SQL functions on a RUNNING session (the
     * `spark.sql.extensions=graft.GraftExtensions` config only applies at
     * session build time).

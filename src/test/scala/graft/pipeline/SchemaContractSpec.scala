@@ -31,6 +31,25 @@ class SchemaContractSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("added w"), ex.getMessage)
   }
 
+  test("nullability relaxation refuses; tightening stays ok (ADVICE r13)") {
+    // contract promises NON-NULL id; an arriving vintage relaxing it to
+    // nullable would surface NULLs to readers trusting the promise
+    val relaxed = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    val d = SchemaContract.diff(contract, relaxed)
+    val idCheck = d.find(_.column == "id").get
+    assert(idCheck.status === "nullability_relaxed" && !idCheck.allowed)
+    assert(d.find(_.column == "v").get.status === "ok")
+    intercept[SparkException] { SchemaContract.enforce(contract, relaxed) }
+    // tightening (nullable contract column arriving non-null) is fine
+    val tightened = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    assert(SchemaContract.diff(contract, tightened)
+      .forall(c => c.status == "ok" && c.allowed))
+  }
+
   test("removal and type change refuse with named columns") {
     val removed = StructType(contract.fields.filter(_.name != "v"))
     val exR = intercept[SparkException] {

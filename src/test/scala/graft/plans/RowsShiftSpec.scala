@@ -126,6 +126,25 @@ class RowsShiftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 500)
   }
 
+  test("an unhealable sibling keeps ONE single window: no split pessimization (ADVICE r13)") {
+    // a rows-shift target sharing its node with a shape the family
+    // cannot heal (a bounded ROWS frame beyond maxBoundedFrame): the
+    // split would leave a residual one-task WindowExec PLUS an extra
+    // window stage, so the rule must leave the ORIGINAL single window
+    fixture.createOrReplaceTempView("rshift_mix")
+    val df = spark.sql(
+      """SELECT id,
+        |  sum(v) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 3 PRECEDING) AS shifted,
+        |  sum(v) OVER (ORDER BY id
+        |    ROWS BETWEEN 2000000 PRECEDING AND CURRENT ROW) AS huge
+        |FROM rshift_mix""".stripMargin)
+    val wins = nodes(df).collect { case w: WindowExec => w }
+    assert(wins.length === 1,
+      s"expected exactly one un-split window:\n${df.queryExecution.executedPlan}")
+    assert(df.count() === 500)
+  }
+
   test("plan-provably tiny frames keep the single-task window (cost guard)") {
     spark.conf.unset(GlobalRankRule.SmallFrameConf) // restore default 4096
     try {

@@ -77,6 +77,45 @@ class PlanLintSpec extends AnyFunSuite {
     assert(!f2.exists(_.rule == "unpushed-scan-filter"), f2.mkString("\n"))
   }
 
+  test("self-join against its own aggregate is an info finding; healed plan is clean (r14)") {
+    t.createOrReplaceTempView("lint_sj")
+    val sql =
+      """SELECT t.* FROM lint_sj t
+        |JOIN (SELECT k, max(v) AS m FROM lint_sj GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m""".stripMargin
+    // stock-session shape: rule off → the two-scan join survives and the
+    // linter names it, pointing at the rewrite confs
+    spark.conf.set("spark.graft.argmaxJoin.rewrite", "false")
+    try {
+      val f = PlanLint.findings(spark.sql(sql))
+      val hit = f.find(_.rule == "self-join-aggregate")
+      assert(hit.exists(_.severity == "info"), f.mkString("\n"))
+      assert(hit.exists(_.detail.contains("argmaxJoin")), f.mkString("\n"))
+    } finally spark.conf.set("spark.graft.argmaxJoin.rewrite", "true")
+    // with the extensions active the join is eliminated → no finding
+    assert(!rules(spark.sql(sql)).contains("self-join-aggregate"),
+      rules(spark.sql(sql)).mkString(","))
+    // the DECORRELATED top-n domain join (topn rule off) is the same
+    // anti-pattern shape — the aggregate side scans the probe relation —
+    // and must be named too
+    spark.conf.set("spark.graft.topn.rewrite", "false")
+    try {
+      val topn = spark.sql(
+        """SELECT * FROM lint_sj t
+          |WHERE (SELECT count(*) FROM lint_sj t2
+          |       WHERE t2.k = t.k AND t2.v > t.v) < 2""".stripMargin)
+      assert(rules(topn).contains("self-join-aggregate"),
+        rules(topn).mkString(","))
+    } finally spark.conf.set("spark.graft.topn.rewrite", "true")
+    // a join against an aggregate of a DIFFERENT relation stays silent
+    (1 to 40).map(i => (i % 7, i.toLong)).toDF("k2", "w")
+      .write.mode("overwrite").parquet(s"$dir/u")
+    val other = spark.read.parquet(s"$dir/u")
+      .groupBy("k2").agg(sum("w").as("sw"))
+    val diff = t.join(other, $"k" === $"k2")
+    assert(!rules(diff).contains("self-join-aggregate"), rules(diff).mkString(","))
+  }
+
   test("gate: clean plans pass and return findings; error findings throw with the list") {
     val clean = PlanLint.gate(t.groupBy("k").agg(sum("v")))
     assert(clean.map(_.rule) === Seq("shuffle-census"))
