@@ -117,6 +117,37 @@ object SparkEntryR14 {
           |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
     }),
 
+    // ---- X144: keys-only group-stats attach join (round 14) ----
+    //
+    // "Join the group aggregates back onto the rows" — the most common
+    // enrichment join of all: `t JOIN (SELECT k, count(*), max(v),
+    // min(v) FROM t GROUP BY k) ON t.k = g.k`. ArgMaxJoinRule (r14)
+    // collapses it to ONE scan with a multi-expression window attach and
+    // an IS NOT NULL key filter — but ONLY when the key's ndv is PROVEN
+    // low (here the `l_returnflag IN (…)` filter pin, the keyed family's
+    // own proof): an unproven keys-only join keeps Spark's broadcast
+    // plan, which measured FASTER at 20k unproven keys (the q17
+    // crossover — recorded in README's bench notes). Key-distinctness
+    // rules out replication; null-key rows drop exactly as the join
+    // drops them. The oracle runs the IDENTICAL join SQL in DuckDB.
+    "x144_group_stats_attach" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("x144_lineitem")
+      s.sql(
+        """WITH flagged AS (
+          |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+          |  FROM x144_lineitem WHERE l_returnflag IN ('A', 'N', 'R'))
+          |SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag,
+          |       t.l_quantity, g.n_items, g.max_qty, g.min_qty
+          |FROM flagged t
+          |JOIN (SELECT l_returnflag, count(*) AS n_items,
+          |             max(l_quantity) AS max_qty,
+          |             min(l_quantity) AS min_qty
+          |      FROM flagged GROUP BY l_returnflag) g
+          |ON t.l_returnflag = g.l_returnflag
+          |ORDER BY t.l_orderkey, t.l_linenumber, t.l_returnflag,
+          |         t.l_quantity""".stripMargin)
+    }),
+
     // ---- X143: round-14 capstone — both r14 rewrite rules in ONE lazy
     // plan ----
     //
@@ -203,6 +234,24 @@ object SparkEntryR14 {
         |       WHERE t2.o_custkey = t.o_custkey
         |         AND t2.o_totalprice > t.o_totalprice) < 2
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // the IDENTICAL group-stats attach join SQL — DuckDB executes the
+    // two-scan join as written while Spark runs the one-scan
+    // multi-expression window attach (proven 3-key partition)
+    "x144_group_stats_attach" ->
+      """WITH flagged AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R'))
+        |SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag,
+        |       t.l_quantity, g.n_items, g.max_qty, g.min_qty
+        |FROM flagged t
+        |JOIN (SELECT l_returnflag, count(*) AS n_items,
+        |             max(l_quantity) AS max_qty,
+        |             min(l_quantity) AS min_qty
+        |      FROM flagged GROUP BY l_returnflag) g
+        |ON t.l_returnflag = g.l_returnflag
+        |ORDER BY t.l_orderkey, t.l_linenumber, t.l_returnflag,
+        |         t.l_quantity""".stripMargin,
 
     // the IDENTICAL capstone composition — DuckDB runs the month
     // self-join and the correlated count as written

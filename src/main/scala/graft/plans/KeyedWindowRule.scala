@@ -406,6 +406,17 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
     threshold > 0L && child.maxRows.exists(_ <= threshold)
   }
 
+  /** Plan-time PROOF that the keys' ndv is at or under `maxNdv` —
+    * exposed for `ArgMaxJoinRule`'s keys-only arm (r14): a keys-only
+    * group-stats join already has a good Spark plan (AQE picks
+    * broadcast), so eliminating it is only justified when the
+    * zero-exchange attach is provably in its low-ndv design center
+    * (measured: the optimistic attach ran 1.7× slower than the
+    * decorrelated broadcast join at 20k unproven keys — q17). */
+  private[plans] def provenKeyNdv(keys: Seq[Expression],
+                                  child: LogicalPlan): Boolean =
+    ndvOk(keys, child)
+
   private def ndvOk(keys: Seq[Expression], child: LogicalPlan): Boolean = {
     val maxNdv = session.conf.get(MaxNdvConf, "64").toLong
     val hints = parseHints(session.conf.get(NdvHintsConf, ""))

@@ -136,12 +136,12 @@ case class TopNSubqueryRule(session: SparkSession) extends Rule[LogicalPlan]
     if (sub.joinCond.nonEmpty) return None
 
     // subquery shape: ungrouped count over one correlated Filter
-    val (cnt: Count, corrFilter: Filter, subRel: LogicalPlan) =
+    val (cnt: Count, distinct: Boolean, corrFilter: Filter, subRel: LogicalPlan) =
       strip(sub.plan) match {
         case Aggregate(Nil, Seq(Alias(
-              AggregateExpression(cf: Count, Complete, false, None, _), _)),
+              AggregateExpression(cf: Count, Complete, dist, None, _), _)),
             f @ Filter(_, sq), _) =>
-          (cf, f, strip(sq))
+          (cf, dist, f, strip(sq))
         case _ => return None
       }
     // no OTHER outer references may hide anywhere in the subquery
@@ -192,9 +192,11 @@ case class TopNSubqueryRule(session: SparkSession) extends Rule[LogicalPlan]
     }
     val (v2, vo, descending) = order.getOrElse(return None)
     // count(1)/count(*) always; count(col) only for the inequality
-    // column, which the correlation already forces non-null
+    // column, which the correlation already forces non-null;
+    // count(DISTINCT col) counts the distinct strictly-greater values —
+    // a DENSE rank — and is accepted only on the inequality column
     cnt.children match {
-      case Seq(_: Literal) =>
+      case Seq(_: Literal) if !distinct =>
       case Seq(a: AttributeReference) if a.exprId == v2.exprId =>
       case _ => return None
     }
@@ -204,7 +206,9 @@ case class TopNSubqueryRule(session: SparkSession) extends Rule[LogicalPlan]
       if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
     val dir = if (descending) Descending else Ascending
     val so = SortOrder(vo, dir, NullsLast, Seq.empty)
-    val rank = WindowExpression(Rank(Seq(vo)),
+    val rankFn: Expression =
+      if (distinct) DenseRank(Seq(vo)) else Rank(Seq(vo))
+    val rank = WindowExpression(rankFn,
       WindowSpecDefinition(dedupKeys, Seq(so),
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)))
     val alias = Alias(rank, "__graft_topn")()

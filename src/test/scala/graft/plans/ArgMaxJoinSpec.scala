@@ -244,6 +244,140 @@ class ArgMaxJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("keys-only group-stats attach collapses under a PROVEN-low-ndv key (r14)") {
+    // the everyday "join the group aggregates back" — no value filter;
+    // the keys-only arm requires a plan-time ndv proof (here the pmod
+    // bound), because the join already has a good broadcast plan
+    assert(parity(
+      """SELECT t.id, t.k, t.v, g.n, g.m, g.mn
+        |FROM amx_big t
+        |JOIN (SELECT pmod(k, 3) AS kb, count(*) AS n, max(v) AS m,
+        |             min(v) AS mn
+        |      FROM amx_big GROUP BY pmod(k, 3)) g
+        |ON pmod(t.k, 3) = g.kb""".stripMargin),
+      "expected the proven keys-only attach to collapse")
+    assert(parity(
+      """SELECT t.id, t.k, g.n
+        |FROM amx_big t
+        |LEFT JOIN (SELECT pmod(k, 3) AS kb, count(*) AS n
+        |           FROM amx_big GROUP BY pmod(k, 3)) g
+        |ON pmod(t.k, 3) = g.kb""".stripMargin),
+      "expected the outer proven keys-only attach to collapse")
+    // an UNPROVEN key refuses — the broadcast join is the better plan
+    // (measured 1.7x at 20k keys) and parity must hold through it
+    assert(parity(
+      """SELECT t.id, t.k, t.v, g.n
+        |FROM amx_big t
+        |JOIN (SELECT k, count(*) AS n FROM amx_big GROUP BY k) g
+        |ON t.k = g.k""".stripMargin) === false,
+      "unproven keys-only attach must keep the join")
+    // the degenerate IN form reduces to a bare filter — no attach, no
+    // ndv concern, always collapses
+    assert(parity(
+      """SELECT id, k FROM amx
+        |WHERE (k) IN (SELECT k FROM amx GROUP BY k)""".stripMargin),
+      "expected the keys-only IN to collapse")
+  }
+
+  test("multiple aggregates: partnered max plus carried count/min (r14)") {
+    assert(parity(
+      """SELECT t.id, t.k, t.v, a.m, a.n, a.mn
+        |FROM amx_big t
+        |JOIN (SELECT k, max(v) AS m, count(*) AS n, min(v) AS mn
+        |      FROM amx_big GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m""".stripMargin),
+      "expected the multi-aggregate argmax join to collapse")
+    // both aggregates partnered: conjunction of equalities
+    assert(parity(
+      """SELECT t.id FROM amx_big t
+        |JOIN (SELECT k, max(v) AS mx, min(v) AS mn
+        |      FROM amx_big GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.mx AND t.v = a.mn""".stripMargin),
+      "expected the doubly-partnered join to collapse")
+  }
+
+  test("correlated scalar attach in the SELECT list collapses to zero joins (r14)") {
+    // `SELECT t.*, (SELECT agg FROM t t2 WHERE t2.b = t.b)` decorrelates
+    // to a keys-only LEFT OUTER join against the group aggregate — which
+    // the keys-only arm eliminates when the key is provable (a BOOLEAN
+    // key bounds ndv at 3); count's COUNT-bug `alwaysTrue` literal rides
+    // the Outer If-wrap (true on match, NULL off), so the outer
+    // `If(isnull(alwaysTrue), 0, count)` keeps its zero semantics
+    fixture
+    val dir = java.nio.file.Files.createTempDirectory("amx_bool_").toString
+    (1 to 300).map(i => (i % 3 == 0, if (i % 11 == 0) None else Some(i % 40),
+      i.toLong)).toDF("b", "v", "id").write.parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t").createOrReplaceTempView("amx_bool")
+    for (fn <- Seq("max(t2.v)", "sum(t2.v)", "count(*)", "count(t2.v)", "avg(t2.v)")) {
+      val sql =
+        s"""SELECT t.id, t.b,
+           |  (SELECT $fn FROM amx_bool t2 WHERE t2.b = t.b) AS g
+           |FROM amx_bool t""".stripMargin
+      assert(parity(sql), s"correlated $fn attach did not collapse")
+    }
+    // an unprovable correlation key keeps Spark's decorrelated join —
+    // with parity (the q17 crossover policy)
+    assert(parity(
+      """SELECT t.id, t.k,
+        |  (SELECT max(t2.v) FROM amx t2 WHERE t2.k = t.k) AS g
+        |FROM amx t""".stripMargin) === false,
+      "unproven correlated attach must keep the decorrelated join")
+    // null-handling law through the collapse: an empty boolean group —
+    // no TRUE rows with non-null v in a crafted frame — still yields
+    // count 0 / max NULL; pinned on the bool fixture by brute replay
+    val got = spark.sql(
+      """SELECT t.id,
+        |  (SELECT count(t2.v) FROM amx_bool t2 WHERE t2.b = t.b) AS c,
+        |  (SELECT max(t2.v) FROM amx_bool t2 WHERE t2.b = t.b) AS m
+        |FROM amx_bool t ORDER BY t.id""".stripMargin).collect()
+    val base = spark.table("amx_bool").collect()
+      .map(r => (r.getBoolean(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    got.foreach { r =>
+      val id = r.getLong(0).toInt
+      val b = (id % 3 == 0)
+      val vs = base.collect { case (`b`, Some(v)) => v }
+      assert(r.getLong(1) === vs.length.toLong)
+      if (vs.isEmpty) assert(r.isNullAt(2)) else assert(r.getInt(2) === vs.max)
+    }
+  }
+
+  test("multi-aggregate input strips refuse: one input's strip moves the others") {
+    // WHERE v IS NOT NULL under (max(v), count(*)) changes count(*) for
+    // groups with null v — the single-aggregate strip tolerance must NOT
+    // generalize; parity holds through the refusal
+    fixture
+    assert(parity(
+      """SELECT t.id, a.m, a.n FROM amx t
+        |JOIN (SELECT k, max(v) AS m, count(*) AS n FROM amx
+        |      WHERE v IS NOT NULL GROUP BY k) a
+        |ON t.k = a.k AND t.v = a.m""".stripMargin) === false,
+      "must refuse the multi-aggregate strip but keep parity")
+  }
+
+  test("randomized keys-only attach battery: seeded data, on == off") {
+    val dir = java.nio.file.Files.createTempDirectory("amx_ko_").toString
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31337)
+      val rows = (1 to 400).map { i =>
+        val k = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(12))
+        val v = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(40))
+        (k, v, i.toLong)
+      }
+      rows.toDF("k", "v", "id").write.mode("overwrite").parquet(s"$dir/t$seed")
+      spark.read.parquet(s"$dir/t$seed").createOrReplaceTempView("amx_ko")
+      for (join <- Seq("JOIN", "LEFT JOIN")) {
+        assert(parity(
+          s"""SELECT t.id, t.k, t.v, g.n, g.s, g.a
+             |FROM amx_ko t
+             |$join (SELECT pmod(k, 5) AS kb, count(v) AS n, sum(v) AS s,
+             |       avg(v) AS a
+             |       FROM amx_ko GROUP BY pmod(k, 5)) g
+             |ON pmod(t.k, 5) = g.kb""".stripMargin),
+          s"seed=$seed $join keys-only attach did not collapse")
+      }
+    }
+  }
+
   test("refusals: different lineages, extra predicates, non-twin keys, DISTINCT, HAVING") {
     fixture
     val refusals = Seq(

@@ -106,6 +106,30 @@ class TopNSubquerySpec extends AnyFunSuite {
       assert(parity(sql), s"expected collapse for:\n$sql")
   }
 
+  test("count(DISTINCT v) correlation is a DENSE rank: top-n distinct levels (r14)") {
+    fixture
+    // k=1 values 10,10,8,8,3: fewer than 2 distinct greater values keeps
+    // 10,10 (0 greater) and 8,8 (1 distinct greater) — NOT what plain
+    // rank would keep
+    val ids = spark.sql(
+      """SELECT id FROM tpn t
+        |WHERE (SELECT count(DISTINCT t2.v) FROM tpn t2
+        |       WHERE t2.k = t.k AND t2.v > t.v) < 2 AND t.k = 1""".stripMargin)
+      .as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L, 4L))
+    assert(parity(
+      """SELECT k, v, id FROM tpn_big t
+        |WHERE (SELECT count(DISTINCT t2.v) FROM tpn_big t2
+        |       WHERE t2.k = t.k AND t2.v > t.v) < 3""".stripMargin),
+      "expected the dense-rank collapse")
+    // DISTINCT over a DIFFERENT column is not a rank: refusal + parity
+    assert(parity(
+      """SELECT k, v, id FROM tpn_big t
+        |WHERE (SELECT count(DISTINCT t2.id) FROM tpn_big t2
+        |       WHERE t2.k = t.k AND t2.v > t.v) < 3""".stripMargin) === false,
+      "must refuse count(DISTINCT other-column)")
+  }
+
   test("multi-key correlation partitions on all keys") {
     assert(parity(
       """SELECT k, v, id FROM tpn_big t

@@ -100,4 +100,13 @@ class RunningDistinctSpec extends AnyFunSuite {
     assert(p142.linesIterator.count(_.contains("Scan parquet")) === 1,
       s"x142: expected one scan:\n${p142.take(1500)}")
   }
+
+  test("x144 group-stats attach plans one scan, no join") {
+    val p = SparkEntry.queries("x144_group_stats_attach")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"x144: the attach join survived:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"x144: expected one scan:\n${p.take(1500)}")
+  }
 }

@@ -21,8 +21,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("o2_topk").contains("TakeOrderedAndProject"))
   }
 
-  test("j1 enrichment joins via broadcast, not a shuffle join") {
-    assert(plan("j1_left_join_enrich").contains("BroadcastHashJoin"))
+  test("j1 enrichment: proven-ndv keys-only attach eliminates the join; broadcast otherwise") {
+    // r14: the enrichment joins bars against an aggregate of the SAME
+    // lineage. With the asset key's ndv PROVEN (the stats artifact's
+    // registerNdvHint handoff — 3 here, truthfully), ArgMaxJoinRule's
+    // keys-only arm collapses the join to a zero-join single-scan
+    // KeyedTotalAgg attach; without the proof (or with the rule off)
+    // the plan keeps the broadcast join — never a shuffle join.
+    val spark = graft.TestSpark.spark
+    val prior = spark.conf.getOption(graft.plans.KeyedWindowRule.NdvHintsConf)
+    graft.plans.KeyedWindowRule.registerNdvHint(spark, "ativo", 3L)
+    try {
+      val p = plan("j1_left_join_enrich")
+      assert(!p.contains("Join") && p.contains("KeyedTotalAgg"),
+        s"j1: expected the zero-join keys-only attach:\n${p.take(1200)}")
+      spark.conf.set(graft.plans.ArgMaxJoinRule.RewriteConf, "false")
+      try assert(plan("j1_left_join_enrich").contains("BroadcastHashJoin"))
+      finally spark.conf.set(graft.plans.ArgMaxJoinRule.RewriteConf, "true")
+    } finally prior match {
+      case Some(v) => spark.conf.set(graft.plans.KeyedWindowRule.NdvHintsConf, v)
+      case None => spark.conf.unset(graft.plans.KeyedWindowRule.NdvHintsConf)
+    }
   }
 
   test("p9 projection prunes the parquet read schema to the selected columns") {
