@@ -87,13 +87,35 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    on the aggregate inputs — the exact set
   *    `InferFiltersFromConstraints` derives from this join shape, so the
   *    rule still fires in the post-inference batch;
-  *  - the aggregate is a single non-DISTINCT, unfiltered Max/Min/Sum/
-  *    Average/Count over attribute (or literal) children, every grouping
-  *    key is a bare attribute or a deterministic expression with a
-  *    canonical probe twin, and the join condition is exactly {every
-  *    grouping key = its probe twin} plus {probe column = the aggregate
-  *    output} — anything else (extra predicates, HAVING residue,
-  *    nondeterministic keys, non-twin pairings) refuses;
+  *  - the aggregates are non-DISTINCT, unfiltered Max/Min/Sum/Average/
+  *    Count over attribute (or literal) children — since round 14 ANY
+  *    NUMBER of them, including zero: the everyday "attach the group
+  *    stats" join `t JOIN (SELECT k, count(*), max(v) … GROUP BY k) ON
+  *    t.k = g.k` collapses to a multi-expression window attach with no
+  *    value filter (key-distinctness rules out replication; null-key
+  *    probe rows drop via IS NOT NULL exactly as the join drops them),
+  *    and `(k) IN (SELECT k FROM t GROUP BY k)` degenerates to the
+  *    filter alone. The keys-only form fires ONLY when the keys' ndv is
+  *    provable at or under the keyed-window family's `maxNdv` (bounded
+  *    expressions, filter pins, catalog stats, registered hints): a
+  *    keys-only join already has a good Spark plan — AQE broadcasts the
+  *    group side — so elimination must prove it lands in the
+  *    zero-exchange attach's low-ndv design center (the partnered argmax
+  *    form is exempt: there the join devolves to a filter and one scan
+  *    always beats two). Correlated scalar attaches in the SELECT list
+  *    (`SELECT t.*, (SELECT max(v) FROM t t2 WHERE t2.k = t.k)`)
+  *    decorrelate into exactly this keys-only outer shape — including
+  *    count's COUNT-bug `true AS alwaysTrue` constant, which the Outer
+  *    If-wrap re-emits with the right on-match/off-match semantics — and
+  *    collapse to zero-join single scans under the same proof. Every grouping key is a bare attribute or a
+  *    deterministic expression with a canonical probe twin, and the
+  *    join condition is exactly {every grouping key = its probe twin}
+  *    plus optional {probe column = an aggregate output} partners —
+  *    anything else (extra predicates, HAVING residue, nondeterministic
+  *    keys, non-twin pairings) refuses; IsNotNull input-strip tolerance
+  *    applies only to the single-partnered-aggregate form (with several
+  *    aggregates a strip on one's input moves the others' values, and a
+  *    keys-only join has no equality to drop a vanished group);
   *  - the probe side must still expose the grouping/aggregate input
   *    columns (column pruning can legally drop them from the probe
   *    projection when the outer query doesn't read them — then the window
@@ -319,33 +341,34 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
         case (g, i) if g.semanticEquals(e) => i
       }
 
-    // exactly one aggregate output; the rest must re-emit grouping keys
-    var aggVal: Option[(ExprId, AggregateFunction)] = None // output id -> fn
+    // aggregate outputs (r14: ANY number, including zero — the keys-only
+    // "attach the group stats" join); everything else must re-emit
+    // grouping keys
+    var aggVals = Seq.empty[(ExprId, AggregateFunction)] // output id -> fn
     var groupOut = Map.empty[ExprId, Int] // output id -> grouping key index
+    var constOut = Map.empty[ExprId, Literal] // output id -> constant
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if keyIdx(a).isDefined =>
         groupOut += a.exprId -> keyIdx(a).get
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), _)
-          if supportedAgg(f) && aggVal.isEmpty =>
-        aggVal = Some(al.exprId -> f)
+          if supportedAgg(f) =>
+        aggVals :+= al.exprId -> f
       case al @ Alias(e, _) if keyIdx(e).isDefined =>
         groupOut += al.exprId -> keyIdx(e).get
+      // constant outputs — notably the `true AS alwaysTrue` marker
+      // Catalyst's COUNT-bug decorrelation adds: on a matched row the
+      // constant, off the match NULL — exactly what the Outer If-wrap
+      // re-emission produces
+      case al @ Alias(l: Literal, _) =>
+        constOut += al.exprId -> l
       case _ => return None
     }
-    val (mOutId, aggFn) = aggVal.getOrElse(return None)
+    val aggValIds = aggVals.map(_._1).toSet
 
-    // the aggregate-side FILTER strips must be on grouping keys or (for
-    // input-null-ignoring fns, i.e. all supported ones with attr inputs)
-    // the aggregate inputs
-    val aggInputIds = aggFn.children.collect {
+    val aggInputIds = aggVals.flatMap(_._2.children).collect {
       case a: AttributeReference => a.exprId
     }.toSet
     val aggChildPeel = peel(agg.child)
-    // strips above the Aggregate are in agg-output space: group-key
-    // outputs are fine (our filter re-adds IsNotNull on the twins), and
-    // isnotnull(m) is fine (the join equality drops null-m groups anyway)
-    if (!aggPeel.strippedNotNull.forall(id =>
-          id == mOutId || groupOut.contains(id))) return None
 
     // grouping keys and aggregate inputs rebased to the aggregate
     // child's BASE attribute space (where peeled strips live)
@@ -353,20 +376,6 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
       mapAttrs(g, aggChildPeel.toBase).getOrElse(return None))
     val aggInputBaseA: Set[ExprId] =
       aggInputIds.flatMap(aggChildPeel.toBase.get).map(_.exprId)
-    // BELOW the Aggregate, an IsNotNull strip on the aggregate's input is
-    // value-neutral (all supported functions ignore null inputs) but NOT
-    // existence-neutral: a group whose inputs are ALL null vanishes from
-    // the agg side entirely. For Max/Min/Sum/Avg the vanished group's
-    // windowed value is NULL too (equality never matches — same rows),
-    // but Count yields a non-NULL 0 over the unfiltered probe, so the
-    // rewrite could match rows the real join does not: Count's inputs
-    // are excluded from the whitelist. Strips on a column some grouping
-    // key NULL-FORCES only move rows of the never-matching null-key group.
-    val inputStripOk = !aggFn.isInstanceOf[Count]
-    if (!aggChildPeel.strippedNotNull.forall(id =>
-          keysInBaseA.exists(nullForcing(_, id)) ||
-            (inputStripOk && aggInputBaseA.contains(id))))
-      return None
 
     // ---- 2. the probe side must be the same lineage -------------------
     val probePeel = peel(probe)
@@ -397,25 +406,13 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     val keysInBaseP: Seq[Expression] = keysInBaseA.map(g =>
       mapAttrs(g, posMap).getOrElse(return None))
 
-    // probe-side strips: tolerated on columns some grouping key
-    // null-forces, and on twins of the aggregate inputs
-    val aggInputBaseP: Set[ExprId] = aggInputIds.flatMap { id =>
-      for {
-        baseAttr <- aggChildPeel.toBase.get(id)
-        pBase <- posMap.get(baseAttr.exprId)
-      } yield pBase.exprId
-    }
-    if (!probePeel.strippedNotNull.forall(id =>
-          keysInBaseP.exists(nullForcing(_, id)) || aggInputBaseP.contains(id)))
-      return None
-
     // ---- 3. the join condition ----------------------------------------
     // aggSide output attr -> underlying agg output id
     val aggSideOutToAggOut: Map[ExprId, ExprId] = aggPeel.toBase.map {
       case (outId, baseAttr) => outId -> baseAttr.exprId
     }
     var coveredKeys = Set.empty[Int] // grouping key indices matched
-    var mPartners = Seq.empty[Expression] // probe exprs compared to m
+    var aggPartners = Map.empty[ExprId, Seq[Expression]] // agg output -> probe exprs
     var keyProbe = Map.empty[Int, Expression] // key index -> probe twin
     splitConjunctivePredicates(cond).foreach { c =>
       // the agg side of each equality must be a bare output attr; the
@@ -436,8 +433,9 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
         case _ => return None
       }
       aggSideOutToAggOut.get(aAttr.exprId) match {
-        case Some(aggOutId) if aggOutId == mOutId =>
-          mPartners :+= pExpr
+        case Some(aggOutId) if aggValIds.contains(aggOutId) =>
+          aggPartners += aggOutId ->
+            (aggPartners.getOrElse(aggOutId, Seq.empty) :+ pExpr)
         case Some(aggOutId) =>
           groupOut.get(aggOutId) match {
             case Some(idx) =>
@@ -455,8 +453,50 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
         case None => return None
       }
     }
-    if (mPartners.isEmpty) return None
     if (coveredKeys != groupKeys.indices.toSet) return None
+    // keys-only joins (no aggregate partner) need at least one covered
+    // key; every probe row then matches exactly its own group row
+    if (aggPartners.isEmpty && coveredKeys.isEmpty) return None
+
+    // ---- strips, now that the partnering is known -----------------------
+    // Above the Aggregate (agg-output space): group-key outputs are fine
+    // (our filter re-adds IsNotNull on the twins); isnotnull on a
+    // PARTNERED aggregate output is fine (the join equality drops null-m
+    // groups anyway); on an UNPARTNERED output it would remove whole
+    // groups the rewrite keeps — refuse.
+    if (!aggPeel.strippedNotNull.forall(id =>
+          aggPartners.contains(id) || groupOut.contains(id) ||
+            (constOut.get(id).exists(l => l.value != null)))) return None
+    // BELOW the Aggregate, an IsNotNull strip on the aggregate's input is
+    // value-neutral (all supported functions ignore null inputs) but NOT
+    // existence-neutral: a group whose inputs are ALL null vanishes from
+    // the agg side entirely. With exactly ONE aggregate that is PARTNERED
+    // and not Count, the vanished group's windowed value is NULL and the
+    // equality never matches (same rows); Count yields a non-NULL 0 over
+    // the unfiltered probe, a keys-only join has no equality to fail, and
+    // with several aggregates a strip on one's input moves the OTHERS'
+    // values — all refuse. Strips on a column some grouping key
+    // NULL-FORCES only move rows of the never-matching null-key group.
+    val inputStripOk = aggVals.length == 1 &&
+      aggPartners.contains(aggVals.head._1) &&
+      !aggVals.head._2.isInstanceOf[Count]
+    if (!aggChildPeel.strippedNotNull.forall(id =>
+          keysInBaseA.exists(nullForcing(_, id)) ||
+            (inputStripOk && aggInputBaseA.contains(id))))
+      return None
+    // probe-side strips: tolerated on columns some grouping key
+    // null-forces, and (single partnered non-Count aggregate only, the
+    // same argument) on twins of the aggregate inputs
+    val aggInputBaseP: Set[ExprId] = aggInputIds.flatMap { id =>
+      for {
+        baseAttr <- aggChildPeel.toBase.get(id)
+        pBase <- posMap.get(baseAttr.exprId)
+      } yield pBase.exprId
+    }
+    if (!probePeel.strippedNotNull.forall(id =>
+          keysInBaseP.exists(nullForcing(_, id)) ||
+            (inputStripOk && aggInputBaseP.contains(id))))
+      return None
 
     // ---- 4. build the windowed single-pass form ------------------------
     // partition on the probe-side twin expressions (deduped semantically)
@@ -476,20 +516,32 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     //         Filter(stripped IsNotNulls, base)) is row- and
     // column-equivalent with the extra inputs along for the window.
     var missingBase = Seq.empty[Attribute]
-    val newChildren = aggFn.children.map {
-      case a: AttributeReference =>
-        probeTwin(a.exprId) match {
-          case Some(t) => t
-          case None =>
-            val b = (for {
-              baseAttr <- aggChildPeel.toBase.get(a.exprId)
-              pBase <- posMap.get(baseAttr.exprId)
-            } yield pBase).getOrElse(return None)
-            if (!missingBase.exists(_.exprId == b.exprId)) missingBase :+= b
-            b
-        }
-      case lit: Literal => lit
-      case _ => return None
+    def rebaseChildren(fn: AggregateFunction): Option[Seq[Expression]] = {
+      val buf = Seq.newBuilder[Expression]
+      fn.children.foreach {
+        case a: AttributeReference =>
+          probeTwin(a.exprId) match {
+            case Some(t) => buf += t
+            case None =>
+              (for {
+                baseAttr <- aggChildPeel.toBase.get(a.exprId)
+                pBase <- posMap.get(baseAttr.exprId)
+              } yield pBase) match {
+                case Some(b) =>
+                  if (!missingBase.exists(_.exprId == b.exprId)) missingBase :+= b
+                  buf += b
+                case None => return None
+              }
+          }
+        case lit: Literal => buf += lit
+        case _ => return None
+      }
+      Some(buf.result())
+    }
+    val rebasedFns: Seq[(ExprId, AggregateFunction)] = aggVals.map {
+      case (id, fn) =>
+        id -> fn.withNewChildren(rebaseChildren(fn).getOrElse(return None))
+          .asInstanceOf[AggregateFunction]
     }
     val winChild: LogicalPlan =
       if (missingBase.isEmpty) probe
@@ -505,22 +557,52 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
         }
         Project(passthrough ++ missingBase, flt)
       }
-    val winFn = aggFn.withNewChildren(newChildren).asInstanceOf[AggregateFunction]
-    val winExpr = WindowExpression(
-      AggregateExpression(winFn, Complete, isDistinct = false, filter = None),
-      WindowSpecDefinition(partitionExprs, Nil,
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)))
-    val winAlias = Alias(winExpr, "__graft_argmax")()
-    val win = Window(Seq(winAlias), partitionExprs, Nil, winChild)
-    val matchPred = (partitionExprs.map(IsNotNull(_): Expression) ++
-      mPartners.map(p => EqualTo(p, winAlias.toAttribute): Expression))
-      .reduce(And)
+    // a KEYS-ONLY join (no aggregate partner) fires only when the keys'
+    // ndv is PROVABLY low: unlike the partnered argmax form — where the
+    // join devolves to a filter and elimination is categorically better
+    // — the keys-only join already has a good Spark plan (AQE broadcasts
+    // the group side), and the zero-exchange attach only beats it inside
+    // its low-ndv design center (measured: 1.7× slower at 20k unproven
+    // keys). The proof machinery is the keyed-window family's own.
+    // (exempt from the proof: a keys-only join with NO aggregate outputs
+    // reduces to the bare IS NOT NULL filter, and a keys-only SEMI never
+    // materializes the aggregates — column pruning drops the unused
+    // window and only the filter remains)
+    if (aggPartners.isEmpty && aggVals.nonEmpty && mode != Mode.Semi &&
+        !KeyedWindowRule(session).provenKeyNdv(partitionExprs, winChild))
+      return None
 
-    // the probe-side expression carrying each aggregate-side output
-    // (equal on every MATCHED row by the join condition itself)
+    // one window alias per aggregate output, all over the same spec; a
+    // keys-only join with NO aggregates needs no Window node at all
+    val winAliases: Seq[(ExprId, Alias)] = rebasedFns.map { case (id, fn) =>
+      id -> Alias(WindowExpression(
+        AggregateExpression(fn, Complete, isDistinct = false, filter = None),
+        WindowSpecDefinition(partitionExprs, Nil,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
+        "__graft_argmax")()
+    }
+    val winByAgg: Map[ExprId, Alias] = winAliases.toMap
+    val win: LogicalPlan =
+      if (winAliases.isEmpty) winChild
+      else Window(winAliases.map(_._2), partitionExprs, Nil, winChild)
+    val matchPred = (partitionExprs.map(IsNotNull(_): Expression) ++
+      aggPartners.toSeq.flatMap { case (aggOutId, partners) =>
+        partners.map(p =>
+          EqualTo(p, winByAgg(aggOutId).toAttribute): Expression)
+      }).reduce(And)
+
+    // the expression carrying each aggregate-side output: a PARTNERED
+    // aggregate re-emits its probe partner (equal on every matched row
+    // by the join condition itself), an unpartnered one its window
+    // column; group keys re-emit their probe twins
     def carried(out: Attribute): Option[Expression] =
       aggSideOutToAggOut.get(out.exprId) match {
-        case Some(id) if id == mOutId => Some(mPartners.head)
+        case Some(id) if aggPartners.contains(id) =>
+          Some(aggPartners(id).head)
+        case Some(id) if winByAgg.contains(id) =>
+          Some(winByAgg(id).toAttribute)
+        case Some(id) if constOut.contains(id) =>
+          Some(constOut(id))
         case Some(id) => groupOut.get(id).flatMap(keyProbe.get)
         case None => None
       }

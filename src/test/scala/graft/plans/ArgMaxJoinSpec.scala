@@ -277,6 +277,14 @@ class ArgMaxJoinSpec extends AnyFunSuite {
       """SELECT id, k FROM amx
         |WHERE (k) IN (SELECT k FROM amx GROUP BY k)""".stripMargin),
       "expected the keys-only IN to collapse")
+    // a keys-only SEMI never materializes the aggregates (column pruning
+    // drops the unused window), so it is proof-exempt even with an
+    // UNPROVEN key and extra aggregate outputs
+    assert(parity(
+      """SELECT t.id, t.k FROM amx_big t
+        |LEFT SEMI JOIN (SELECT k, max(v) AS m FROM amx_big GROUP BY k) g
+        |ON t.k = g.k""".stripMargin),
+      "expected the keys-only semi to collapse without a proof")
   }
 
   test("multiple aggregates: partnered max plus carried count/min (r14)") {
