@@ -48,6 +48,28 @@ class RunningDistinctSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("randomized battery: seeded nullable data vs the brute-force law") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 60013)
+      val data = (1 to 300).map { i =>
+        val k = if (rnd.nextInt(12) == 0) None else Some(s"k${rnd.nextInt(4)}")
+        val t = rnd.nextInt(20) // heavy time ties
+        val x = if (rnd.nextInt(6) == 0) None else Some(s"x${rnd.nextInt(9)}")
+        (k, t, x, i.toLong)
+      }
+      val byK = data.groupBy(_._1)
+      val want = data.map { case (k, t, _, id) =>
+        val firsts = byK(k).collect { case (_, ft, Some(x), _) => (x, ft) }
+          .groupBy(_._1).map { case (x, g) => x -> g.map(_._2).min }
+        id -> firsts.count { case (_, ft) => ft <= t }.toLong
+      }.toMap
+      val df = data.toDF("k", "t", "x", "id")
+      val got = RunningDistinct.attach(df, "k", "t", "x", "id", "cum")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got === want, s"seed $seed diverged from the brute-force law")
+    }
+  }
+
   test("peers share the running value (RANGE semantics)") {
     val df = rows.toDF("k", "t", "x", "id")
     val got = RunningDistinct.attach(df, "k", "t", "x", "id", "cum")
