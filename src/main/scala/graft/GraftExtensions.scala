@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // one-scan rank-window filter BEFORE Catalyst's quadratic domain-join
     // decorrelation can fire; opt out with spark.graft.topn.rewrite=false
     ext.injectPlanNormalizationRule(session => graft.plans.TopNSubqueryRule(session))
+    // ON-by-default rank-subquery JOIN collapse (the third top-n-per-group
+    // spelling): `t JOIN (SELECT …, row_number() OVER … rn FROM t) ON
+    // t.uid = r.uid AND rn <= n` becomes the one-scan windowed filter,
+    // gated on MEASURED uniqueness of a paired column; opt out with
+    // spark.graft.rankJoin.rewrite=false
+    ext.injectPlanNormalizationRule(session => graft.plans.RankJoinRule(session))
     // ON-by-default rewrite of unpartitioned ranking windows into the
     // range-partitioned GlobalRank plan (VERDICT r9 #1); opt out with
     // spark.graft.globalRank.rewrite=false

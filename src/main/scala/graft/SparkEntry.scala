@@ -78,7 +78,7 @@ object SparkEntry {
       SparkEntryR8f.queries ++ SparkEntryR8g.queries ++
       SparkEntryR8h.queries ++ SparkEntryR9.queries ++ SparkEntryR9b.queries ++
       SparkEntryR10.queries ++ SparkEntryR11.queries ++ SparkEntryR12.queries ++
-      SparkEntryR13.queries ++ SparkEntryR14.queries
+      SparkEntryR13.queries ++ SparkEntryR14.queries ++ SparkEntryR15.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -853,5 +853,5 @@ object SparkEntry {
     SparkEntryR8f.oracleSql ++ SparkEntryR8g.oracleSql ++
     SparkEntryR8h.oracleSql ++ SparkEntryR9.oracleSql ++ SparkEntryR9b.oracleSql ++
     SparkEntryR10.oracleSql ++ SparkEntryR11.oracleSql ++ SparkEntryR12.oracleSql ++
-    SparkEntryR13.oracleSql ++ SparkEntryR14.oracleSql
+    SparkEntryR13.oracleSql ++ SparkEntryR14.oracleSql ++ SparkEntryR15.oracleSql
 }

@@ -277,10 +277,17 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
             case Alias(_: AttributeReference, _) => false
             case _ => true
           } && list.forall(_.deterministic) =>
-        val subst: Map[ExprId, Expression] = list.map {
-          case a: AttributeReference => a.exprId -> (a: Expression)
-          case al @ Alias(e, _) => al.exprId -> e
-        }.toMap
+        // non-exhaustive project entries (any NamedExpression that is
+        // neither a bare attribute nor an Alias — e.g. an OuterReference
+        // surfacing inside a subquery being optimized) REFUSE the inline
+        // instead of crashing the whole query (ADVICE r14)
+        val substEntries: Seq[Option[(ExprId, Expression)]] = list.map {
+          case a: AttributeReference => Some(a.exprId -> (a: Expression))
+          case al @ Alias(e, _) => Some(al.exprId -> e)
+          case _ => None
+        }
+        if (substEntries.exists(_.isEmpty)) return None
+        val subst: Map[ExprId, Expression] = substEntries.flatten.toMap
         def sub(e: Expression): Option[Expression] = {
           var ok = true
           val r = e.transformUp {

@@ -24,9 +24,11 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * run the [[GlobalRunningAggPlan]] prefix machinery with PER-KEY
   * resets:
   *
-  *   1. the metadata pass folds each partition into one partial buffer
-  *      PER KEY-RUN (sorted input: a key appears as at most one run per
-  *      partition, so driver state is O(partitions + ndv) buffers);
+  *   1. the metadata pass folds each partition into BOUNDARY data only
+  *      (first key, last key, last run's partial buffer, single-run
+  *      flag — r15): interior runs never leave their partition, so
+  *      driver state is O(partitions) buffers at ANY key cardinality
+  *      and the optimistic run budget does not apply to this shape;
   *   2. the driver walks partitions in order keeping one accumulated
   *      buffer for the key currently straddling the boundary — a
   *      partition whose first key continues the previous partition's
@@ -193,20 +195,19 @@ case class KeyedRunningAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     val frameArr = frames.toArray
     val numOutputRows = longMetric("numOutputRows")
 
-    // optimistic fire (no plan-time ndv proof): count-only pre-pass
-    // refuses past the run budget before any buffer metadata exists
-    if (optimistic) {
-      KeyedWindowExec.enforceRunBudget(childRdd, keyExprs, childOutput,
-        conf.getConfString(KeyedWindowRule.MaxRunsConf,
-          KeyedWindowRule.MaxRunsDefault.toString).toLong,
-        "running key-runs")
-    }
-
-    // pass 1: one partial buffer per KEY-RUN per partition (sorted on
-    // keys first → a key is one contiguous run; driver state is
-    // O(partitions + ndv), the gate's contract — ndv proven at plan
-    // time or enforced by the pre-pass budget)
-    val runs: Array[Array[(InternalRow, InternalRow)]] =
+    // pass 1 (r15: BOUNDARY-ONLY — VERDICT r14 #2): each partition ships
+    // exactly (firstKey, lastKey, lastRunBuffer, isSingleRun) — four
+    // values, O(partitions) driver state at ANY key cardinality. The
+    // seed stitch below only ever consumes the buffer of the key that
+    // FLOWS ACROSS a partition seam, and on key-sorted input that is
+    // always the previous partition's LAST run; interior runs are
+    // complete within their partition and never need to leave it. This
+    // removes the optimistic run budget for the running shape entirely —
+    // there is no per-run driver metadata left to bound, so a 10M-key
+    // PARTITION BY completes with 10M-independent driver state instead
+    // of aborting (the former budget's purpose was the O(runs) pass-1
+    // payload, not correctness).
+    val bounds: Array[(UnsafeRow, UnsafeRow, InternalRow, Boolean)] =
       if (childRdd.getNumPartitions == 0) Array.empty
       else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -215,27 +216,31 @@ case class KeyedRunningAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
         val update =
           MutableProjection.create(updateExprs, bufferAttrs ++ childOutput).target(buf)
         val joined = new JoinedRow
-        val out = scala.collection.mutable.ArrayBuffer.empty[(InternalRow, InternalRow)]
+        var firstKey: UnsafeRow = null
         var curKey: UnsafeRow = null
+        var runs = 0L
         while (it.hasNext) {
           val r = it.next()
           val k = keyProj(r)
           if (curKey == null || !curKey.equals(k)) {
-            if (curKey != null) out += ((curKey, buf.copy()))
             curKey = k.copy()
+            if (firstKey == null) firstKey = curKey
+            runs += 1L
             init(InternalRow.empty)
           }
           update(joined(buf, r))
         }
-        if (curKey != null) out += ((curKey, buf.copy()))
-        out.toArray
+        if (curKey == null) null
+        else (firstKey, curKey, buf.copy(): InternalRow, runs == 1L)
       })
 
     // driver stitch: partition p's seed = the accumulated buffer of its
-    // FIRST key, when that key continues from earlier partitions
+    // FIRST key, when that key continues from earlier partitions; the
+    // accumulator advances on last-run buffers only (merging only while
+    // a single-run partition's key keeps flowing)
     val inputBufferAttrs = funcs.flatMap(_.inputAggBufferAttributes)
     val mergeExprs = funcs.flatMap(_.mergeExpressions)
-    val nPart = runs.length
+    val nPart = bounds.length
     val seeds = new Array[InternalRow](nPart) // null = fresh init
     locally {
       val merge = MutableProjection.create(mergeExprs, bufferAttrs ++ inputBufferAttrs)
@@ -244,22 +249,20 @@ case class KeyedRunningAggExec(partKeys: Seq[Expression], order: Seq[SortOrder],
       var acc: InternalRow = null
       var p = 0
       while (p < nPart) {
-        val rs = runs(p)
-        if (rs.nonEmpty) {
-          if (curKey != null && KeyedWindowExec.keyEq(rs.head._1, curKey)) {
-            seeds(p) = acc
-          }
-          var i = 0
-          while (i < rs.length) {
-            val (k, partial) = rs(i)
-            if (curKey != null && KeyedWindowExec.keyEq(k, curKey)) {
-              acc = merge.target(new SpecificInternalRow(bufferTypes))(
-                joined(acc, partial)).copy()
-            } else {
-              curKey = k
-              acc = partial
-            }
-            i += 1
+        val b = bounds(p)
+        if (b != null) {
+          val (firstKey, lastKey, lastBuf, singleRun) = b
+          val continues =
+            curKey != null && KeyedWindowExec.keyEq(firstKey, curKey)
+          if (continues) seeds(p) = acc
+          if (singleRun && continues) {
+            // the whole partition is the flowing key: extend its prefix
+            acc = merge.target(new SpecificInternalRow(bufferTypes))(
+              joined(acc, lastBuf)).copy()
+          } else {
+            // the last run started inside this partition: fresh prefix
+            curKey = lastKey
+            acc = lastBuf
           }
         }
         p += 1
@@ -970,9 +973,13 @@ case class KeyedTotalAggPlan(partKeys: Seq[Expression],
   * partitioning). The scale profile is a partial-aggregate `groupBy`
   * without its exchange, plus a broadcast-joined map lookup — there is
   * no cheaper correct plan for a low-ndv keyed total. Optimistic fires
-  * (r14) enforce the run budget inside pass 1 — task-side map cap +
-  * incremental driver-merge cap, the same arrival bound as the former
-  * dedicated pre-pass at one full child scan less.
+  * enforce the run budget inside pass 1 — per-task map cap (2×budget /
+  * partitions, so driver ARRIVAL stays ~2×budget buffers even before
+  * the merge notices — ADVICE r14) + incremental driver-merge cap —
+  * and a trip PIVOTS to the shuffled attach instead of failing where
+  * the node promised no ordering/partitioning (VERDICT r14 #2); the
+  * loud abort remains only for order-sensitive totals, whose sorted
+  * range-partitioned output parents may rely on.
   */
 case class KeyedTotalAggExec(partKeys: Seq[Expression],
                              aggAttrs: Seq[Attribute], aggs: Seq[Expression],
@@ -1017,94 +1024,230 @@ case class KeyedTotalAggExec(partKeys: Seq[Expression],
     val numOutputRows = longMetric("numOutputRows")
 
     // optimistic fire (no plan-time ndv proof): the run budget is
-    // enforced INSIDE pass 1 (r14, closing the soak's 3-scan finding):
-    // each task aborts when ITS key map exceeds maxRuns, and the driver
-    // merge below aborts incrementally before accumulating past it —
-    // the same worst-case arrival bound as the old dedicated pre-pass
-    // (per-partition maps never exceed the budget either way), one full
-    // child scan cheaper.
+    // enforced INSIDE pass 1: each task trips when ITS key map exceeds
+    // the per-task slice of the budget, and the driver merge below
+    // trips incrementally before accumulating past the whole budget.
+    // Per-task slice (ADVICE r14: the former per-task maxRuns cap meant
+    // a worst-case DRIVER ARRIVAL of partitions × maxRuns full (key,
+    // buffer) payloads before the merge noticed): 2×maxRuns/partitions,
+    // floored at 64k, bounds the total arrival at ~2×maxRuns buffers
+    // while tolerating 2× skew before tripping.
+    //
+    // r15 (VERDICT r14 #2): a trip is no longer an abort where a
+    // fallback exists. When the node made no ordering/partitioning
+    // promise (whole-frame totals over an unsorted, unpartitioned
+    // child — the ad-hoc lineage that fires optimistically), the exec
+    // PIVOTS to the shuffled attach: per-partition flush-capped partial
+    // maps → one tiny (key, buffer) shuffle to merge → rows hash-
+    // shuffled once and zipped against their reducer's totals. That is
+    // the same work profile as Spark's hash-clustered Window plan (one
+    // row shuffle + a partial-agg shuffle), with bounded memory at
+    // every stage — the wager costs one wasted partial pass, never the
+    // job. The loud abort remains ONLY where the pivot would break a
+    // promise (order-sensitive totals: the child is range-partitioned
+    // and sorted, and parents may rely on both).
     val maxRuns: Long =
       if (optimistic) conf.getConfString(KeyedWindowRule.MaxRunsConf,
         KeyedWindowRule.MaxRunsDefault.toString).toLong
       else Long.MaxValue
+    val nPart = childRdd.getNumPartitions
+    val taskCap: Long =
+      if (!optimistic) Long.MaxValue
+      else math.max(65536L, 2L * maxRuns / math.max(nPart, 1))
 
-    // pass 1: per partition, key → partial buffer (ndv-bounded map)
-    val partials: Array[Array[(UnsafeRow, InternalRow)]] =
-      if (childRdd.getNumPartitions == 0) Array.empty
-      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
-        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-        val init = MutableProjection.create(initExprs, Nil)
-        val update = MutableProjection.create(updateExprs, bufferAttrs ++ childOutput)
-        val joined = new JoinedRow
-        val map = scala.collection.mutable.LinkedHashMap
-          .empty[UnsafeRow, SpecificInternalRow]
-        while (it.hasNext) {
-          val r = it.next()
-          val k = keyProj(r) // reused buffer: hash/equals read bytes, so
-          val buf = map.get(k) match { // lookups need no copy — only inserts
-            case Some(b) => b
-            case None =>
-              if (map.size.toLong >= maxRuns)
-                KeyedWindowRule.runsOverflow("total distinct keys (task)",
-                  maxRuns, map.size.toLong + 1L)
-              val b = new SpecificInternalRow(bufferTypes)
-              init.target(b)(InternalRow.empty)
-              map.put(k.copy(), b)
-              b
-          }
-          update.target(buf)(joined(buf, r))
-        }
-        map.iterator.map { case (k, b) =>
-          (k, b.copy(): InternalRow)
-        }.toArray
-      })
-
-    // driver: merge per-key partials across partitions, evaluate once
     val inputBufferAttrs = funcs.flatMap(_.inputAggBufferAttributes)
     val mergeExprs = funcs.flatMap(_.mergeExpressions)
     val evalExprs = aggs.map(_.transform {
       case a: AggregateExpression =>
         a.aggregateFunction.asInstanceOf[DeclarativeAggregate].evaluateExpression
     })
-    val totals: Map[UnsafeRow, InternalRow] = {
-      val merge = MutableProjection.create(mergeExprs, bufferAttrs ++ inputBufferAttrs)
-      val joined = new JoinedRow
-      val acc = scala.collection.mutable.LinkedHashMap.empty[UnsafeRow, InternalRow]
-      partials.iterator.flatten.foreach { case (k, p) =>
-        acc.get(k) match {
-          case Some(prev) =>
-            acc(k) = merge.target(new SpecificInternalRow(bufferTypes))(
-              joined(prev, p)).copy()
-          case None =>
-            if (acc.size.toLong >= maxRuns)
-              KeyedWindowRule.runsOverflow("total distinct keys",
-                maxRuns, acc.size.toLong + 1L)
-            acc(k) = p
-        }
-      }
-      val eval = MutableProjection.create(evalExprs, bufferAttrs)
-      acc.iterator.map { case (k, buf) =>
-        val res = new SpecificInternalRow(resultTypes)
-        eval.target(res)(buf)
-        k -> (res.copy(): InternalRow)
-      }.toMap
-    }
-    val totalsB = childRdd.sparkContext.broadcast(totals)
 
-    // pass 2: per-row key lookup, attach
-    childRdd.mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(
-        childOutput ++ outAttrs, childOutput ++ outAttrs)
-      val map = totalsB.value
-      it.map { r =>
-        val res = map.getOrElse(keyProj(r), throw new IllegalStateException(
-          "KeyedTotalAggExec: pass-2 key missing from the merged totals — " +
-            "the two passes saw different data (non-deterministic child?)"))
-        numOutputRows += 1L
-        outProj(joined(r, res))
+    // the pivot is sound only where this node promised nothing about
+    // its output order or placement: order.isEmpty keeps the child
+    // unsorted/unpartitioned ONLY when nothing below happened to
+    // promise more — check, don't assume
+    val canPivot = order.isEmpty && child.outputOrdering.isEmpty &&
+      (child.outputPartitioning match {
+        case _: org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning => true
+        case _ => false
+      })
+
+    // pass 1 + driver merge, zero-exchange: per partition, key →
+    // partial buffer (ndv-bounded map); None = budget tripped and the
+    // pivot is available
+    val totalsOpt: Option[Map[UnsafeRow, InternalRow]] =
+      try {
+        val partials: Array[Array[(UnsafeRow, InternalRow)]] =
+          if (nPart == 0) Array.empty
+          else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+            val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+            val init = MutableProjection.create(initExprs, Nil)
+            val update = MutableProjection.create(updateExprs, bufferAttrs ++ childOutput)
+            val joined = new JoinedRow
+            val map = scala.collection.mutable.LinkedHashMap
+              .empty[UnsafeRow, SpecificInternalRow]
+            while (it.hasNext) {
+              val r = it.next()
+              val k = keyProj(r) // reused buffer: hash/equals read bytes, so
+              val buf = map.get(k) match { // lookups need no copy — only inserts
+                case Some(b) => b
+                case None =>
+                  if (map.size.toLong >= taskCap)
+                    KeyedWindowRule.runsOverflow("total distinct keys (task)",
+                      taskCap, map.size.toLong + 1L)
+                  val b = new SpecificInternalRow(bufferTypes)
+                  init.target(b)(InternalRow.empty)
+                  map.put(k.copy(), b)
+                  b
+              }
+              update.target(buf)(joined(buf, r))
+            }
+            map.iterator.map { case (k, b) =>
+              (k, b.copy(): InternalRow)
+            }.toArray
+          })
+
+        // driver: merge per-key partials across partitions, evaluate once
+        val merge = MutableProjection.create(mergeExprs, bufferAttrs ++ inputBufferAttrs)
+        val joined = new JoinedRow
+        val acc = scala.collection.mutable.LinkedHashMap.empty[UnsafeRow, InternalRow]
+        partials.iterator.flatten.foreach { case (k, p) =>
+          acc.get(k) match {
+            case Some(prev) =>
+              acc(k) = merge.target(new SpecificInternalRow(bufferTypes))(
+                joined(prev, p)).copy()
+            case None =>
+              if (acc.size.toLong >= maxRuns)
+                KeyedWindowRule.runsOverflow("total distinct keys",
+                  maxRuns, acc.size.toLong + 1L)
+              acc(k) = p
+          }
+        }
+        val eval = MutableProjection.create(evalExprs, bufferAttrs)
+        Some(acc.iterator.map { case (k, buf) =>
+          val res = new SpecificInternalRow(resultTypes)
+          eval.target(res)(buf)
+          k -> (res.copy(): InternalRow)
+        }.toMap)
+      } catch {
+        case t: Throwable if canPivot && KeyedWindowRule.isBudgetOverflow(t) =>
+          logInfo("KeyedTotalAggExec: optimistic key budget tripped — " +
+            "pivoting to the shuffled attach (one row shuffle), " +
+            "equivalent to Spark's hash-clustered window plan")
+          None
       }
+
+    totalsOpt match {
+      case Some(totals) =>
+        val totalsB = childRdd.sparkContext.broadcast(totals)
+        // pass 2: per-row key lookup, attach
+        childRdd.mapPartitions { it =>
+          val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+          val joined = new JoinedRow
+          val outProj = UnsafeProjection.create(
+            childOutput ++ outAttrs, childOutput ++ outAttrs)
+          val map = totalsB.value
+          it.map { r =>
+            val res = map.getOrElse(keyProj(r), throw new IllegalStateException(
+              "KeyedTotalAggExec: pass-2 key missing from the merged totals — " +
+                "the two passes saw different data (non-deterministic child?)"))
+            numOutputRows += 1L
+            outProj(joined(r, res))
+          }
+        }
+
+      case None =>
+        // ---- adaptive fallback: the shuffled attach ----
+        val numParts = math.max(nPart, 1)
+        val partitioner = new org.apache.spark.HashPartitioner(numParts)
+        // flush-capped partial maps: bounded task memory at ANY ndv;
+        // flushes emit extra partials per key, which the reducer merge
+        // absorbs (merge is the aggregate's own associative op)
+        val flushCap = 1 << 16
+        val partials: RDD[(UnsafeRow, InternalRow)] =
+          childRdd.mapPartitions { it =>
+            val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+            val init = MutableProjection.create(initExprs, Nil)
+            val update = MutableProjection.create(updateExprs, bufferAttrs ++ childOutput)
+            val joined = new JoinedRow
+            val acc = scala.collection.mutable.LinkedHashMap
+              .empty[UnsafeRow, SpecificInternalRow]
+            // deep-copy on emit: the shuffle writer may buffer records
+            // unserialized, and live buffers can alias reused input rows
+            def drain(): Iterator[(UnsafeRow, InternalRow)] = {
+              val snap = acc.toArray
+              acc.clear()
+              snap.iterator.map { case (k, b) => (k, b.copy(): InternalRow) }
+            }
+            new Iterator[(UnsafeRow, InternalRow)] {
+              private var out: Iterator[(UnsafeRow, InternalRow)] = Iterator.empty
+              private def fill(): Unit = {
+                while (!out.hasNext && (it.hasNext || acc.nonEmpty)) {
+                  if (!it.hasNext) out = drain()
+                  else {
+                    val r = it.next()
+                    val k = keyProj(r)
+                    acc.get(k) match {
+                      case Some(b) => update.target(b)(joined(b, r))
+                      case None =>
+                        val b = new SpecificInternalRow(bufferTypes)
+                        init.target(b)(InternalRow.empty)
+                        update.target(b)(joined(b, r))
+                        acc.put(k.copy(), b)
+                        if (acc.size >= flushCap) out = drain()
+                    }
+                  }
+                }
+              }
+              override def hasNext: Boolean = { fill(); out.hasNext }
+              override def next(): (UnsafeRow, InternalRow) = { fill(); out.next() }
+            }
+          }
+        // tiny shuffle: O(ndv + flushes) (key, buffer) records, merged
+        // and evaluated per reducer
+        val merged: RDD[(UnsafeRow, InternalRow)] =
+          partials.partitionBy(partitioner).mapPartitions { it =>
+            val merge = MutableProjection.create(
+              mergeExprs, bufferAttrs ++ inputBufferAttrs)
+            val eval = MutableProjection.create(evalExprs, bufferAttrs)
+            val joined = new JoinedRow
+            val acc = scala.collection.mutable.LinkedHashMap.empty[UnsafeRow, InternalRow]
+            it.foreach { case (k, p) =>
+              acc.get(k) match {
+                case Some(prev) =>
+                  acc(k) = merge.target(new SpecificInternalRow(bufferTypes))(
+                    joined(prev, p)).copy()
+                case None => acc.put(k, p)
+              }
+            }
+            acc.iterator.map { case (k, buf) =>
+              val res = new SpecificInternalRow(resultTypes)
+              eval.target(res)(buf)
+              (k, res.copy(): InternalRow)
+            }
+          }
+        // the one row shuffle, zipped reducer-to-reducer with the totals
+        val keyedRows: RDD[(UnsafeRow, InternalRow)] =
+          childRdd.mapPartitions { it =>
+            val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+            it.map(r => (keyProj(r).copy(), r.copy()))
+          }.partitionBy(partitioner)
+        keyedRows.zipPartitions(merged) { (rowIt, totIt) =>
+          val map = new java.util.HashMap[UnsafeRow, InternalRow]()
+          totIt.foreach { case (k, v) => map.put(k, v) }
+          val joined = new JoinedRow
+          val outProj = UnsafeProjection.create(
+            childOutput ++ outAttrs, childOutput ++ outAttrs)
+          rowIt.map { case (k, r) =>
+            val res = map.get(k)
+            if (res == null) throw new IllegalStateException(
+              "KeyedTotalAggExec fallback: key missing from the merged " +
+                "totals — the two passes saw different data " +
+                "(non-deterministic child?)")
+            numOutputRows += 1L
+            outProj(joined(r, res))
+          }
+        }
     }
   }
 }
@@ -1177,58 +1320,115 @@ case class KeyedRankExec(partKeys: Seq[Expression], order: Seq[SortOrder],
     }
     val numOutputRows = longMetric("numOutputRows")
 
-    // optimistic fire (no plan-time ndv proof): count-only pre-pass
-    // refuses past the run budget before any per-run metadata exists
-    if (optimistic) {
+    // optimistic fire (no plan-time ndv proof): the budget now guards
+    // only the O(ndv) per-key TOTALS map (ntile/percent_rank/cume_dist);
+    // plain row_number/rank/dense_rank stitch on O(partitions) boundary
+    // metadata (r15) and need no ceiling at all
+    if (optimistic && needTotals) {
       KeyedWindowExec.enforceRunBudget(childRdd, keyExprs, childOutput,
         conf.getConfString(KeyedWindowRule.MaxRunsConf,
           KeyedWindowRule.MaxRunsDefault.toString).toLong,
         "rank key-runs")
     }
 
-    // pass 1: per key-run (key, rows, tie runs) — pure metadata,
-    // O(partitions + ndv) entries
-    val runs: Array[Array[(InternalRow, Long, Long)]] =
-      if (childRdd.getNumPartitions == 0) Array.empty
-      else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
-        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-        val ord =
-          if (needRuns) RowOrdering.create(fullOrder, childOutput) else null
-        val out = scala.collection.mutable.ArrayBuffer.empty[(InternalRow, Long, Long)]
-        var curKey: UnsafeRow = null
-        var rows = 0L
-        var tieRuns = 0L
-        var rep: InternalRow = null
-        while (it.hasNext) {
-          val r = it.next()
-          val k = keyProj(r)
-          if (curKey == null || !curKey.equals(k)) {
-            if (curKey != null) out += ((curKey, rows, tieRuns))
-            curKey = k.copy()
-            rows = 0L; tieRuns = 0L; rep = null
-          }
-          rows += 1L
-          if (needRuns && (rep == null || ord.compare(rep, r) != 0)) {
-            tieRuns += 1L
-            rep = r.copy()
-          }
-        }
-        if (curKey != null) out += ((curKey, rows, tieRuns))
-        out.toArray
-      })
-
-    // driver stitch: partition p's first-key (row, run) offsets when the
-    // key continues from earlier partitions; per-key TOTAL row counts
-    val nPart = runs.length
+    val nPart = childRdd.getNumPartitions
     val rowSeeds = new Array[Long](nPart)
     val runSeeds = new Array[Long](nPart)
     val totals = scala.collection.mutable.LinkedHashMap.empty[UnsafeRow, Long]
-    locally {
+    if (!needTotals) {
+      // pass 1 (r15, BOUNDARY-ONLY): each partition ships (firstKey,
+      // lastKey, lastRunRows, lastRunTieRuns, isSingleRun) — the seeds
+      // only ever consume the (row, tie-run) offsets of the key FLOWING
+      // across a seam, which on key-sorted input is always the previous
+      // partition's LAST run. O(partitions) driver state at any ndv; a
+      // tie run never straddles a seam (equal full-order rows hash to
+      // the same range partition), so tie-run counts add across seams.
+      val bounds: Array[(UnsafeRow, UnsafeRow, Long, Long, Boolean)] =
+        if (nPart == 0) Array.empty
+        else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+          val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+          val ord =
+            if (needRuns) RowOrdering.create(fullOrder, childOutput) else null
+          var firstKey: UnsafeRow = null
+          var curKey: UnsafeRow = null
+          var rows = 0L
+          var tieRuns = 0L
+          var rep: InternalRow = null
+          var runs = 0L
+          while (it.hasNext) {
+            val r = it.next()
+            val k = keyProj(r)
+            if (curKey == null || !curKey.equals(k)) {
+              curKey = k.copy()
+              if (firstKey == null) firstKey = curKey
+              runs += 1L
+              rows = 0L; tieRuns = 0L; rep = null
+            }
+            rows += 1L
+            if (needRuns && (rep == null || ord.compare(rep, r) != 0)) {
+              tieRuns += 1L
+              rep = r.copy()
+            }
+          }
+          if (curKey == null) null
+          else (firstKey, curKey, rows, tieRuns, runs == 1L)
+        })
       var curKey: InternalRow = null
       var accRows = 0L
       var accRuns = 0L
       var p = 0
-      while (p < nPart) {
+      while (p < bounds.length) {
+        val b = bounds(p)
+        if (b != null) {
+          val (firstKey, lastKey, rows, tieRuns, singleRun) = b
+          val continues =
+            curKey != null && KeyedWindowExec.keyEq(firstKey, curKey)
+          if (continues) { rowSeeds(p) = accRows; runSeeds(p) = accRuns }
+          if (singleRun && continues) { accRows += rows; accRuns += tieRuns }
+          else { curKey = lastKey; accRows = rows; accRuns = tieRuns }
+        }
+        p += 1
+      }
+    } else {
+      // pass 1: per key-run (key, rows, tie runs) — pure metadata,
+      // O(partitions + ndv) entries; the per-key totals NEED every run,
+      // which is why this arm keeps the optimistic budget above
+      val runs: Array[Array[(InternalRow, Long, Long)]] =
+        if (nPart == 0) Array.empty
+        else childRdd.sparkContext.runJob(childRdd, (it: Iterator[InternalRow]) => {
+          val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+          val ord =
+            if (needRuns) RowOrdering.create(fullOrder, childOutput) else null
+          val out = scala.collection.mutable.ArrayBuffer.empty[(InternalRow, Long, Long)]
+          var curKey: UnsafeRow = null
+          var rows = 0L
+          var tieRuns = 0L
+          var rep: InternalRow = null
+          while (it.hasNext) {
+            val r = it.next()
+            val k = keyProj(r)
+            if (curKey == null || !curKey.equals(k)) {
+              if (curKey != null) out += ((curKey, rows, tieRuns))
+              curKey = k.copy()
+              rows = 0L; tieRuns = 0L; rep = null
+            }
+            rows += 1L
+            if (needRuns && (rep == null || ord.compare(rep, r) != 0)) {
+              tieRuns += 1L
+              rep = r.copy()
+            }
+          }
+          if (curKey != null) out += ((curKey, rows, tieRuns))
+          out.toArray
+        })
+
+      // driver stitch: partition p's first-key (row, run) offsets when
+      // the key continues from earlier partitions; per-key TOTAL counts
+      var curKey: InternalRow = null
+      var accRows = 0L
+      var accRuns = 0L
+      var p = 0
+      while (p < runs.length) {
         val rs = runs(p)
         if (rs.nonEmpty) {
           if (curKey != null && KeyedWindowExec.keyEq(rs.head._1, curKey)) {
@@ -1242,10 +1442,8 @@ case class KeyedRankExec(partKeys: Seq[Expression], order: Seq[SortOrder],
             } else {
               curKey = k; accRows = rows; accRuns = tieRuns
             }
-            if (needTotals) {
-              val uk = k.asInstanceOf[UnsafeRow]
-              totals(uk) = totals.getOrElse(uk, 0L) + rows
-            }
+            val uk = k.asInstanceOf[UnsafeRow]
+            totals(uk) = totals.getOrElse(uk, 0L) + rows
             i += 1
           }
         }

@@ -326,17 +326,26 @@ private[plans] object WindowShapes {
   *
   * A PROVABLY-high ndv leaves the plan with Spark: hash clustering at
   * high ndv is already parallel, and the rewrite's range sampling job +
-  * boundary metadata would be pure overhead. An UNPROVABLE ndv — the
-  * stats-less ad-hoc `spark.read.parquet` lineage, no bound, pin, stats,
-  * or hint — fires OPTIMISTICALLY by default (VERDICT r12 #1,
-  * `spark.graft.keyedWindow.optimistic`): the ndv-dependent execs run a
-  * count-only pre-pass and refuse loudly past the runtime
-  * `spark.graft.keyedWindow.maxRuns` budget, so `PARTITION BY language`
-  * over an ad-hoc read heals while a surprise `PARTITION BY id` aborts
-  * with a remedy message instead of OOMing the driver. Frames with a
-  * small `maxRows` proof keep Spark's plan too (the
-  * [[GlobalRankRule.SmallFrameConf]] cost guard, same threshold).
-  * Disable with `spark.graft.keyedWindow.rewrite=false`.
+  * boundary metadata would be pure overhead. A COMPOSITE key is
+  * proven-high by a single MEASURED-high component (r15, VERDICT r14
+  * #1): `ndv(k₁…kₙ) ≥ max ndv(kᵢ)`, applied only to the ndv-SENSITIVE
+  * shapes (whole-frame totals and ntile/percent_rank/cume_dist, whose
+  * heal broadcasts an O(ndv) model) and only on measured evidence —
+  * a domain UPPER bound caps ndv but cannot floor it. An UNPROVABLE
+  * ndv — the stats-less ad-hoc `spark.read.parquet` lineage, no bound,
+  * pin, stats, or hint — fires OPTIMISTICALLY by default (VERDICT r12
+  * #1, `spark.graft.keyedWindow.optimistic`). Since r15 the runtime
+  * `spark.graft.keyedWindow.maxRuns` budget guards only the shapes
+  * with inherent O(ndv) state: running aggregates and plain
+  * row_number/rank/dense_rank stitch on O(partitions) BOUNDARY
+  * metadata and complete at any key count; whole-frame totals enforce
+  * the budget inside pass 1 and a trip PIVOTS to the shuffled attach
+  * where the node promised no ordering/partitioning, aborting loudly
+  * (typed, remedy-bearing) only for order-sensitive totals, where no
+  * sound fallback exists. Frames with a small `maxRows` proof keep
+  * Spark's plan too (the [[GlobalRankRule.SmallFrameConf]] cost guard,
+  * same threshold). Disable with
+  * `spark.graft.keyedWindow.rewrite=false`.
   */
 case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -432,11 +441,27 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
   /** The OPTIMISTIC arm (VERDICT r12 #1): some key's ndv has NO plan-time
     * evidence at all — the stats-less ad-hoc lineage. Fires the rewrite
     * under the runtime [[KeyedWindowRule.MaxRunsConf]] budget (the execs
-    * run a count-only pre-pass and refuse loudly past it). A key whose
+    * enforce it before unbounded metadata can accumulate). A key whose
     * ndv IS provable but too high does NOT reach here: known-high ndv
     * means Spark's hash clustering is the right plan, and staying put is
-    * the correct answer, not a gap. */
-  private def ndvUnprovable(keys: Seq[Expression], child: LogicalPlan): Boolean = {
+    * the correct answer, not a gap.
+    *
+    * LOWER-BOUND refusal (VERDICT r14 #1): a composite key is
+    * proven-HIGH by any single component, because `ndv(k₁…kₙ) ≥ max
+    * ndv(kᵢ)` — so when `ndvSensitive` (the node carries shapes whose
+    * heal degrades with ndv: whole-frame totals and the
+    * ntile/percent_rank/cume_dist ranks, all of which broadcast an
+    * O(ndv) model), a component with MEASURED evidence over `maxNdv`
+    * refuses the wager even though another component is unprovable —
+    * `(o_custkey, month)` keeps Spark's hash-clustered Window once
+    * `o_custkey` is measured high. Only MEASURED evidence (session
+    * hints, catalog/CBO distinct counts) counts: a domain UPPER bound
+    * (pmod k, IN-list pin) above `maxNdv` proves nothing about the
+    * floor. Shapes with O(partitions) driver state (running aggs and
+    * plain row_number/rank/dense_rank) stay eligible — their heal does
+    * not degrade with ndv, so high measurement is not a loss signal. */
+  private def ndvUnprovable(keys: Seq[Expression], child: LogicalPlan,
+                            ndvSensitive: Boolean): Boolean = {
     session.conf.get(OptimisticConf, "true") == "true" &&
       // `__`-prefixed columns are the library's own derived plumbing
       // (e.g. the hand-bucketed constructs' `__bucket`): those plans are
@@ -445,13 +470,86 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
       // first heal — leave them exactly as built
       !keys.exists(_.references.exists(_.name.startsWith("__"))) && {
       val hints = parseHints(session.conf.get(NdvHintsConf, ""))
-      keys.exists(ndvBound(_, child, hints).isEmpty)
+      keys.exists(ndvBound(_, child, hints).isEmpty) && {
+        !ndvSensitive || {
+          val maxNdv = session.conf.get(MaxNdvConf, "64").toLong
+          !keys.exists(measuredFloor(_, child, hints).exists(_ > maxNdv))
+        }
+      }
     }
+  }
+
+  /** MEASURED ndv of a key component, for the lower-bound refusal — or
+    * None when the only evidence is a domain bound (which caps ndv but
+    * never floors it) or a filter pin (which proves the POST-filter
+    * domain small, overriding the table-level measurement). The walk
+    * crosses only ndv-preserving edges by construction (pure renames,
+    * unary pass-throughs); it also crosses Filters and Joins, which can
+    * REDUCE the true count below the table-level measurement — there the
+    * value is an estimate, not a floor, and using it to refuse is the
+    * engine's no-wager posture: both candidate plans are correct, the
+    * refusal keeps Spark's always-parallel one, and a user who KNOWS the
+    * filtered subset is small holds the proof tools (filter pin, hint,
+    * ANALYZE) that win outright via the proven arm. Exposed for spec. */
+  private[plans] def measuredFloor(e: Expression, child: LogicalPlan,
+                                   hints: Map[String, Long]): Option[Long] = e match {
+    case a: Attribute => measuredAttr(a, child, hints, Set(a.name))
+    case c: Cast => None // cast can collapse values — measurement doesn't carry
+    case _ => None // computed keys: domain reasoning only, no measurement
+  }
+
+  private def measuredAttr(a: Attribute, plan: LogicalPlan,
+                           hints: Map[String, Long],
+                           names: Set[String]): Option[Long] = plan match {
+    case Project(list, gc) =>
+      list.collectFirst {
+        case al @ Alias(at: Attribute, _) if al.exprId == a.exprId =>
+          measuredAttr(at, gc, hints, names + al.name + at.name)
+        case al @ Alias(_, _) if al.exprId == a.exprId =>
+          None // computed column: no measurement to carry
+        case at: Attribute if at.exprId == a.exprId =>
+          measuredAttr(at, gc, hints, names + at.name)
+      }.flatten
+    case Filter(cond, gc) =>
+      // a pin on THIS column proves the post-filter domain small — the
+      // table-level measurement no longer describes what the window sees
+      val pinned = splitConjunctivePredicates(cond).exists {
+        case In(at: Attribute, list) =>
+          at.exprId == a.exprId && list.forall(_.foldable)
+        case InSet(at: Attribute, _) => at.exprId == a.exprId
+        case EqualTo(at: Attribute, _: Literal) => at.exprId == a.exprId
+        case EqualTo(_: Literal, at: Attribute) => at.exprId == a.exprId
+        case _ => false
+      }
+      if (pinned) None else measuredAttr(a, gc, hints, names)
+    case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode
+        if l.outputSet.contains(a) =>
+      leafHint(a, l, hints, names)
+    case u: UnaryNode if u.child.outputSet.contains(a) =>
+      measuredAttr(a, u.child, hints, names)
+    case other =>
+      other.children.find(_.outputSet.contains(a))
+        .flatMap(measuredAttr(a, _, hints, names))
   }
 
   /** Everything but the on/off conf: would this node re-plan? Exposed
     * for the PlanAuditSpec sweep (detector self-check plants a probe
     * with the rewrite off and must still SEE it). */
+  /** The shapes whose HEAL holds O(ndv) driver/broadcast state — totals
+    * and the key-total-dividing ranks. Running aggs, offsets, and plain
+    * row_number/rank/dense_rank stitch on O(partitions) boundary
+    * metadata instead, so their optimistic arm needs no ndv ceiling. */
+  private def ndvSensitiveKinds(kinds: Seq[Option[Kind]]): Boolean =
+    kinds.exists(_.exists {
+      case _: TotK => true
+      case _: BndK => false
+      case RankK(k) => k match {
+        case RankKind.Ntile(_) | RankKind.PercentRank | RankKind.CumeDist => true
+        case _ => false
+      }
+      case _ => false
+    })
+
   private[graft] def wouldRewrite(w: Window): Boolean =
     w.partitionSpec.nonEmpty && w.windowExpressions.nonEmpty &&
       !provablySmall(w.child) && {
@@ -461,7 +559,7 @@ case class KeyedWindowRule(session: SparkSession) extends Rule[LogicalPlan]
           // position-dependent and needs the ORDER BY to range-partition
           (w.orderSpec.nonEmpty || kinds.forall(_.exists(_.isInstanceOf[TotK]))) &&
           (ndvOk(w.partitionSpec, w.child) ||
-            ndvUnprovable(w.partitionSpec, w.child))
+            ndvUnprovable(w.partitionSpec, w.child, ndvSensitiveKinds(kinds)))
       }
 
   private def rewritable(w: Window): Boolean =
@@ -718,18 +816,21 @@ object KeyedWindowRule {
     * Spark's plan — known-high ndv means hash clustering is already
     * parallel and the rewrite would be pure overhead. */
   val OptimisticConf = "spark.graft.keyedWindow.optimistic"
-  /** Runtime budget for OPTIMISTIC rewrites: total PARTITION BY key
-    * runs (sorted execs) or summed per-partition distinct keys
-    * (unsorted totals) the metadata pass may produce. Enforced by a
-    * count-only pre-pass BEFORE buffer metadata is collected, so a
-    * surprise high-ndv key refuses loudly instead of OOMing the driver.
-    * The default bounds driver metadata at ~1M (key, buffer) tuples —
-    * the [[BoundaryBudget]] tuple class. */
+  /** Runtime budget for OPTIMISTIC rewrites with inherent O(ndv)
+    * driver state. Since r15 this is ONLY the whole-frame totals
+    * (per-task map caps + incremental driver-merge cap inside pass 1;
+    * a trip pivots to the shuffled attach where the node made no
+    * ordering/partitioning promise, and aborts loudly otherwise) and
+    * the key-total ranks (ntile/percent_rank/cume_dist, count-only
+    * pre-pass). Running aggregates and plain row_number/rank/
+    * dense_rank ship O(partitions) boundary metadata and need no
+    * budget at all. The default bounds driver metadata at ~1M (key,
+    * buffer) tuples. */
   val MaxRunsConf = "spark.graft.keyedWindow.maxRuns"
   val MaxRunsDefault: Long = 1000000L
 
   def runsOverflow(site: String, maxRuns: Long, seen: Long): Nothing =
-    throw new org.apache.spark.SparkException(
+    throw new KeyedBudgetOverflow(
       s"Keyed-window rewrite ($site): $seen PARTITION BY key runs at " +
         s"runtime, over the $MaxRunsConf budget of $maxRuns. The rewrite " +
         "fired OPTIMISTICALLY (the keys' ndv was not provable at plan " +
@@ -737,6 +838,23 @@ object KeyedWindowRule {
         s"metadata. Raise $MaxRunsConf, prove the ndv (ANALYZE TABLE … " +
         "FOR COLUMNS, a literal filter pin, or registerNdvHint), or set " +
         s"$OptimisticConf=false to keep Spark's plan for unprovable keys.")
+
+  /** Is `t` (or anything in its cause chain — a task-side trip arrives
+    * wrapped in the scheduler's job-abort exception) the keyed budget
+    * overflow? Drives [[graft.plans.KeyedTotalAggExec]]'s adaptive
+    * pivot (VERDICT r14 #2): trip → re-plan as the shuffled attach
+    * instead of failing the job, where the node's promises allow it. */
+  def isBudgetOverflow(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (cur.isInstanceOf[KeyedBudgetOverflow]) return true
+      if (Option(cur.getMessage).exists(_.contains(MaxRunsConf))) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
   /** Session ndv hints: `name=ndv[,name=ndv…]` — the runtime-stats
     * handoff (see the rule scaladoc). */
   val NdvHintsConf = "spark.graft.keyedWindow.ndvHints"
@@ -760,3 +878,11 @@ object KeyedWindowRule {
       merged.map { case (k, v) => s"$k=$v" }.mkString(","))
   }
 }
+
+/** The optimistic keyed heal's runtime budget trip. A DEDICATED type so
+  * [[KeyedTotalAggExec]]'s adaptive pivot can distinguish "the wager
+  * lost" (recoverable: re-plan as the shuffled attach) from a genuine
+  * execution failure (never swallowed). Extends SparkException so
+  * callers that matched the old loud abort keep matching. */
+class KeyedBudgetOverflow(message: String)
+    extends org.apache.spark.SparkException(message)

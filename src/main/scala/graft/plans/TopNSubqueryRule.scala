@@ -93,16 +93,27 @@ case class TopNSubqueryRule(session: SparkSession) extends Rule[LogicalPlan]
   private def rewriteFilter(cond: Expression,
                             child: LogicalPlan): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    conjuncts.zipWithIndex.collectFirst(Function.unlift {
-      case (c, idx) =>
-        matchTopN(c, child).map { case (winPred, win) =>
-          val rest = conjuncts.zipWithIndex.collect {
-            case (r, i) if i != idx => r
-          }
-          val newCond = (winPred +: rest).reduce(And)
-          Project(child.output, Filter(newCond, win))
-        }
-    })
+    // EVERY qualifying correlated-count conjunct collapses (ADVICE r14:
+    // first-only left the second to Catalyst's quadratic domain join).
+    // Each match is verified against the ORIGINAL child, then the
+    // windows stack — a Window node only APPENDS its rank column, so
+    // later windows still see every original output.
+    val matched = conjuncts.zipWithIndex.flatMap { case (c, i) =>
+      matchTopN(c, child).map(i -> _)
+    }
+    if (matched.isEmpty) None
+    else {
+      var stacked: LogicalPlan = child
+      val preds = matched.map { case (_, (winPred, win)) =>
+        stacked = win.copy(child = stacked)
+        winPred
+      }
+      val keptIdx = matched.map(_._1).toSet
+      val rest = conjuncts.zipWithIndex.collect {
+        case (r, i) if !keptIdx.contains(i) => r
+      }
+      Some(Project(child.output, Filter((preds ++ rest).reduce(And), stacked)))
+    }
   }
 
   /** Match one conjunct of the outer filter as the correlated-count

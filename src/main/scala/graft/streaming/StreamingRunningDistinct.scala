@@ -8,8 +8,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ORDER BY t)` as an online operator. Per-key state is the SET of
   * values seen so far — the information-theoretic minimum for an exact
   * cumulative distinct count (any exact operator must distinguish
-  * seen from unseen values); for stream-scale cardinalities the x141b
-  * theta-sketch twin swaps in as bounded-error bounded-state.
+  * seen from unseen values); for stream-scale cardinalities
+  * [[StreamingRunningDistinctSketch]] (r15) swaps in as the
+  * bounded-error bounded-state twin — one compact theta sketch per
+  * key, the x141b batch discipline as online state.
   *
   * RANGE peer semantics, exactly the batch operator's law: all rows of
   * one (key, t) peer group share the running value INCLUDING every

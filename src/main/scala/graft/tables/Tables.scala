@@ -32,7 +32,20 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def orders(s: SparkSession, d: String): DataFrame    = {
+    // o_custkey is the key real top-n / argmax spellings partition by
+    // (x140/x142/x143); its measured count is HIGH at every fixture SF,
+    // so registering it is refusal evidence — the keyed-window family's
+    // lower-bound reasoning (ndv(k1..kn) >= max ndv(ki)) keeps Spark's
+    // hash-clustered Window for composites like (o_custkey, month)
+    // instead of wagering on the zero-exchange heal (VERDICT r14 #1).
+    registerMeasuredNdv(s, d, "orders", "o_custkey")
+    // o_orderkey is the primary key the rank-subquery JOIN spelling
+    // pairs on (x145): measured-unique evidence (ndv == rowcount) lets
+    // RankJoinRule collapse the self-join to one windowed scan.
+    registerMeasuredUnique(s, d, "orders", "o_orderkey")
+    table(s, d, "orders")
+  }
   def lineitem(s: SparkSession, d: String): DataFrame  = {
     registerMeasuredNdv(s, d, "lineitem", "l_suppkey")
     table(s, d, "lineitem")
@@ -48,19 +61,50 @@ object Tables {
     * `PARTITION BY <column>` heal as a PROVEN plan (no runtime pre-pass),
     * a measured high count keeps Spark's already-parallel hash window
     * instead of an optimistic re-plan that could only add overhead. */
-  private val ndvRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val ndvMeasured =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def registerMeasuredNdv(s: SparkSession, d: String,
                                   name: String, column: String): Unit = {
     val memoKey = s"$d/$name/$column/${stamp(d, name)}"
-    if (ndvRegistered.add(memoKey)) {
-      val v = graft.util.ArtifactStore.getOrCompute(s, "col_ndv",
+    // memoize the MEASUREMENT only — the hint itself is re-applied on
+    // every load (idempotent conf merge): session confs are mutable
+    // state anything may reset (a test battery, a conf sweep, a
+    // library caller), and a registration that survives only as a
+    // memo flag silently loses the evidence for the rest of the
+    // session (caught by the r15 full-suite run)
+    val v = ndvMeasured.computeIfAbsent(memoKey, _ =>
+      graft.util.ArtifactStore.getOrCompute(s, "col_ndv",
         Seq(d, stamp(d, name), name, column),
         graft.util.ArtifactStore.LongsCodec) {
         Seq(table(s, d, name).select(column).distinct().count())
+      }.head)
+    graft.plans.KeyedWindowRule.registerNdvHint(s, column, v)
+  }
+
+  /** Measured-once column UNIQUENESS, registered as a
+    * [[graft.plans.RankJoinRule]] session hint when — and only when —
+    * the data proves it: `countDistinct(column) == count(*)` on the
+    * actual fixture file (persisted through the ArtifactStore under the
+    * file stamp, so a regenerated fixture re-measures). Evidence, not
+    * declaration: a fixture written with duplicate keys simply never
+    * registers, and the rank-join collapse refuses. */
+  private val uniqueMeasured =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def registerMeasuredUnique(s: SparkSession, d: String,
+                                     name: String, column: String): Unit = {
+    val memoKey = s"$d/$name/$column/${stamp(d, name)}"
+    // measurement memoized, hint re-applied per load — see
+    // registerMeasuredNdv for why
+    val unique = uniqueMeasured.computeIfAbsent(memoKey, _ => {
+      val v = graft.util.ArtifactStore.getOrCompute(s, "col_unique",
+        Seq(d, stamp(d, name), name, column),
+        graft.util.ArtifactStore.LongsCodec) {
+        val t = table(s, d, name)
+        Seq(t.select(column).distinct().count(), t.count())
       }
-      graft.plans.KeyedWindowRule.registerNdvHint(s, column, v.head)
-    }
+      v.length == 2 && v(0) == v(1) && v(1) > 0L
+    })
+    if (unique) graft.plans.RankJoinRule.registerUniqueHint(s, column)
   }
 
   /** Normalize `events.ts` to TimestampType whatever the fixture vintage

@@ -106,18 +106,36 @@ object PlanLint {
         // graft extensions) pays as two scans + join; with the
         // extensions on, a SURVIVING instance means the rewrite rules
         // refused (the keyed-window precedent) — worth a look either way
+        // compare the relations' actual root paths, NOT the 'Location'
+        // metadata string — Spark truncates that to
+        // spark.sql.maxMetadataStringLength (default 100), so two
+        // distinct tables under a long shared prefix would compare
+        // equal and plant a false positive (ADVICE r14)
         def scanLocs(p: SparkPlan): Set[String] = p.collect {
-          case s: FileSourceScanExec => s.metadata.getOrElse("Location", "")
-        }.filter(_.nonEmpty).toSet
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.map(_.toString).toSet
+        }.flatten.filter(_.nonEmpty).toSet
         def hasAgg(p: SparkPlan): Boolean =
           p.exists { case _: BaseAggregateExec => true; case _ => false }
-        if (scanLocs(j.left).intersect(scanLocs(j.right)).nonEmpty &&
-            (hasAgg(j.left) || hasAgg(j.right)))
+        def hasWindow(p: SparkPlan): Boolean =
+          p.exists { case _: WindowExec => true; case _ => false }
+        val sameRel = scanLocs(j.left).intersect(scanLocs(j.right)).nonEmpty
+        if (sameRel && (hasAgg(j.left) || hasAgg(j.right)))
           out += Finding("self-join-aggregate", "info", j.nodeName,
             "both join sides scan the same relation and one aggregates " +
               "it; a greatest-n-per-group or top-n spelling collapses to " +
               "one windowed scan (ArgMaxJoinRule / TopNSubqueryRule, " +
               "spark.graft.argmaxJoin.rewrite / spark.graft.topn.rewrite)")
+        else if (sameRel && (hasWindow(j.left) || hasWindow(j.right)))
+          // the rank-subquery JOIN spelling (r15): same relation on
+          // both sides, one windowed — collapses to one scan when a
+          // paired column's uniqueness is registered evidence
+          out += Finding("self-join-window", "info", j.nodeName,
+            "both join sides scan the same relation and one windows " +
+              "it; the rank-subquery top-n spelling collapses to one " +
+              "windowed scan under measured key uniqueness " +
+              "(RankJoinRule.registerUniqueHint, " +
+              "spark.graft.rankJoin.rewrite)")
       case _ =>
     }
     out += Finding("shuffle-census", "info", "plan",

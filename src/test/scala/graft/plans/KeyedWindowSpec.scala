@@ -561,6 +561,58 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM kw_t9""".stripMargin), classOf[KeyedRunningAggExec])
   }
 
+  test("measured-floor refusal: a MEASURED-high component proves the composite high (r15, VERDICT r14 #1)") {
+    // ndv(k1..kn) >= max ndv(ki): one hinted-high component refuses the
+    // wager for ndv-SENSITIVE shapes even when the other component is
+    // unprovable — and ONLY for those shapes, and ONLY on measurement
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_kw_floor-${System.nanoTime()}")
+    spark.range(0, 2000, 1, 4)
+      .selectExpr("id AS hcol", "concat('u', id % 40) AS u", "id % 97 AS v",
+        "id AS t")
+      .write.parquet(dir.getAbsolutePath)
+    try {
+      spark.read.parquet(dir.getAbsolutePath).createOrReplaceTempView("kw_floor")
+      KeyedWindowRule.registerNdvHint(spark, "hcol", 100000L)
+      // 1. whole-frame total over (measured-high, unprovable): REFUSES —
+      // Spark's hash-clustered Window stays
+      val tot = spark.sql(
+        "SELECT t, sum(v) OVER (PARTITION BY hcol, u) AS s FROM kw_floor")
+      assert(nodes(tot).exists(_.isInstanceOf[WindowExec]) &&
+        !nodes(tot).exists(_.isInstanceOf[KeyedTotalAggExec]),
+        s"expected the proven-HIGH refusal:\n${tot.queryExecution.executedPlan}")
+      // 2. the RUNNING shape over the same composite still heals — its
+      // boundary stitch is O(partitions), high ndv is no loss signal
+      checkRewritten(spark.sql(
+        """SELECT t, sum(v) OVER (PARTITION BY hcol, u ORDER BY t
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          |FROM kw_floor""".stripMargin), classOf[KeyedRunningAggExec])
+      // 3. a filter PIN on the measured column overrides the table-level
+      // measurement (the post-filter domain is proven small) — the
+      // optimistic total fires again
+      checkRewritten(spark.sql(
+        """SELECT t, sum(v) OVER (PARTITION BY hcol, u) AS s
+          |FROM kw_floor WHERE hcol IN (1, 2, 3)""".stripMargin),
+        classOf[KeyedTotalAggExec])
+      // 4. a CAST of the measured column carries NO floor (casts can
+      // collapse values) — the optimistic arm fires on the composite
+      checkRewritten(spark.sql(
+        """SELECT t, sum(v) OVER (PARTITION BY CAST(hcol AS STRING), u) AS s
+          |FROM kw_floor""".stripMargin), classOf[KeyedTotalAggExec])
+    } finally {
+      // drop the synthetic hint so other tests' evidence stays honest
+      val hints = KeyedWindowRule.parseHints(
+        spark.conf.get(KeyedWindowRule.NdvHintsConf, "")) - "hcol"
+      spark.conf.set(KeyedWindowRule.NdvHintsConf,
+        hints.map { case (k, v) => s"$k=$v" }.mkString(","))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("optimistic heal: a stats-less 25-ndv lineage plans the keyed execs under the runtime budget (r12 #1)") {
     // the ad-hoc shape: a freshly-written parquet read with NO catalog
     // entry, stats, filter pin, or hint — every prior evidence arm
@@ -586,35 +638,36 @@ class KeyedWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
       checkRewritten(spark.sql(
         """SELECT id, sum(v) OVER (PARTITION BY language) AS tot
           |FROM kw_opt""".stripMargin), classOf[KeyedTotalAggExec])
-      // the adversarial twin: a high-ndv key over the same stats-less
-      // read fires optimistically too, and the runtime budget refuses
-      // LOUDLY (site-named, remedy-bearing) before any per-run buffer
-      // metadata reaches the driver
+      // the adversarial twin, r15 semantics: a high-ndv key over the
+      // same stats-less read fires optimistically too, and a budget the
+      // data does NOT fit no longer kills the job where an equivalent
+      // plan exists — the running heal stitches on O(partitions)
+      // boundary state (no budget at all), and the whole-frame total
+      // PIVOTS to the shuffled attach; the loud abort survives only
+      // for the order-sensitive total, whose sorted range-partitioned
+      // output has no sound fallback
       spark.conf.set(KeyedWindowRule.MaxRunsConf, "100")
       try {
         def msgs(t: Throwable): Seq[String] =
           if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-        val exRun = intercept[Exception] {
-          spark.sql(
-            """SELECT id, sum(v) OVER (PARTITION BY id ORDER BY v
-              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
-              |FROM kw_opt""".stripMargin).collect()
-        }
-        assert(msgs(exRun).exists(m => m.contains("Keyed-window rewrite") &&
-          m.contains(KeyedWindowRule.OptimisticConf)), s"unexpected: $exRun")
-        val exTot = intercept[Exception] {
-          spark.sql(
-            "SELECT id, count(*) OVER (PARTITION BY id) AS c FROM kw_opt")
-            .collect()
-        }
-        assert(msgs(exTot).exists(_.contains("Keyed-window rewrite")),
-          s"unexpected: $exTot")
-        // at a budget the data fits, the same high-ndv frame completes
-        spark.conf.set(KeyedWindowRule.MaxRunsConf, "100000")
+        // running: completes whatever the budget — boundary-only state
         checkRewritten(spark.sql(
           """SELECT id, sum(v) OVER (PARTITION BY id ORDER BY v
             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
             |FROM kw_opt""".stripMargin), classOf[KeyedRunningAggExec])
+        // whole-frame total: budget trips, pivot completes, answer right
+        checkRewritten(spark.sql(
+          "SELECT id, count(*) OVER (PARTITION BY id) AS c FROM kw_opt"),
+          classOf[KeyedTotalAggExec])
+        // order-sensitive total: promised sorted output → loud refusal
+        val exTot = intercept[Exception] {
+          spark.sql(
+            """SELECT id, first_value(v) OVER (PARTITION BY id ORDER BY v
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              |  AS f FROM kw_opt""".stripMargin).collect()
+        }
+        assert(msgs(exTot).exists(m => m.contains("Keyed-window rewrite") &&
+          m.contains(KeyedWindowRule.OptimisticConf)), s"unexpected: $exTot")
       } finally spark.conf.unset(KeyedWindowRule.MaxRunsConf)
     } finally {
       def rm(f: java.io.File): Unit = {

@@ -102,23 +102,100 @@ class ScaleSoakSpec extends AnyFunSuite {
       f"vs WindowExec $tOff%.1f s, 2M rows")
   }
 
-  test("optimistic run budget ABORTS loudly past 1M runs, before buffer collection") {
-    // 1.1M distinct unprovable keys: the count-only pre-pass must refuse
-    // with the site-named error BEFORE any per-key buffer is built
+  test("1.1M-run optimistic running heal COMPLETES on boundary-only state (r15)") {
+    // VERDICT r14 #2: the former run budget existed to bound pass 1's
+    // O(runs) driver payload; the boundary-only pass (r15) ships four
+    // values per PARTITION whatever the key count, so the same 1.1M
+    // distinct unprovable keys that used to abort now complete —
+    // checksum-identical to WindowExec.
     def q = spark.range(0, 1100000L, 1, 32)
       .selectExpr("concat('k', id) AS k", "id AS t", "id % 97 AS v")
       .selectExpr("k", "t", "sum(v) OVER (PARTITION BY k ORDER BY t) AS s")
     val planStr = q.queryExecution.executedPlan.toString
     assert(planStr.contains("KeyedRunningAgg"),
       s"optimistic arm did not fire:\n${planStr.take(1200)}")
-    // aggregate OVER s so column pruning cannot drop the window
-    val ex = intercept[Throwable] {
-      q.agg(sum(hash(col("s")).cast("long"))).collect()
+    val t0 = System.nanoTime()
+    val (hOn, nOn) = checksum(q, "k", "t", "s")
+    val tOn = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val (hOff, nOff) = withConf(KeyedWindowRule.RewriteConf -> "false") {
+      checksum(q, "k", "t", "s")
     }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
-    assert(chain(ex).exists(_.contains(KeyedWindowRule.MaxRunsConf)),
-      s"expected the loud run-budget abort, got: ${chain(ex).mkString(" | ")}")
+    val tOff = (System.nanoTime() - t1) / 1e9
+    assert((hOn, nOn) === (hOff, nOff), "1.1M-run boundary heal diverged")
+    info(f"observed: 1.1M runs, O(partitions)=32 boundary tuples; " +
+      f"heal $tOn%.1f s vs WindowExec $tOff%.1f s")
+  }
+
+  test("optimistic TOTAL budget trip PIVOTS to the shuffled attach (r15)") {
+    // VERDICT r14 #2: the whole-frame total's budget trip is no longer
+    // an abort when the node promised nothing (no order, unknown child
+    // partitioning): the exec pivots to the shuffled attach — one row
+    // shuffle, Spark's own window work profile — and the answer is
+    // checksum-identical to WindowExec. Budget forced tiny so the
+    // DRIVER-MERGE trip fires deterministically at test scale.
+    withConf(KeyedWindowRule.MaxRunsConf -> "1000") {
+      def q = spark.range(0, 300000L, 1, 16)
+        .selectExpr("concat('k', id % 50000) AS k", "id % 97 AS v")
+        .selectExpr("k", "v", "sum(v) OVER (PARTITION BY k) AS s")
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.contains("KeyedTotalAgg"),
+        s"optimistic total did not fire:\n${planStr.take(1200)}")
+      val (hOn, nOn) = checksum(q, "k", "v", "s")
+      val (hOff, nOff) = withConf(KeyedWindowRule.RewriteConf -> "false") {
+        checksum(q, "k", "v", "s")
+      }
+      assert((hOn, nOn) === (hOff, nOff), "total pivot diverged")
+      info("observed: 50k keys vs budget 1000 -> driver-merge trip -> " +
+        "shuffled-attach pivot, checksum-identical")
+    }
+  }
+
+  test("optimistic TOTAL task-side cap trips and PIVOTS too (r15)") {
+    // two partitions each holding 100k distinct keys cross the 64k
+    // per-task floor: a TASK throws the typed overflow, the driver
+    // catches it off the failed job and pivots — same checksum as
+    // WindowExec. (Two slices, not one: spark.range with one slice
+    // reports SinglePartition — a REAL placement promise, so the pivot
+    // correctly refuses there and the loud abort stands.)
+    withConf(KeyedWindowRule.MaxRunsConf -> "1000") {
+      def q = spark.range(0, 200000L, 1, 2)
+        .selectExpr("concat('k', id) AS k", "id % 97 AS v")
+        .selectExpr("k", "v", "sum(v) OVER (PARTITION BY k) AS s")
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.contains("KeyedTotalAgg"),
+        s"optimistic total did not fire:\n${planStr.take(1200)}")
+      val (hOn, nOn) = checksum(q, "k", "v", "s")
+      val (hOff, nOff) = withConf(KeyedWindowRule.RewriteConf -> "false") {
+        checksum(q, "k", "v", "s")
+      }
+      assert((hOn, nOn) === (hOff, nOff), "task-trip pivot diverged")
+    }
+  }
+
+  test("order-sensitive TOTAL keeps the loud abort — no sound pivot exists") {
+    // first_value demands the (keys ++ order) range exchange, so the
+    // node PROMISED sorted, range-partitioned output — a shuffled
+    // re-attach would break parents that rely on it. The trip stays a
+    // loud, site-named refusal.
+    withConf(KeyedWindowRule.MaxRunsConf -> "1000") {
+      def q = spark.range(0, 20000L, 1, 8)
+        .selectExpr("concat('k', id) AS k", "id AS t", "id % 97 AS v")
+        .selectExpr("k", "t",
+          """first_value(v) OVER (PARTITION BY k ORDER BY t
+            |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s"""
+            .stripMargin.replace("\n", " "))
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.contains("KeyedTotalAgg"),
+        s"order-sensitive total did not fire:\n${planStr.take(1200)}")
+      val ex = intercept[Throwable] {
+        q.agg(sum(hash(col("s")).cast("long"))).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(_.contains(KeyedWindowRule.MaxRunsConf)),
+        s"expected the loud run-budget abort, got: ${chain(ex).mkString(" | ")}")
+    }
   }
 
   test("range-frame harvest cap refuses organically on a 40k-row dense band") {

@@ -147,6 +147,29 @@ class TopNSubquerySpec extends AnyFunSuite {
       "expected the two-key collapse")
   }
 
+  test("TWO correlated counts in one filter both collapse — stacked windows (r15, ADVICE r14)") {
+    // top-2 by v AND top-5 by id, both as correlated counts in one
+    // WHERE: r14 rewrote only the first conjunct, leaving the second to
+    // the quadratic domain join; r15 stacks one rank window per
+    // conjunct over the SAME single scan
+    assert(parity(
+      """SELECT k, v, id FROM tpn_big t
+        |WHERE (SELECT count(*) FROM tpn_big t2
+        |       WHERE t2.k = t.k AND t2.v > t.v) < 2
+        |  AND (SELECT count(*) FROM tpn_big t3
+        |       WHERE t3.k = t.k AND t3.id > t.id) < 5""".stripMargin),
+      "expected BOTH correlated counts to collapse (join-free plan)")
+    // and with an uncorrelated extra conjunct riding along
+    assert(parity(
+      """SELECT k, v, id FROM tpn_big t
+        |WHERE (SELECT count(*) FROM tpn_big t2
+        |       WHERE t2.k = t.k AND t2.v > t.v) < 3
+        |  AND (SELECT count(*) FROM tpn_big t3
+        |       WHERE t3.k = t.k AND t3.id > t.id) < 4
+        |  AND k <> 5""".stripMargin),
+      "expected both collapses with the residual predicate kept")
+  }
+
   test("refusals: >= / <= correlations, aggregates besides count, extra filters, HAVING-less shape breaks") {
     fixture
     val refusals = Seq(

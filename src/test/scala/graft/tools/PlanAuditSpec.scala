@@ -830,33 +830,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x136: expected the partial-agg argmax:\n${p136.take(1200)}")
   }
 
-  test("x143 capstone: two orders scans, no Window, keyed heals, broadcast flag join") {
-    // r14 composition: the computed-key argmax join collapses to one
-    // scan (KeyedTotalAgg over the month expression), the correlated
-    // top-2 collapses to a second scan (KeyedRank), and the flag join
+  test("x143 capstone: two orders scans, keyed rank + hash window, broadcast flag join") {
+    // r14 composition, r15 exec choice (VERDICT r14 #1): the
+    // computed-key argmax join still collapses to one scan, but the
+    // measured-high o_custkey floor (ndv(custkey, month) >=
+    // ndv(custkey) > maxNdv) keeps Spark's hash-clustered Window for
+    // the total attach — the plan that stays parallel AND finishes at
+    // 100x keys. The correlated top-2 still collapses to a second scan
+    // — its rank window also keys on proven-HIGH o_custkey, so it too
+    // stays Spark's hash-clustered window — and the flag join
     // broadcasts the tiny top-2 set — stock Spark pays FIVE orders
     // scans for the same SQL (two for the self-join, three for the
-    // correlated domain join)
+    // correlated domain join).
     val p = plan("x143_monthly_top_panel")
     assert(p.linesIterator.count(_.contains("orders.parquet")) === 2,
       s"x143: orders must be scanned exactly twice:\n${p.take(2000)}")
-    assert(!p.contains("Window ["), s"x143: a window survived:\n${p.take(2000)}")
-    assert(p.contains("KeyedTotalAgg"),
-      s"x143: expected the argmax keyed total:\n${p.take(2000)}")
-    assert(p.contains("KeyedRank"),
-      s"x143: expected the top-n keyed rank:\n${p.take(2000)}")
+    assert(p.contains("Window [") && !p.contains("KeyedTotalAgg"),
+      s"x143: expected the hash-clustered Window attach (proven-HIGH key):\n${p.take(2000)}")
+    assert(!p.contains("KeyedRank"),
+      s"x143: the top-2 rank also keys on proven-HIGH o_custkey — " +
+        s"expected Spark's rank window:\n${p.take(2000)}")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"x143: the flag join must broadcast:\n${p.take(2000)}")
   }
 
-  test("x139 capstone: one orders scan, no self-join, no Window, broadcast attaches") {
+  test("x139 capstone: one orders scan, no self-join, hash argmax window, broadcast attaches") {
     // r13 composition: the argmax self-join is eliminated (orders read
     // ONCE), the strict-history inward frame plans RangeAggExec (no
     // Window node), and both dimension attaches broadcast
     val p = plan("x139_latest_order_panel")
     assert(p.linesIterator.count(_.contains("orders.parquet")) === 1,
       s"x139: orders must be scanned exactly once:\n${p.take(1500)}")
-    assert(!p.contains("Window ["), s"x139: a window survived:\n${p.take(1500)}")
+    // r15: the argmax attach keys on o_custkey alone — now MEASURED
+    // high, so the elimination keeps the one-scan shape but the attach
+    // is Spark's hash-clustered window, not the zero-exchange heal
+    assert(p.contains("Window [") && !p.contains("KeyedTotalAgg"),
+      s"x139: expected the hash-clustered argmax window:\n${p.take(1500)}")
     assert(p.contains("RangeAgg"), s"x139: expected the inward frame exec:\n${p.take(1500)}")
     assert(p.contains("BroadcastHashJoin"), s"x139: expected broadcast attaches:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"), s"x139: no shuffle join expected:\n${p.take(1500)}")

@@ -116,6 +116,29 @@ class PlanLintSpec extends AnyFunSuite {
     assert(!rules(diff).contains("self-join-aggregate"), rules(diff).mkString(","))
   }
 
+  test("rank-subquery self-join is the self-join-window finding; collapsed plan is clean (r15)") {
+    t.createOrReplaceTempView("lint_sjw")
+    val sql =
+      """SELECT t.* FROM lint_sjw t
+        |JOIN (SELECT id, row_number() OVER (PARTITION BY k
+        |        ORDER BY v DESC, id) AS rn FROM lint_sjw) r
+        |ON t.id = r.id AND r.rn <= 2""".stripMargin
+    // stock-session shape: rule off → two scans + join survive; the
+    // linter names the windowed variant and points at the evidence hook
+    spark.conf.set(graft.plans.RankJoinRule.RewriteConf, "false")
+    try {
+      val f = PlanLint.findings(spark.sql(sql))
+      val hit = f.find(_.rule == "self-join-window")
+      assert(hit.exists(_.severity == "info"), f.mkString("\n"))
+      assert(hit.exists(_.detail.contains("rankJoin")), f.mkString("\n"))
+    } finally spark.conf.set(graft.plans.RankJoinRule.RewriteConf, "true")
+    // with the rule on AND measured uniqueness registered, the join is
+    // eliminated → no finding
+    graft.plans.RankJoinRule.registerUniqueHint(spark, "id")
+    assert(!rules(spark.sql(sql)).contains("self-join-window"),
+      rules(spark.sql(sql)).mkString(","))
+  }
+
   test("gate: clean plans pass and return findings; error findings throw with the list") {
     val clean = PlanLint.gate(t.groupBy("k").agg(sum("v")))
     assert(clean.map(_.rule) === Seq("shuffle-census"))
