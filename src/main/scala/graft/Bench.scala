@@ -137,11 +137,15 @@ object Bench {
     // pass — the first MEASURED lap still absorbed C2 compilation and
     // allocator settle from the warm-up churn itself. Two extra canary
     // laps, run under the exact isolation discipline the measured laps
-    // use and then thrown away, settle the JVM before anything counts
-    // (one lap measured drift 0.91: the canary paths JIT'd but shared
-    // engine infrastructure kept compiling into the measured block —
-    // the second lap buys most of the remainder; flattening it fully
-    // would need a whole-suite settle, doubling bench wall-clock).
+    // use and then thrown away, settle the JVM before anything counts.
+    // Measured honestly (r15): one lap took the cold-open from 0.79 to
+    // 0.91; past that, drift is dominated by AMBIENT host variance in
+    // either direction (a second-lap run measured 1.23 — the END
+    // inflated mid-run, which no start-side settle can fix). The
+    // per-query median-of-3 with isolation and the floor_total (sum of
+    // per-query minima) are the noise defenses that actually bound the
+    // comparison; drift is the attribution signal that says which runs
+    // to distrust.
     (1 to 2).foreach { lap =>
       val t0 = System.nanoTime()
       canaryPass()

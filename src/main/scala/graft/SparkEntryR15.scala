@@ -63,6 +63,69 @@ object SparkEntryR15 {
           |           FROM x146_orders) r
           |ON t.o_orderkey = r.o_orderkey AND r.rn <= 2
           |ORDER BY t.o_custkey, t.o_orderkey""".stripMargin)
+    }),
+
+    // ---- X147: round-15 capstone — both r15-era eliminations in ONE
+    // plan, across two tables ----
+    //
+    // Line items enriched with (a) their return-flag group stats via
+    // the keys-only attach join (x144 shape — IN-pinned 3-key proof,
+    // collapses to a window attach, lineitem scanned ONCE) and (b)
+    // "is this line's order one of its customer's top-2 by price" via
+    // the OUTER rank-flag self-join (x146 shape — collapses to one
+    // windowed orders scan under the measured o_orderkey uniqueness).
+    // Stock Spark pays four scans (two per self-join) plus two join
+    // shuffles; the composition plans TWO scans and one broadcast
+    // enrich. The oracle runs the IDENTICAL SQL in DuckDB.
+    "x147_flagged_lineitem_panel" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("x147_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("x147_lineitem")
+      s.sql(
+        """WITH flags AS (
+          |  SELECT t.o_orderkey, r.rn
+          |  FROM x147_orders t
+          |  LEFT JOIN (SELECT o_orderkey,
+          |               row_number() OVER (PARTITION BY o_custkey
+          |                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |             FROM x147_orders) r
+          |  ON t.o_orderkey = r.o_orderkey AND r.rn <= 2),
+          |flagged AS (
+          |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+          |  FROM x147_lineitem WHERE l_returnflag IN ('A', 'N', 'R'))
+          |SELECT f.l_orderkey, f.l_linenumber, f.l_returnflag,
+          |       f.l_quantity, g.n_items, g.max_qty,
+          |       CASE WHEN fl.rn IS NOT NULL THEN 1 ELSE 0 END
+          |         AS order_is_top2
+          |FROM flagged f
+          |JOIN (SELECT l_returnflag, count(*) AS n_items,
+          |             max(l_quantity) AS max_qty
+          |      FROM flagged GROUP BY l_returnflag) g
+          |  ON f.l_returnflag = g.l_returnflag
+          |JOIN flags fl ON f.l_orderkey = fl.o_orderkey
+          |ORDER BY f.l_orderkey, f.l_linenumber, f.l_returnflag,
+          |         f.l_quantity""".stripMargin)
+    }),
+
+    // ---- X148: the rank-join spelling on the CORPUS table (r15) ----
+    //
+    // "Top 3 longest documents per (language, source)" written as the
+    // self-join — the training-data curation shape (pick the best
+    // exemplars per stratum) of the same x145 anti-pattern. doc_id's
+    // measured uniqueness (registered by the documents loader) lets
+    // the collapse fire on the corpus exactly as on orders: one scan,
+    // map-side group-limit pruning, no join. Order is tie-broken by
+    // doc_id so row_number is deterministic on both engines.
+    "x148_topdocs_rank_join" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("x148_docs")
+      s.sql(
+        """SELECT t.doc_id, t.lang, t.source, t.n_chars, r.rn
+          |FROM x148_docs t
+          |JOIN (SELECT doc_id,
+          |             row_number() OVER (PARTITION BY lang, source
+          |               ORDER BY n_chars DESC, doc_id) AS rn
+          |      FROM x148_docs) r
+          |ON t.doc_id = r.doc_id AND r.rn <= 3
+          |ORDER BY t.lang, t.source, rn, t.doc_id""".stripMargin)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -94,5 +157,44 @@ object SparkEntryR15 {
         |               AS rn
         |           FROM orders) r
         |ON t.o_orderkey = r.o_orderkey AND r.rn <= 2
-        |ORDER BY t.o_custkey, t.o_orderkey""".stripMargin)
+        |ORDER BY t.o_custkey, t.o_orderkey""".stripMargin,
+
+    // the IDENTICAL capstone composition — DuckDB executes both
+    // self-joins as written (rn never reaches the output, so no type
+    // parity cast is needed)
+    "x147_flagged_lineitem_panel" ->
+      """WITH flags AS (
+        |  SELECT t.o_orderkey, r.rn
+        |  FROM orders t
+        |  LEFT JOIN (SELECT o_orderkey,
+        |               row_number() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |             FROM orders) r
+        |  ON t.o_orderkey = r.o_orderkey AND r.rn <= 2),
+        |flagged AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R'))
+        |SELECT f.l_orderkey, f.l_linenumber, f.l_returnflag,
+        |       f.l_quantity, g.n_items, g.max_qty,
+        |       CASE WHEN fl.rn IS NOT NULL THEN 1 ELSE 0 END
+        |         AS order_is_top2
+        |FROM flagged f
+        |JOIN (SELECT l_returnflag, count(*) AS n_items,
+        |             max(l_quantity) AS max_qty
+        |      FROM flagged GROUP BY l_returnflag) g
+        |  ON f.l_returnflag = g.l_returnflag
+        |JOIN flags fl ON f.l_orderkey = fl.o_orderkey
+        |ORDER BY f.l_orderkey, f.l_linenumber, f.l_returnflag,
+        |         f.l_quantity""".stripMargin,
+
+    // the IDENTICAL corpus rank-join SQL (INTEGER cast: type parity)
+    "x148_topdocs_rank_join" ->
+      """SELECT t.doc_id, t.lang, t.source, t.n_chars, r.rn
+        |FROM documents t
+        |JOIN (SELECT doc_id,
+        |             CAST(row_number() OVER (PARTITION BY lang, source
+        |               ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
+        |      FROM documents) r
+        |ON t.doc_id = r.doc_id AND r.rn <= 3
+        |ORDER BY t.lang, t.source, rn, t.doc_id""".stripMargin)
 }

@@ -29,9 +29,22 @@ object Tables {
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  // primary keys carry measured-uniqueness evidence (ndv == rowcount on
+  // the actual file) so rank-join collapses fire on customer/supplier/
+  // part self-joins exactly as they do on orders — evidence breadth,
+  // one artifact-cached measurement per (file stamp, column)
+  def customer(s: SparkSession, d: String): DataFrame  = {
+    registerMeasuredUnique(s, d, "customer", "c_custkey")
+    table(s, d, "customer")
+  }
+  def supplier(s: SparkSession, d: String): DataFrame  = {
+    registerMeasuredUnique(s, d, "supplier", "s_suppkey")
+    table(s, d, "supplier")
+  }
+  def part(s: SparkSession, d: String): DataFrame      = {
+    registerMeasuredUnique(s, d, "part", "p_partkey")
+    table(s, d, "part")
+  }
   def orders(s: SparkSession, d: String): DataFrame    = {
     // o_custkey is the key real top-n / argmax spellings partition by
     // (x140/x142/x143); its measured count is HIGH at every fixture SF,
@@ -128,6 +141,11 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def documents(s: SparkSession, d: String): DataFrame = {
+    // doc_id uniqueness powers rank-join collapses on the corpus table
+    // ("top-n docs per lang by score" written as a self-join)
+    registerMeasuredUnique(s, d, "documents", "doc_id")
+    table(s, d, "documents")
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -222,6 +222,16 @@ class RankJoinSpec extends AnyFunSuite {
       "expected the bound-less outer attach collapse")
   }
 
+  test("x148 corpus rank-join plans one scan, no join, with the group limit") {
+    val p = graft.SparkEntry.queries("x148_topdocs_rank_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"x148: the self-join survived:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"x148: expected one scan:\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"x148: expected the map-side group-limit prune:\n${p.take(1500)}")
+  }
+
   test("x146 plans one scan, no join") {
     val p = graft.SparkEntry.queries("x146_topn_flag_join")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString

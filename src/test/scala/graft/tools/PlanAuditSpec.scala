@@ -854,6 +854,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"x143: the flag join must broadcast:\n${p.take(2000)}")
   }
 
+  test("x147 capstone: two scans, both self-joins eliminated, broadcast enrich") {
+    // r15 composition: the keys-only group-stats join collapses to a
+    // lineitem window attach (IN-pinned 3-key proof), the OUTER
+    // rank-flag self-join collapses to one windowed orders scan
+    // (measured o_orderkey uniqueness), and the cross-table enrich
+    // broadcasts — stock Spark pays four scans + two join shuffles
+    val p = plan("x147_flagged_lineitem_panel")
+    assert(p.linesIterator.count(_.contains("orders.parquet")) === 1,
+      s"x147: orders must be scanned exactly once:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) === 1,
+      s"x147: lineitem must be scanned exactly once:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"x147: the enrich must broadcast:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("Join")) === 1,
+      s"x147: only the cross-table enrich may join:\n${p.take(2000)}")
+  }
+
   test("x139 capstone: one orders scan, no self-join, hash argmax window, broadcast attaches") {
     // r13 composition: the argmax self-join is eliminated (orders read
     // ONCE), the strict-history inward frame plans RangeAggExec (no
