@@ -242,7 +242,14 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
   /** Measured-uniqueness walk: `a` traces to a BASE column of a leaf
     * through renames and filters (both preserve distinctness); the
     * session hint set is consulted with every name the column carried.
-    */
+    *
+    * Uniqueness drives a MULTIPLICITY-changing rewrite, so unlike the
+    * perf-only ndv hints its blast radius must be scoped: a
+    * PATH-SCOPED entry (`column@@path` — what the table loaders
+    * register) matches only when the leaf actually scans that file; a
+    * BARE entry matches any leaf column of that name — the explicit
+    * caller-vouches-for-the-session mode (tests, notebooks), never
+    * what the library registers on its own. */
   private def uniqueProven(a: Attribute, plan: LogicalPlan,
                            uniques: Set[String],
                            names: Set[String]): Boolean = plan match {
@@ -258,7 +265,24 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
       }
     case Filter(_, gc) => uniqueProven(a, gc, uniques, names)
     case l: LeafNode if l.outputSet.contains(a) =>
-      (names + a.name).exists(uniques.contains)
+      val all = names + a.name
+      all.exists(uniques.contains) || {
+        val leafPaths: Set[String] = l match {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(p =>
+                  RankJoinRule.normalizePath(p.toString)).toSet
+              case _ => Set.empty
+            }
+          case _ => Set.empty
+        }
+        leafPaths.nonEmpty && uniques.exists { u =>
+          val at = u.indexOf("@@")
+          at > 0 && all.contains(u.substring(0, at)) &&
+            leafPaths.contains(RankJoinRule.normalizePath(u.substring(at + 2)))
+        }
+      }
     case _ => false
   }
 
@@ -433,9 +457,29 @@ object RankJoinRule {
 
   /** Record measured uniqueness for `column` — called by table loaders
     * after verifying `countDistinct(column) == count(*)` on the actual
-    * data (the ndv-hint discipline: evidence, never declaration). */
-  def registerUniqueHint(spark: SparkSession, column: String): Unit = {
-    val merged = parseUniques(spark.conf.get(UniqueHintsConf, "")) + column
+    * data (the ndv-hint discipline: evidence, never declaration). The
+    * BARE form vouches for every leaf column of that name in the
+    * session (tests/notebooks); pass `path` to scope the evidence to
+    * one file — what the library's own loaders always do, because a
+    * same-named column in a DIFFERENT file may not be unique and this
+    * hint changes result multiplicity, not just the plan's cost. */
+  def registerUniqueHint(spark: SparkSession, column: String): Unit =
+    registerEntry(spark, column)
+
+  def registerUniqueHint(spark: SparkSession, column: String,
+                         path: String): Unit =
+    registerEntry(spark, s"$column@@${normalizePath(path)}")
+
+  private def registerEntry(spark: SparkSession, entry: String): Unit = {
+    val merged = parseUniques(spark.conf.get(UniqueHintsConf, "")) + entry
     spark.conf.set(UniqueHintsConf, merged.mkString(","))
+  }
+
+  /** Scheme-stripped absolute path, so `file:/x/y` and `/x/y` compare
+    * equal between registration and the scan's rootPaths. */
+  def normalizePath(p: String): String = {
+    val noScheme = if (p.startsWith("file:")) p.substring(5) else p
+    try new java.io.File(noScheme).getAbsolutePath
+    catch { case _: Throwable => noScheme }
   }
 }

@@ -117,7 +117,11 @@ object Tables {
       }
       v.length == 2 && v(0) == v(1) && v(1) > 0L
     })
-    if (unique) graft.plans.RankJoinRule.registerUniqueHint(s, column)
+    // path-scoped: uniqueness changes result multiplicity, so the
+    // evidence must name the exact file it was measured on — a
+    // same-named column in another parquet may not be unique
+    if (unique) graft.plans.RankJoinRule.registerUniqueHint(
+      s, column, s"$d/$name.parquet")
   }
 
   /** Normalize `events.ts` to TimestampType whatever the fixture vintage

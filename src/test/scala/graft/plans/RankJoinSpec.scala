@@ -240,6 +240,30 @@ class RankJoinSpec extends AnyFunSuite {
       s"x146: expected one scan:\n${p.take(1500)}")
   }
 
+  test("path-scoped uniqueness does not leak to a same-named column in another file (r15)") {
+    // uniqueness changes result MULTIPLICITY, so the loaders register it
+    // scoped to the measured file; a same-named column in a different
+    // parquet gets no proof from it
+    val dir = java.nio.file.Files.createTempDirectory("rjscope_").toString
+    (1 to 200).map(i => (i.toLong, i % 9, i % 31)).toDF("pid", "k", "v")
+      .write.parquet(s"$dir/uniq")
+    (1 to 200).map(i => (i.toLong % 40, i % 9, i % 31)).toDF("pid", "k", "v")
+      .write.parquet(s"$dir/dups")
+    spark.read.parquet(s"$dir/uniq").createOrReplaceTempView("rj_uniq")
+    spark.read.parquet(s"$dir/dups").createOrReplaceTempView("rj_dups")
+    RankJoinRule.registerUniqueHint(spark, "pid", s"$dir/uniq")
+    def sqlFor(view: String) =
+      s"""SELECT t.pid, t.k, t.v, r.rn
+         |FROM $view t
+         |JOIN (SELECT pid, row_number() OVER (PARTITION BY k
+         |        ORDER BY v, pid) AS rn FROM $view) r
+         |ON t.pid = r.pid AND r.rn <= 2""".stripMargin
+    assert(parity(sqlFor("rj_uniq")),
+      "the measured file must collapse under its path-scoped evidence")
+    assert(!parity(sqlFor("rj_dups")),
+      "a same-named column in another file must refuse (and stay correct)")
+  }
+
   test("opt-out conf keeps the two-scan join plan") {
     fixture
     spark.conf.set(RankJoinRule.RewriteConf, "false")
