@@ -218,6 +218,11 @@ case class ArgMaxJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     Peeled(cur, map, stripped.map(_.exprId))
   }
 
+  // DELIBERATELY stricter than WindowShapes.deterministicTree (the
+  // normalization rules' shared contract): this rule runs in the
+  // OPTIMIZER where nested subquery expressions it has not validated
+  // can still appear — a PlanExpression here is grounds for refusal,
+  // not exemption.
   private def deterministicTree(p: LogicalPlan): Boolean =
     p.find(n => n.expressions.exists(e => !e.deterministic)).isEmpty
 

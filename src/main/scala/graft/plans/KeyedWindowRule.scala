@@ -42,6 +42,17 @@ private[plans] object WindowShapes {
     case _ => false
   }
 
+  /** No nondeterministic expression anywhere in the tree (subquery
+    * markers excepted: `PlanExpression` wrappers report themselves
+    * nondeterministic, but their inner plans are validated by their
+    * own rewrites). ONE definition shared by the whole self-join
+    * elimination family (`ArgMaxJoinRule`/`TopNSubqueryRule`/
+    * `RankJoinRule`) so the determinism contract can never drift
+    * between rules. */
+  def deterministicTree(p: LogicalPlan): Boolean =
+    p.find(n => n.expressions.exists(e =>
+      !e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]]))).isEmpty
+
   /** The ranking functions the rank execs compute — pure functions of
     * position, tie run, and frame total. */
   def rankKindOf(fn: Expression): Option[RankKind] = fn match {

@@ -111,8 +111,7 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def deterministicTree(p: LogicalPlan): Boolean =
-    p.find(n => n.expressions.exists(e =>
-      !e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]]))).isEmpty
+    WindowShapes.deterministicTree(p) // one shared contract — see there
 
   /** Strip SubqueryAlias/View AND Projects whose entries are
     * attributes, renames, or DETERMINISTIC computed aliases (the
@@ -220,9 +219,15 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
               else baseMap.get(mid).map(a => top -> scala.util.Left(a))
             }
           if (out.size != meaning.size) return None
-          // every collected filter references the rank column only
-          val rankRefs = filters.forall(_.references.toSeq.forall(
-            r => meaningIsRank(r.exprId, meaning, alias.exprId)))
+          // every collected filter is DETERMINISTIC (a rand() sample
+          // or any other nondeterministic conjunct is not a rank
+          // bound and cannot transfer), NON-EMPTY on references (a
+          // constant TRUE is harmless but a nondeterministic
+          // zero-reference conjunct is caught by the determinism
+          // check), and references the rank column only
+          val rankRefs = filters.forall(f => f.deterministic &&
+            f.references.toSeq.forall(
+              r => meaningIsRank(r.exprId, meaning, alias.exprId)))
           if (!rankRefs) return None
           return Some(RankSide(w, alias.toAttribute, we, filters, out,
             baseMap, defs))
@@ -241,7 +246,8 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
 
   /** Measured-uniqueness walk: `a` traces to a BASE column of a leaf
     * through renames and filters (both preserve distinctness); the
-    * session hint set is consulted with every name the column carried.
+    * session hint set is consulted with the LEAF attribute's own name
+    * only — a rename is a claim about the reference, not the data.
     *
     * Uniqueness drives a MULTIPLICITY-changing rewrite, so unlike the
     * perf-only ndv hints its blast radius must be scoped: a
@@ -251,22 +257,25 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     * caller-vouches-for-the-session mode (tests, notebooks), never
     * what the library registers on its own. */
   private def uniqueProven(a: Attribute, plan: LogicalPlan,
-                           uniques: Set[String],
-                           names: Set[String]): Boolean = plan match {
-    case SubqueryAlias(_, c) => uniqueProven(a, c, uniques, names)
-    case v: View => uniqueProven(a, v.child, uniques, names)
+                           uniques: Set[String]): Boolean = plan match {
+    case SubqueryAlias(_, c) => uniqueProven(a, c, uniques)
+    case v: View => uniqueProven(a, v.child, uniques)
     case Project(list, gc) =>
       list.exists {
         case al @ Alias(at: AttributeReference, _) if al.exprId == a.exprId =>
-          uniqueProven(at, gc, uniques, names + al.name + at.name)
+          uniqueProven(at, gc, uniques)
         case at: AttributeReference if at.exprId == a.exprId =>
-          uniqueProven(at, gc, uniques, names + at.name)
+          uniqueProven(at, gc, uniques)
         case _ => false
       }
-    case Filter(_, gc) => uniqueProven(a, gc, uniques, names)
+    case Filter(_, gc) => uniqueProven(a, gc, uniques)
     case l: LeafNode if l.outputSet.contains(a) =>
-      val all = names + a.name
-      all.exists(uniques.contains) || {
+      // match on the LEAF attribute's OWN name only — never the names
+      // the column carried through renames: `SELECT other AS key` would
+      // otherwise inherit key's evidence for a column that was never
+      // measured (an alias is a rename of the REFERENCE, not a claim
+      // about the underlying data)
+      uniques.contains(a.name) || {
         val leafPaths: Set[String] = l match {
           case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             r.relation match {
@@ -279,7 +288,7 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
         }
         leafPaths.nonEmpty && uniques.exists { u =>
           val at = u.indexOf("@@")
-          at > 0 && all.contains(u.substring(0, at)) &&
+          at > 0 && a.name == u.substring(0, at) &&
             leafPaths.contains(RankJoinRule.normalizePath(u.substring(at + 2)))
         }
       }
@@ -340,7 +349,7 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
               pairings :+= pa
             case _ => return None // non-twin pairing (incl. rank = col)
           }
-        case other if other.references.nonEmpty &&
+        case other if other.deterministic && other.references.nonEmpty &&
             other.references.toSeq.forall(r =>
               rank.outMeaning.get(r.exprId).contains(scala.util.Right(()))) =>
           rankPreds :+= other
@@ -356,7 +365,7 @@ case class RankJoinRule(session: SparkSession) extends Rule[LogicalPlan]
     val allRankPreds = rankPreds ++ rank.rankFilters
 
     // the wager's evidence: some paired probe column is measured-unique
-    if (!pairings.exists(uniqueProven(_, probe, uniques, Set.empty)))
+    if (!pairings.exists(uniqueProven(_, probe, uniques)))
       return None
 
     // ---- rewrite ----
@@ -473,6 +482,18 @@ object RankJoinRule {
   private def registerEntry(spark: SparkSession, entry: String): Unit = {
     val merged = parseUniques(spark.conf.get(UniqueHintsConf, "")) + entry
     spark.conf.set(UniqueHintsConf, merged.mkString(","))
+  }
+
+  /** Withdraw the path-scoped evidence for (column, path) — called by
+    * table loaders when a RE-MEASURE (new file stamp at the same path)
+    * finds the column no longer unique: a stale entry would keep
+    * collapsing joins on a file that now holds duplicates, the exact
+    * wrong-multiset hazard the scoping exists to prevent. */
+  def removeUniqueHint(spark: SparkSession, column: String,
+                       path: String): Unit = {
+    val entry = s"$column@@${normalizePath(path)}"
+    val remaining = parseUniques(spark.conf.get(UniqueHintsConf, "")) - entry
+    spark.conf.set(UniqueHintsConf, remaining.mkString(","))
   }
 
   /** Scheme-stripped absolute path, so `file:/x/y` and `/x/y` compare

@@ -87,8 +87,7 @@ case class TopNSubqueryRule(session: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def deterministicTree(p: LogicalPlan): Boolean =
-    p.find(n => n.expressions.exists(e =>
-      !e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]]))).isEmpty
+    WindowShapes.deterministicTree(p) // one shared contract — see there
 
   private def rewriteFilter(cond: Expression,
                             child: LogicalPlan): Option[LogicalPlan] = {

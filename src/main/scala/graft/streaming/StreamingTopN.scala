@@ -24,8 +24,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * never enter the board and always emit rank n+1, admitted = false.
   *
   * Ordering contract as the other streaming twins: rows arrive in
-  * nondecreasing t per key across batches; late data is the T5
-  * full-recompute's job.
+  * nondecreasing t per key across batches, and no (key, t) peer group
+  * straddles a batch boundary — a straddled group's later rows would
+  * be judged against a board their own peers already entered,
+  * breaking the at-arrival law the batch replay verifies; late data
+  * is the T5 full-recompute's job.
   */
 object StreamingTopN {
 

@@ -119,8 +119,13 @@ object Tables {
     })
     // path-scoped: uniqueness changes result multiplicity, so the
     // evidence must name the exact file it was measured on — a
-    // same-named column in another parquet may not be unique
+    // same-named column in another parquet may not be unique. A
+    // NON-unique re-measure (regenerated fixture, new stamp, same
+    // path) WITHDRAWS any stale entry for the path: evidence must
+    // track the file it describes in both directions.
     if (unique) graft.plans.RankJoinRule.registerUniqueHint(
+      s, column, s"$d/$name.parquet")
+    else graft.plans.RankJoinRule.removeUniqueHint(
       s, column, s"$d/$name.parquet")
   }
 

@@ -264,6 +264,59 @@ class RankJoinSpec extends AnyFunSuite {
       "a same-named column in another file must refuse (and stay correct)")
   }
 
+  test("an alias to a registered key name inherits NO evidence (r15 review)") {
+    // `SELECT v AS pid` renames the REFERENCE, not the data: the
+    // uniqueness proof must match the LEAF column's own name, or a
+    // duplicated column wearing the registered name would collapse to
+    // a wrong multiset
+    fixture
+    val dir = java.nio.file.Files.createTempDirectory("rjalias_").toString
+    (1 to 200).map(i => (i.toLong, i % 9, i % 13)).toDF("pid", "k", "v")
+      .write.parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t").createOrReplaceTempView("rj_alias_base")
+    RankJoinRule.registerUniqueHint(spark, "pid", s"$dir/t")
+    // the disguise: v (duplicated) wearing the registered name
+    spark.sql("SELECT v AS pid, k FROM rj_alias_base")
+      .createOrReplaceTempView("rj_alias")
+    assert(!parity(
+      """SELECT t.pid, t.k, r.rn
+        |FROM rj_alias t
+        |JOIN (SELECT pid, row_number() OVER (PARTITION BY k
+        |        ORDER BY pid) AS rn FROM rj_alias) r
+        |ON t.pid = r.pid AND r.rn <= 2""".stripMargin),
+      "an aliased non-unique column must refuse (and stay correct)")
+    // the genuine column still collapses under the same evidence
+    assert(parity(
+      """SELECT t.pid, t.k, r.rn
+        |FROM rj_alias_base t
+        |JOIN (SELECT pid, row_number() OVER (PARTITION BY k
+        |        ORDER BY v, pid) AS rn FROM rj_alias_base) r
+        |ON t.pid = r.pid AND r.rn <= 2""".stripMargin),
+      "the measured column itself must still collapse")
+  }
+
+  test("nondeterministic predicates refuse — no transfer of rand() (r15 review)") {
+    fixture
+    // a rand() conjunct in the subquery WHERE: zero attribute
+    // references, so only the determinism check can catch it — the
+    // rewrite must keep the join (no parity assert: the query itself
+    // is nondeterministic)
+    val df = spark.sql(
+      """SELECT t.id, r.rn
+        |FROM rj_big t
+        |JOIN (SELECT * FROM (
+        |        SELECT id, row_number() OVER (PARTITION BY k
+        |          ORDER BY v, id) AS rn FROM rj_big)
+        |      WHERE rn <= 2 AND rand() < 2.0) r
+        |ON t.id = r.id""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, "rand() filter must refuse the collapse")
+    // (a nondeterministic conjunct in the ON clause never reaches the
+    // rule: the analyzer itself rejects nondeterministic join
+    // conditions — INVALID_NON_DETERMINISTIC_EXPRESSIONS)
+  }
+
   test("opt-out conf keeps the two-scan join plan") {
     fixture
     spark.conf.set(RankJoinRule.RewriteConf, "false")
