@@ -471,7 +471,11 @@ object RankJoinRule {
     * session (tests/notebooks); pass `path` to scope the evidence to
     * one file — what the library's own loaders always do, because a
     * same-named column in a DIFFERENT file may not be unique and this
-    * hint changes result multiplicity, not just the plan's cost. */
+    * hint changes result multiplicity, not just the plan's cost.
+    * Either way the name must be the LEAF column's OWN name: a rename
+    * (`SELECT _1 AS id` — every tuple-Dataset `toDF`) never inherits
+    * evidence, because the identical shape is also how a non-unique
+    * column would wear a registered name. */
   def registerUniqueHint(spark: SparkSession, column: String): Unit =
     registerEntry(spark, column)
 
